@@ -1,0 +1,8 @@
+package graft.queries
+
+import graft.Q
+
+/** Single place new query groups get registered. */
+object Groups {
+  def all: Seq[Q] = Relational.qs
+}

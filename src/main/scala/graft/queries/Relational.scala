@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator surface over the TPC-H-ish fixture tables.
+  *
+  * The reference pipeline itself contains only filter/project/group-list
+  * operators (SURVEY.md §2.1); these queries extend the engine to the full
+  * relational algebra a Spark user expects — aggregation, multi-way joins,
+  * window functions, top-k, semi/anti joins, rollup — each written the way
+  * it should run on 100 TB: filters ahead of joins so they push to the scan,
+  * small dimensions broadcast, aggregates map-side combinable, no
+  * driver-side collection.
+  */
+object Relational {
+  import Q.{fxsum, fxsumSql}
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- q1: scan + filter + hash aggregate (TPC-H Q1 shape) -------------
+    // Partial aggregation happens map-side; the shuffle carries only
+    // (2-key, 5-value) rows per partition, independent of input size.
+    Q("q1_agg",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            fxsum(col("l_extendedprice"), 2).as("sum_base_price"),
+            fxsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("sum_disc_price"),
+            (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               ${fxsumSql("l_extendedprice", 2)} AS sum_base_price,
+               ${fxsumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+               sum(l_quantity) / count(*) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- q2: multi-way join, small dims broadcast (TPC-H Q5 shape) -------
+    // lineitem⋈orders⋈customer shuffle on their keys; nation/region are
+    // broadcast so the big side never moves for them.
+    Q("q2_join_revenue",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            fxsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+               ${fxsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")),
+
+    // ---- q3: window function (ranked top-N per group) ---------------------
+    // One shuffle on o_custkey; per-partition sort only. Deterministic
+    // tiebreak on o_orderkey so the oracle agrees.
+    Q("q3_window_rank",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3""")),
+
+    // ---- q4: join + aggregate + global top-k ------------------------------
+    // The final orderBy/limit is a TakeOrderedAndProject: each partition
+    // keeps 10 rows, the driver merges k*numPartitions rows — no global sort.
+    Q("q4_topk_parts",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val p = Tables(s, dir, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_name"))
+          .agg(fxsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("p_partkey").asc)
+          .limit(10)
+      },
+      Some(s"""
+        SELECT p_partkey, p_name,
+               ${fxsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name
+        ORDER BY revenue DESC, p_partkey LIMIT 10""")),
+
+    // ---- q5: distinct aggregation ----------------------------------------
+    Q("q5_distinct_agg",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        c.groupBy(col("c_mktsegment"))
+          .agg(
+            countDistinct(col("c_nationkey")).as("n_nations"),
+            count(lit(1)).as("n_cust"),
+            fxsum(col("c_acctbal"), 2).as("sum_bal"))
+      },
+      Some(s"""
+        SELECT c_mktsegment,
+               count(DISTINCT c_nationkey) AS n_nations,
+               count(*) AS n_cust,
+               ${fxsumSql("c_acctbal", 2)} AS sum_bal
+        FROM customer GROUP BY c_mktsegment""")),
+
+    // ---- q6: semi + anti join (EXISTS / NOT EXISTS) ------------------------
+    // left_semi/left_anti never materialize the right payload — at scale the
+    // orders side reduces to a distinct-key set before the join.
+    Q("q6_semi_anti",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        val key = col("c_custkey") === col("o_custkey")
+        val has = c.join(o, key, "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("has_orders"))
+        val non = c.join(o, key, "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("no_orders"))
+        has.unionByName(non).select("c_mktsegment", "kind", "n")
+      },
+      Some("""
+        SELECT c_mktsegment, 'has_orders' AS kind, count(*) AS n
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT c_mktsegment, 'no_orders' AS kind, count(*) AS n
+        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment""")),
+
+    // ---- q7: rollup (grouping sets) ----------------------------------------
+    Q("q7_rollup",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("sum_qty"), col("n"))
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+  )
+}
