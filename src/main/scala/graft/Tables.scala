@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet fixture tables (TESTDATA.md).
   *
@@ -17,4 +18,19 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with parquet TIMESTAMP(NANOS), which the
+    * vectorized reader rejects; read nanos as a long and normalize to an
+    * epoch-millisecond `ems` column plus a millisecond-precision `ts`
+    * timestamp (window boundaries are all >= 1s, so ms precision is exact
+    * for every event-time operator here). Matches DuckDB's epoch_ms floor.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      // integer div, not `/`: long/long promotes to double, which cannot
+      // represent an ~1.7e18 nanosecond epoch exactly (53-bit mantissa)
+      .withColumn("ems", expr("ts div 1000000"))
+      .withColumn("ts", timestamp_millis(col("ems")))
+  }
 }

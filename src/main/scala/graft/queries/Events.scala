@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time operators over the `events` table — the batch form of the
+  * reference's windowing stages (SURVEY.md §2 O9-O11: event-time assignment,
+  * sliding/tumbling windows, window-validity filtering). The same lineages
+  * rerun under Structured Streaming with a watermark (see
+  * graft.streaming.StreamingCrop); batch `window()` has identical semantics
+  * on bounded data, which is what the oracle checks.
+  *
+  * Timestamps are carried as epoch milliseconds (BIGINT) in outputs so the
+  * DuckDB comparison is timezone-proof.
+  */
+object Events {
+  import Q.{fxsum, fxsumSql}
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- tumbling window aggregate (O10 with period == size) -------------
+    // One shuffle on (window, event_type); window assignment is a narrow
+    // projection, so this scales as a plain hash aggregate.
+    Q("ev_tumbling",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(
+            window(col("ts"), "15 seconds").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), fxsum(col("value"), 2).as("sum_value"))
+          .select(
+            unix_millis(col("w.start")).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+      },
+      Some(s"""
+        SELECT CAST(floor(epoch_ms(ts) / 15000) * 15000 AS BIGINT) AS window_start,
+               event_type, count(*) AS n,
+               ${fxsumSql("value", 2)} AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- sliding window aggregate (O10, size 15s / period 5s) -------------
+    // Spark's window() emits size/period copies per row before the shuffle;
+    // the oracle reproduces the same 3 aligned windows arithmetically.
+    Q("ev_sliding",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(window(col("ts"), "15 seconds", "5 seconds").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            unix_millis(col("w.start")).as("window_start"),
+            col("event_type"), col("n"))
+      },
+      Some("""
+        SELECT (CAST(floor(epoch_ms(ts) / 5000) AS BIGINT) - g.i) * 5000 AS window_start,
+               event_type, count(*) AS n
+        FROM events, generate_series(0, 2) AS g(i)
+        GROUP BY 1, 2""")),
+
+    // ---- sessionization (gap > 30 min splits a session) --------------------
+    // Classic lag + running-sum pattern: a single shuffle on user_id, then
+    // two per-partition window passes and a final hash aggregate. At 100 TB
+    // the only cost driver is the user_id exchange — no global sort.
+    Q("ev_sessionize",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+        e.withColumn("prev_ems", lag(col("ems"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ems").isNull ||
+              col("ems") - col("prev_ems") > 1800000L, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_s")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ems")).as("start_ms"),
+            max(col("ems")).as("end_ms"),
+            fxsum(col("value"), 2).as("sum_value"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems, value FROM events),
+        marked AS (
+          SELECT *, CASE WHEN lag(ems) OVER w IS NULL
+                          OR ems - lag(ems) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id)),
+        sess AS (
+          SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ems, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM marked)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ems) AS start_ms, max(ems) AS end_ms,
+               ${fxsumSql("value", 2)} AS sum_value
+        FROM sess GROUP BY user_id, session_id""")),
+
+    // ---- event-type funnel via conditional aggregation ---------------------
+    // Per-user pivot of event counts — count(CASE) keeps it one map-side
+    // combinable aggregate instead of N filtered self-joins.
+    Q("ev_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def cnt(t: String): Column =
+          count(when(col("event_type") === t, 1)).as(s"n_$t")
+        e.groupBy(col("user_id"))
+          .agg(cnt("signup"), cnt("purchase"), cnt("error"),
+            count(lit(1)).as("n_total"))
+          .filter(col("n_purchase") > 0)
+      },
+      Some("""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               count(*) AS n_total
+        FROM events GROUP BY user_id HAVING n_purchase > 0"""))
+  )
+}
