@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Dataset
+import scala.collection.mutable
+
+/** O8 — batched model inference (reference: preprocess.py:192-265).
+  *
+  * The reference's DoFn buffers rows per (dataset, image shape) until
+  * batch_size, runs predict_on_batch, and flushes stragglers in
+  * finish_bundle. The Spark-native shape is `mapPartitions` with the same
+  * shape-keyed micro-batching; the end-of-iterator flush replaces
+  * finish_bundle and is strictly simpler (no WindowedValue re-wrapping, and
+  * none of the buffer-overflow bug the reference TODOs at preprocess.py:263).
+  *
+  * Model state lives in a per-executor lazy singleton ([[Embedder.setup]] is
+  * called at most once per JVM per embedder class), mirroring DoFn.setup.
+  */
+trait Embedder extends Serializable {
+
+  /** Embedding dimension of [[embed]]'s outputs. */
+  def dim: Int
+
+  /** One-time per-executor initialization (load weights etc). */
+  def setup(): Unit = ()
+
+  /** Embed one batch of equally-shaped images. */
+  def embed(images: Seq[Array[Float]]): Seq[Array[Float]]
+}
+
+/** Deterministic stub standing in for Inception-V3 (no ML runtime in this
+  * container): each logit is a cheap hash-mix of the image contents, so
+  * results are stable across runs and partition placements. Default dim
+  * matches the reference's 2048 (preprocess.py:210).
+  */
+final class HashEmbedder(override val dim: Int = 2048) extends Embedder {
+  override def embed(images: Seq[Array[Float]]): Seq[Array[Float]] =
+    images.map { img =>
+      var seed = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < img.length) {
+        seed = (seed ^ java.lang.Float.floatToIntBits(img(i))) *
+          0x100000001b3L
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      var j = 0
+      var x = seed
+      while (j < dim) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        out(j) = ((x >>> 16) & 0xffff) / 65536.0f
+        j += 1
+      }
+      out
+    }
+}
+
+object Embed {
+
+  // per-executor-JVM one-time setup guard (the Spark analog of DoFn.setup)
+  private val initialized = mutable.Set.empty[String]
+
+  private def ensureSetup(e: Embedder): Unit = initialized.synchronized {
+    if (initialized.add(e.getClass.getName)) e.setup()
+  }
+
+  /** Replace `image` with `logits`, batching per (dataset, height, width)
+    * inside each partition. Narrow transformation: embedding parallelism ==
+    * upstream partitioning, and the wide `image` payload dies here, before
+    * any shuffle (the reference's manual `del element["image"]`,
+    * preprocess.py:241, is Catalyst column pruning made explicit).
+    */
+  def run(frames: Dataset[FrameRow], embedder: Embedder,
+      batchSize: Int): Dataset[EmbeddedFrame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      ensureSetup(embedder)
+      val buffers =
+        mutable.LinkedHashMap.empty[(String, Int, Int),
+          mutable.ArrayBuffer[FrameRow]]
+
+      def flush(key: (String, Int, Int)): Iterator[EmbeddedFrame] =
+        buffers.remove(key) match {
+          case Some(rows) =>
+            val logits = embedder.embed(rows.map(_.image).toSeq)
+            rows.iterator.zip(logits.iterator).map { case (r, l) =>
+              EmbeddedFrame(r.filename, r.label, r.dataset, r.timestamp_ms,
+                r.frame_per_sec, r.frame_total, l)
+            }
+          case None => Iterator.empty
+        }
+
+      def flushAll(): Iterator[EmbeddedFrame] =
+        buffers.keys.toList.iterator.flatMap(flush)
+
+      it.flatMap { r =>
+        val key = (r.dataset, r.height, r.width)
+        val buf = buffers.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+        buf += r
+        if (buf.size >= batchSize) flush(key) else Iterator.empty
+      } ++ flushAll()
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata front-end of the pipeline — SURVEY.md §2 O1-O6.
+  *
+  * Everything here is a narrow projection/filter over the `filename` string,
+  * deliberately kept ahead of any byte-fetching stage so that at 100 TB the
+  * extension filter and split run over a file *listing*, never over file
+  * contents (the reference gets this right too: preprocess.py:320-323 runs
+  * before any video byte is fetched).
+  */
+object Ingest {
+
+  /** O1/O2 — file listing as a DataFrame. For cloud-scale input the listing
+    * itself must be distributed; `binaryFile` (or a custom DSv2 table) gives
+    * a lazy file index instead of the reference's eager driver-side glob
+    * (preprocess.py:377, the scalability cliff called out in SURVEY §3).
+    */
+  def listFiles(spark: SparkSession, globPath: String): DataFrame =
+    spark.read.format("binaryFile").load(globPath)
+      .select(col("path").as("filename"))
+
+  /** O2 variant for an in-memory list (beam.Create). */
+  def fromList(spark: SparkSession, files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    files.toDF("filename")
+  }
+
+  /** O4 — keep only supported video containers
+    * (reference: preprocess.py:320-323, split on '.' + last element).
+    */
+  val videoExtensions: Seq[String] = Seq("mkv", "avi", "mp4")
+
+  def filterVideos(files: DataFrame): DataFrame =
+    files.filter(
+      element_at(split(col("filename"), "\\."), -1).isin(videoExtensions: _*))
+
+  /** O5 — label = 3rd-from-last path segment
+    * (reference: preprocess.py:268-274).
+    */
+  def withLabel(files: DataFrame): DataFrame =
+    files.withColumn("label", element_at(split(col("filename"), "/"), -3))
+
+  /** O6 — three-way train/val/test split.
+    *
+    * Two modes, both single-pass and shuffle-free:
+    *  - [[splitRandom]]: seeded `rand()`, faithful to the reference's
+    *    Bernoulli split (preprocess.py:36-70) but reproducible (the
+    *    reference's unseeded random.random() is a deliberate upgrade point,
+    *    SURVEY §7).
+    *  - [[splitByHash]]: md5-bucketed on the filename — fully deterministic
+    *    across engines and re-runs, the right choice at 100 TB where split
+    *    membership must survive recomputation of a lost partition.
+    *    (A rand() column is NOT recomputation-stable unless checkpointed.)
+    */
+  def splitRandom(files: DataFrame, train: Double, validation: Double,
+      test: Double, seed: Long): DataFrame = {
+    require(math.abs(train + validation + test - 1.0) < 1e-9,
+      s"ratios must sum to 1.0, got ${train + validation + test}")
+    val r = rand(seed)
+    files.withColumn("dataset",
+      when(r < test, "test")
+        .when(r < test + validation, "val")
+        .otherwise("train"))
+  }
+
+  def splitByHash(files: DataFrame, train: Double, validation: Double,
+      test: Double, keyCol: String = "filename"): DataFrame = {
+    require(math.abs(train + validation + test - 1.0) < 1e-9,
+      s"ratios must sum to 1.0, got ${train + validation + test}")
+    files.withColumn("dataset", hashBucket(col(keyCol), train, validation))
+  }
+
+  /** First two hex chars of md5 = a uniform bucket in [0, 256); thresholds
+    * are hex-string comparisons so the same expression is one line of
+    * portable SQL. 256 buckets quantize the ratios to <0.4% error.
+    */
+  private[graft] def hashBucket(key: Column, train: Double,
+      validation: Double): Column = {
+    def hex2(p: Double): String = f"${math.round(p * 256)}%02x"
+    val b = substring(md5(key.cast("binary")), 1, 2)
+    when(b < lit(hex2(train)), "train")
+      .when(b < lit(hex2(train + validation)), "val")
+      .otherwise("test")
+  }
+
+  /** DuckDB mirror of [[hashBucket]] + thresholds, for oracle SQL. */
+  private[graft] def hashBucketSql(keyExpr: String, train: Double,
+      validation: Double): String = {
+    def hex2(p: Double): String = f"${math.round(p * 256)}%02x"
+    s"""CASE WHEN substr(md5($keyExpr), 1, 2) < '${hex2(train)}' THEN 'train'
+              WHEN substr(md5($keyExpr), 1, 2) < '${hex2(train + validation)}' THEN 'val'
+              ELSE 'test' END"""
+  }
+}

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** O9-O17 — sample assembly: regroup frames into training samples by mode,
+  * sort each sample's frames by timestamp, and pivot list-of-frames into
+  * struct-of-arrays (reference: preprocess.py:283-368, 399-406).
+  *
+  * All three modes are single-shuffle (or shuffle-free for single_frame):
+  * the group key is (window,)? filename (+ functionally-dependent context
+  * columns, grouped rather than re-joined), the per-sample sort happens on
+  * the collected array via `sort_array` — never a global sort — and the
+  * pivot is a pure projection (`transform`) over the sorted array, exactly
+  * the plan shape that survives a 100× scale-up.
+  */
+object Samples {
+
+  /** Context columns: per-video scalars (reference features.py:30-35). */
+  val contextCols: Seq[String] =
+    Seq("filename", "label", "dataset", "frame_per_sec", "frame_total")
+
+  /** O16+O17 — given a grouped array of frame structs, emit one column per
+    * list feature, each sorted by timestamp_ms. `sort_array` on an array of
+    * structs orders by fields in struct order, so timestamp_ms is placed
+    * first to make it the sort key (ties then break deterministically on the
+    * remaining fields).
+    */
+  private def pivoted(listCols: Seq[String]): Seq[Column] = {
+    val sorted = sort_array(col("frames"))
+    listCols.map(c => transform(sorted, f => f(c)).as(c))
+  }
+
+  private def frameStruct(listCols: Seq[String]): Column =
+    struct((col("timestamp_ms") +: listCols.filter(_ != "timestamp_ms")
+      .map(col)): _*).as("frames")
+
+  /** O15 — single_frame mode: every frame is its own sample; the "lists"
+    * are one-element arrays. Shuffle-free.
+    */
+  def singleFrame(frames: DataFrame, listCols: Seq[String]): DataFrame =
+    frames
+      .withColumn("frames", array(frameStruct(listCols)))
+      .select(contextCols.map(col) ++ pivoted(listCols): _*)
+
+  /** O14 — full_video mode: all frames of one video form one sample. */
+  def fullVideo(frames: DataFrame, listCols: Seq[String]): DataFrame =
+    frames
+      .groupBy(contextCols.map(col): _*)
+      .agg(collect_list(frameStruct(listCols)).as("frames"))
+      .select(contextCols.map(col) ++ pivoted(listCols): _*)
+
+  /** O9-O13 — crop_video mode: sliding event-time windows over each video's
+    * timeline; a (window, video) group is one sample. Windows that extend
+    * past the end of the video are dropped unless the window end equals the
+    * sequence length (reference's validity rule, preprocess.py:283-297:
+    * video_length = 1000 * frame_total / frame_per_sec).
+    *
+    * `period == sequenceLength` degenerates to tumbling windows, like the
+    * reference's default (preprocess.py:330).
+    */
+  def cropVideo(frames: DataFrame, listCols: Seq[String],
+      sequenceLengthMs: Long, periodMs: Long): DataFrame = {
+    val videoLengthMs = lit(1000.0) * col("frame_total") / col("frame_per_sec")
+    frames
+      .withColumn("w", window(timestamp_millis(col("timestamp_ms")),
+        s"$sequenceLengthMs milliseconds", s"$periodMs milliseconds"))
+      .groupBy((col("w") +: contextCols.map(col)): _*)
+      .agg(collect_list(frameStruct(listCols)).as("frames"))
+      .withColumn("window_start", unix_millis(col("w.start")))
+      .withColumn("window_end", unix_millis(col("w.end")))
+      .filter(col("window_end") <= videoLengthMs ||
+        col("window_end") === lit(sequenceLengthMs))
+      .select((Seq("window_start", "window_end").map(col) ++
+        contextCols.map(col) ++ pivoted(listCols)): _*)
+  }
+}

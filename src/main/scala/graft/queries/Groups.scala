@@ -4,5 +4,5 @@ import graft.Q
 
 /** Single place new query groups get registered. */
 object Groups {
-  def all: Seq[Q] = Relational.qs ++ Events.qs
+  def all: Seq[Q] = Relational.qs ++ Events.qs ++ Reference.qs
 }

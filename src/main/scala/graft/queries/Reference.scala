@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline's own operator surface (SURVEY.md §2 O1-O17),
+  * driven through the graft.pipeline library over fixture-derived data so
+  * every stage is DuckDB-checkable.
+  *
+  * "Videos" are synthesized deterministically from the documents table:
+  * each doc becomes a path `videos/<lang>/<source>/doc_<id>.<ext>` (so the
+  * label extracted by O5 is `lang`), and each kept video gets
+  * `1 + doc_id % 7` frames at 500 ms spacing — pure arithmetic that the
+  * oracle reproduces exactly. The binary decode / ML-embed stages (O7/O8)
+  * are exercised by `SparkEntry.entry` and ScalaTest with the synthetic
+  * decoder + hash embedder, since proto/model outputs aren't SQL.
+  */
+object Reference {
+
+  private val exts = Seq("mp4", "mkv", "avi", "webm", "txt")
+
+  /** Synthesized file listing with doc_id retained for frame synthesis. */
+  private def synthFiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      concat(lit("videos/"), col("lang"), lit("/"), col("source"),
+        lit("/doc_"), col("doc_id"), lit("."),
+        element_at(
+          array(exts.map(lit): _*),
+          (col("doc_id") % 5 + 1).cast("int"))).as("filename"),
+      col("doc_id"))
+
+  private val filesSql: String = s"""
+    SELECT 'videos/' || lang || '/' || source || '/doc_' || doc_id || '.' ||
+           list_extract(['mp4','mkv','avi','webm','txt'],
+                        CAST(doc_id % 5 + 1 AS INT)) AS filename,
+           doc_id
+    FROM documents"""
+
+  /** O4 + O5 + O6 applied to the synthesized listing. */
+  private def preparedFiles(s: SparkSession, dir: String): DataFrame =
+    Ingest.splitByHash(
+      Ingest.withLabel(Ingest.filterVideos(synthFiles(s, dir))),
+      0.70, 0.15, 0.15)
+
+  private val preparedSql: String = s"""
+    SELECT filename, doc_id,
+           string_split(filename, '/')[-3] AS label,
+           ${Ingest.hashBucketSql("filename", 0.70, 0.15)} AS dataset
+    FROM ($filesSql)
+    WHERE string_split(filename, '.')[-1] IN ('mkv', 'avi', 'mp4')"""
+
+  /** Deterministic synthetic frames: 1 + doc_id % 7 frames, 500 ms apart. */
+  private def synthFrames(s: SparkSession, dir: String): DataFrame =
+    preparedFiles(s, dir)
+      .withColumn("frame_total", (col("doc_id") % 7 + 1).cast("double"))
+      .withColumn("frame_per_sec", lit(2.0))
+      .select(col("*"),
+        explode(sequence(lit(0L),
+          (col("frame_total") - 1).cast("long"))).as("frame_idx"))
+      .withColumn("timestamp_ms", col("frame_idx") * 500L)
+      .drop("frame_idx", "doc_id")
+
+  private val framesSql: String = s"""
+    SELECT filename, label, dataset,
+           CAST(doc_id % 7 + 1 AS DOUBLE) AS frame_total,
+           2.0 AS frame_per_sec,
+           g.i * 500 AS timestamp_ms
+    FROM ($preparedSql) p,
+         generate_series(0, CAST(p.doc_id % 7 AS BIGINT)) AS g(i)"""
+
+  /** Render an array column as a comma-joined string so the oracle compare
+    * is list-representation-agnostic.
+    */
+  private def joined(df: DataFrame, arrayCol: String): DataFrame =
+    df.withColumn(arrayCol,
+      concat_ws(",", transform(col(arrayCol), _.cast("string"))))
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- O4 extension filter + O5 label extraction -------------------------
+    Q("ref_filter_label",
+      (s, dir) => Ingest.withLabel(Ingest.filterVideos(synthFiles(s, dir)))
+        .select("filename", "label"),
+      Some(s"""
+        SELECT filename, string_split(filename, '/')[-3] AS label
+        FROM ($filesSql)
+        WHERE string_split(filename, '.')[-1] IN ('mkv', 'avi', 'mp4')""")),
+
+    // ---- O6 deterministic 70/15/15 split, accounting per (dataset,label) --
+    Q("ref_split",
+      (s, dir) => preparedFiles(s, dir)
+        .groupBy(col("dataset"), col("label"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""
+        SELECT dataset, label, count(*) AS n
+        FROM ($preparedSql) GROUP BY dataset, label""")),
+
+    // ---- O15 single_frame mode: one sample per frame ------------------------
+    Q("ref_single_frame",
+      (s, dir) => joined(
+        Samples.singleFrame(synthFrames(s, dir), Seq("timestamp_ms")),
+        "timestamp_ms"),
+      Some(s"""
+        SELECT filename, label, dataset, frame_per_sec, frame_total,
+               CAST(timestamp_ms AS VARCHAR) AS timestamp_ms
+        FROM ($framesSql)""")),
+
+    // ---- O14+O16+O17 full_video mode: group, sort, pivot --------------------
+    Q("ref_full_video",
+      (s, dir) => joined(
+        Samples.fullVideo(synthFrames(s, dir), Seq("timestamp_ms")),
+        "timestamp_ms"),
+      Some(s"""
+        SELECT filename, label, dataset, frame_per_sec, frame_total,
+               array_to_string(list_sort(list(timestamp_ms)), ',') AS timestamp_ms
+        FROM ($framesSql)
+        GROUP BY filename, label, dataset, frame_per_sec, frame_total""")),
+
+    // ---- O9-O13 crop_video mode: sliding windows + validity filter ---------
+    // 2 s windows sliding every 500 ms; windows past end-of-video dropped
+    // unless window_end == sequence length (the reference's exact rule).
+    Q("ref_crop_video",
+      (s, dir) => joined(
+        Samples.cropVideo(synthFrames(s, dir), Seq("timestamp_ms"),
+          sequenceLengthMs = 2000, periodMs = 500),
+        "timestamp_ms"),
+      Some(s"""
+        WITH fr AS ($framesSql),
+        expanded AS (
+          SELECT *,
+                 (CAST(floor(timestamp_ms / 500) AS BIGINT) - g.i) * 500 AS window_start,
+                 (CAST(floor(timestamp_ms / 500) AS BIGINT) - g.i) * 500 + 2000 AS window_end
+          FROM fr, generate_series(0, 3) AS g(i))
+        SELECT window_start, window_end, filename, label, dataset,
+               frame_per_sec, frame_total,
+               array_to_string(list_sort(list(timestamp_ms)), ',') AS timestamp_ms
+        FROM expanded
+        WHERE window_end <= 1000.0 * frame_total / frame_per_sec
+           OR window_end = 2000
+        GROUP BY window_start, window_end, filename, label, dataset,
+                 frame_per_sec, frame_total"""))
+  )
+}
