@@ -56,11 +56,15 @@ final class HashEmbedder(override val dim: Int = 2048) extends Embedder {
 
 object Embed {
 
-  // per-executor-JVM one-time setup guard (the Spark analog of DoFn.setup)
-  private val initialized = mutable.Set.empty[String]
+  // Per-executor-JVM singleton embedder (the Spark analog of DoFn.setup).
+  // Each task deserializes its own Embedder copy; the first copy to arrive
+  // is initialized and cached, and EVERY task embeds through the cached,
+  // initialized instance — a per-class init *flag* alone would leave later
+  // tasks' uninitialized copies doing the embedding.
+  private val instances = mutable.Map.empty[String, Embedder]
 
-  private def ensureSetup(e: Embedder): Unit = initialized.synchronized {
-    if (initialized.add(e.getClass.getName)) e.setup()
+  private def shared(e: Embedder): Embedder = instances.synchronized {
+    instances.getOrElseUpdate(e.getClass.getName, { e.setup(); e })
   }
 
   /** Replace `image` with `logits`, batching per (dataset, height, width)
@@ -74,7 +78,7 @@ object Embed {
     val spark = frames.sparkSession
     import spark.implicits._
     frames.mapPartitions { it =>
-      ensureSetup(embedder)
+      val e = shared(embedder)
       val buffers =
         mutable.LinkedHashMap.empty[(String, Int, Int),
           mutable.ArrayBuffer[FrameRow]]
@@ -82,7 +86,7 @@ object Embed {
       def flush(key: (String, Int, Int)): Iterator[EmbeddedFrame] =
         buffers.remove(key) match {
           case Some(rows) =>
-            val logits = embedder.embed(rows.map(_.image).toSeq)
+            val logits = e.embed(rows.map(_.image).toSeq)
             rows.iterator.zip(logits.iterator).map { case (r, l) =>
               EmbeddedFrame(r.filename, r.label, r.dataset, r.timestamp_ms,
                 r.frame_per_sec, r.frame_total, l)

@@ -76,22 +76,30 @@ object Ingest {
   /** First two hex chars of md5 = a uniform bucket in [0, 256); thresholds
     * are hex-string comparisons so the same expression is one line of
     * portable SQL. 256 buckets quantize the ratios to <0.4% error.
+    *
+    * The threshold encodes the LAST INCLUDED bucket (`round(p*256) - 1`,
+    * compared with `<=`): a cumulative ratio of 1.0 then maps to "ff"
+    * rather than the 3-char "100", which would compare below every 2-char
+    * bucket and silently misroute all rows; a ratio of 0 maps to the empty
+    * string, below every bucket, i.e. an empty category.
     */
+  private def hex2(p: Double): String = {
+    val last = math.min(255L, math.round(p * 256) - 1)
+    if (last < 0) "" else f"$last%02x"
+  }
+
   private[graft] def hashBucket(key: Column, train: Double,
       validation: Double): Column = {
-    def hex2(p: Double): String = f"${math.round(p * 256)}%02x"
     val b = substring(md5(key.cast("binary")), 1, 2)
-    when(b < lit(hex2(train)), "train")
-      .when(b < lit(hex2(train + validation)), "val")
+    when(b <= lit(hex2(train)), "train")
+      .when(b <= lit(hex2(train + validation)), "val")
       .otherwise("test")
   }
 
   /** DuckDB mirror of [[hashBucket]] + thresholds, for oracle SQL. */
   private[graft] def hashBucketSql(keyExpr: String, train: Double,
-      validation: Double): String = {
-    def hex2(p: Double): String = f"${math.round(p * 256)}%02x"
-    s"""CASE WHEN substr(md5($keyExpr), 1, 2) < '${hex2(train)}' THEN 'train'
-              WHEN substr(md5($keyExpr), 1, 2) < '${hex2(train + validation)}' THEN 'val'
+      validation: Double): String =
+    s"""CASE WHEN substr(md5($keyExpr), 1, 2) <= '${hex2(train)}' THEN 'train'
+              WHEN substr(md5($keyExpr), 1, 2) <= '${hex2(train + validation)}' THEN 'val'
               ELSE 'test' END"""
-  }
 }

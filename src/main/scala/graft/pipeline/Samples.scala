@@ -51,10 +51,17 @@ object Samples {
       .select(contextCols.map(col) ++ pivoted(listCols): _*)
 
   /** O9-O13 — crop_video mode: sliding event-time windows over each video's
-    * timeline; a (window, video) group is one sample. Windows that extend
-    * past the end of the video are dropped unless the window end equals the
-    * sequence length (reference's validity rule, preprocess.py:283-297:
-    * video_length = 1000 * frame_total / frame_per_sec).
+    * timeline; a (window, video) group is one sample. A window is kept iff
+    * its end equals the sequence length OR it lies entirely inside the video
+    * (start >= 0 and end <= video_length) — the reference's exact rule
+    * (preprocess.py:293-296; video_length = 1000 * frame_total /
+    * frame_per_sec).
+    *
+    * The validity predicate runs BEFORE the groupBy: both its inputs
+    * (window bounds, per-video length) exist pre-aggregation, so invalid
+    * windows' frames — up to size/period copies per frame — are filtered out
+    * ahead of the shuffle instead of being collected into arrays and thrown
+    * away after it.
     *
     * `period == sequenceLength` degenerates to tumbling windows, like the
     * reference's default (preprocess.py:330).
@@ -65,12 +72,13 @@ object Samples {
     frames
       .withColumn("w", window(timestamp_millis(col("timestamp_ms")),
         s"$sequenceLengthMs milliseconds", s"$periodMs milliseconds"))
-      .groupBy((col("w") +: contextCols.map(col)): _*)
-      .agg(collect_list(frameStruct(listCols)).as("frames"))
       .withColumn("window_start", unix_millis(col("w.start")))
       .withColumn("window_end", unix_millis(col("w.end")))
-      .filter(col("window_end") <= videoLengthMs ||
-        col("window_end") === lit(sequenceLengthMs))
+      .filter(col("window_end") === lit(sequenceLengthMs) ||
+        (col("window_start") >= 0 && col("window_end") <= videoLengthMs))
+      .groupBy((Seq("window_start", "window_end").map(col) ++
+        contextCols.map(col)): _*)
+      .agg(collect_list(frameStruct(listCols)).as("frames"))
       .select((Seq("window_start", "window_end").map(col) ++
         contextCols.map(col) ++ pivoted(listCols)): _*)
   }

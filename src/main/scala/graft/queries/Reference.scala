@@ -62,13 +62,16 @@ object Reference {
       .withColumn("timestamp_ms", col("frame_idx") * 500L)
       .drop("frame_idx", "doc_id")
 
+  // constant-bound generate_series + filter: this DuckDB rejects lateral
+  // column arguments to table functions (CORRECTNESS_r01 Binder Error)
   private val framesSql: String = s"""
     SELECT filename, label, dataset,
            CAST(doc_id % 7 + 1 AS DOUBLE) AS frame_total,
            2.0 AS frame_per_sec,
            g.i * 500 AS timestamp_ms
-    FROM ($preparedSql) p,
-         generate_series(0, CAST(p.doc_id % 7 AS BIGINT)) AS g(i)"""
+    FROM ($preparedSql) p
+    CROSS JOIN generate_series(0, 6) AS g(i)
+    WHERE g.i <= p.doc_id % 7"""
 
   /** Render an array column as a comma-joined string so the oracle compare
     * is list-representation-agnostic.
@@ -137,8 +140,9 @@ object Reference {
                frame_per_sec, frame_total,
                array_to_string(list_sort(list(timestamp_ms)), ',') AS timestamp_ms
         FROM expanded
-        WHERE window_end <= 1000.0 * frame_total / frame_per_sec
-           OR window_end = 2000
+        WHERE window_end = 2000
+           OR (window_start >= 0
+               AND window_end <= 1000.0 * frame_total / frame_per_sec)
         GROUP BY window_start, window_end, filename, label, dataset,
                  frame_per_sec, frame_total"""))
   )

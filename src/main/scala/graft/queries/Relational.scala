@@ -157,7 +157,8 @@ object Relational {
         GROUP BY c_mktsegment
         UNION ALL
         SELECT c_mktsegment, 'no_orders' AS kind, count(*) AS n
-        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        FROM customer WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_mktsegment""")),
 
     // ---- q7: rollup (grouping sets) ----------------------------------------
