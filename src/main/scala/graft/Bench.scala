@@ -32,9 +32,14 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // a crash below must never leave a previous run's results parseable
+    Files.deleteIfExists(Paths.get("bench_out.json"))
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup: run the cheapest query once, then every query once untimed
-    names.foreach(materialize)
+    // warmup: every query once untimed. Failures are swallowed HERE ONLY —
+    // the timed pass records them in the errors array; an unguarded warmup
+    // would kill the process before any JSON is written.
+    names.foreach(n => try materialize(n) catch { case _: Throwable => () })
 
     var failed = List.empty[String]
     val results = names.map { name =>

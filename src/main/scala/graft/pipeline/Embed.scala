@@ -23,6 +23,12 @@ trait Embedder extends Serializable {
   /** One-time per-executor initialization (load weights etc). */
   def setup(): Unit = ()
 
+  /** Identity of the per-JVM singleton cache slot this embedder shares.
+    * Includes configuration, not just the class: two embedders of the same
+    * class with different `dim` must NOT share one instance.
+    */
+  def cacheKey: String = s"${getClass.getName}#dim=$dim"
+
   /** Embed one batch of equally-shaped images. */
   def embed(images: Seq[Array[Float]]): Seq[Array[Float]]
 }
@@ -63,8 +69,8 @@ object Embed {
   // tasks' uninitialized copies doing the embedding.
   private val instances = mutable.Map.empty[String, Embedder]
 
-  private def shared(e: Embedder): Embedder = instances.synchronized {
-    instances.getOrElseUpdate(e.getClass.getName, { e.setup(); e })
+  private[pipeline] def shared(e: Embedder): Embedder = instances.synchronized {
+    instances.getOrElseUpdate(e.cacheKey, { e.setup(); e })
   }
 
   /** Replace `image` with `logits`, batching per (dataset, height, width)

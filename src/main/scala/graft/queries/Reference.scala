@@ -2,8 +2,10 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.pipeline._
+import graft.tfrecord.TFRecords
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** The reference pipeline's own operator surface (SURVEY.md §2 O1-O17),
   * driven through the graft.pipeline library over fixture-derived data so
@@ -144,6 +146,36 @@ object Reference {
            OR (window_start >= 0
                AND window_end <= 1000.0 * frame_total / frame_per_sec)
         GROUP BY window_start, window_end, filename, label, dataset,
-                 frame_per_sec, frame_total"""))
+                 frame_per_sec, frame_total""")),
+
+    // ---- O18-O20+O22 TFRecord sink round-trip -------------------------------
+    // The full output stage under the correctness gate: full_video samples →
+    // SequenceExample protos → shuffled (O19) sharded .tfrecord files with
+    // per-split directories (O20/O22) → read back through the frame reader +
+    // proto decoder → must hash-match the SAME oracle as ref_full_video.
+    // Any framing, CRC, proto-layout, or shuffle-loss bug breaks the match.
+    Q("ref_tfrecord_roundtrip",
+      (s, dir) => {
+        val samples = Samples.fullVideo(synthFrames(s, dir), Seq("timestamp_ms"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_tfrec").toString
+        TFRecords.write(samples, out, numShards = 4)
+        val schema = StructType(Seq(
+          StructField("filename", StringType),
+          StructField("label", StringType),
+          StructField("frame_per_sec", DoubleType),
+          StructField("frame_total", DoubleType),
+          StructField("timestamp_ms", ArrayType(LongType))))
+        joined(
+          TFRecords.read(s, out, schema)
+            .select("filename", "label", "dataset", "frame_per_sec",
+              "frame_total", "timestamp_ms"),
+          "timestamp_ms")
+      },
+      Some(s"""
+        SELECT filename, label, dataset, frame_per_sec, frame_total,
+               array_to_string(list_sort(list(timestamp_ms)), ',') AS timestamp_ms
+        FROM ($framesSql)
+        GROUP BY filename, label, dataset, frame_per_sec, frame_total"""))
   )
 }

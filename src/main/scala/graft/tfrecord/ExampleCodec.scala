@@ -292,6 +292,7 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
       case LongType => longs.toSeq
       case IntegerType => longs.map(_.toInt).toSeq
       case ShortType => longs.map(_.toShort).toSeq
+      case ByteType => longs.map(_.toByte).toSeq
       case BooleanType => longs.map(_ != 0L).toSeq
       case StringType => byteses.map(UTF8String.fromBytes)
       case BinaryType => byteses

@@ -60,21 +60,34 @@ object ProtoWire {
     }
   }
 
-  /** Forward-only reader over one serialized message. */
+  /** Forward-only reader over one serialized message. Every read is bounds-
+    * checked against the sub-reader's `end`: truncated or malformed input
+    * (possible when fed externally-produced TFRecord files) fails with a
+    * descriptive error instead of silently reading sibling bytes or throwing
+    * a raw ArrayIndexOutOfBoundsException.
+    */
   final class Reader(buf: Array[Byte], start: Int, end: Int) {
     def this(buf: Array[Byte]) = this(buf, 0, buf.length)
     private var pos = start
 
     def hasNext: Boolean = pos < end
 
+    private def require(n: Int): Unit =
+      if (pos + n > end)
+        throw new java.io.EOFException(
+          s"truncated protobuf: need $n bytes at $pos, message ends at $end")
+
     def readVarint(): Long = {
       var shift = 0
       var v = 0L
       while (true) {
+        require(1)
         val b = buf(pos); pos += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
         shift += 7
+        if (shift > 63)
+          throw new java.io.IOException("malformed varint: > 10 bytes")
       }
       v
     }
@@ -88,6 +101,7 @@ object ProtoWire {
     /** returns a sub-reader positioned over a length-delimited field body */
     def readDelimited(): Reader = {
       val len = readVarint().toInt
+      require(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
@@ -95,6 +109,7 @@ object ProtoWire {
 
     def readDelimitedBytes(): Array[Byte] = {
       val len = readVarint().toInt
+      require(len)
       val r = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       r
@@ -114,6 +129,7 @@ object ProtoWire {
     }
 
     def readFixed32(): Long = {
+      require(4)
       val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       pos += 4
       v.toLong & 0xffffffffL
@@ -121,9 +137,9 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
+      case 1 => require(8); pos += 8
+      case 2 => val len = readVarint().toInt; require(len); pos += len
+      case 5 => require(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -1,0 +1,47 @@
+package graft.tfrecord
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.rand
+import org.apache.spark.sql.types.StructType
+
+/** User-facing TFRecord write/read helpers — the composition of O19 (global
+  * shuffle before write, reference preprocess.py:73-79), O20 (sharded
+  * TFRecord sink, preprocess.py:109-128) and O22 (per-split fan-out,
+  * preprocess.py:389-416).
+  */
+object TFRecords {
+
+  /** Write `samples` as sharded SequenceExample TFRecords under
+    * `{outputDir}/data/`, one subdirectory per value of `splitCol`
+    * (`dataset=train/...` — the reference's `{out}/data/{split}/...` layout,
+    * preprocess.py:119-123).
+    *
+    * The pre-write `repartition(numShards, rand(seed))` is the reference's
+    * random-key GroupByKey shuffle (O19) in its Spark-native form: a hash
+    * exchange on a random key — a true random permutation across shards with
+    * NO global sort (`orderBy(rand)` would be a scale bug). Seeded so golden
+    * tests are byte-reproducible, a deliberate upgrade over the reference's
+    * unseeded random.random() (preprocess.py:77).
+    */
+  def write(samples: DataFrame, outputDir: String, numShards: Int,
+      seed: Long = 42L, splitCol: String = "dataset"): Unit =
+    samples
+      .repartition(numShards, rand(seed))
+      .write
+      .format("tfrecord")
+      .option("recordType", "SequenceExample")
+      .partitionBy(splitCol)
+      .mode("overwrite")
+      .save(s"$outputDir/data")
+
+  /** Read sharded TFRecords back. `schema` must be the data schema WITHOUT
+    * the partition column; Spark appends `splitCol` from the directory names.
+    */
+  def read(spark: SparkSession, outputDir: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .format("tfrecord")
+      .option("recordType", "SequenceExample")
+      .load(s"$outputDir/data")
+}

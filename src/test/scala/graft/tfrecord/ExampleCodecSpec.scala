@@ -1,0 +1,108 @@
+package graft.tfrecord
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExampleCodecSpec extends AnyFunSuite {
+
+  test("golden bytes: Example with one int64 feature matches hand-derived proto") {
+    // Example { features { feature { key:"a" value { int64_list { value:[1] }}}}}
+    // derived by hand from the public tensorflow/core/example proto schema
+    val schema = StructType(Seq(StructField("a", LongType)))
+    val codec = new ExampleCodec(schema, sequenceMode = false)
+    val bytes = codec.encode(new GenericInternalRow(Array[Any](1L)))
+    val expected = Array(0x0a, 0x0c, 0x0a, 0x0a, 0x0a, 0x01, 0x61, 0x12,
+      0x05, 0x1a, 0x03, 0x0a, 0x01, 0x01).map(_.toByte)
+    assert(bytes.sameElements(expected))
+  }
+
+  test("SequenceExample round-trip: context scalars + feature lists") {
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("label", StringType),
+      StructField("frame_per_sec", DoubleType),
+      StructField("frame_total", DoubleType),
+      StructField("timestamp_ms", ArrayType(LongType)),
+      StructField("logits", ArrayType(ArrayType(FloatType)))))
+    val codec = new ExampleCodec(schema, sequenceMode = true)
+    val row = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("videos/en/src0/doc_1.mp4"),
+      UTF8String.fromString("en"),
+      2.0, 3.0,
+      new GenericArrayData(Array(0L, 500L, 1000L)),
+      new GenericArrayData(Array(
+        new GenericArrayData(Array(1.0f, 2.0f)),
+        new GenericArrayData(Array(3.0f, 4.0f)),
+        new GenericArrayData(Array(5.0f, 6.0f))))))
+    val decoded = codec.decode(codec.encode(row))
+    assert(decoded.getUTF8String(0).toString === "videos/en/src0/doc_1.mp4")
+    assert(decoded.getUTF8String(1).toString === "en")
+    assert(decoded.getDouble(2) === 2.0)
+    assert(decoded.getDouble(3) === 3.0)
+    assert(decoded.getArray(4).toLongArray.toSeq === Seq(0L, 500L, 1000L))
+    val logits = decoded.getArray(5)
+    assert(logits.numElements() === 3)
+    assert(logits.getArray(1).toFloatArray.toSeq === Seq(3.0f, 4.0f))
+  }
+
+  test("promotion rules: every scalar kind round-trips as a 1-element list") {
+    val schema = StructType(Seq(
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("s", ShortType), StructField("y", ByteType),
+      StructField("b", BooleanType), StructField("str", StringType),
+      StructField("bin", BinaryType)))
+    val codec = new ExampleCodec(schema, sequenceMode = false)
+    val row = new GenericInternalRow(Array[Any](
+      1.5f, 2.5, 3L, 4, 5.toShort, 6.toByte, true,
+      UTF8String.fromString("héllo"), Array[Byte](9, 8)))
+    val d = codec.decode(codec.encode(row))
+    assert(d.getFloat(0) === 1.5f)
+    assert(d.getDouble(1) === 2.5)
+    assert(d.getLong(2) === 3L)
+    assert(d.getInt(3) === 4)
+    assert(d.getShort(4) === 5.toShort)
+    assert(d.getByte(5) === 6.toByte)
+    assert(d.getBoolean(6) === true)
+    assert(d.getUTF8String(7).toString === "héllo") // str → UTF-8 bytes
+    assert(d.getBinary(8).toSeq === Seq[Byte](9, 8))
+  }
+
+  test("unsupported types are dropped with a warning, not a failure") {
+    // features.py:55-56: unsupported kind → warn + drop, row survives
+    val schema = StructType(Seq(
+      StructField("ok", LongType),
+      StructField("bad", MapType(StringType, LongType))))
+    val codec = new ExampleCodec(schema, sequenceMode = false)
+    val row = new GenericInternalRow(Array[Any](7L,
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        Array(UTF8String.fromString("k")), Array(1L))))
+    val d = codec.decode(codec.encode(row))
+    assert(d.getLong(0) === 7L)
+    assert(d.isNullAt(1)) // dropped at encode → absent at decode
+  }
+
+  test("null columns are skipped and decode as null") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val codec = new ExampleCodec(schema, sequenceMode = false)
+    val d = codec.decode(codec.encode(
+      new GenericInternalRow(Array[Any](1L, null))))
+    assert(d.getLong(0) === 1L)
+    assert(d.isNullAt(1))
+  }
+
+  test("truncated proto bytes fail with a descriptive error") {
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val codec = new ExampleCodec(schema, sequenceMode = false)
+    val bytes = codec.encode(
+      new GenericInternalRow(Array[Any](UTF8String.fromString("abcdef"))))
+    val e = intercept[java.io.EOFException] {
+      codec.decode(bytes.dropRight(3))
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+}

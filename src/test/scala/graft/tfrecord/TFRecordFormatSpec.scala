@@ -1,0 +1,85 @@
+package graft.tfrecord
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class TFRecordFormatSpec extends SparkSpec {
+
+  private def sampleDf = {
+    import spark.implicits._
+    Seq(
+      ("a.mp4", "en", "train", Seq(0L, 500L), Seq(Seq(1f, 2f), Seq(3f, 4f))),
+      ("b.mp4", "fr", "test", Seq(0L), Seq(Seq(5f, 6f))),
+      ("c.mp4", "de", "val", Seq(0L, 500L, 1000L),
+        Seq(Seq(7f), Seq(8f), Seq(9f))))
+      .toDF("filename", "label", "dataset", "timestamp_ms", "logits")
+  }
+
+  test("write + read round-trip through format(\"tfrecord\") with partitionBy") {
+    val dir = Files.createTempDirectory("tfrec").toString
+    TFRecords.write(sampleDf, dir, numShards = 2)
+
+    // O22: per-split directories exist (reference's {out}/data/{split}/)
+    val splits = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(splits.toSeq === Seq("dataset=test", "dataset=train", "dataset=val"))
+    val shards = new java.io.File(s"$dir/data/dataset=train").listFiles()
+      .filter(_.getName.endsWith(".tfrecord"))
+    assert(shards.nonEmpty)
+
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("label", StringType),
+      StructField("timestamp_ms", ArrayType(LongType)),
+      StructField("logits", ArrayType(ArrayType(FloatType)))))
+    val back = TFRecords.read(spark, dir, schema)
+      .selectExpr("filename", "label", "dataset", "timestamp_ms", "logits")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getSeq[Long](3), r.getSeq[Seq[Float]](4))).sortBy(_._1)
+
+    assert(back.length === 3)
+    assert(back(0) === (("a.mp4", "en", "train", Seq(0L, 500L),
+      Seq(Seq(1f, 2f), Seq(3f, 4f)))))
+    assert(back(1) === (("b.mp4", "fr", "test", Seq(0L), Seq(Seq(5f, 6f)))))
+    assert(back(2)._3 === "val")
+  }
+
+  test("column pruning: reading a subset schema projects correctly") {
+    val dir = Files.createTempDirectory("tfrec").toString
+    TFRecords.write(sampleDf, dir, numShards = 1)
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("timestamp_ms", ArrayType(LongType))))
+    val rows = TFRecords.read(spark, dir, schema)
+      .select("filename").orderBy("filename").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a.mp4", "b.mp4", "c.mp4"))
+  }
+
+  test("written shards are valid TFRecord files at the byte level") {
+    val dir = Files.createTempDirectory("tfrec").toString
+    TFRecords.write(sampleDf, dir, numShards = 1)
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".tfrecord"))
+    // read every shard with the pure-Scala frame reader: CRCs must verify
+    val n = files.map { f =>
+      val in = new java.io.FileInputStream(f)
+      try TFRecordIO.readRecords(in).size finally in.close()
+    }.sum
+    assert(n === 3)
+  }
+
+  test("deterministic sharding: same seed → identical record placement") {
+    val d1 = Files.createTempDirectory("tfrec").toString
+    val d2 = Files.createTempDirectory("tfrec").toString
+    TFRecords.write(sampleDf, d1, numShards = 2, seed = 7L)
+    TFRecords.write(sampleDf, d2, numShards = 2, seed = 7L)
+    def sizes(d: String) = new java.io.File(s"$d/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".tfrecord"))
+      .map(f => f.getParentFile.getName -> f.length()).sortBy(_.toString).toSeq
+    assert(sizes(d1) === sizes(d2))
+  }
+}
