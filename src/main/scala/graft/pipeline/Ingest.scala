@@ -38,10 +38,16 @@ object Ingest {
       element_at(split(col("filename"), "\\."), -1).isin(videoExtensions: _*))
 
   /** O5 — label = 3rd-from-last path segment
-    * (reference: preprocess.py:268-274).
+    * (reference: preprocess.py:268-274). Paths with fewer than 3 segments
+    * get a null label instead of an ANSI out-of-bounds error (the reference
+    * would raise IndexError there; null matches DuckDB's list[-3] semantics
+    * and lets a 100 TB listing with a few malformed paths keep running).
     */
-  def withLabel(files: DataFrame): DataFrame =
-    files.withColumn("label", element_at(split(col("filename"), "/"), -3))
+  def withLabel(files: DataFrame): DataFrame = {
+    val segs = split(col("filename"), "/")
+    files.withColumn("label",
+      when(size(segs) >= 3, element_at(segs, -3)))
+  }
 
   /** O6 — three-way train/val/test split.
     *
