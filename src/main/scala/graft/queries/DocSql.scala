@@ -1,0 +1,42 @@
+package graft.queries
+
+/** Shared DuckDB oracle fragments over the `documents` table, mirroring
+  * graft.text.TextOps exactly (same tokenization regex, same salted-md5
+  * hashes), so every text/dedup operator is hash-checkable.
+  *
+  * Shingle explosion uses the constant-bound generate_series + filter trick
+  * (this DuckDB rejects lateral column arguments to table functions); 512
+  * comfortably bounds token counts at the oracle's sf0.01 (max ~120).
+  */
+private[queries] object DocSql {
+
+  val toksSql: String =
+    "SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens FROM documents"
+
+  /** Exploded (doc_id, shingle) word n-grams. */
+  def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"tokens[g.i + $k]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, $parts AS shingle
+        FROM ($toksSql) t
+        CROSS JOIN generate_series(1, 512) AS g(i)
+        WHERE g.i <= len(tokens) - ${n - 1}"""
+  }
+
+  /** MinHash signature CTE body: doc_id, mh0..mh{k-1}. */
+  def minhashSql(n: Int, k: Int): String = {
+    val mins = (0 until k)
+      .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM (${shinglesSql(n)}) GROUP BY doc_id"
+  }
+
+  /** Banded signature rows: doc_id, band, bh (UNION ALL over bands). */
+  def bandsSql(n: Int, k: Int, rowsPerBand: Int): String = {
+    val bands = k / rowsPerBand
+    val selects = (0 until bands).map { b =>
+      val cat = (0 until rowsPerBand)
+        .map(j => s"mh${b * rowsPerBand + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+    }
+    s"WITH sig AS (${minhashSql(n, k)}) ${selects.mkString(" UNION ALL ")}"
+  }
+}

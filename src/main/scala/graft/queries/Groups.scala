@@ -4,5 +4,7 @@ import graft.Q
 
 /** Single place new query groups get registered. */
 object Groups {
-  def all: Seq[Q] = Relational.qs ++ Events.qs ++ Reference.qs
+  def all: Seq[Q] =
+    Relational.qs ++ Events.qs ++ Reference.qs ++
+      Dedup.qs ++ Text.qs ++ Similarity.qs
 }

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.similarity.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over `embeddings` — brute-force cosine top-k
+  * (correctness baseline), IVF-bucketed ANN (scale path), and
+  * embedding-cosine near-dup pairs. Cosine uses VectorOps' fixed-point
+  * integer arithmetic, so results are bit-identical across engines and
+  * partitionings.
+  */
+object Similarity {
+
+  private val ProbeLimit = 8 // probes = vec_id < 8
+  private val CentroidModulo = 25 // centroids = vec_id % 25 == 0
+
+  /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
+  private val qnSql = s"""
+    SELECT vec_id,
+           [CAST(round(CAST(x AS DOUBLE) * ${VectorOps.Scale}) AS BIGINT)
+            for x in embedding] AS qv,
+           CAST(list_sum([q * q for q in
+             [CAST(round(CAST(x AS DOUBLE) * ${VectorOps.Scale}) AS BIGINT)
+              for x in embedding]]) AS BIGINT) AS n2
+    FROM embeddings"""
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum([$a.qv[i] * $b.qv[i] for i in generate_series(1, len($a.qv))]) AS BIGINT)"
+
+  private def cosSql(a: String, b: String): String =
+    s"CAST(${dotSql(a, b)} AS DOUBLE) / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))"
+
+  /** Oracle CTE assigning every vector to its nearest centroid (IVF). */
+  private val assignSql = s"""
+    qn AS ($qnSql),
+    cents AS (SELECT vec_id AS centroid_id, qv, n2 FROM qn
+              WHERE vec_id % $CentroidModulo = 0),
+    scored_c AS (
+      SELECT v.vec_id, c.centroid_id, v.qv, v.n2,
+             ${cosSql("v", "c")} AS ccos
+      FROM qn v CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id, centroid_id, qv, n2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored_c) WHERE rn = 1)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- brute-force cosine top-k ------------------------------------------
+    // The exact baseline: a small broadcast probe set against the full
+    // corpus — one corpus scan, no corpus shuffle; per-probe top-k via
+    // row_number (partial top-k per partition under AQE).
+    Q("sim_knn_brute",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        VectorOps.knnBrute(e, e.filter(col("vec_id") < ProbeLimit), k = 10)
+      },
+      Some(s"""
+        WITH qn AS ($qnSql),
+        p AS (SELECT vec_id AS probe_id, qv, n2 FROM qn
+              WHERE vec_id < $ProbeLimit),
+        scored AS (
+          SELECT p.probe_id, c.vec_id, ${cosSql("p", "c")} AS cosine
+          FROM p JOIN qn c ON c.vec_id <> p.probe_id)
+        SELECT probe_id, vec_id AS neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= 10""")),
+
+    // ---- IVF-bucketed approximate top-k ------------------------------------
+    // The 100 TB path: centroids are a deterministic corpus subset,
+    // assignment is one broadcast pass over the corpus (narrow — the corpus
+    // never shuffles for it), and the search join is keyed on centroid_id,
+    // so cost scales with bucket size. The centroid cross join is bounded:
+    // |corpus| × |centroids|, centroids broadcast.
+    Q("sim_knn_ivf",
+      (s, dir) => VectorOps.knnIvf(Tables(s, dir, "embeddings"),
+        col("vec_id") < ProbeLimit, CentroidModulo, k = 5),
+      Some(s"""
+        WITH $assignSql,
+        probes AS (SELECT vec_id AS probe_id, centroid_id, qv, n2 FROM asg
+                   WHERE vec_id < $ProbeLimit),
+        scored AS (
+          SELECT p.probe_id, c.vec_id, ${cosSql("p", "c")} AS cosine
+          FROM probes p JOIN asg c ON c.centroid_id = p.centroid_id
+                                  AND c.vec_id <> p.probe_id)
+        SELECT probe_id, vec_id AS neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= 5""")),
+
+    // ---- embedding-cosine near-dup candidates ------------------------------
+    // Near-dup detection in embedding space: all pairs WITHIN an IVF bucket
+    // (never across the corpus), top 20 by cosine — the embedding analog of
+    // LSH-bucketed text dedup.
+    Q("dd_embed_cos",
+      (s, dir) => {
+        val assigned = VectorOps.assignIvf(
+          Tables(s, dir, "embeddings"), CentroidModulo)
+        val a = assigned.select(col("centroid_id"),
+          col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
+        val b = assigned.select(col("centroid_id"),
+          col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("nb"))
+        a.join(b, Seq("centroid_id"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            VectorOps.cosine(VectorOps.dot(col("qa"), col("qb")),
+              col("na"), col("nb")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+          .limit(20)
+      },
+      Some(s"""
+        WITH $assignSql
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${cosSql("a", "b")} AS cosine
+        FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                             AND a.vec_id < b.vec_id
+        ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20"""))
+  )
+}

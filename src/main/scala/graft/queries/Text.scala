@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents.text`: per-doc statistics +
+  * quality signals, n-gram frequencies, heuristic language ID, and bottom-k
+  * document fingerprints. All built-ins, no UDFs; ratios are single IEEE
+  * divisions over exact integer aggregates so DuckDB matches bit-for-bit.
+  */
+object Text {
+
+  private val stopEn = Seq("the", "a", "and", "of", "is", "to", "in")
+  // per-language stopword profiles for the lang-id heuristic
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "un"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def tokenRows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+
+  private def inList(c: Column, vs: Seq[String]): Column =
+    c.isin(vs.map(_.asInstanceOf[Any]): _*)
+
+  private def sqlList(vs: Seq[String]): String =
+    vs.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- per-document statistics + quality signals --------------------------
+    // token count, distinct ratio, mean token length, stopword ratio — the
+    // standard quality-filter features. One exploded pass, one combinable
+    // aggregation; ratios derived from exact integer sums.
+    Q("txt_stats",
+      (s, dir) => tokenRows(s, dir)
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          sum(length(col("token"))).as("sum_len"),
+          sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("n_distinct"),
+          (col("sum_len").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_token_len"),
+          (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+            .as("distinct_ratio"),
+          (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+            .as("stopword_ratio")),
+      Some(s"""
+        WITH tok AS (
+          SELECT d.doc_id, d.n_chars, unnest(t.tokens) AS token
+          FROM documents d JOIN (${DocSql.toksSql}) t ON t.doc_id = d.doc_id),
+        agg AS (
+          SELECT doc_id, n_chars, count(*) AS n_tokens,
+                 count(DISTINCT token) AS n_distinct,
+                 sum(length(token)) AS sum_len,
+                 sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END) AS n_stop
+          FROM tok GROUP BY doc_id, n_chars)
+        SELECT doc_id, n_chars, n_tokens, n_distinct,
+               CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+               CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+        FROM agg""")),
+
+    // ---- corpus-level n-gram frequencies (top 20 bigrams) -------------------
+    // Map-side-combinable count + TakeOrderedAndProject — no global sort.
+    Q("txt_ngram_top",
+      (s, dir) => TextOps.explodedShingles(docs(s, dir), 2)
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle").asc)
+        .limit(20),
+      Some(s"""
+        SELECT shingle, count(*) AS n
+        FROM (${DocSql.shinglesSql(2)})
+        GROUP BY shingle
+        ORDER BY n DESC, shingle ASC LIMIT 20""")),
+
+    // ---- heuristic language ID ---------------------------------------------
+    // Stopword-profile voting; deterministic priority-ordered argmax; docs
+    // matching no profile → 'und'. (The synthetic corpus is English-ish
+    // across all declared langs — the oracle checks the operator, not
+    // linguistics.)
+    Q("txt_langid",
+      (s, dir) => {
+        val sums = profiles.map { case (l, ws) =>
+          sum(when(inList(col("token"), ws), 1L).otherwise(0L)).as(s"s_$l")
+        }
+        val scored = tokenRows(s, dir)
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sums.head, sums.tail: _*)
+        val Seq(en, de, es, fr) = profiles.map(p => col(s"s_${p._1}"))
+        scored.select(col("doc_id"), col("lang"),
+          en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+          when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
+            .when(en >= de && en >= es && en >= fr, "en")
+            .when(de >= es && de >= fr, "de")
+            .when(es >= fr, "es")
+            .otherwise("fr").as("pred_lang"))
+      },
+      Some {
+        // CAST to BIGINT: DuckDB's sum(int) is HUGEINT, which the driver's
+        // pandas bridge renders as float and the hash compare then misses
+        val sums = profiles.map { case (l, ws) =>
+          s"CAST(sum(CASE WHEN token IN ${sqlList(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS s_$l"
+        }.mkString(", ")
+        s"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        sc AS (SELECT doc_id, lang, $sums FROM tok GROUP BY doc_id, lang)
+        SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM sc"""
+      }),
+
+    // ---- document fingerprints (bottom-k sketch) ----------------------------
+    // The 4 lexicographically-smallest distinct shingle hashes — a compact
+    // order-independent content fingerprint (the hash analog of winnowing);
+    // equal sketches ⇒ near-identical content.
+    Q("txt_fingerprint",
+      (s, dir) => TextOps.explodedShingles(docs(s, dir), 3)
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(",",
+          slice(sort_array(collect_set(md5(col("shingle").cast("binary")))),
+            1, 4)).as("fingerprint")),
+      Some(s"""
+        SELECT doc_id,
+               array_to_string((list_sort(list(DISTINCT md5(shingle))))[1:4], ',')
+                 AS fingerprint
+        FROM (${DocSql.shinglesSql(3)})
+        GROUP BY doc_id"""))
+  )
+}

@@ -1,0 +1,103 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity building blocks over the `embeddings` table
+  * (vec_id, embedding ARRAY<FLOAT>, label): brute-force cosine top-k as the
+  * correctness baseline and an IVF (inverted-file) bucketed variant as the
+  * scale path.
+  *
+  * Cosine is computed in FIXED POINT: each coordinate is quantized to
+  * round(x * 1000) as a long (the fixtures carry 3-decimal values, so this
+  * is lossless), the dot product and norms are exact integer sums, and only
+  * the final cosine = dot / sqrt(na) / sqrt(nb) touches floating point.
+  * Integer sums are associative — the result is independent of Spark's
+  * partitioning/order — and the final double is a chain of IEEE
+  * correctly-rounded ops on exact integers, so DuckDB reproduces it
+  * bit-for-bit. A naive float sum would be run-order-dependent at 100 TB.
+  * Max |q| ≈ 1000 ⇒ dot ≤ dims·10⁶ — overflow-safe for dims ≪ 10¹².
+  */
+object VectorOps {
+
+  val Scale = 1000
+
+  /** ARRAY<FLOAT> → ARRAY<BIGINT> fixed-point quantization. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared norm of a quantized vector. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine from integer dot + squared norms (IEEE-deterministic). */
+  def cosine(dotCol: Column, na: Column, nb: Column): Column =
+    dotCol.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
+
+  /** embeddings → (vec_id, q ARRAY<BIGINT>, n2 BIGINT), the working form. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", norm2(col("q")))
+
+  /** Brute-force cosine top-k: every probe against the whole corpus.
+    * The probe set is small and broadcast, so the corpus never shuffles —
+    * the right baseline shape even at scale (cost is one corpus scan).
+    */
+  def knnBrute(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = quantized(corpus)
+    val p = quantized(probes).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("n2").as("pn2"))
+    val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(dot(col("pq"), col("q")), col("pn2"),
+        col("n2")))
+    topK(scored, k)
+  }
+
+  /** IVF: centroids are a deterministic corpus subset (vec_id % modulo = 0);
+    * every vector is assigned to its nearest centroid (one broadcast pass —
+    * a narrow map, no shuffle of the corpus), and a probe searches only its
+    * own centroid's bucket. The candidate join is keyed on centroid_id, so
+    * work scales with bucket size, not corpus size.
+    */
+  def assignIvf(corpus: DataFrame, centroidModulo: Int): DataFrame = {
+    val q = quantized(corpus)
+    val cents = q.filter(col("vec_id") % centroidModulo === 0)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.join(broadcast(cents))
+      .withColumn("ccos", cosine(dot(col("q"), col("cq")), col("n2"),
+        col("cn2")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"))
+  }
+
+  /** Top-k per probe within the probe's IVF bucket. */
+  def knnIvf(corpus: DataFrame, probeFilter: Column, centroidModulo: Int,
+      k: Int): DataFrame = {
+    val assigned = assignIvf(corpus, centroidModulo)
+    val probes = assigned.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("centroid_id"),
+        col("q").as("pq"), col("n2").as("pn2"))
+    val scored = assigned.join(probes, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(dot(col("pq"), col("q")), col("pn2"),
+        col("n2")))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+}

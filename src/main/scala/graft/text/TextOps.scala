@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-training-data pipelines over the
+  * `documents` table: tokenization, word-shingling, MinHash signatures,
+  * banded LSH, SimHash fingerprints.
+  *
+  * Everything is built from codegen'd built-ins (regexp_extract_all /
+  * transform / element_at / md5) — no UDFs — and every hash is md5-derived
+  * so the same computation is one line of portable SQL for the DuckDB
+  * oracle. Determinism is load-bearing twice: the oracle hash-compare, and
+  * 100 TB operation (a recomputed lost partition must re-derive identical
+  * signatures; a seeded-random hash would not survive recomputation).
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Word n-gram shingles from a token array (space-joined). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash component: min over the group's shingles of a salted md5.
+    * Lexicographic min over uniform hex strings is a uniform min-hash; the
+    * salt index makes the K components independent.
+    */
+  def minhash(shingle: Column, k: Int): Column =
+    min(md5(concat(lit(s"$k|"), shingle).cast("binary"))).as(s"mh$k")
+
+  /** LSH band hash over `rowsPerBand` consecutive MinHash components. */
+  def bandHash(band: Int, rowsPerBand: Int): Column =
+    md5(concat_ws("|",
+      (0 until rowsPerBand).map(j => col(s"mh${band * rowsPerBand + j}")): _*)
+      .cast("binary"))
+
+  /** documents(doc_id, text) → exploded (doc_id, shingle) pairs. */
+  def explodedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("shingle"))
+
+  /** (doc_id, mh0..mh{k-1}) MinHash signatures — one map-side-combinable
+    * aggregation; the shuffle carries K hex strings per doc.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    explodedShingles(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(minhash(col("shingle"), 0), (1 until k).map(minhash(col("shingle"), _)): _*)
+
+  /** Banded-LSH candidate pairs (doc_a < doc_b). The join key is
+    * (band index, band hash) — the classic `groupBy(band, signature)`
+    * bucketing that keeps LSH scale-safe: never an all-pairs comparison,
+    * only docs agreeing on a full band ever meet in the shuffle.
+    */
+  def lshCandidates(docs: DataFrame, n: Int, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = k / rowsPerBand
+    val sigs = minhashSignatures(docs, n, k)
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b, rowsPerBand).as("bh"))): _*))
+        .as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 32-bit SimHash over a doc's distinct tokens, as a '0'/'1' bit string.
+    * Bit j is the sign of Σ_tokens (hex digit j of md5(token) ≥ '8' ? +1 :
+    * −1) — i.e. each token votes with the top bit of each md5 nibble.
+    * Hex-digit bits keep the whole computation portable SQL (no int
+    * conversions), which is what makes it oracle-checkable.
+    */
+  def simhashBits: Int = 32
+
+  def simhashAggs: Seq[Column] =
+    (0 until simhashBits).map { j =>
+      sum(when(substring(md5(col("token").cast("binary")), j + 1, 1) >= "8", 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+
+  def simhashFromSums: Column =
+    concat((0 until simhashBits).map(j =>
+      when(col(s"s$j") >= 0, "1").otherwise("0")): _*)
+
+  /** (doc_id, simhash) for each document. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(simhashAggs.head, simhashAggs.tail: _*)
+      .select(col("doc_id"), simhashFromSums.as("simhash"))
+}
