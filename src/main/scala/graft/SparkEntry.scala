@@ -14,9 +14,13 @@ object SparkEntry {
   def all: Seq[Q] =
     graft.queries.Groups.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship smoke on /root/testdata/sf0.001; driver checks rows>0.
+    * Runs the REAL end-to-end pipeline (listing → filter → label → split →
+    * synthetic decode → hash-embed → full_video assembly → TFRecord sink)
+    * and returns the samples read back from the written .tfrecord files.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    Main.smoke(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -67,19 +67,35 @@ object Samples {
     * reference's default (preprocess.py:330).
     */
   def cropVideo(frames: DataFrame, listCols: Seq[String],
-      sequenceLengthMs: Long, periodMs: Long): DataFrame = {
+      sequenceLengthMs: Long, periodMs: Long): DataFrame =
+    cropAssemble(
+      frames.withColumn("ts", timestamp_millis(col("timestamp_ms"))),
+      listCols, sequenceLengthMs, periodMs)
+
+  /** Shared crop_video core over a frame set that already carries an
+    * event-time `ts` column — the batch path adds `ts` directly; the
+    * Structured Streaming path (graft.streaming.StreamingCrop) adds it plus
+    * a watermark. Same lineage otherwise, which is what makes batch ≡
+    * streaming checkable.
+    *
+    * The groupBy keys on the `window()` struct itself (not the unpacked
+    * millis): in streaming, state eviction by watermark requires the
+    * window column; in batch the plan is identical either way.
+    */
+  private[graft] def cropAssemble(framesWithTs: DataFrame,
+      listCols: Seq[String], sequenceLengthMs: Long,
+      periodMs: Long): DataFrame = {
     val videoLengthMs = lit(1000.0) * col("frame_total") / col("frame_per_sec")
-    frames
-      .withColumn("w", window(timestamp_millis(col("timestamp_ms")),
+    framesWithTs
+      .withColumn("w", window(col("ts"),
         s"$sequenceLengthMs milliseconds", s"$periodMs milliseconds"))
-      .withColumn("window_start", unix_millis(col("w.start")))
-      .withColumn("window_end", unix_millis(col("w.end")))
-      .filter(col("window_end") === lit(sequenceLengthMs) ||
-        (col("window_start") >= 0 && col("window_end") <= videoLengthMs))
-      .groupBy((Seq("window_start", "window_end").map(col) ++
-        contextCols.map(col)): _*)
+      .filter(unix_millis(col("w.end")) === lit(sequenceLengthMs) ||
+        (unix_millis(col("w.start")) >= 0 &&
+          unix_millis(col("w.end")) <= videoLengthMs))
+      .groupBy((col("w") +: contextCols.map(col)): _*)
       .agg(collect_list(frameStruct(listCols)).as("frames"))
-      .select((Seq("window_start", "window_end").map(col) ++
+      .select((Seq(unix_millis(col("w.start")).as("window_start"),
+        unix_millis(col("w.end")).as("window_end")) ++
         contextCols.map(col) ++ pivoted(listCols)): _*)
   }
 }

@@ -7,10 +7,11 @@ import org.apache.spark.sql.expressions.Window
 
 /** Event-time operators over the `events` table — the batch form of the
   * reference's windowing stages (SURVEY.md §2 O9-O11: event-time assignment,
-  * sliding/tumbling windows, window-validity filtering). The same lineages
-  * rerun under Structured Streaming with a watermark (see
-  * graft.streaming.StreamingCrop); batch `window()` has identical semantics
-  * on bounded data, which is what the oracle checks.
+  * sliding/tumbling windows, window-validity filtering). The crop lineage
+  * also runs under Structured Streaming with a watermark
+  * (graft.streaming.StreamingCrop; StreamingCropSpec asserts batch ≡
+  * streaming); batch `window()` has identical semantics on bounded data,
+  * which is what the oracle checks.
   *
   * Timestamps are carried as epoch milliseconds (BIGINT) in outputs so the
   * DuckDB comparison is timezone-proof.

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   * label extracted by O5 is `lang`), and each kept video gets
   * `1 + doc_id % 7` frames at 500 ms spacing — pure arithmetic that the
   * oracle reproduces exactly. The binary decode / ML-embed stages (O7/O8)
-  * are exercised by `SparkEntry.entry` and ScalaTest with the synthetic
-  * decoder + hash embedder, since proto/model outputs aren't SQL.
+  * aren't SQL-expressible; they are exercised end-to-end by `Main.smoke`
+  * (wired as `SparkEntry.entry`) and unit-tested in FramesSpec / EmbedSpec /
+  * MainSpec with the synthetic decoder + hash embedder.
   */
 object Reference {
 

@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline._
+import graft.tfrecord.TFRecords
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+
+class MainSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def decodedRows(df: DataFrame): Set[(String, String, Seq[Long], Int)] =
+    df.selectExpr("filename", "dataset", "timestamp_ms", "size(logits)")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2),
+        r.getInt(3))).toSet
+
+  test("end-to-end: listing → decode → embed → assemble → tfrecord → read") {
+    val out = Files.createTempDirectory("main_e2e").toString
+    Main.run(Main.fixtureListing(spark, sfDir), out)
+    val back = TFRecords.read(spark, out, Main.sampleSchema(Main.FullVideo))
+    val rows = decodedRows(back)
+    assert(rows.nonEmpty)
+    // every decoded sample: one row per kept video, logits row per frame
+    assert(rows.forall { case (f, ds, ts, nLogits) =>
+      f.matches(".*\\.(mp4|mkv|avi)") &&
+        Set("train", "val", "test")(ds) &&
+        ts == ts.sorted && ts.size == nLogits
+    })
+  }
+
+  test("golden determinism: two runs produce identical decoded multisets") {
+    val o1 = Files.createTempDirectory("main_g1").toString
+    val o2 = Files.createTempDirectory("main_g2").toString
+    Main.run(Main.fixtureListing(spark, sfDir), o1)
+    Main.run(Main.fixtureListing(spark, sfDir), o2)
+    val r1 = decodedRows(
+      TFRecords.read(spark, o1, Main.sampleSchema(Main.FullVideo)))
+    val r2 = decodedRows(
+      TFRecords.read(spark, o2, Main.sampleSchema(Main.FullVideo)))
+    assert(r1 === r2)
+  }
+
+  test("round-trip equality: sink+read ≡ direct in-memory assembly") {
+    val out = Files.createTempDirectory("main_rt").toString
+    val listing = Main.fixtureListing(spark, sfDir)
+    Main.run(listing, out, Main.Config(embeddingDim = 8))
+    val back = TFRecords.read(spark, out,
+      Main.sampleSchema(Main.FullVideo))
+
+    // recompute the same samples WITHOUT the sink
+    val prepared = Ingest.splitByHash(
+      Ingest.withLabel(Ingest.filterVideos(listing)), 0.70, 0.15, 0.15)
+    val frames = Frames.extract(prepared, new SyntheticFrameDecoder(), 500)
+    val embedded = Embed.run(frames, new HashEmbedder(8), 16).toDF()
+    val direct = Samples.fullVideo(embedded, Seq("timestamp_ms", "logits"))
+
+    def norm(df: DataFrame) =
+      df.selectExpr("filename", "dataset", "timestamp_ms",
+        "transform(logits, l -> aggregate(l, 0D, (a, x) -> a + x)) AS lsum")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2),
+          r.getSeq[Double](3))).toSet
+    assert(norm(back) === norm(direct))
+    assert(norm(back).nonEmpty)
+  }
+
+  test("SparkEntry.entry runs the pipeline and returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
