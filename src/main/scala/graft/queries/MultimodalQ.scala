@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.pipeline.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal metadata surface under the correctness gate. Binary decode /
+  * resize / feature extraction aren't SQL (covered by MultimodalSpec with
+  * the stub decoder); what IS oracle-checkable is the metadata-only layer:
+  * relational accounting over binary payload columns without decoding.
+  * Assets are synthesized from `documents` (text bytes as payload, kind by
+  * doc_id mod 3) so DuckDB sees identical bytes.
+  */
+object MultimodalQ {
+
+  val qs: Seq[Q] = Seq(
+    Q("mm_asset_stats",
+      (s, dir) => Multimodal.assetStats(
+        Tables(s, dir, "documents").select(
+          col("doc_id").as("asset_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          col("text").cast("binary").as("content"))),
+      // this DuckDB's md5() takes VARCHAR only; the payload here IS utf-8
+      // text bytes, so md5(text) hashes the identical byte sequence
+      Some("""
+        SELECT kind, count(*) AS n_assets,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               min(md5(text)) AS min_content_hash
+        FROM (
+          SELECT doc_id AS asset_id,
+                 list_extract(['image', 'audio', 'video'],
+                              CAST(doc_id % 3 + 1 AS INT)) AS kind,
+                 text
+          FROM documents)
+        GROUP BY kind"""))
+  )
+}
