@@ -40,10 +40,17 @@ object TextOps {
       (0 until rowsPerBand).map(j => col(s"mh${band * rowsPerBand + j}")): _*)
       .cast("binary"))
 
-  /** documents(doc_id, text) → exploded (doc_id, shingle) pairs. */
+  /** documents(doc_id, text) → exploded (doc_id, shingle) pairs.
+    *
+    * Tokenization is bound to a column in its own projection BEFORE the
+    * shingle transform: inlining `tokens(text)` into the lambda would
+    * re-run regexp_extract_all for every element_at reference — O(tokens²)
+    * regex work per document (measured 5-10× slowdown at sf0.1; fatal at
+    * 100 TB). A bound array attribute makes each element_at O(1).
+    */
   def explodedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(shingles(tokens(col("text")), n)).as("shingle"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("shingle"))
 
   /** (doc_id, mh0..mh{k-1}) MinHash signatures — one map-side-combinable
     * aggregation; the shuffle carries K hex strings per doc.
