@@ -22,10 +22,15 @@ private[queries] object DocSql {
         WHERE g.i <= len(tokens) - ${n - 1}"""
   }
 
-  /** MinHash signature CTE body: doc_id, mh0..mh{k-1}. */
+  /** MinHash signature CTE body: doc_id, mh0..mh{k-1} — numeric (first 15
+    * hex chars of the salted md5 as BIGINT), mirroring TextOps.minhash's
+    * conv(substring(md5, 1, 15), 16, 10).
+    */
   def minhashSql(n: Int, k: Int): String = {
     val mins = (0 until k)
-      .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+      .map(i =>
+        s"min(CAST(('0x' || substr(md5('$i|' || shingle), 1, 15)) AS BIGINT)) AS mh$i")
+      .mkString(", ")
     s"SELECT doc_id, $mins FROM (${shinglesSql(n)}) GROUP BY doc_id"
   }
 
@@ -34,7 +39,8 @@ private[queries] object DocSql {
     val bands = k / rowsPerBand
     val selects = (0 until bands).map { b =>
       val cat = (0 until rowsPerBand)
-        .map(j => s"mh${b * rowsPerBand + j}").mkString(" || '|' || ")
+        .map(j => s"CAST(mh${b * rowsPerBand + j} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
     }
     s"WITH sig AS (${minhashSql(n, k)}) ${selects.mkString(" UNION ALL ")}"

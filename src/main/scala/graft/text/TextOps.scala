@@ -27,17 +27,22 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** One MinHash component: min over the group's shingles of a salted md5.
-    * Lexicographic min over uniform hex strings is a uniform min-hash; the
-    * salt index makes the K components independent.
+  /** One MinHash component: min over the group's shingles of a salted md5,
+    * NUMERIC — the first 15 hex chars (60 bits) as a long. A long min has a
+    * mutable aggregation buffer, so Spark plans HashAggregate; a string min
+    * would fall back to SortAggregate (sort-per-partition — measured and
+    * rejected). The salt index makes the K components independent, and
+    * DuckDB reproduces the value exactly via CAST('0x'||substr(md5,1,15)).
     */
   def minhash(shingle: Column, k: Int): Column =
-    min(md5(concat(lit(s"$k|"), shingle).cast("binary"))).as(s"mh$k")
+    min(conv(substring(md5(concat(lit(s"$k|"), shingle).cast("binary")),
+      1, 15), 16, 10).cast("long")).as(s"mh$k")
 
   /** LSH band hash over `rowsPerBand` consecutive MinHash components. */
   def bandHash(band: Int, rowsPerBand: Int): Column =
     md5(concat_ws("|",
-      (0 until rowsPerBand).map(j => col(s"mh${band * rowsPerBand + j}")): _*)
+      (0 until rowsPerBand)
+        .map(j => col(s"mh${band * rowsPerBand + j}").cast("string")): _*)
       .cast("binary"))
 
   /** documents(doc_id, text) → exploded (doc_id, shingle) pairs.
@@ -60,10 +65,14 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(minhash(col("shingle"), 0), (1 until k).map(minhash(col("shingle"), _)): _*)
 
-  /** Banded-LSH candidate pairs (doc_a < doc_b). The join key is
-    * (band index, band hash) — the classic `groupBy(band, signature)`
-    * bucketing that keeps LSH scale-safe: never an all-pairs comparison,
-    * only docs agreeing on a full band ever meet in the shuffle.
+  /** Banded-LSH candidate pairs (doc_a < doc_b) via the classic
+    * `groupBy(band, signature)` bucketing: one signature computation, one
+    * exchange on (band, band_hash), pairs generated WITHIN each bucket from
+    * the collected doc list — never an all-pairs comparison, and no
+    * self-join (a join would recompute the whole signature lineage for the
+    * second side). Only docs agreeing on a full band ever meet in the
+    * shuffle; bucket sizes are small by construction (a giant bucket means
+    * the corpus genuinely contains that many near-identical docs).
     */
   def lshCandidates(docs: DataFrame, n: Int, k: Int,
       rowsPerBand: Int): DataFrame = {
@@ -74,11 +83,16 @@ object TextOps {
         struct(lit(b).as("band"), bandHash(b, rowsPerBand).as("bh"))): _*))
         .as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    banded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      // ordered pairs (i < j) from the sorted bucket membership
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** 32-bit SimHash over a doc's distinct tokens, as a '0'/'1' bit string.
