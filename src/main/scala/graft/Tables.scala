@@ -24,6 +24,11 @@ object Tables {
     * epoch-millisecond `ems` column plus a millisecond-precision `ts`
     * timestamp (window boundaries are all >= 1s, so ms precision is exact
     * for every event-time operator here). Matches DuckDB's epoch_ms floor.
+    *
+    * nanosAsLong is set at session build by every entry point (Verify /
+    * Bench / Explain / test fixture); the set here is a defensive repeat
+    * for sessions the driver constructs itself (idempotent, same value —
+    * per-call only because this loader may be handed arbitrary sessions).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -63,7 +63,13 @@ object Events {
     // ---- sessionization (gap > 30 min splits a session) --------------------
     // Classic lag + running-sum pattern: a single shuffle on user_id, then
     // two per-partition window passes and a final hash aggregate. At 100 TB
-    // the only cost driver is the user_id exchange — no global sort.
+    // the only cost driver is the user_id exchange — no global sort. Skew
+    // exposure: a hot user_id (same for q3's o_custkey) serializes on one
+    // reducer; the window's ordering semantics pin all of a key's rows
+    // together, so the mitigation is graft.ops.Salt.saltedAgg for the
+    // aggregation-shaped parts plus AQE skew handling for joins — sessions
+    // themselves can also be bounded by splitting on calendar day first
+    // (day becomes part of the key, capping any key's row count).
     Q("ev_sessionize",
       (s, dir) => {
         val e = Tables.events(s, dir)
