@@ -46,10 +46,13 @@ object Text {
           count(lit(1)).as("n_tokens"),
           countDistinct(col("token")).as("n_distinct"),
           sum(length(col("token"))).as("sum_len"),
+          // BPE-ish token budget: subword units of ≤4 chars per word —
+          // integer arithmetic, so the estimate is engine-portable
+          sum(expr("(length(token) + 3) div 4")).as("n_subwords"),
           sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
             .as("n_stop"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-          col("n_distinct"),
+          col("n_distinct"), col("n_subwords"),
           (col("sum_len").cast("double") / col("n_tokens").cast("double"))
             .as("avg_token_len"),
           (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
@@ -64,9 +67,10 @@ object Text {
           SELECT doc_id, n_chars, count(*) AS n_tokens,
                  count(DISTINCT token) AS n_distinct,
                  sum(length(token)) AS sum_len,
+                 CAST(sum((length(token) + 3) // 4) AS BIGINT) AS n_subwords,
                  sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END) AS n_stop
           FROM tok GROUP BY doc_id, n_chars)
-        SELECT doc_id, n_chars, n_tokens, n_distinct,
+        SELECT doc_id, n_chars, n_tokens, n_distinct, n_subwords,
                CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
                CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
                CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

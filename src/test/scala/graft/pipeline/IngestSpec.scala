@@ -7,6 +7,20 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
+  test("O1/O2 file listing: binaryFile glob scan and in-memory create") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest_ls")
+    Seq("a.mp4", "b.txt", "c.mkv").foreach { n =>
+      java.nio.file.Files.write(dir.resolve(n), Array[Byte](1, 2, 3))
+    }
+    val listed = Ingest.listFiles(spark, s"$dir/*")
+      .as[String].collect().map(_.split('/').last).sorted
+    assert(listed.toSeq === Seq("a.mp4", "b.txt", "c.mkv"))
+
+    val created = Ingest.fromList(spark, Seq("x/y/z/f.mp4", "g.avi"))
+    assert(created.columns.toSeq === Seq("filename"))
+    assert(created.count() === 2)
+  }
+
   test("O4 extension filter: keeps mkv/avi/mp4, handles edge cases") {
     val files = Seq(
       "a/b/c/x.mp4", "a/b/c/x.mkv", "a/b/c/x.avi", // kept
