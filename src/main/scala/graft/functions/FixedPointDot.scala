@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native fixed-point dot product over two ARRAY<BIGINT> columns — the hot
+  * inner loop of every similarity query (VectorOps quantizes embeddings to
+  * longs; this sums elementwise products exactly).
+  *
+  * A Catalyst Expression with `doGenCode` instead of the
+  * `aggregate(zip_with(...))` higher-order-function chain: the HOF form
+  * allocates an intermediate array per row pair and evaluates a lambda per
+  * element; this compiles to a tight primitive loop inside whole-stage
+  * codegen — the "native Expression beats UDF beats everything else"
+  * preference order applied.
+  *
+  * Null semantics: null input array → null (BinaryExpression default);
+  * null ELEMENTS are treated as 0 (quantized vectors never contain them;
+  * ArrayData.getLong on a null slot reads 0 in both eval paths).
+  */
+case class FixedPointDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // Seq[DataType] <: Seq[AbstractDataType] (covariant return; the parent
+  // type itself is sql-private)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "fixedpoint_dot"
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FixedPointDot = copy(newLeft, newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
+/** Session extension registering graft's native functions:
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * (the public SparkSessionExtensions mechanism — no private Spark API).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("fixedpoint_dot"),
+      new ExpressionInfo(classOf[FixedPointDot].getName, "fixedpoint_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "fixedpoint_dot takes exactly 2 arguments")
+        FixedPointDot(args.head, args(1))
+      }))
+  }
+}

@@ -103,10 +103,11 @@ object Similarity {
           col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
         val b = assigned.select(col("centroid_id"),
           col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("nb"))
+        val d = VectorOps.dotFn(assigned)
         a.join(b, Seq("centroid_id"))
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            VectorOps.cosine(VectorOps.dot(col("qa"), col("qb")),
+            VectorOps.cosine(d(col("qa"), col("qb")),
               col("na"), col("nb")).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
           .limit(20)

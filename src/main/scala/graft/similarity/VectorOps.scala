@@ -26,32 +26,47 @@ object VectorOps {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (portable
+    * higher-order-function form — works on any session).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Squared norm of a quantized vector. */
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Session-aware dot: the native codegen'd [[graft.functions.FixedPointDot]]
+    * when the session was built with graft.functions.GraftExtensions (a
+    * tight primitive loop inside whole-stage codegen), else the HOF form
+    * (which allocates an intermediate array per pair).
+    */
+  def dotFn(df: DataFrame): (Column, Column) => Column =
+    if (df.sparkSession.catalog.functionExists("fixedpoint_dot"))
+      (a, b) => call_function("fixedpoint_dot", a, b)
+    else dot
+
   /** cosine from integer dot + squared norms (IEEE-deterministic). */
   def cosine(dotCol: Column, na: Column, nb: Column): Column =
     dotCol.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
 
   /** embeddings → (vec_id, q ARRAY<BIGINT>, n2 BIGINT), the working form. */
-  def quantized(embeddings: DataFrame): DataFrame =
+  def quantized(embeddings: DataFrame): DataFrame = {
+    val d = dotFn(embeddings)
     embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("n2", norm2(col("q")))
+      .withColumn("n2", d(col("q"), col("q")))
+  }
 
   /** Brute-force cosine top-k: every probe against the whole corpus.
     * The probe set is small and broadcast, so the corpus never shuffles —
     * the right baseline shape even at scale (cost is one corpus scan).
     */
   def knnBrute(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val d = dotFn(corpus)
     val c = quantized(corpus)
     val p = quantized(probes).select(col("vec_id").as("probe_id"),
       col("q").as("pq"), col("n2").as("pn2"))
     val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", cosine(dot(col("pq"), col("q")), col("pn2"),
+      .withColumn("cosine", cosine(d(col("pq"), col("q")), col("pn2"),
         col("n2")))
     topK(scored, k)
   }
@@ -63,13 +78,14 @@ object VectorOps {
     * work scales with bucket size, not corpus size.
     */
   def assignIvf(corpus: DataFrame, centroidModulo: Int): DataFrame = {
+    val d = dotFn(corpus)
     val q = quantized(corpus)
     val cents = q.filter(col("vec_id") % centroidModulo === 0)
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("n2").as("cn2"))
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(broadcast(cents))
-      .withColumn("ccos", cosine(dot(col("q"), col("cq")), col("n2"),
+      .withColumn("ccos", cosine(d(col("q"), col("cq")), col("n2"),
         col("cn2")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
@@ -80,13 +96,14 @@ object VectorOps {
   /** Top-k per probe within the probe's IVF bucket. */
   def knnIvf(corpus: DataFrame, probeFilter: Column, centroidModulo: Int,
       k: Int): DataFrame = {
+    val d = dotFn(corpus)
     val assigned = assignIvf(corpus, centroidModulo)
     val probes = assigned.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("centroid_id"),
         col("q").as("pq"), col("n2").as("pn2"))
     val scored = assigned.join(probes, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", cosine(dot(col("pq"), col("q")), col("pn2"),
+      .withColumn("cosine", cosine(d(col("pq"), col("q")), col("pn2"),
         col("n2")))
     topK(scored, k)
   }
