@@ -68,4 +68,29 @@ class MainSpec extends SparkSpec {
   test("SparkEntry.entry runs the pipeline and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("single_frame and crop_video modes run end-to-end through the sink") {
+    val listing = Main.fixtureListing(spark, sfDir)
+    val oSingle = Files.createTempDirectory("main_sf").toString
+    Main.run(listing, oSingle,
+      Main.Config(mode = Main.SingleFrame, embeddingDim = 8))
+    val single = TFRecords.read(spark, oSingle,
+      Main.sampleSchema(Main.SingleFrame))
+    // one sample per frame, all lists length 1
+    assert(single.count() > 0)
+    assert(single.selectExpr("max(size(timestamp_ms))", "max(size(logits))")
+      .head().toSeq === Seq(1, 1))
+
+    val oCrop = Files.createTempDirectory("main_cv").toString
+    Main.run(listing, oCrop,
+      Main.Config(mode = Main.CropVideo, embeddingDim = 8))
+    val crop = TFRecords.read(spark, oCrop,
+      Main.sampleSchema(Main.CropVideo))
+    assert(crop.count() > 0)
+    // every window respects the validity rule at read-back
+    assert(crop.selectExpr(
+      "count_if(NOT (window_end = 2000 OR (window_start >= 0 AND " +
+        "window_end <= 1000.0 * frame_total / frame_per_sec)))")
+      .head().getLong(0) === 0L)
+  }
 }

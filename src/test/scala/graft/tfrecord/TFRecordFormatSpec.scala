@@ -71,6 +71,32 @@ class TFRecordFormatSpec extends SparkSpec {
     assert(n === 3)
   }
 
+  test("Example mode: flat tf.train.Example records via recordType option") {
+    val dir = Files.createTempDirectory("tfrec_ex").toString
+    import spark.implicits._
+    val flat = Seq(("a.mp4", 1L, 0.5f), ("b.mp4", 2L, 1.5f))
+      .toDF("name", "n", "score")
+    flat.write.format("tfrecord").option("recordType", "Example")
+      .mode("overwrite").save(dir)
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("n", LongType),
+      StructField("score", FloatType)))
+    val back = spark.read.schema(schema).format("tfrecord")
+      .option("recordType", "Example").load(dir)
+      .orderBy("name").collect()
+    assert(back.map(r => (r.getString(0), r.getLong(1), r.getFloat(2)))
+      .toSeq === Seq(("a.mp4", 1L, 0.5f), ("b.mp4", 2L, 1.5f)))
+  }
+
+  test("invalid recordType fails loudly") {
+    intercept[Exception] {
+      sampleDf.write.format("tfrecord").option("recordType", "Protobuf")
+        .mode("overwrite")
+        .save(Files.createTempDirectory("tfrec_bad").toString)
+    }
+  }
+
   test("deterministic sharding: same seed → identical record placement") {
     val d1 = Files.createTempDirectory("tfrec").toString
     val d2 = Files.createTempDirectory("tfrec").toString
