@@ -161,6 +161,31 @@ object Relational {
           (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_mktsegment""")),
 
+    // ---- q8: supplier-side join (every fixture table now exercised) --------
+    // lineitem⋈supplier shuffle on suppkey; nation broadcast. Same textbook
+    // shape as q2 from the other side of the star.
+    Q("q8_supplier_revenue",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val sup = Tables(s, dir, "supplier")
+        val n = Tables(s, dir, "nation")
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            fxsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            countDistinct(col("s_suppkey")).as("n_suppliers"))
+      },
+      Some(s"""
+        SELECT n_name,
+               ${fxsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+               count(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
     // ---- q7: rollup (grouping sets) ----------------------------------------
     Q("q7_rollup",
       (s, dir) => {

@@ -46,7 +46,31 @@ object Similarity {
                     ORDER BY ccos DESC, centroid_id ASC) AS rn
         FROM scored_c) WHERE rn = 1)"""
 
+  private val LshPlanes = 8
+  private val Dims = 64 // fixture embedding dimensionality
+
   val qs: Seq[Q] = Seq(
+
+    // ---- random-hyperplane (sign) LSH signatures ---------------------------
+    // The cosine analog of the MinHash bucketing: 8 deterministic md5-derived
+    // hyperplanes, bit j = sign(q·h_j). Equal signatures = one candidate
+    // bucket — the brief's "LSH-bucketed variant" of similarity search.
+    // Each projection is a fixedpoint_dot against a literal sign vector.
+    Q("sim_lsh_sig",
+      (s, dir) => VectorOps.lshSignature(
+        Tables(s, dir, "embeddings"), LshPlanes, Dims),
+      Some {
+        val signs = VectorOps.hyperplaneSigns(LshPlanes, Dims)
+        val bitExprs = (0 until LshPlanes).map { j =>
+          val lst = signs(j).mkString("[", ", ", "]")
+          s"""CASE WHEN list_sum([qv[i] * ($lst)[i]
+                 for i in generate_series(1, $Dims)]) >= 0
+              THEN '1' ELSE '0' END"""
+        }.mkString(" || ")
+        s"""
+        WITH qn AS ($qnSql)
+        SELECT vec_id, $bitExprs AS signature FROM qn"""
+      }),
 
     // ---- brute-force cosine top-k ------------------------------------------
     // The exact baseline: a small broadcast probe set against the full

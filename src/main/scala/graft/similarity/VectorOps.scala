@@ -108,6 +108,37 @@ object VectorOps {
     topK(scored, k)
   }
 
+  /** Deterministic ±1 hyperplane matrix for sign-LSH: entry (plane j, dim
+    * i) is +1 iff the first hex digit of md5("j|i") ≥ '8'. Derived from
+    * md5 so any engine (and the DuckDB oracle) can reproduce it; fixed at
+    * plan time, shipped as literal arrays.
+    */
+  def hyperplaneSigns(planes: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(planes) { j =>
+      Array.tabulate(dims) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j|$i".getBytes("UTF-8"))
+        if (((md(0) >> 4) & 0xf) >= 8) 1L else -1L
+      }
+    }
+
+  /** Random-hyperplane (sign) LSH signature: bit j = sign of q·h_j, as a
+    * '0'/'1' string. Equal signatures → same bucket; the classic cosine-LSH
+    * scale path (bucket join instead of all-pairs). Each projection is one
+    * [[dot]] against a literal sign vector — codegen'd when the native
+    * fixedpoint_dot is registered.
+    */
+  def lshSignature(corpus: DataFrame, planes: Int, dims: Int): DataFrame = {
+    val d = dotFn(corpus)
+    val signs = hyperplaneSigns(planes, dims)
+    val q = quantized(corpus)
+    val bits = (0 until planes).map { j =>
+      when(d(col("q"), array(signs(j).map(lit).toSeq: _*)) >= 0, "1")
+        .otherwise("0")
+    }
+    q.select(col("vec_id"), concat(bits: _*).as("signature"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("probe_id"))

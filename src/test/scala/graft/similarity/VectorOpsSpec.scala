@@ -36,6 +36,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.toMap.apply(25L) === 25L) // centroid assigns to itself
   }
 
+  test("lshSignature: stable bits; identical vectors share a bucket") {
+    val vs = Seq(
+      (0L, Seq.fill(8)(0.5f)),
+      (1L, Seq.fill(8)(0.5f)), // identical → identical signature
+      (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 0.9f else -0.9f)))
+      .toDF("vec_id", "embedding")
+    val sigs = VectorOps.lshSignature(vs, planes = 8, dims = 8)
+      .as[(Long, String)].collect().toMap
+    assert(sigs.values.forall(s => s.length == 8 && s.forall("01".contains(_))))
+    assert(sigs(0L) === sigs(1L))
+    // determinism across invocations (literal sign matrix)
+    val again = VectorOps.lshSignature(vs, planes = 8, dims = 8)
+      .as[(Long, String)].collect().toMap
+    assert(sigs === again)
+  }
+
   test("knnIvf searches only the probe's bucket") {
     val out = VectorOps.knnIvf(vecs, col("vec_id") === 0L,
       centroidModulo = 25, k = 10).as[(Long, Long, Double, Int)].collect()
