@@ -22,14 +22,17 @@ private[queries] object DocSql {
         WHERE g.i <= len(tokens) - ${n - 1}"""
   }
 
-  /** MinHash signature CTE body: doc_id, mh0..mh{k-1} — numeric (first 15
-    * hex chars of the salted md5 as BIGINT), mirroring TextOps.minhash's
-    * conv(substring(md5, 1, 15), 16, 10).
+  /** MinHash signature CTE body: doc_id, mh0..mh{k-1} — numeric 20-bit
+    * slices of salted md5s, mirroring TextOps.minhash (component k = hex
+    * digits [5·(k%6)+1, +5) of md5((k/6)|shingle)).
     */
   def minhashSql(n: Int, k: Int): String = {
     val mins = (0 until k)
-      .map(i =>
-        s"min(CAST(('0x' || substr(md5('$i|' || shingle), 1, 15)) AS BIGINT)) AS mh$i")
+      .map { i =>
+        val salt = i / 6
+        val start = (i % 6) * 5 + 1
+        s"min(CAST(('0x' || substr(md5('$salt|' || shingle), $start, 5)) AS BIGINT)) AS mh$i"
+      }
       .mkString(", ")
     s"SELECT doc_id, $mins FROM (${shinglesSql(n)}) GROUP BY doc_id"
   }

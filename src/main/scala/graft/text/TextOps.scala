@@ -27,16 +27,21 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** One MinHash component: min over the group's shingles of a salted md5,
-    * NUMERIC — the first 15 hex chars (60 bits) as a long. A long min has a
-    * mutable aggregation buffer, so Spark plans HashAggregate; a string min
-    * would fall back to SortAggregate (sort-per-partition — measured and
-    * rejected). The salt index makes the K components independent, and
-    * DuckDB reproduces the value exactly via CAST('0x'||substr(md5,1,15)).
+  /** One MinHash component: min over the group's shingles of a 20-bit
+    * NUMERIC hash slice. Numeric, because a long min has a mutable
+    * aggregation buffer and plans as HashAggregate (a string min falls back
+    * to SortAggregate — measured and rejected). Sliced, because one md5
+    * yields six independent 5-hex-digit components, so K=12 costs 2 md5
+    * evaluations per shingle instead of 12 (cryptographic hash digits are
+    * independent; 2^20 values ≫ shingles-per-doc, so min-ties are
+    * negligible). DuckDB mirrors via CAST('0x'||substr(md5(salt|s),…,5)).
     */
-  def minhash(shingle: Column, k: Int): Column =
-    min(conv(substring(md5(concat(lit(s"$k|"), shingle).cast("binary")),
-      1, 15), 16, 10).cast("long")).as(s"mh$k")
+  def minhash(shingle: Column, k: Int): Column = {
+    val salt = k / 6
+    val slice = k % 6
+    min(conv(substring(md5(concat(lit(s"$salt|"), shingle).cast("binary")),
+      slice * 5 + 1, 5), 16, 10).cast("long")).as(s"mh$k")
+  }
 
   /** LSH band hash over `rowsPerBand` consecutive MinHash components. */
   def bandHash(band: Int, rowsPerBand: Int): Column =

@@ -95,6 +95,45 @@ class ExampleCodecSpec extends AnyFunSuite {
     assert(d.isNullAt(1))
   }
 
+  test("property: random values round-trip through SequenceExample bytes") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("n", LongType),
+      StructField("ts", ArrayType(LongType)),
+      StructField("vecs", ArrayType(ArrayType(FloatType)))))
+    val codec = new ExampleCodec(schema, sequenceMode = true)
+    val gen = for {
+      name <- Gen.alphaNumStr
+      score <- Gen.chooseNum(-1e6, 1e6)
+      n <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      ts <- Gen.listOf(Gen.chooseNum(0L, 1L << 40))
+      vecs <- Gen.listOfN(ts.size, Gen.listOfN(4,
+        Gen.chooseNum(-1e3f, 1e3f)))
+    } yield (name, score, n, ts, vecs)
+    val prop = Prop.forAll(gen) { case (name, score, n, ts, vecs) =>
+      val row = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(name), score, n,
+        new GenericArrayData(ts.toArray),
+        new GenericArrayData(vecs.map(v =>
+          new GenericArrayData(v.toArray)).toArray)))
+      val d = codec.decode(codec.encode(row))
+      d.getUTF8String(0).toString == name &&
+        // FLOAT kind is float32 on the wire (features.py:20-23), so a
+        // double survives only to float precision — by design
+        d.getDouble(1) == score.toFloat.toDouble && d.getLong(2) == n &&
+        // an empty array round-trips as a present-but-empty FeatureList
+        d.getArray(3).toLongArray.toSeq == ts &&
+        d.getArray(4).numElements() == vecs.size &&
+        (0 until vecs.size).forall(i =>
+          d.getArray(4).getArray(i).toFloatArray.toSeq == vecs(i))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("truncated proto bytes fail with a descriptive error") {
     val schema = StructType(Seq(StructField("a", StringType)))
     val codec = new ExampleCodec(schema, sequenceMode = false)
