@@ -71,6 +71,22 @@ class TFRecordFormatSpec extends SparkSpec {
     assert(n === 3)
   }
 
+  test("partition pruning: a dataset filter reaches the scan as a partition filter") {
+    val dir = Files.createTempDirectory("tfrec_pp").toString
+    TFRecords.write(sampleDf, dir, numShards = 1)
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("timestamp_ms", ArrayType(LongType))))
+    val q = TFRecords.read(spark, dir, schema)
+      .filter(org.apache.spark.sql.functions.col("dataset") === "train")
+    val plan = q.queryExecution.executedPlan.toString
+    // split directories are hive-style partitions: pruning is free — only
+    // dataset=train files are listed, the others are never opened
+    assert(plan.contains("PartitionFilters") && plan.contains("dataset"),
+      s"expected partition filter in scan:\n$plan")
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("a.mp4"))
+  }
+
   test("Example mode: flat tf.train.Example records via recordType option") {
     val dir = Files.createTempDirectory("tfrec_ex").toString
     import spark.implicits._
