@@ -131,6 +131,51 @@ object Text {
         FROM sc"""
       }),
 
+    // ---- PII scrubbing ------------------------------------------------------
+    // The fixture corpus carries no PII, so deterministic emails/URLs are
+    // appended first (both engines see identical text), then scrubbed with
+    // the same regexes. Output = scrub hash + span count, so any
+    // replacement divergence breaks the hash match.
+    Q("txt_scrub",
+      (s, dir) => {
+        val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://site"), col("doc_id"),
+          lit(".example.org/page"))
+        docs(s, dir).select(col("doc_id"),
+          md5(TextOps.scrubPii(aug).cast("binary")).as("scrub_hash"),
+          TextOps.piiCount(aug).as("n_pii"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(aug,
+                 '${TextOps.UrlRe}', '<URL>', 'g'),
+                 '${TextOps.EmailRe}', '<EMAIL>', 'g')) AS scrub_hash,
+               CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) +
+                    len(regexp_extract_all(aug, '${TextOps.UrlRe}'))
+                 AS BIGINT) AS n_pii
+        FROM (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com or https://site' || doc_id ||
+                 '.example.org/page' AS aug
+          FROM documents)""")),
+
+    // ---- deterministic stratified sampling ----------------------------------
+    // ~20% per language via hash-bucket membership: identical across runs,
+    // engines, and recomputed partitions; narrow (no shuffle beyond the
+    // accounting groupBy).
+    Q("txt_sample_stratified",
+      (s, dir) => graft.ops.Sampling.stratified(docs(s, dir),
+          col("lang"), col("doc_id"), 0.2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("first_doc")),
+      Some(s"""
+        SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        FROM documents
+        WHERE ${graft.ops.Sampling.stratifiedSql("lang", "doc_id", 0.2)}
+        GROUP BY lang""")),
+
     // ---- document fingerprints (bottom-k sketch) ----------------------------
     // The 4 lexicographically-smallest distinct shingle hashes — a compact
     // order-independent content fingerprint (the hash analog of winnowing);

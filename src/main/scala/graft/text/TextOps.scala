@@ -118,6 +118,22 @@ object TextOps {
     concat((0 until simhashBits).map(j =>
       when(col(s"s$j") >= 0, "1").otherwise("0")): _*)
 
+  /** PII scrubbing: replace email- and URL-shaped spans with placeholder
+    * tokens. Patterns stick to syntax valid in both Java regex and RE2 so
+    * the DuckDB oracle applies the identical substitution.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[a-z0-9./_-]+"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>")
+
+  /** Count of PII spans that [[scrubPii]] would replace. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(UrlRe), lit(0)))).cast("long")
+
   /** (doc_id, simhash) for each document. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -35,6 +35,18 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("scrubPii replaces emails and urls, counts spans") {
+    val df = Seq(
+      "write to alice.smith@corp-mail.com or see https://docs.example.org/x",
+      "no pii here at all").toDF("text")
+      .select(TextOps.scrubPii(col("text")).as("clean"),
+        TextOps.piiCount(col("text")).as("n"))
+    val rows = df.as[(String, Long)].collect()
+    assert(rows(0)._1 === "write to <EMAIL> or see <URL>")
+    assert(rows(0)._2 === 2L)
+    assert(rows(1) === (("no pii here at all", 0L)))
+  }
+
   test("simhash: 32-bit string, deterministic, equal for equal content") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
