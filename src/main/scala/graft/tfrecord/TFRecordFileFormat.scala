@@ -56,16 +56,25 @@ final class TFRecordFileFormat extends FileFormat
         s"recordType must be SequenceExample or Example, got $other")
     }
 
+  private def gzipped(options: Map[String, String]): Boolean =
+    options.getOrElse("compression", "none").toLowerCase match {
+      case "gzip" => true
+      case "none" | "uncompressed" => false
+      case other => throw new IllegalArgumentException(
+        s"compression must be gzip or none, got $other")
+    }
+
   override def prepareWrite(sparkSession: SparkSession, job: Job,
       options: Map[String, String],
       dataSchema: StructType): OutputWriterFactory = {
     val seqMode = sequenceMode(options)
+    val gz = gzipped(options)
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String =
-        ".tfrecord"
+        if (gz) ".tfrecord.gz" else ".tfrecord"
       override def newInstance(path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new TFRecordOutputWriter(path, dataSchema, seqMode, context)
+        new TFRecordOutputWriter(path, dataSchema, seqMode, gz, context)
     }
   }
 
@@ -83,7 +92,13 @@ final class TFRecordFileFormat extends FileFormat
     (file: PartitionedFile) => {
       val path = file.toPath
       val fs = path.getFileSystem(confWrapper.value)
-      val in = fs.open(path)
+      val raw = fs.open(path)
+      // whole-file gzip (TF's GZIP compression_type); files are already
+      // non-splittable, so stream decompression costs no parallelism
+      val in: java.io.InputStream =
+        if (path.getName.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(raw)
+        else raw
       val codec = new ExampleCodec(dataSchema, seqMode)
       val records = TFRecordIO.readRecords(in)
       new Iterator[InternalRow] {
@@ -109,13 +124,14 @@ final class TFRecordFileFormat extends FileFormat
 }
 
 private final class TFRecordOutputWriter(val path: String,
-    dataSchema: StructType, seqMode: Boolean,
+    dataSchema: StructType, seqMode: Boolean, gz: Boolean,
     context: TaskAttemptContext) extends OutputWriter {
 
   private val codec = new ExampleCodec(dataSchema, seqMode)
-  private val out = {
+  private val out: java.io.OutputStream = {
     val p = new Path(path)
-    p.getFileSystem(context.getConfiguration).create(p, true)
+    val raw = p.getFileSystem(context.getConfiguration).create(p, true)
+    if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
   }
 
   override def write(row: InternalRow): Unit =

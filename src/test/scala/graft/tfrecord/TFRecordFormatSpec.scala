@@ -105,6 +105,30 @@ class TFRecordFormatSpec extends SparkSpec {
       .toSeq === Seq(("a.mp4", 1L, 0.5f), ("b.mp4", 2L, 1.5f)))
   }
 
+  test("gzip compression: .tfrecord.gz round-trip, smaller than plain") {
+    val dPlain = Files.createTempDirectory("tfrec_pl").toString
+    val dGz = Files.createTempDirectory("tfrec_gz").toString
+    import spark.implicits._
+    // repetitive payload so gzip has something to compress
+    val df = (1 to 200).map(i => (s"f$i.mp4", Seq.fill(100)(7L)))
+      .toDF("filename", "timestamp_ms")
+    df.coalesce(1).write.format("tfrecord").mode("overwrite").save(dPlain)
+    df.coalesce(1).write.format("tfrecord").option("compression", "gzip")
+      .mode("overwrite").save(dGz)
+    def files(d: String, suffix: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(suffix))
+    assert(files(dGz, ".tfrecord.gz").nonEmpty)
+    assert(files(dGz, ".tfrecord.gz").map(_.length).sum <
+      files(dPlain, ".tfrecord").map(_.length).sum / 2)
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("timestamp_ms", ArrayType(LongType))))
+    val back = spark.read.schema(schema).format("tfrecord").load(dGz)
+    assert(back.count() === 200)
+    assert(back.selectExpr("sum(size(timestamp_ms))").head().getLong(0)
+      === 200L * 100)
+  }
+
   test("invalid recordType fails loudly") {
     intercept[Exception] {
       sampleDf.write.format("tfrecord").option("recordType", "Protobuf")
