@@ -2,6 +2,21 @@ package graft.pipeline
 
 import graft.SparkSpec
 
+/** Records the content-byte lengths a probe decoder observes (JVM-static so
+  * executor-side task copies report into the same queue under local mode).
+  */
+object ContentProbeSink {
+  val lengths = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+}
+
+class ContentProbe extends FrameDecoder {
+  override def decode(filename: String, content: Array[Byte],
+      sampleRateMs: Long): Iterator[DecodedFrame] = {
+    ContentProbeSink.lengths.add(if (content == null) -1 else content.length)
+    Iterator.empty
+  }
+}
+
 class FramesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -42,6 +57,19 @@ class FramesSpec extends SparkSpec {
       assert(fs.forall(_.frame_total == fs.length.toDouble))
     }
     assert(rows.filter(_.filename.contains("a.mp4")).forall(_.label == "en"))
+  }
+
+  test("O7 binary content reaches the decoder when present") {
+    ContentProbeSink.lengths.clear()
+    val files = Seq(("v/l/s/a.mp4", "l", "train", Array[Byte](1, 2, 3, 4)))
+      .toDF("filename", "label", "dataset", "content")
+    Frames.extract(files, new ContentProbe, 500).collect()
+    import scala.jdk.CollectionConverters._
+    assert(ContentProbeSink.lengths.asScala.toSeq === Seq(4))
+    // and without a content column the decoder receives null
+    ContentProbeSink.lengths.clear()
+    Frames.extract(files.drop("content"), new ContentProbe, 500).collect()
+    assert(ContentProbeSink.lengths.asScala.toSeq === Seq(-1))
   }
 
   test("O7 production decoder stub fails loudly, not silently") {

@@ -105,6 +105,19 @@ class TFRecordFormatSpec extends SparkSpec {
       .toSeq === Seq(("a.mp4", 1L, 0.5f), ("b.mp4", 2L, 1.5f)))
   }
 
+  test("schema evolution: a column absent from the files reads as null") {
+    val dir = Files.createTempDirectory("tfrec_ev").toString
+    TFRecords.write(sampleDf, dir, numShards = 1)
+    val widened = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("brand_new_col", LongType), // not in the files
+      StructField("timestamp_ms", ArrayType(LongType))))
+    val rows = TFRecords.read(spark, dir, widened)
+      .select("filename", "brand_new_col").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
   test("gzip compression: .tfrecord.gz round-trip, smaller than plain") {
     val dPlain = Files.createTempDirectory("tfrec_pl").toString
     val dGz = Files.createTempDirectory("tfrec_gz").toString
