@@ -173,6 +173,11 @@ object Multimodal {
   /** Metadata-only relational surface: per-kind accounting computed WITHOUT
     * decoding — the property that makes 100 TB of media queryable (payload
     * columns are pruned; only lengths/hashes are read).
+    *
+    * The content fingerprint is the NUMERIC 60-bit md5 prefix, not the hex
+    * string: a long min aggregates via HashAggregate, where a string min
+    * falls back to SortAggregate (sorts every partition — the same
+    * trade documented at TextOps.minhash).
     */
   def assetStats(assets: DataFrame): DataFrame =
     assets
@@ -181,5 +186,6 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_assets"),
         sum(length(col("content"))).as("total_bytes"),
-        min(md5(col("content"))).as("min_content_hash"))
+        min(conv(substring(md5(col("content")), 1, 15), 16, 10)
+          .cast("long")).as("min_content_hash"))
 }

@@ -26,7 +26,8 @@ object MultimodalQ {
       Some("""
         SELECT kind, count(*) AS n_assets,
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-               min(md5(text)) AS min_content_hash
+               min(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+                 AS min_content_hash
         FROM (
           SELECT doc_id AS asset_id,
                  list_extract(['image', 'audio', 'video'],
