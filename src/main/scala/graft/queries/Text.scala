@@ -90,6 +90,26 @@ object Text {
         GROUP BY shingle
         ORDER BY n DESC, shingle ASC LIMIT 20""")),
 
+    // ---- boilerplate detection (C4-style) -----------------------------------
+    // Shingles that recur across MANY DISTINCT documents are template/
+    // boilerplate text (nav bars, licenses) — the classic corpus-cleaning
+    // signal. Two-phase: distinct (doc, shingle) then document-frequency
+    // count; both map-side combinable, shuffle carries shingle keys only.
+    Q("txt_boilerplate",
+      (s, dir) => TextOps.explodedShingles(docs(s, dir), 3)
+        .distinct()
+        .groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        .filter(col("doc_freq") >= 5)
+        .orderBy(col("doc_freq").desc, col("shingle").asc)
+        .limit(50),
+      Some(s"""
+        SELECT shingle, count(DISTINCT doc_id) AS doc_freq
+        FROM (${DocSql.shinglesSql(3)})
+        GROUP BY shingle
+        HAVING count(DISTINCT doc_id) >= 5
+        ORDER BY doc_freq DESC, shingle ASC LIMIT 50""")),
+
     // ---- heuristic language ID ---------------------------------------------
     // Stopword-profile voting; deterministic priority-ordered argmax; docs
     // matching no profile → 'und'. (The synthetic corpus is English-ish
