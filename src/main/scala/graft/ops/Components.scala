@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded connected-components over an edge list — the step that turns
+  * near-dup candidate PAIRS into dedup GROUPS (cluster id = smallest doc id
+  * reachable).
+  *
+  * Deliberately BOUNDED min-label propagation (`rounds` fixed at plan
+  * time), not an unbounded fixpoint: each round is one shuffle join, so
+  * cost is rounds × |edges| regardless of data — the contract that
+  * survives 100 TB. Components with diameter > rounds would split;
+  * near-dup clusters are shallow (doubling reach per round covers
+  * diameter 2^rounds-ish in practice, and real dup-clusters are cliques
+  * from LSH, diameter ≤ 2). The bounded form is also exactly mirrorable
+  * in oracle SQL, keeping the operator hash-checkable.
+  */
+object Components {
+
+  /** pairs(doc_a, doc_b) → (doc_id, cluster_id) for every doc in a pair. */
+  def label(pairs: DataFrame, rounds: Int): DataFrame = {
+    // symmetric edge list + self-loops (keeps isolated-after-dedup rows)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    for (_ <- 1 to rounds) {
+      // new label = min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      labels = labels.union(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+    }
+    labels
+  }
+
+  /** DuckDB mirror of [[label]]: same bounded rounds over a `cand`
+    * CTE with (doc_a, doc_b) columns.
+    */
+  def labelSql(rounds: Int): String = {
+    val base = """
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM cand),
+      l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges)"""
+    val steps = (1 to rounds).map { r =>
+      s"""
+      l$r AS (
+        SELECT doc_id, min(cluster_id) AS cluster_id FROM (
+          SELECT doc_id, cluster_id FROM l${r - 1}
+          UNION ALL
+          SELECT e.src AS doc_id, l.cluster_id
+          FROM edges e JOIN l${r - 1} l ON l.doc_id = e.dst)
+        GROUP BY doc_id)"""
+    }.mkString(",")
+    s"$base, $steps"
+  }
+}

@@ -98,6 +98,23 @@ object Dedup {
         JOIN sz sa ON sa.doc_id = i.doc_a
         JOIN sz sb ON sb.doc_id = i.doc_b""")),
 
+    // ---- near-dup cluster assignment ---------------------------------------
+    // LSH pairs → dedup groups via bounded min-label propagation
+    // (ops.Components): cluster_id = smallest doc id reachable in ≤4
+    // rounds. The canonical "keep one per cluster" dedup output.
+    Q("dd_clusters",
+      (s, dir) => graft.ops.Components.label(
+        TextOps.lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand),
+        rounds = 4),
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        ${graft.ops.Components.labelSql(4)}
+        SELECT doc_id, cluster_id FROM l4""")),
+
     // ---- SimHash fingerprints ----------------------------------------------
     // 32-bit locality-sensitive fingerprint per doc; identical fingerprints
     // (exact groupBy on the bit string) are near-dup groups. The 32 bit
