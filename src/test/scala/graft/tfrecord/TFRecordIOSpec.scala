@@ -43,6 +43,23 @@ class TFRecordIOSpec extends AnyFunSuite {
     assert(bytes.slice(1, 8).forall(_ == 0))
   }
 
+  test("property: arbitrary record sequences round-trip byte-for-byte") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val recordsGen = Gen.listOf(Gen.listOf(
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val prop = Prop.forAll(recordsGen) { records =>
+      val out = new ByteArrayOutputStream()
+      records.foreach(TFRecordIO.writeRecord(out, _))
+      val back = TFRecordIO.readRecords(
+        new ByteArrayInputStream(out.toByteArray)).toList
+      back.size == records.size &&
+        records.zip(back).forall { case (a, b) => a.sameElements(b) }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("corruption in data is detected via CRC") {
     val out = new ByteArrayOutputStream()
     TFRecordIO.writeRecord(out, Array.tabulate(64)(_.toByte))
