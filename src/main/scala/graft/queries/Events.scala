@@ -105,6 +105,32 @@ object Events {
                ${fxsumSql("value", 2)} AS sum_value
         FROM sess GROUP BY user_id, session_id""")),
 
+    // ---- ordered funnel: signup strictly before first purchase --------------
+    // Sequence-constrained funnel via min-timestamp comparison — one
+    // combinable aggregation, no self-join, no ordering pass.
+    Q("ev_ordered_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", col("ems")))
+              .as("first_signup"),
+            min(when(col("event_type") === "purchase", col("ems")))
+              .as("first_purchase"))
+          .filter(col("first_signup").isNotNull &&
+            col("first_purchase").isNotNull &&
+            col("first_signup") < col("first_purchase"))
+      },
+      Some("""
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+                 AS first_signup,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+                 AS first_purchase
+        FROM events GROUP BY user_id
+        HAVING first_signup IS NOT NULL AND first_purchase IS NOT NULL
+           AND first_signup < first_purchase""")),
+
     // ---- event-type funnel via conditional aggregation ---------------------
     // Per-user pivot of event counts — count(CASE) keeps it one map-side
     // combinable aggregate instead of N filtered self-joins.

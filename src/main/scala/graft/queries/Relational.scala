@@ -186,6 +186,48 @@ object Relational {
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY n_name""")),
 
+    // ---- q9: date bucketing (calendar aggregation) --------------------------
+    // year/month extraction + aggregation: integer date parts, so the
+    // grouping is engine-exact; one combinable aggregate.
+    Q("q9_monthly_revenue",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.groupBy(
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n_orders"),
+            fxsum(col("o_totalprice"), 2).as("revenue"))
+      },
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               count(*) AS n_orders,
+               ${fxsumSql("o_totalprice", 2)} AS revenue
+        FROM orders GROUP BY 1, 2""")),
+
+    // ---- q10: window frames (moving aggregate) ------------------------------
+    // Per-customer 3-order moving sum over order history: one shuffle on
+    // o_custkey, per-partition sort, ROWS frame — no global sort. Sum is
+    // fixed-point over the framed values for engine-exact arithmetic.
+    Q("q10_moving_sum",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-2, 0)
+        o.select(col("o_custkey"), col("o_orderkey"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+            .as("moving_rev"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+                 AS moving_rev
+        FROM orders""")),
+
     // ---- q7: rollup (grouping sets) ----------------------------------------
     Q("q7_rollup",
       (s, dir) => {
