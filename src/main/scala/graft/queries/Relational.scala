@@ -228,6 +228,50 @@ object Relational {
                  AS moving_rev
         FROM orders""")),
 
+    // ---- q11: set operations (INTERSECT / EXCEPT) ---------------------------
+    // Customers active in both 1995 and 1996 vs only 1995; Spark's
+    // intersect/except are set-semantics (distinct), same as SQL.
+    Q("q11_setops",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        def custsIn(yr: Int) =
+          o.filter(year(col("o_orderdate")) === yr).select("o_custkey")
+        val both = custsIn(1995).intersect(custsIn(1996))
+          .withColumn("kind", lit("both_years"))
+        val only94 = custsIn(1995).except(custsIn(1996))
+          .withColumn("kind", lit("only_first"))
+        both.unionByName(only94)
+          .groupBy(col("kind")).agg(count(lit(1)).as("n_custs"))
+      },
+      Some("""
+        WITH y1 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+             y2 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        SELECT 'both_years' AS kind, count(*) AS n_custs
+        FROM (SELECT * FROM y1 INTERSECT SELECT * FROM y2)
+        UNION ALL
+        SELECT 'only_first' AS kind, count(*) AS n_custs
+        FROM (SELECT * FROM y1 EXCEPT SELECT * FROM y2)""")),
+
+    // ---- q12: pivot (rows → columns) ----------------------------------------
+    // groupBy().pivot() with an explicit value list: the explicit list
+    // keeps the plan one pass (no extra distinct-values job) — required at
+    // scale, and exactly mirrorable as conditional aggregates.
+    Q("q12_pivot_status",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("yr"), col("F").as("n_f"), col("O").as("n_o"),
+            col("P").as("n_p"))
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY 1""")),
+
     // ---- q7: rollup (grouping sets) ----------------------------------------
     Q("q7_rollup",
       (s, dir) => {
