@@ -20,9 +20,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -37,7 +38,11 @@ object Bench {
     // a crash below must never leave a previous run's results parseable
     Files.deleteIfExists(Paths.get("bench_out.json"))
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // dev affordance: SPARK_GRAFT_ONLY=q1_agg,dd_jaccard benches a subset
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(list) => list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None       => SparkEntry.queries.keys.toSeq.sorted
+    }
     // warmup: every query once untimed. Failures are swallowed HERE ONLY —
     // the timed pass records them in the errors array; an unguarded warmup
     // would kill the process before any JSON is written.

@@ -19,6 +19,26 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Read a fixture table and spread it across the session's full
+    * parallelism. The fixture tables are single-row-group parquet files, so
+    * the scan yields ONE input partition and everything narrow downstream
+    * (regex tokenization, per-shingle hashing, fixed-point vector math,
+    * window explosion) would run on one core while the rest idle. One
+    * round-robin repartition of the pruned scan output buys full-width
+    * parallelism for the compute-heavy stage that follows.
+    *
+    * Scale note: this is the "cheap input, expensive transform" pattern —
+    * the shuffle moves O(input) bytes once to parallelize work that costs
+    * many times that. On a production lake the input is already thousands
+    * of splittable files and this loader degenerates to `apply` (drop the
+    * repartition); every consumer is partitioning-agnostic — keyed
+    * aggregations with deterministic tie-breaking — so the swap changes
+    * no results.
+    */
+  def sharded(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** The events table is written with parquet TIMESTAMP(NANOS), which the
     * vectorized reader rejects; read nanos as a long and normalize to an
     * epoch-millisecond `ems` column plus a millisecond-precision `ts`

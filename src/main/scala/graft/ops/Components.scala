@@ -18,11 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** pairs(doc_a, doc_b) → (doc_id, cluster_id) for every doc in a pair. */
+  /** pairs(doc_a, doc_b) → (doc_id, cluster_id) for every doc in a pair.
+    *
+    * The edge list and each round's labels are MATERIALIZED
+    * (`localCheckpoint`) before iterating: without lineage truncation,
+    * round r's logical plan embeds round r-1's twice (labels ∪ edges⋈labels)
+    * — 2^rounds copies of the upstream candidate-generation DAG — and
+    * Catalyst/AQE planning time explodes combinatorially even on tiny data
+    * (measured: 5→17 s of pure driver time at rounds=4). Iterative graph
+    * algorithms on Spark always checkpoint per round; on a real cluster
+    * use `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
+    * executor-loss tolerance — local[] has no executor loss.
+    */
   def label(pairs: DataFrame, rounds: Int): DataFrame = {
     // symmetric edge list + self-loops (keeps isolated-after-dedup rows)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -34,6 +46,7 @@ object Components {
       labels = labels.union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
     }
     labels
   }

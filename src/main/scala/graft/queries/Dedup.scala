@@ -19,7 +19,7 @@ object Dedup {
   private val RowsPerBand = 3
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables(s, dir, "documents")
+    Tables.sharded(s, dir, "documents")
 
   val qs: Seq[Q] = Seq(
 
@@ -55,11 +55,22 @@ object Dedup {
     // ---- candidate verification: exact n-gram Jaccard -----------------------
     // Jaccard is computed ONLY for LSH candidates (the rerank step of the
     // dedup pipeline): distinct-shingle sets joined per candidate pair.
+    // Scale shape: `cand` is materialized (localCheckpoint) so the MinHash
+    // DAG runs once, not once per downstream reference; the shingle table
+    // is SEMI-FILTERED to candidate docs via a broadcast join BEFORE the
+    // distinct + pair joins, so the expensive stages touch only docs that
+    // survived LSH — at 100 TB the rerank cost tracks |candidates|, not
+    // |corpus|. (The only full-corpus pass left is signature generation.)
     Q("dd_jaccard",
       (s, dir) => {
         val d = docs(s, dir)
-        val cand = TextOps.lshCandidates(d, ShingleN, K, RowsPerBand)
-        val sh = TextOps.explodedShingles(d, ShingleN).distinct()
+        val cand =
+          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).localCheckpoint()
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val sh = TextOps.explodedShingles(d, ShingleN)
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = cand
           .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")

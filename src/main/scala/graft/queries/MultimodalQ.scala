@@ -16,7 +16,7 @@ object MultimodalQ {
   val qs: Seq[Q] = Seq(
     Q("mm_asset_stats",
       (s, dir) => Multimodal.assetStats(
-        Tables(s, dir, "documents").select(
+        Tables.sharded(s, dir, "documents").select(
           col("doc_id").as("asset_id"),
           element_at(array(lit("image"), lit("audio"), lit("video")),
             (col("doc_id") % 3 + 1).cast("int")).as("kind"),

@@ -58,7 +58,7 @@ object Similarity {
     // Each projection is a fixedpoint_dot against a literal sign vector.
     Q("sim_lsh_sig",
       (s, dir) => VectorOps.lshSignature(
-        Tables(s, dir, "embeddings"), LshPlanes, Dims),
+        Tables.sharded(s, dir, "embeddings"), LshPlanes, Dims),
       Some {
         val signs = VectorOps.hyperplaneSigns(LshPlanes, Dims)
         val bitExprs = (0 until LshPlanes).map { j =>
@@ -78,7 +78,7 @@ object Similarity {
     // row_number (partial top-k per partition under AQE).
     Q("sim_knn_brute",
       (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
+        val e = Tables.sharded(s, dir, "embeddings")
         VectorOps.knnBrute(e, e.filter(col("vec_id") < ProbeLimit), k = 10)
       },
       Some(s"""
@@ -100,7 +100,7 @@ object Similarity {
     // so cost scales with bucket size. The centroid cross join is bounded:
     // |corpus| × |centroids|, centroids broadcast.
     Q("sim_knn_ivf",
-      (s, dir) => VectorOps.knnIvf(Tables(s, dir, "embeddings"),
+      (s, dir) => VectorOps.knnIvf(Tables.sharded(s, dir, "embeddings"),
         col("vec_id") < ProbeLimit, CentroidModulo, k = 5),
       Some(s"""
         WITH $assignSql,
@@ -122,7 +122,7 @@ object Similarity {
     Q("dd_embed_cos",
       (s, dir) => {
         val assigned = VectorOps.assignIvf(
-          Tables(s, dir, "embeddings"), CentroidModulo)
+          Tables.sharded(s, dir, "embeddings"), CentroidModulo)
         val a = assigned.select(col("centroid_id"),
           col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
         val b = assigned.select(col("centroid_id"),

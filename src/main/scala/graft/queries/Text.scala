@@ -21,7 +21,7 @@ object Text {
     "fr" -> Seq("le", "les", "des", "et", "un"))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.sharded(s, dir, "documents")
 
   private def tokenRows(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
