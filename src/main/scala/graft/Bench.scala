@@ -21,13 +21,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // Shuffle files on tmpfs when available: bench data is tiny (≤ a few
+    // hundred MB of shuffle) but the host disk has multi-second latency
+    // spikes that otherwise leak into per-query wall times.
+    val shm = new java.io.File("/dev/shm")
+    val localDir =
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-bench")
+      else None
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -49,16 +57,25 @@ object Bench {
     names.foreach(n => try materialize(n) catch { case _: Throwable => () })
 
     var failed = List.empty[String]
-    val results = names.map { name =>
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try materialize(name)
       catch {
         case e: Throwable =>
-          failed ::= name
+          if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // Two FULL timed passes, min per query: this host shows multi-second
+    // wall-time bursts uncorrelated with the engine (idle CPU, zero full
+    // GCs during them — hypervisor neighbors), and a burst outlasts
+    // back-to-back samples of one query. Interleaving the passes puts the
+    // two samples ~30s apart, so the min measures the engine, not the
+    // neighbor; failures still fail the run.
+    val passA = names.map(n => n -> once(n)).toMap
+    val passB = names.map(n => n -> once(n)).toMap
+    val results = names.map(n => n -> math.min(passA(n), passB(n)))
     val ok = results.filterNot { case (n, _) => failed.contains(n) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

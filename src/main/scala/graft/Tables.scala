@@ -34,6 +34,13 @@ object Tables {
     * repartition); every consumer is partitioning-agnostic — keyed
     * aggregations with deterministic tie-breaking — so the swap changes
     * no results.
+    *
+    * Measured boundary (sf0.1, local[32]): this wins only where per-row
+    * compute dominates — the md5/shingle and fixed-point-vector families
+    * (~1.5-7× per query). The wide relational fact tables LOSE with it
+    * (q2 1.8s→7.9s): sort-before-repartition serializes 600k full rows
+    * through the single scan task, costing more than the parallel
+    * aggregation saves. Fact-table queries therefore stay on [[apply]].
     */
   def sharded(spark: SparkSession, dir: String, name: String): DataFrame =
     apply(spark, dir, name)
@@ -57,5 +64,4 @@ object Tables {
       // represent an ~1.7e18 nanosecond epoch exactly (53-bit mantissa)
       .withColumn("ems", expr("ts div 1000000"))
       .withColumn("ts", timestamp_millis(col("ems")))
-  }
-}
+  }}
