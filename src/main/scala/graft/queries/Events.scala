@@ -131,6 +131,121 @@ object Events {
         HAVING first_signup IS NOT NULL AND first_purchase IS NOT NULL
            AND first_signup < first_purchase""")),
 
+    // ---- as-of join: latest click at-or-before each purchase ---------------
+    // ops.AsOfJoin — union-and-fill, ONE key exchange, no range explosion
+    // (see AsOfJoin scaladoc for why this is the 100 TB form). The click
+    // side is pre-aggregated to unique (user, time) per the operator
+    // contract. Oracle = DuckDB's native ASOF LEFT JOIN.
+    Q("ev_asof",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ems"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ems").as("c_ems"), col("event_id"))
+          .groupBy(col("user_id"), col("c_ems"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "ems", "c_ems")
+          .select(col("user_id"), col("event_id"), col("ems"),
+            col("r_c_ems").as("click_ms"), col("r_click_id").as("click_id"),
+            (col("ems") - col("r_c_ems")).as("gap_ms"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS c_ems, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.user_id, p.event_id, p.ems, c.c_ems AS click_ms,
+               c.click_id, p.ems - c.c_ems AS gap_ms
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.c_ems <= p.ems""")),
+
+    // ---- range join: purchases within ±1h of each error --------------------
+    // ops.RangeJoin — bin-bucketed equi-join, not BNLJ: intervals explode
+    // to 2h bins, points map to one bin, exact predicate after. The
+    // oracle states the same query as a plain inequality join.
+    Q("ev_range_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"),
+            (col("ems") - 3600000L).as("lo"),
+            (col("ems") + 3600000L).as("hi"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ems"))
+        graft.ops.RangeJoin
+          .rangeJoin(errs, purch, "user_id", "lo", "hi", "ems", 7200000L)
+          .groupBy(col("user_id"), col("event_id"))
+          .agg(count(lit(1)).as("n_near"),
+            min(col("p_ems")).as("first_near_ms"))
+      },
+      Some("""
+        WITH er AS (
+          SELECT user_id, event_id, epoch_ms(ts) - 3600000 AS lo,
+                 epoch_ms(ts) + 3600000 AS hi
+          FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, epoch_ms(ts) AS ems
+              FROM events WHERE event_type = 'purchase')
+        SELECT er.user_id, er.event_id, count(*) AS n_near,
+               min(p.ems) AS first_near_ms
+        FROM er JOIN p ON p.user_id = er.user_id
+                      AND p.ems BETWEEN er.lo AND er.hi
+        GROUP BY 1, 2""")),
+
+    // ---- session_window: Spark's native gap-session operator ----------------
+    // The built-in alternative to the lag+running-sum sessionization above;
+    // merge semantics verified empirically: a gap of exactly the duration
+    // MERGES (new session only when gap > 30 min), window end = last event
+    // + gap. Oracle mirrors via lag/cumsum + max(ems) + gap.
+    Q("ev_session_window",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            fxsum(col("value"), 2).as("sum_value"))
+          .select(col("user_id"),
+            unix_millis(col("w.start")).as("start_ms"),
+            unix_millis(col("w.end")).as("end_ms"),
+            col("n_events"), col("sum_value"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ems, value FROM events),
+        marked AS (
+          SELECT *, CASE WHEN lag(ems) OVER w IS NULL
+                          OR ems - lag(ems) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ems)),
+        sess AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ems
+                      ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, min(ems) AS start_ms,
+               max(ems) + 1800000 AS end_ms,
+               count(*) AS n_events, ${fxsumSql("value", 2)} AS sum_value
+        FROM sess GROUP BY user_id, sid""")),
+
+    // ---- salted two-phase aggregation under the gate ------------------------
+    // ops.Salt — the hot-key mitigation (one viral user at 100 TB), proven
+    // result-identical to the plain GROUP BY oracle: phase 1 spreads each
+    // user over 8 salt buckets, phase 2 merges partials; both phases
+    // map-side combinable, phase-2 shuffle carries ≤8 rows per user.
+    Q("ev_salted_agg",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.ops.Salt.saltedAgg(e, Seq("user_id"), col("event_id"), 8,
+          aggs = Seq(count(lit(1)).as("pn"),
+            sum(round(col("value") * 100).cast("long")).as("pv")),
+          merges = Seq(sum(col("pn")).as("n_events"),
+            (sum(col("pv")) / 100.0).as("sum_value")))
+      },
+      Some(s"""
+        SELECT user_id, count(*) AS n_events,
+               ${fxsumSql("value", 2)} AS sum_value
+        FROM events GROUP BY user_id""")),
+
     // ---- event-type funnel via conditional aggregation ---------------------
     // Per-user pivot of event counts — count(CASE) keeps it one map-side
     // combinable aggregate instead of N filtered self-joins.
