@@ -272,6 +272,117 @@ object Relational {
                count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         FROM orders GROUP BY 1""")),
 
+    // ---- q13: histogram (fixed-width binning) -------------------------------
+    // Integer cents → integer floor-division bins: engine-exact, one
+    // combinable aggregate; bin_lo is an exact double (multiple of 25000).
+    Q("q13_histogram",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.select((round(col("o_totalprice") * 100).cast("long") / lit(2500000L))
+            .cast("long").as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_orders"))
+          .select(col("bin"), (col("bin") * 25000.0).as("bin_lo"),
+            col("n_orders"))
+      },
+      Some("""
+        SELECT bin, bin * 25000.0 AS bin_lo, count(*) AS n_orders
+        FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000
+                AS bin FROM orders)
+        GROUP BY bin""")),
+
+    // ---- q14: correlated subquery, decorrelated -----------------------------
+    // "Orders above their customer's average": the oracle states the
+    // correlated form; the engine runs the decorrelated plan — one
+    // aggregate over the same table joined back on the key (shuffle on
+    // o_custkey both sides, map-side combinable agg). The comparison is
+    // integer cross-multiplied (cents × count > sum) so no division
+    // enters the predicate.
+    Q("q14_above_avg",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        val avgs = o.groupBy(col("o_custkey"))
+          .agg(sum(col("cents")).as("sum_c"), count(lit(1)).as("n_c"))
+        o.join(avgs, "o_custkey")
+          .filter(col("cents") * col("n_c") > col("sum_c"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o1
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+                (SELECT count(*) FROM orders o2
+                 WHERE o2.o_custkey = o1.o_custkey)
+              > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)""")),
+
+    // ---- q15: cube (full grouping-sets lattice) -----------------------------
+    Q("q15_cube",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), fxsum(col("o_totalprice"), 2).as("rev"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            col("n"), col("rev"))
+      },
+      Some(s"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n, ${fxsumSql("o_totalprice", 2)} AS rev
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // ---- q16: ntile (within-partition quantile buckets) ---------------------
+    // Partitioned by market segment so no global sort exists: each
+    // segment sorts on its own reducer (the inherent cost of ntile —
+    // a total order per partition key; salting cannot apply because
+    // bucket boundaries are global per key). Deterministic tiebreak on
+    // c_custkey.
+    Q("q16_ntile",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        c.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer""")),
+
+    // ---- q17: exact percentiles ---------------------------------------------
+    // Exact (sort-based) quantiles over integer cents at q ∈ {.25,.5,.75}:
+    // the interpolation fraction is then a power-of-two multiple, so
+    // lo + (hi-lo)*f is exact in double and both engines agree bit-wise.
+    // (percentile_approx exists for the sketch path but is not
+    // cross-engine checkable.) Grouped by status: the sort is per-group,
+    // never global.
+    Q("q17_percentiles",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        o.groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(cents, 0.25)").as("p25_cents"),
+            expr("percentile(cents, 0.5)").as("p50_cents"),
+            expr("percentile(cents, 0.75)").as("p75_cents"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               quantile_cont(cents, 0.25) AS p25_cents,
+               quantile_cont(cents, 0.5) AS p50_cents,
+               quantile_cont(cents, 0.75) AS p75_cents,
+               count(*) AS n
+        FROM (SELECT o_orderstatus,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY o_orderstatus""")),
+
     // ---- q7: rollup (grouping sets) ----------------------------------------
     Q("q7_rollup",
       (s, dir) => {
