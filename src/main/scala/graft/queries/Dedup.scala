@@ -126,6 +126,43 @@ object Dedup {
         ${graft.ops.Components.labelSql(4)}
         SELECT doc_id, cluster_id FROM l4""")),
 
+    // ---- train/eval contamination detection --------------------------------
+    // Decontamination (the C4/GPT eval-overlap check): which held-out
+    // docs (source src0) share a 5-gram with any training doc (every
+    // other source), and how much. Distinct (shingle, doc) sets on both
+    // sides, one equi-join on the shingle — at production scale the eval
+    // side is tiny, so it broadcast-joins and the train corpus never
+    // shuffles for it.
+    Q("dd_contamination",
+      (s, dir) => {
+        val withSrc = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+        val eval_ = withSrc.filter(col("source") === "src0")
+          .select(col("shingle"), col("doc_id").as("eval_doc")).distinct()
+        val train = withSrc.filter(col("source") =!= "src0")
+          .select(col("shingle"), col("doc_id").as("train_doc")).distinct()
+        eval_.join(train, "shingle")
+          .groupBy(col("eval_doc"))
+          .agg(countDistinct(col("train_doc")).as("n_train_docs"),
+            countDistinct(col("shingle")).as("n_shared_shingles"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT d.doc_id, d.source, s.shingle
+          FROM documents d JOIN (${DocSql.shinglesSql(5)}) s
+            ON s.doc_id = d.doc_id),
+        e AS (SELECT DISTINCT shingle, doc_id AS eval_doc
+              FROM sh WHERE source = 'src0'),
+        t AS (SELECT DISTINCT shingle, doc_id AS train_doc
+              FROM sh WHERE source <> 'src0')
+        SELECT e.eval_doc, count(DISTINCT t.train_doc) AS n_train_docs,
+               count(DISTINCT e.shingle) AS n_shared_shingles
+        FROM e JOIN t ON t.shingle = e.shingle
+        GROUP BY 1""")),
+
     // ---- SimHash fingerprints ----------------------------------------------
     // 32-bit locality-sensitive fingerprint per doc; identical fingerprints
     // (exact groupBy on the bit string) are near-dup groups. The 32 bit

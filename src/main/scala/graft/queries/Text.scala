@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents.text`: per-doc statistics +
@@ -195,6 +196,38 @@ object Text {
         FROM documents
         WHERE ${graft.ops.Sampling.stratifiedSql("lang", "doc_id", 0.2)}
         GROUP BY lang""")),
+
+    // ---- sequence packing (concat-and-chunk) --------------------------------
+    // The LM-training packing step: concatenate documents per language
+    // stream in a deterministic order and chunk into 1024-token context
+    // windows; a doc's pack is the window its first token lands in.
+    // Running sum + integer floor-division — exactly mirrorable SQL.
+    // Scale contract: packing is inherently sequential PER STREAM (the
+    // window's partition key); streams (lang here; lang × shard-day in
+    // production) bound any one reducer's data, and the cumsum is one
+    // exchange + per-partition pass, no global sort.
+    Q("txt_pack",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr("(cum - n_tokens) div 1024").as("pack_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, CAST(len(tokens) AS BIGINT) AS n_tokens
+          FROM (${DocSql.toksSql})),
+        c AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum - n_tokens) // 1024 AS BIGINT) AS pack_id
+        FROM c""")),
 
     // ---- document fingerprints (bottom-k sketch) ----------------------------
     // The 4 lexicographically-smallest distinct shingle hashes — a compact
