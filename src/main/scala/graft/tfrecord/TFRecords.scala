@@ -44,4 +44,34 @@ object TFRecords {
       .format("tfrecord")
       .option("recordType", "SequenceExample")
       .load(s"$outputDir/data")
+
+  /** Streaming form of [[write]]: each micro-batch appends its rows as
+    * TFRecord shards under the same `{outputDir}/data/{split}=…` layout,
+    * shuffled with a batch-derived seed (so the permutation differs per
+    * batch but stays replay-deterministic). Start with `.start()` on the
+    * returned writer.
+    *
+    * Delivery is at-least-once: a batch replayed after a crash between
+    * the file commit and the checkpoint write appends again (the classic
+    * non-transactional file-sink caveat — downstream exact dedup, e.g.
+    * StreamingDedup upstream or dd_exact over the output, restores
+    * effective exactly-once).
+    */
+  def writeStream(samples: DataFrame, outputDir: String, numShards: Int,
+      checkpointDir: String, seed: Long = 42L,
+      splitCol: String = "dataset")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    samples.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .repartition(numShards, rand(seed + batchId))
+          .write
+          .format("tfrecord")
+          .option("recordType", "SequenceExample")
+          .partitionBy(splitCol)
+          .mode("append")
+          .save(s"$outputDir/data")
+      }
 }
