@@ -383,6 +383,30 @@ object Relational {
               FROM orders)
         GROUP BY o_orderstatus""")),
 
+    // ---- q18: analytic rank metrics -----------------------------------------
+    // percent_rank / cume_dist / rank over a unique ordering (tiebreak on
+    // c_custkey ⇒ rank = row_number, divisions of small exact ints ⇒
+    // bit-identical doubles). Same per-segment sort as q16 — no global
+    // sort exists.
+    Q("q18_rank_metrics",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        c.select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          rank().over(w).as("rnk"))
+      },
+      Some("""
+        SELECT c_mktsegment, c_custkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               rank() OVER w AS rnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)""")),
+
     // ---- q7: rollup (grouping sets) ----------------------------------------
     Q("q7_rollup",
       (s, dir) => {

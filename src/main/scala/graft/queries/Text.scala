@@ -197,6 +197,45 @@ object Text {
         WHERE ${graft.ops.Sampling.stratifiedSql("lang", "doc_id", 0.2)}
         GROUP BY lang""")),
 
+    // ---- KMV cardinality sketch (bounded-memory distinct estimate) ----------
+    // Per-language distinct-token estimate from a bottom-16 sketch
+    // (functions.BottomKSketch, a typed Aggregator whose buffer holds ≤ k
+    // longs — the 100 TB replacement for collect_set). Hashes are the
+    // engine-standard 60-bit md5 prefix, so unlike HLL the sketch AND the
+    // estimate (k-1)/u_k are bit-reproducible in the oracle; exact
+    // distinct runs alongside for the accuracy check.
+    Q("txt_kmv_distinct",
+      (s, dir) => {
+        val k = 16
+        val bk = udaf(new graft.functions.BottomKSketch(k))
+        docs(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+          .select(col("lang"),
+            conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("h")).as("n_exact"), bk(col("h")).as("sk"))
+          .select(col("lang"), col("n_exact"),
+            when(size(col("sk")) >= k,
+              lit((k - 1).toDouble * (1L << 60).toDouble) /
+                element_at(col("sk"), k).cast("double"))
+              .otherwise(size(col("sk")).cast("double")).as("est_kmv"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT lang,
+                 CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT lang, unnest(tokens) AS token FROM (${DocSql.toksSql}))),
+        s AS (
+          SELECT lang, count(DISTINCT h) AS n_exact,
+                 (list_sort(list(DISTINCT h)))[1:16] AS sk
+          FROM h GROUP BY lang)
+        SELECT lang, n_exact,
+               CASE WHEN len(sk) >= 16
+                    THEN 15.0 * 1152921504606846976.0 / CAST(sk[16] AS DOUBLE)
+                    ELSE CAST(len(sk) AS DOUBLE) END AS est_kmv
+        FROM s""")),
+
     // ---- sequence packing (concat-and-chunk) --------------------------------
     // The LM-training packing step: concatenate documents per language
     // stream in a deterministic order and chunk into 1024-token context
