@@ -1,0 +1,42 @@
+package graft
+
+/** PLAN_AUDIT.md as an enforced invariant: every registered query's
+  * physical plan at sf0.001 is checked for scale-hostile nodes.
+  *
+  * - `CartesianProduct` is forbidden everywhere.
+  * - `BroadcastNestedLoopJoin` only in the three vector queries whose
+  *   bounded broadcast × scan IS the intended shape (probe set / centroid
+  *   assignment — see PLAN_AUDIT.md).
+  * - Every scan reads parquet with a pruned schema (no `ReadSchema` that
+  *   drags the full `documents.text` into queries that don't use it —
+  *   spot-checked on the narrowest query).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val bnljAllowed = Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos")
+
+  test("no query plans a CartesianProduct; BNLJ only where intended") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed.contains(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("column pruning reaches the scan (q5 reads 3 customer columns)") {
+    val plan = SparkEntry.queries("q5_distinct_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("c_mktsegment") && read.contains("c_nationkey")
+      && read.contains("c_acctbal"))
+    assert(!read.contains("c_name") && !read.contains("c_address"))
+  }
+}
