@@ -246,6 +246,33 @@ object Events {
                ${fxsumSql("value", 2)} AS sum_value
         FROM events GROUP BY user_id""")),
 
+    // ---- JSON extraction over the semi-structured props column --------------
+    // get_json_object path extraction + integer aggregation (the
+    // schema-on-read path; from_json with a declared StructType is the
+    // fixed-schema alternative and plans identically here). DuckDB
+    // mirrors with ->> text extraction.
+    Q("ev_json_extract",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k,
+               CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_high
+        FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type""")),
+
     // ---- event-type funnel via conditional aggregation ---------------------
     // Per-user pivot of event counts — count(CASE) keeps it one map-side
     // combinable aggregate instead of N filtered self-joins.
