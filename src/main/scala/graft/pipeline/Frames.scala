@@ -20,6 +20,15 @@ trait FrameDecoder extends Serializable {
     */
   def decode(filename: String, content: Array[Byte],
       sampleRateMs: Long): Iterator[DecodedFrame]
+
+  /** Metadata-only decode: same frames, `image` empty, pixel work
+    * skipped. The hook the column-pruning DataSource V2 path
+    * (sources.VideoFrameSource) pushes into — a real decoder reads
+    * container headers only. Default falls back to the full decode.
+    */
+  def decodeMeta(filename: String, content: Array[Byte],
+      sampleRateMs: Long): Iterator[DecodedFrame] =
+    decode(filename, content, sampleRateMs)
 }
 
 /** Deterministic fake decoder: frame count, fps, and pixels derive from a
@@ -48,6 +57,15 @@ final class SyntheticFrameDecoder(height: Int = 8, width: Int = 8,
       DecodedFrame(i * sampleRateMs, fps, nFrames.toDouble, height, width,
         image)
     }
+  }
+
+  override def decodeMeta(filename: String, content: Array[Byte],
+      sampleRateMs: Long): Iterator[DecodedFrame] = {
+    val h0 = filename.hashCode
+    val nFrames = 1 + java.lang.Math.floorMod(h0, maxFrames)
+    val fps = math.round(1000.0 / sampleRateMs).toDouble
+    Iterator.tabulate(nFrames)(i => DecodedFrame(i * sampleRateMs, fps,
+      nFrames.toDouble, height, width, Array.emptyFloatArray))
   }
 }
 

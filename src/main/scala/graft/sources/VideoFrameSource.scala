@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import graft.pipeline.{FrameDecoder, SyntheticFrameDecoder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** O7 as a DataSource V2 table (SURVEY.md §2 O7: "a `Generator` (UDTF) or
+  * DataSource V2 'video' table") — `spark.read.format("videoframes")
+  * .load(dir)` yields one row per sampled frame of every video file under
+  * `dir`.
+  *
+  * The V2 shape buys what the flatMap form (pipeline.Frames) cannot:
+  * **column-pruning pushdown INTO the decoder**. A query that never
+  * touches `image` (counting frames, auditing fps, joining metadata)
+  * reports a pruned `ReadSchema` and the reader SKIPS pixel decode
+  * entirely — at 100 TB that is the difference between a metadata query
+  * and decoding the corpus. Decode stays behind [[FrameDecoder]]
+  * (synthetic here — no codec libs in this container; the real decoder
+  * swaps in without touching this file's planning).
+  *
+  * Partition planning: files are listed driver-side (cheap metadata) and
+  * round-robined into `spark.default.parallelism` input partitions, so
+  * decode parallelism never degrades to files-per-dir < cores the way a
+  * single-file binary scan does.
+  */
+final class VideoFrameSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "videoframes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VideoFrameSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VideoFrameTable(properties.asScala.toMap)
+}
+
+object VideoFrameSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("filename", StringType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("frame_per_sec", DoubleType, nullable = false),
+    StructField("frame_total", DoubleType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("image", ArrayType(FloatType, containsNull = false))))
+
+  private[sources] val VideoExts = Set("mkv", "avi", "mp4")
+
+  /** Test observability: pixel decodes performed in this JVM. */
+  val pixelDecodes = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+final class VideoFrameTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"videoframes(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = VideoFrameSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val path = Option(options.get("path"))
+      .orElse(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "videoframes: .load(<dir>) path is required"))
+    val sampleRateMs = Option(options.get("sampleRateMs"))
+      .map(_.toLong).getOrElse(500L)
+    // driver-side metadata listing (filenames only, never bytes)
+    val files = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile &&
+        VideoFrameSource.VideoExts(f.getName.split('.').last.toLowerCase))
+      .map(_.getPath).sorted
+    new VideoFrameScanBuilder(files, sampleRateMs)
+  }
+}
+
+final class VideoFrameScanBuilder(files: Array[String], sampleRateMs: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = VideoFrameSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve our canonical field order; keep only requested fields
+    required = StructType(
+      VideoFrameSource.Schema.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new VideoFrameScan(
+    files, sampleRateMs, required)
+}
+
+final class VideoFrameScan(files: Array[String], sampleRateMs: Long,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val slices = math.max(1, math.min(files.length,
+      org.apache.spark.SparkContext.getOrCreate().defaultParallelism))
+    (0 until slices).map(i =>
+      VideoFilesPartition(files.zipWithIndex.collect {
+        case (f, j) if j % slices == i => f
+      }): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VideoFrameReaderFactory(sampleRateMs, required.fieldNames)
+}
+
+final case class VideoFilesPartition(files: Array[String])
+    extends InputPartition
+
+final class VideoFrameReaderFactory(sampleRateMs: Long,
+    fieldNames: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[VideoFilesPartition].files
+    new VideoFrameReader(files, sampleRateMs, fieldNames)
+  }
+}
+
+/** Emits one InternalRow per sampled frame; pixel decode runs ONLY when
+  * the pruned schema still contains `image`.
+  */
+final class VideoFrameReader(files: Array[String], sampleRateMs: Long,
+    fieldNames: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val needImage = fieldNames.contains("image")
+  private val decoder: FrameDecoder = new SyntheticFrameDecoder()
+  private val frames = files.iterator.flatMap { f =>
+    val it =
+      if (needImage) decoder.decode(f, null, sampleRateMs)
+      else decoder.decodeMeta(f, null, sampleRateMs) // pruned: no pixels
+    it.map(d => (f, d))
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!frames.hasNext) false
+    else {
+      val (f, d) = frames.next()
+      val values = fieldNames.map {
+        case "filename" => UTF8String.fromString(f)
+        case "timestamp_ms" => d.timestampMs
+        case "frame_per_sec" => d.framePerSec
+        case "frame_total" => d.frameTotal
+        case "height" => d.height
+        case "width" => d.width
+        case "image" =>
+          VideoFrameSource.pixelDecodes.incrementAndGet()
+          ArrayData.toArrayData(d.image)
+      }
+      current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
