@@ -246,6 +246,38 @@ object Events {
                ${fxsumSql("value", 2)} AS sum_value
         FROM events GROUP BY user_id""")),
 
+    // ---- order-sensitive aggregation: user journey strings ------------------
+    // First 8 events per user in time order, concatenated into a path
+    // ("signup>view>purchase") — top-N-per-key (row_number, per-partition
+    // sort) feeding an ORDER-SENSITIVE aggregate. collect_list order is
+    // not defined after a shuffle, so the order is imposed by sorting
+    // (ems, event_id, type) structs inside the aggregate — deterministic
+    // under any partitioning, which is what lets DuckDB's ordered
+    // string_agg match it.
+    Q("ev_user_paths",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            concat_ws(">", transform(
+              sort_array(collect_list(struct(col("ems"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type"))).as("path"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ems, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id) AS rn
+          FROM events)
+        SELECT user_id, count(*) AS n,
+               string_agg(event_type, '>' ORDER BY ems, event_id) AS path
+        FROM r WHERE rn <= 8 GROUP BY user_id""")),
+
     // ---- JSON extraction over the semi-structured props column --------------
     // get_json_object path extraction + integer aggregation (the
     // schema-on-read path; from_json with a declared StructType is the

@@ -407,6 +407,54 @@ object Relational {
         WINDOW w AS (PARTITION BY c_mktsegment
                      ORDER BY c_acctbal DESC, c_custkey)""")),
 
+    // ---- q19: statistical aggregates, scale-exactly -------------------------
+    // Variance and correlation from EXACT integer power sums (Σx, Σx²,
+    // Σxy fit in longs for these columns), with the textbook formulas
+    // applied once in double at the end. Built-in stddev/corr use
+    // streaming (Welford-style) updates whose fp error differs by
+    // partitioning AND engine; the power-sum form is one combinable
+    // aggregate and bit-identical everywhere.
+    Q("q19_stats_exact",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("q"),
+            round(col("l_discount") * 100).cast("long").as("d"))
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum(col("q") * col("q")).as("sqq"),
+            sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
+            sum(col("q") * col("d")).as("sqd"))
+          .select(col("l_returnflag"), col("n"),
+            (col("sq").cast("double") / col("n")).as("mean_qty"),
+            ((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")).as("var_qty"),
+            ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double") /
+              (sqrt((col("n") * col("sqq") - col("sq") * col("sq"))
+                .cast("double")) *
+               sqrt((col("n") * col("sdd") - col("sd") * col("sd"))
+                 .cast("double")))).as("corr_qty_disc"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                 CAST(round(l_discount * 100) AS BIGINT) AS d
+          FROM lineitem),
+        a AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q*q) AS BIGINT) AS sqq,
+                 CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d*d) AS BIGINT) AS sdd,
+                 CAST(sum(q*d) AS BIGINT) AS sqd
+          FROM t GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               CAST(sq AS DOUBLE) / n AS mean_qty,
+               CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
+                 AS var_qty,
+               CAST(n*sqd - sq*sd AS DOUBLE) /
+                 (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) *
+                  sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_qty_disc
+        FROM a""")),
+
     // ---- q7: rollup (grouping sets) ----------------------------------------
     Q("q7_rollup",
       (s, dir) => {
