@@ -121,8 +121,13 @@ object Similarity {
     // LSH-bucketed text dedup.
     Q("dd_embed_cos",
       (s, dir) => {
+        // materialized: the self-join below references the assignment
+        // twice, and without truncation each side re-runs the full
+        // corpus × centroids scoring pass (2× the dominant cost; at
+        // scale you persist assignments before any bucket self-join)
         val assigned = VectorOps.assignIvf(
           Tables.sharded(s, dir, "embeddings"), CentroidModulo)
+          .localCheckpoint()
         val a = assigned.select(col("centroid_id"),
           col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
         val b = assigned.select(col("centroid_id"),
