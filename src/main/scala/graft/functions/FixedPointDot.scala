@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * codegen — the "native Expression beats UDF beats everything else"
   * preference order applied.
   *
-  * Null semantics: null input array → null (BinaryExpression default);
-  * null ELEMENTS are treated as 0 (quantized vectors never contain them;
-  * ArrayData.getLong on a null slot reads 0 in both eval paths).
+  * Null semantics: null input array → null; MISMATCHED lengths → null —
+  * exactly what `aggregate(zip_with(a,b,*),0,+)` yields (zip_with pads
+  * the shorter side with nulls and the sum absorbs them), which is what
+  * lets [[DotProductRewrite]] substitute this expression soundly. Null
+  * ELEMENTS are treated as 0 (the rewrite guards on containsNull=false;
+  * quantized vectors never contain them).
   */
 case class FixedPointDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -34,6 +37,9 @@ case class FixedPointDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // ragged inputs produce null even when both arrays are non-null
+  override def nullable: Boolean = true
+
   override def prettyName: String = "fixedpoint_dot"
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -42,11 +48,14 @@ case class FixedPointDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      acc
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,12 +64,16 @@ case class FixedPointDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }
@@ -80,5 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "fixedpoint_dot takes exactly 2 arguments")
         FixedPointDot(args.head, args(1))
       }))
+    // HOF dot product → FixedPointDot (see DotProductRewrite scaladoc)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

@@ -23,15 +23,17 @@ class FixedPointDotSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
-  test("null array yields null; mismatched lengths use the common prefix") {
+  test("null array or mismatched lengths yield null (HOF-form parity)") {
     val df = Seq(
       (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L))),
-      (None, Some(Seq(1L)))
+      (None, Some(Seq(1L))),
+      (Some(Seq(2L, 3L)), Some(Seq(4L, 5L)))
     ).toDF("a", "b")
       .select(call_function("fixedpoint_dot", col("a"), col("b")).as("d"))
     val rows = df.collect()
-    assert(rows(0).getLong(0) === 1L * 4 + 2L * 5)
+    assert(rows(0).isNullAt(0)) // ragged — same as aggregate(zip_with(...))
     assert(rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) === 2L * 4 + 3L * 5)
   }
 
   test("works inside whole-stage codegen (dataframe filter + agg path)") {
