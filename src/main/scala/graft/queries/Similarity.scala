@@ -115,6 +115,53 @@ object Similarity {
                       ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored) WHERE rank <= 5""")),
 
+    // ---- ANN quality evaluation: IVF recall@5 vs brute ground truth ---------
+    // The metric every ANN deployment needs: per probe, the fraction of
+    // the exact top-5 the bucketed search recovered (left join: a probe
+    // whose bucket misses everything still reports recall 0). Both sides
+    // are deterministic, so even the EVALUATION is oracle-checked.
+    Q("sim_recall",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings")
+        val k = 5
+        val truth = VectorOps.knnBrute(e, e.filter(col("vec_id") < ProbeLimit), k)
+          .select(col("probe_id"), col("neighbor_id"))
+        val approx = VectorOps.knnIvf(e, col("vec_id") < ProbeLimit,
+            CentroidModulo, k)
+          .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+        truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("probe_id"), col("k"), col("n_hit"),
+            (col("n_hit").cast("double") / col("k").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""
+        WITH $assignSql,
+        truth AS (
+          SELECT probe_id, vec_id AS neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id ASC) AS rank
+            FROM (SELECT * FROM qn WHERE vec_id < $ProbeLimit) p
+            JOIN qn c ON c.vec_id <> p.vec_id) WHERE rank <= 5),
+        approx AS (
+          SELECT probe_id, vec_id AS neighbor_id, 1 AS hit FROM (
+            SELECT p.probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY p.probe_id
+                     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id ASC) AS rank
+            FROM (SELECT vec_id AS probe_id, centroid_id, qv, n2 FROM asg
+                  WHERE vec_id < $ProbeLimit) p
+            JOIN asg c ON c.centroid_id = p.centroid_id
+                      AND c.vec_id <> p.probe_id) WHERE rank <= 5)
+        SELECT t.probe_id, count(*) AS k,
+               CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hit,
+               CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / count(*) AS recall
+        FROM truth t LEFT JOIN approx a
+          ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.probe_id""")),
+
     // ---- embedding-cosine near-dup candidates ------------------------------
     // Near-dup detection in embedding space: all pairs WITHIN an IVF bucket
     // (never across the corpus), top 20 by cosine — the embedding analog of

@@ -197,6 +197,77 @@ object Text {
         WHERE ${graft.ops.Sampling.stratifiedSql("lang", "doc_id", 0.2)}
         GROUP BY lang""")),
 
+    // ---- domain capping (C4-style cap-per-source sampling) ------------------
+    // Keep at most 20 docs per source, chosen by smallest salted hash —
+    // the "cap pages per domain" corpus-balancing op. Deterministic
+    // (hash order, doc_id tiebreak) and cheap: WindowGroupLimit pushes
+    // the top-20 filter MAP-SIDE, so only ≤20 rows per source reach the
+    // exchange (same plan shape as ev_user_paths).
+    Q("txt_cap_per_source",
+      (s, dir) => {
+        val h = conv(substring(md5(concat(lit("cap|"), col("doc_id"))
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        docs(s, dir).select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
+            max(col("h")).as("max_kept_hash"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5('cap|' || doc_id), 1, 15)) AS BIGINT)
+                   AS h
+          FROM documents),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY h, doc_id) AS rn
+          FROM h)
+        SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc,
+               max(h) AS max_kept_hash
+        FROM r WHERE rn <= 20 GROUP BY source""")),
+
+    // ---- composed quality filter (the C4 cleaning chain) --------------------
+    // The standard keep-rules stacked as one predicate over the txt_stats
+    // features: enough tokens, not too repetitive, English-stopword
+    // evidence. Per-language accounting of survivors — integer counts,
+    // ratio thresholds as integer cross-multiplications (no fp in the
+    // predicate).
+    Q("txt_quality_filter",
+      (s, dir) => {
+        val t = tokenRows(s, dir)
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("token")).as("n_distinct"),
+            sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
+              .as("n_stop"))
+        t.withColumn("kept",
+            col("n_tokens") >= 20 &&
+              col("n_distinct") * 10 >= col("n_tokens") * 3 && // ≥0.3 distinct
+              col("n_stop") * 100 >= col("n_tokens") * 2) // ≥2% stopwords
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        t AS (
+          SELECT doc_id, lang, count(*) AS n_tokens,
+                 count(DISTINCT token) AS n_distinct,
+                 sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END)
+                   AS n_stop
+          FROM tok GROUP BY doc_id, lang)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_tokens >= 20
+                              AND n_distinct * 10 >= n_tokens * 3
+                              AND n_stop * 100 >= n_tokens * 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM t GROUP BY lang""")),
+
     // ---- KMV cardinality sketch (bounded-memory distinct estimate) ----------
     // Per-language distinct-token estimate from a bottom-16 sketch
     // (functions.BottomKSketch, a typed Aggregator whose buffer holds ≤ k

@@ -15,7 +15,10 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private val bnljAllowed = Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos")
+  // sim_recall composes knnBrute + knnIvf, so it inherits both bounded
+  // broadcast × scan shapes
+  private val bnljAllowed =
+    Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
