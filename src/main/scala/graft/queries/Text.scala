@@ -197,6 +197,40 @@ object Text {
         WHERE ${graft.ops.Sampling.stratifiedSql("lang", "doc_id", 0.2)}
         GROUP BY lang""")),
 
+    // ---- rare-token ratio (corpus-frequency quality signal) -----------------
+    // Two-pass shape: corpus-wide token document-frequencies, joined back
+    // to each document's tokens — the frequency-based cleaning signal
+    // (high rare-token ratio ⇒ gibberish/OCR noise). All integer counts;
+    // the ratio is one final division. At scale the document-frequency
+    // table is Zipf-small relative to the corpus and broadcastable.
+    Q("txt_rare_ratio",
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        val df_ = tok.select(col("doc_id"), col("token")).distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+        tok.join(df_, "token")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("doc_freq") < 100, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+              .as("rare_ratio"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        freq AS (
+          SELECT token, count(*) AS doc_freq
+          FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN f.doc_freq < 100 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rare,
+               CAST(sum(CASE WHEN f.doc_freq < 100 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS rare_ratio
+        FROM tok t JOIN freq f ON f.token = t.token
+        GROUP BY t.doc_id""")),
+
     // ---- domain capping (C4-style cap-per-source sampling) ------------------
     // Keep at most 20 docs per source, chosen by smallest salted hash —
     // the "cap pages per domain" corpus-balancing op. Deterministic
