@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up smoke: the LSH dedup path over a synthetic corpus
+  * 4× the sf0.1 fixture (20k docs), generated distributed (range +
+  * md5-derived tokens, no driver-side data). Verifies the shape
+  * invariants that make the path survive growth: one signature row per
+  * doc, bucket sizes bounded on a non-duplicated corpus (no quadratic
+  * pair blowup), and exact dedup finding precisely the planted dups.
+  */
+class ScaleSmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nDocs = 20000
+
+  // ~40 tokens per doc, token = 4-hex-char word derived from (doc, pos);
+  // every 100th doc duplicates doc-1's text exactly (planted exact dups)
+  private def corpus = spark.range(nDocs).select(
+    col("id").as("doc_id"),
+    concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+      substring(md5(concat(
+        when(col("id") % 100 === 0, lit(1)).otherwise(col("id")).cast("string"),
+        lit("|"), j.cast("string")).cast("binary")), 1, 4))).as("text"))
+
+  test("LSH signatures and buckets stay shape-sane at 4x bench scale") {
+    val sigs = TextOps.minhashSignatures(corpus, n = 3, k = 12)
+    assert(sigs.count() === nDocs) // one signature row per doc
+
+    val cand = TextOps.lshCandidates(corpus, n = 3, k = 12, rowsPerBand = 3)
+      .cache()
+    val nCand = cand.count()
+    // planted dups: docs {0, 100, 200, ...} all share doc 1's text → they
+    // and doc 1 form one clique; uniform non-dup docs add ~no candidates
+    val clique = nDocs / 100 + 1
+    val expectedMin = clique.toLong * (clique - 1) / 2
+    assert(nCand >= expectedMin)
+    assert(nCand <= expectedMin + nDocs / 20,
+      s"uniform corpus should not explode candidates, got $nCand")
+    cand.unpersist()
+  }
+
+  test("exact dedup finds exactly the planted duplicate group") {
+    val groups = corpus
+      .select(col("doc_id"),
+        md5(concat_ws(" ", TextOps.tokens(col("text"))).cast("binary"))
+          .as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .as[(String, Long)].collect()
+    assert(groups.length === 1)
+    assert(groups.head._2 === nDocs / 100 + 1)
+  }
+}
