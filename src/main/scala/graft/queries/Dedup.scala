@@ -109,6 +109,86 @@ object Dedup {
         JOIN sz sa ON sa.doc_id = i.doc_a
         JOIN sz sb ON sb.doc_id = i.doc_b""")),
 
+    // ---- MinHash estimation accuracy (sketch eval, like sim_recall) ---------
+    // For every LSH candidate pair: estimated Jaccard = fraction of
+    // agreeing MinHash components vs the exact shingle Jaccard — the
+    // measurement that justifies the sketch. Signatures join back to the
+    // (small, checkpointed) candidate set; exact Jaccard reuses the
+    // semi-filtered rerank shape of dd_jaccard.
+    Q("dd_minhash_estimate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cand =
+          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).localCheckpoint()
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val sigs = TextOps.minhashSignatures(d, ShingleN, K)
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        val nMatch = (0 until K).map(k =>
+          when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0))
+          .reduce(_ + _)
+        val withSigs = cand
+          .join(sigs.select(col("doc_id").as("doc_a") +:
+            (0 until K).map(k => col(s"mh$k").as(s"a_mh$k")): _*), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b") +:
+            (0 until K).map(k => col(s"mh$k").as(s"b_mh$k")): _*), "doc_b")
+          .select(col("doc_a"), col("doc_b"), nMatch.cast("long").as("n_match"))
+        val sh = TextOps.explodedShingles(d, ShingleN)
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        withSigs
+          .join(inter, Seq("doc_a", "doc_b"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_match"),
+            (col("n_match").cast("double") / K).as("est_jaccard"),
+            (col("n_inter").cast("double") /
+              (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+              .as("jaccard"))
+      },
+      Some {
+        val matches = (0 until K).map(k =>
+          s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH sig AS (${DocSql.minhashSql(ShingleN, K)}),
+        bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT c.doc_a, c.doc_b, CAST($matches AS BIGINT) AS n_match
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.doc_a
+          JOIN sig b ON b.doc_id = c.doc_b),
+        sh AS (SELECT DISTINCT doc_id, shingle
+               FROM (${DocSql.shinglesSql(ShingleN)})),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT e.doc_a, e.doc_b, e.n_match,
+               CAST(e.n_match AS DOUBLE) / $K AS est_jaccard,
+               CAST(i.n_inter AS DOUBLE) /
+                 CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+        FROM est e
+        JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN sz sa ON sa.doc_id = e.doc_a
+        JOIN sz sb ON sb.doc_id = e.doc_b"""
+      }),
+
     // ---- near-dup cluster assignment ---------------------------------------
     // LSH pairs → dedup groups via bounded min-label propagation
     // (ops.Components): cluster_id = smallest doc id reachable in ≤4

@@ -246,6 +246,38 @@ object Events {
                ${fxsumSql("value", 2)} AS sum_value
         FROM events GROUP BY user_id""")),
 
+    // ---- cohort retention (signup week × weeks-since) -----------------------
+    // The classic retention triangle: users grouped by signup week, then
+    // distinct active users counted at each whole-week age. Two combinable
+    // aggregations; the per-user signup lookup is an aggregate joined back
+    // on user_id (same decorrelated shape as q14). All integer week
+    // arithmetic.
+    Q("ev_retention",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val signup = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(expr("ems div 604800000")).as("cohort_week"))
+        e.join(signup, "user_id")
+          .withColumn("age_weeks",
+            expr("ems div 604800000") - col("cohort_week"))
+          .filter(col("age_weeks") >= 0)
+          .groupBy(col("cohort_week"), col("age_weeks"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS wk
+          FROM events),
+        signup AS (
+          SELECT user_id, min(wk) AS cohort_week
+          FROM e WHERE event_type = 'signup' GROUP BY user_id)
+        SELECT s.cohort_week, e.wk - s.cohort_week AS age_weeks,
+               count(DISTINCT e.user_id) AS n_active
+        FROM e JOIN signup s USING (user_id)
+        WHERE e.wk >= s.cohort_week
+        GROUP BY 1, 2""")),
+
     // ---- order-sensitive aggregation: user journey strings ------------------
     // First 8 events per user in time order, concatenated into a path
     // ("signup>view>purchase") — top-N-per-key (row_number, per-partition
