@@ -455,6 +455,33 @@ object Relational {
                   sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_qty_disc
         FROM a""")),
 
+    // ---- q20: full outer join -----------------------------------------------
+    // Per-nation customer vs supplier accounting where either side may be
+    // absent — completes the join-type surface (inner, semi, anti, left
+    // via as-of, broadcast variants are all gated elsewhere). Aggregate
+    // first, then join: the outer join sees one row per nation per side.
+    Q("q20_full_outer",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer").groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = Tables(s, dir, "supplier").groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                   FROM supplier GROUP BY 1)
+        SELECT coalesce(c.nk, s.nk) AS nationkey,
+               coalesce(c.n_cust, 0) AS n_cust,
+               coalesce(s.n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk""")),
+
     // ---- q7: rollup (grouping sets) ----------------------------------------
     Q("q7_rollup",
       (s, dir) => {
