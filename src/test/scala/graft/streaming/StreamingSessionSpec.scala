@@ -26,6 +26,48 @@ class StreamingSessionSpec extends SparkSpec {
     assert(bridged === List(Sess(0, 35, 6, 33)))
   }
 
+  test("a quiet user's session closes via event-time TIMEOUT alone") {
+    // user 1 appears only in chunk 0; only other users' later events
+    // advance the watermark, so user 1's session can emit solely through
+    // the group timeout — the path a per-batch fold never reaches.
+    // (Times sit well above epoch 0: Spark's stateful late-row filter
+    // drops an event AT the initial watermark value, so an ems=0 event
+    // vanishes — an epoch-boundary artifact, not a session-logic one.)
+    val inDir = Files.createTempDirectory("sess_to").toString
+    val ckpt = Files.createTempDirectory("sess_to_ckpt").toString
+    val gap = 1000L
+    def chunk(rows: Seq[(Long, Long, Double)], name: String): Unit =
+      rows.toDF("user_id", "ems", "value")
+        .withColumn("ts", timestamp_millis(col("ems")))
+        .select("user_id", "ts", "ems", "value")
+        .coalesce(1).write.parquet(s"$inDir/$name")
+    chunk(Seq((1L, 10000L, 1.0), (1L, 10500L, 2.0), (2L, 10100L, 9.0)), "b0")
+    chunk(Seq((2L, 15000L, 9.0)), "b1") // watermark → 15000 > 10500+gap
+    chunk(Seq((2L, 19000L, 9.0)), "b2") // extra batch to fire the timer
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("ems",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+    val q = StreamingSession(stream, gap)
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // user 1's merged session emitted despite user 1 never reappearing
+      assert(got.contains((1L, 10000L, 10500L, 2L, 3.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("sessionization: batch ≡ streaming on the events fixture") {
     val sfDir = "/root/testdata/sf0.001"
     val gap = 1800000L
