@@ -28,6 +28,7 @@ object RangeJoin {
   def rangeJoin(intervals: DataFrame, points: DataFrame, key: String,
       lo: String, hi: String, t: String, binSize: Long,
       prefix: String = "p_"): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
     val pCols = points.columns.filterNot(_ == key).toSeq
     // `div` = exact integer floor-division on longs (times are epoch-
     // positive); doubles would round above 2^53

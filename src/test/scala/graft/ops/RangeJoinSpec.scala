@@ -31,6 +31,13 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("non-positive binSize fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(intervals, points, "k", "lo", "hi", "t", 0L)
+    }
+    assert(e.getMessage.contains("binSize"))
+  }
+
   test("plans an equi-join, never a nested loop or cartesian") {
     val plan = RangeJoin.rangeJoin(intervals, points, "k",
         "lo", "hi", "t", 10L)
