@@ -34,4 +34,33 @@ object Sampling {
   private[graft] def stratifiedSql(stratumExpr: String, keyExpr: String,
       fraction: Double): String =
     s"substr(md5($stratumExpr || '|' || $keyExpr), 1, 2) <= '${hex2(fraction)}'"
+
+  /** Weighted Bernoulli sampling: keep a row with probability
+    * min(1, weight / 2^log2Denom), deterministically — the 60-bit md5
+    * prefix of the key is a uniform draw in [0, 2^60), kept iff below
+    * `weight × 2^(60 - log2Denom)`. The denominator is a power of two so
+    * the threshold is EXACT overflow-free long arithmetic (weight ≤
+    * 2^log2Denom ⇒ threshold ≤ 2^60) and both engines agree bit-wise.
+    * Narrow (a filter), recomputation-stable, composes with incremental
+    * data — the quality-weighted corpus sampling op ("prefer longer /
+    * higher-scoring docs") in its deterministic form.
+    *
+    * @param weight    integral weight column (e.g. n_chars)
+    * @param log2Denom keep probability = weight / 2^log2Denom
+    */
+  def weighted(df: DataFrame, key: Column, weight: Column,
+      log2Denom: Int): DataFrame = {
+    require(log2Denom > 0 && log2Denom < 60, s"bad log2Denom $log2Denom")
+    // key → string → binary: both engines hash the decimal rendering
+    df.filter(
+      conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        < weight.cast("long") * lit(1L << (60 - log2Denom)))
+  }
+
+  /** DuckDB mirror of [[weighted]]'s predicate. */
+  private[graft] def weightedSql(keyExpr: String, weightExpr: String,
+      log2Denom: Int): String =
+    s"""CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT)
+        < CAST($weightExpr AS BIGINT) * ${1L << (60 - log2Denom)}"""
 }

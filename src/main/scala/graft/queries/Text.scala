@@ -197,6 +197,27 @@ object Text {
         WHERE ${graft.ops.Sampling.stratifiedSql("lang", "doc_id", 0.2)}
         GROUP BY lang""")),
 
+    // ---- weighted sampling (length-proportional keep probability) -----------
+    // ops.Sampling.weighted with weight = n_chars, denominator 2^10:
+    // longer docs are kept proportionally more often — the deterministic
+    // form of quality-weighted corpus sampling. Accounting per language:
+    // kept count + kept-char mass (longer docs over-represented vs
+    // txt_sample_stratified's uniform rate, visible in the ratio).
+    Q("txt_sample_weighted",
+      (s, dir) => graft.ops.Sampling.weighted(docs(s, dir),
+          col("doc_id"), col("n_chars"), log2Denom = 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars").cast("long")).as("kept_chars"),
+          min(col("doc_id")).as("first_doc")),
+      Some(s"""
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+               min(doc_id) AS first_doc
+        FROM documents
+        WHERE ${graft.ops.Sampling.weightedSql("doc_id", "n_chars", 10)}
+        GROUP BY lang""")),
+
     // ---- rare-token ratio (corpus-frequency quality signal) -----------------
     // Two-pass shape: corpus-wide token document-frequencies, joined back
     // to each document's tokens — the frequency-based cleaning signal

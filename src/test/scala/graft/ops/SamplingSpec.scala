@@ -28,4 +28,24 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratified(df, col("g"), col("id"), 0.0).count() === 0)
     assert(Sampling.stratified(df, col("g"), col("id"), 1.0).count() === 100)
   }
+
+  test("weighted: keep rate tracks weight; zero weight keeps nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 4000L).map(i => (i, (i % 4) * 256)).toDF("k", "w")
+    val kept = Sampling.weighted(df, col("k"), col("w"), log2Denom = 10)
+      .groupBy("w").count().as[(Long, Long)].collect().toMap
+    // p = w/1024: w=0 -> 0, w=256 -> ~25%, w=512 -> ~50%, w=768 -> ~75%
+    assert(!kept.contains(0L))
+    def rate(w: Long): Double = kept.getOrElse(w, 0L).toDouble / 1000.0
+    assert(math.abs(rate(256) - 0.25) < 0.08)
+    assert(math.abs(rate(512) - 0.50) < 0.08)
+    assert(math.abs(rate(768) - 0.75) < 0.08)
+    // deterministic: same call, same sample
+    val again = Sampling.weighted(df, col("k"), col("w"), 10)
+      .agg(sum("k")).as[Long].head()
+    val first = Sampling.weighted(df, col("k"), col("w"), 10)
+      .agg(sum("k")).as[Long].head()
+    assert(again === first)
+  }
 }
