@@ -170,6 +170,24 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling over binary VIDEO assets: one decoded frame row per
+    * `sampleRateMs` of (synthetic) video time, 1→N per asset via the same
+    * [[FrameDecoder]] contract the file pipeline uses — binary payloads
+    * die inside the flatMap, before any shuffle. Frame pixels derive
+    * from the asset bytes, so identical content ⇒ identical frames.
+    */
+  def sampleVideoFrames(assets: Dataset[MediaAsset], decoder: FrameDecoder,
+      sampleRateMs: Long): Dataset[DecodedImage] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      decoder.decode(s"asset_${a.asset_id}", a.content, sampleRateMs)
+        .zipWithIndex.map { case (f, i) =>
+          DecodedImage(a.asset_id * 1000 + i, f.height, f.width, f.image)
+        }
+    }
+  }
+
   /** Metadata-only relational surface: per-kind accounting computed WITHOUT
     * decoding — the property that makes 100 TB of media queryable (payload
     * columns are pruned; only lengths/hashes are read).

@@ -61,4 +61,22 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
     assert(stats.map(r => r.getLong(1)).toSeq === Seq(1L, 2L, 1L))
   }
+
+  test("sampleVideoFrames: 1-to-N frame rows per video asset, no bytes out") {
+    import spark.implicits._
+    val assets = Seq(
+      MediaAsset(1L, "video", "vid-one".getBytes, 4, 4, 0),
+      MediaAsset(2L, "image", "img".getBytes, 4, 4, 0),
+      MediaAsset(3L, "video", "vid-two".getBytes, 4, 4, 0)).toDS()
+    val frames = Multimodal.sampleVideoFrames(assets,
+      new SyntheticFrameDecoder(height = 4, width = 4), 500L).collect()
+    // only video assets expand; each produces >= 1 frame
+    val byAsset = frames.groupBy(_.asset_id / 1000)
+    assert(byAsset.keySet === Set(1L, 3L))
+    assert(frames.forall(_.pixels.length === 4 * 4 * 3))
+    // deterministic across calls
+    val again = Multimodal.sampleVideoFrames(assets,
+      new SyntheticFrameDecoder(height = 4, width = 4), 500L).collect()
+    assert(frames.map(_.pixels.toSeq).toSeq === again.map(_.pixels.toSeq).toSeq)
+  }
 }
