@@ -149,6 +149,32 @@ object Reference {
         GROUP BY window_start, window_end, filename, label, dataset,
                  frame_per_sec, frame_total""")),
 
+    // ---- Example-mode (flat record) round-trip ------------------------------
+    // The second TFRecord record type under the gate: the split
+    // accounting written as flat tf.train.Example records (no feature
+    // lists), read back, and hash-matched against the same SQL as
+    // ref_split — covers the Example encode/decode path end-to-end.
+    Q("ref_tfrecord_example",
+      (s, dir) => {
+        val rows = preparedFiles(s, dir)
+          .groupBy(col("dataset"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_tfrec_ex").toString
+        rows.repartition(2)
+          .write.format("tfrecord").option("recordType", "Example")
+          .mode("overwrite").save(s"$out/data")
+        s.read.schema(StructType(Seq(
+            StructField("dataset", StringType),
+            StructField("label", StringType),
+            StructField("n", LongType))))
+          .format("tfrecord").option("recordType", "Example")
+          .load(s"$out/data")
+      },
+      Some(s"""
+        SELECT dataset, label, count(*) AS n
+        FROM ($preparedSql) GROUP BY dataset, label""")),
+
     // ---- O18-O20+O22 TFRecord sink round-trip -------------------------------
     // The full output stage under the correctness gate: full_video samples →
     // SequenceExample protos → shuffled (O19) sharded .tfrecord files with
