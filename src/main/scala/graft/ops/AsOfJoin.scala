@@ -41,6 +41,16 @@ object AsOfJoin {
       leftTime: String, rightTime: String, prefix: String = "r_"): DataFrame = {
     val lCols = left.columns.filterNot(_ == key).toSeq
     val rCols = right.columns.filterNot(_ == key).toSeq
+    // Internal working columns and prefixed outputs must not collide with
+    // the left schema — a silent collision would produce wrong results or
+    // an opaque analysis error deep inside the union.
+    val reserved = Set("_t", "_side", "_r")
+    val clash = left.columns.filter(reserved) ++
+      rCols.map(prefix + _).filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asOf: left columns collide with internal/output names: " +
+        s"${clash.mkString(", ")} (reserved: _t, _side, _r; " +
+        s"right columns are emitted as $prefix<name>)")
     val rStruct = struct(rCols.map(col): _*)
 
     val lSide = left.select(

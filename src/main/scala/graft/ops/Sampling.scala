@@ -38,9 +38,12 @@ object Sampling {
   /** Weighted Bernoulli sampling: keep a row with probability
     * min(1, weight / 2^log2Denom), deterministically — the 60-bit md5
     * prefix of the key is a uniform draw in [0, 2^60), kept iff below
-    * `weight × 2^(60 - log2Denom)`. The denominator is a power of two so
-    * the threshold is EXACT overflow-free long arithmetic (weight ≤
-    * 2^log2Denom ⇒ threshold ≤ 2^60) and both engines agree bit-wise.
+    * `min(weight, 2^log2Denom) × 2^(60 - log2Denom)`. The weight is
+    * clamped to the denominator FIRST (a heavier row already keeps with
+    * probability 1, and an unclamped product would overflow long
+    * arithmetic for weight > 2^(log2Denom+3)), so the threshold is EXACT
+    * overflow-free long arithmetic (clamped weight ≤ 2^log2Denom ⇒
+    * threshold ≤ 2^60) and both engines agree bit-wise for ANY weight.
     * Narrow (a filter), recomputation-stable, composes with incremental
     * data — the quality-weighted corpus sampling op ("prefer longer /
     * higher-scoring docs") in its deterministic form.
@@ -55,12 +58,14 @@ object Sampling {
     df.filter(
       conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
         .cast("long")
-        < weight.cast("long") * lit(1L << (60 - log2Denom)))
+        < least(weight.cast("long"), lit(1L << log2Denom)) *
+          lit(1L << (60 - log2Denom)))
   }
 
   /** DuckDB mirror of [[weighted]]'s predicate. */
   private[graft] def weightedSql(keyExpr: String, weightExpr: String,
       log2Denom: Int): String =
     s"""CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT)
-        < CAST($weightExpr AS BIGINT) * ${1L << (60 - log2Denom)}"""
+        < LEAST(CAST($weightExpr AS BIGINT), ${1L << log2Denom})
+          * ${1L << (60 - log2Denom)}"""
 }

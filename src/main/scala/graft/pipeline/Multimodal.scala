@@ -173,15 +173,18 @@ object Multimodal {
   /** Frame-sampling over binary VIDEO assets: one decoded frame row per
     * `sampleRateMs` of (synthetic) video time, 1→N per asset via the same
     * [[FrameDecoder]] contract the file pipeline uses — binary payloads
-    * die inside the flatMap, before any shuffle. Frame pixels derive
-    * from the asset bytes, so identical content ⇒ identical frames.
+    * die inside the flatMap, before any shuffle. The decode is keyed on a
+    * fingerprint of the asset BYTES (not the asset id), so identical
+    * content ⇒ identical frames even under the synthetic decoder — the
+    * contract a real codec gives for free.
     */
   def sampleVideoFrames(assets: Dataset[MediaAsset], decoder: FrameDecoder,
       sampleRateMs: Long): Dataset[DecodedImage] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      decoder.decode(s"asset_${a.asset_id}", a.content, sampleRateMs)
+      val key = s"asset_${java.util.Arrays.hashCode(a.content)}"
+      decoder.decode(key, a.content, sampleRateMs)
         .zipWithIndex.map { case (f, i) =>
           DecodedImage(a.asset_id * 1000 + i, f.height, f.width, f.image)
         }

@@ -79,12 +79,26 @@ final class VideoFrameTable(properties: Map[String, String])
         "videoframes: .load(<dir>) path is required"))
     val sampleRateMs = Option(options.get("sampleRateMs"))
       .map(_.toLong).getOrElse(500L)
-    // driver-side metadata listing (filenames only, never bytes)
-    val files = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile &&
-        VideoFrameSource.VideoExts(f.getName.split('.').last.toLowerCase))
-      .map(_.getPath).sorted
+    // Driver-side metadata listing (filenames only, never bytes) through
+    // the Hadoop FileSystem API, so any supported scheme works — local,
+    // hdfs://, s3a://, gs:// — not just java.io.File. An unreadable or
+    // missing directory is an error, not an empty scan: zero partitions
+    // from a typo'd path is the silent failure mode at scale.
+    val hadoopConf = org.apache.spark.SparkContext.getOrCreate()
+      .hadoopConfiguration
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(hadoopConf)
+    if (!fs.exists(fsPath)) throw new IllegalArgumentException(
+      s"videoframes: path does not exist: $path")
+    val files = fs.listStatus(fsPath)
+      .filter(s => s.isFile &&
+        VideoFrameSource.VideoExts(
+          s.getPath.getName.split('.').last.toLowerCase))
+      .map { s => // local paths stay plain; remote keep their scheme
+        val uri = s.getPath.toUri
+        if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+        else s.getPath.toString
+      }.sorted
     new VideoFrameScanBuilder(files, sampleRateMs)
   }
 }

@@ -46,6 +46,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === left.count())
   }
 
+  test("reserved/colliding column names are rejected with a diagnostic") {
+    val badLeft = Seq((1L, 10L, "x")).toDF("k", "t", "_side")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft, right, "k", "t", "rt")
+    }
+    assert(e1.getMessage.contains("_side"))
+    // a left column equal to prefix+rightCol is just as wrong
+    val shadowLeft = Seq((1L, 10L, "x")).toDF("k", "t", "r_rv")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(shadowLeft, right, "k", "t", "rt")
+    }
+    assert(e2.getMessage.contains("r_rv"))
+  }
+
   test("plans one exchange on the key, no nested-loop join") {
     val plan = AsOfJoin.asOf(left, right, "k", "t", "rt")
       .queryExecution.executedPlan.toString

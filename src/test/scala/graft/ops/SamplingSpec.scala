@@ -48,4 +48,17 @@ class SamplingSpec extends SparkSpec {
       .agg(sum("k")).as[Long].head()
     assert(again === first)
   }
+
+  test("weighted: weights above the denominator keep with probability 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // weight >> 2^(log2Denom+3) used to overflow the long threshold and
+    // silently DROP rows that should always be kept (ADVICE r3); clamping
+    // the weight to 2^log2Denom makes any huge weight mean p = 1.
+    val df = Seq(
+      (1L, 1L << 20), (2L, Long.MaxValue / 2), (3L, 1L << 10),
+      (4L, (1L << 10) + 1)).toDF("k", "w")
+    val kept = Sampling.weighted(df, col("k"), col("w"), log2Denom = 10)
+    assert(kept.count() === 4) // every weight >= 2^10 ⇒ kept, no overflow
+  }
 }

@@ -79,4 +79,20 @@ class MultimodalSpec extends SparkSpec {
       new SyntheticFrameDecoder(height = 4, width = 4), 500L).collect()
     assert(frames.map(_.pixels.toSeq).toSeq === again.map(_.pixels.toSeq).toSeq)
   }
+
+  test("sampleVideoFrames: frames derive from content, not asset id") {
+    import spark.implicits._
+    val sameBytes = "identical-payload".getBytes
+    val assets = Seq(
+      MediaAsset(1L, "video", sameBytes, 4, 4, 0),
+      MediaAsset(2L, "video", sameBytes.clone(), 4, 4, 0),
+      MediaAsset(3L, "video", "different".getBytes, 4, 4, 0)).toDS()
+    val frames = Multimodal.sampleVideoFrames(assets,
+      new SyntheticFrameDecoder(height = 4, width = 4), 500L).collect()
+    def pixelsOf(asset: Long) = frames
+      .filter(_.asset_id / 1000 == asset).sortBy(_.asset_id)
+      .map(_.pixels.toSeq).toSeq
+    assert(pixelsOf(1L) === pixelsOf(2L)) // identical content ⇒ identical
+    assert(pixelsOf(1L) !== pixelsOf(3L)) // different content ⇒ different
+  }
 }
