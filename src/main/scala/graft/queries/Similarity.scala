@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.similarity.VectorOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search operators over `embeddings` — brute-force cosine top-k
@@ -194,6 +195,97 @@ object Similarity {
                ${cosSql("a", "b")} AS cosine
         FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
                              AND a.vec_id < b.vec_id
-        ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20"""))
+        ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20""")),
+
+    // ---- seeded k-means (one Lloyd round) — IVF centroid TRAINING ----------
+    // sim_knn_ivf consumes centroids; this op trains them: deterministic
+    // seeds (8 smallest md5-hashed vec_ids) → Euclidean assignment →
+    // centroid update (integer sum vectors + counts, never a float mean)
+    // → reassignment against the updated centroids. Cluster sizes from
+    // both rounds show the movement. Everything runs in the EXPLODED
+    // (vec_id, dim, value) relational form: assignment distances are
+    // equi-joins on the dimension index against a broadcast centroid
+    // table — the corpus never shuffles, and the update aggregation
+    // shuffles (cluster, dim) partial sums only. Round-2 distance to mean
+    // S/n is compared exactly: Σ_d (q·n − S_d)² is overflow-safe integer
+    // arithmetic (≤ 64·(2·10³·n)², fine to n ~ 10⁷ rows/cluster) and the
+    // single final ÷n² is one correctly-rounded IEEE op — both engines
+    // agree bitwise, which is what puts ITERATIVE ML under the oracle
+    // gate. More rounds = repeating the same two CTEs.
+    Q("sim_kmeans",
+      (s, dir) => {
+        val ex = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
+          .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qv")))
+          .localCheckpoint() // referenced 4×; decode/quantize once
+        val seeds = ex.select(col("vec_id")).distinct()
+          .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
+            col("vec_id").asc)
+          .limit(8)
+        val c0 = ex.join(broadcast(seeds), "vec_id")
+          .select(col("vec_id").as("cid"), col("d"), col("qv").as("qc"))
+        def argmin(dists: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist").asc, col("cid").asc)
+          dists.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+        }
+        val a1 = argmin(ex.join(broadcast(c0), "d")
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc")))
+            .as("dist")))
+        val n1 = a1.groupBy(col("cid")).agg(count(lit(1)).as("n_round1"))
+        val c1 = ex.join(a1, "vec_id")
+          .groupBy(col("cid"), col("d")).agg(sum(col("qv")).as("sd"))
+          .join(n1, "cid")
+        val a2 = argmin(ex.join(broadcast(c1), "d")
+          .groupBy(col("vec_id"), col("cid"), col("n_round1"))
+          .agg((sum((col("qv") * col("n_round1") - col("sd")) *
+              (col("qv") * col("n_round1") - col("sd"))).cast("double") /
+            (col("n_round1") * col("n_round1")).cast("double")).as("dist"))
+          .select(col("vec_id"), col("cid"), col("dist")))
+        val n2 = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_round2"))
+        n1.join(n2, Seq("cid"), "left")
+          .select(col("cid").as("centroid_id"), col("n_round1"),
+            coalesce(col("n_round2"), lit(0L)).as("n_round2"))
+      },
+      Some(s"""
+        WITH qn AS ($qnSql),
+        ex AS (
+          SELECT vec_id, g.i AS d, qv[g.i] AS q
+          FROM qn CROSS JOIN generate_series(1, $Dims) AS g(i)),
+        seeds AS (
+          SELECT vec_id FROM qn
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        c0 AS (
+          SELECT e.vec_id AS cid, e.d, e.q AS qc
+          FROM ex e JOIN seeds s ON s.vec_id = e.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cid,
+                 CAST(sum((e.q - c.qc) * (e.q - c.qc)) AS BIGINT) AS dist
+          FROM ex e JOIN c0 c ON c.d = e.d GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+        n1 AS (SELECT cid, count(*) AS n_round1 FROM a1 GROUP BY 1),
+        c1 AS (
+          SELECT a.cid, e.d, CAST(sum(e.q) AS BIGINT) AS sd
+          FROM ex e JOIN a1 a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+        d2 AS (
+          SELECT e.vec_id, c.cid,
+                 CAST(sum((e.q * n.n_round1 - c.sd) *
+                          (e.q * n.n_round1 - c.sd)) AS DOUBLE) /
+                   CAST(n.n_round1 * n.n_round1 AS DOUBLE) AS dist
+          FROM ex e JOIN c1 c ON c.d = e.d
+          JOIN n1 n ON n.cid = c.cid
+          GROUP BY e.vec_id, c.cid, n.n_round1),
+        a2 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1),
+        n2 AS (SELECT cid, count(*) AS n_round2 FROM a2 GROUP BY 1)
+        SELECT n1.cid AS centroid_id, n1.n_round1,
+               CAST(coalesce(n2.n_round2, 0) AS BIGINT) AS n_round2
+        FROM n1 LEFT JOIN n2 ON n2.cid = n1.cid"""))
   )
 }

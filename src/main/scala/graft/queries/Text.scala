@@ -409,6 +409,137 @@ object Text {
                array_to_string((list_sort(list(DISTINCT md5(shingle))))[1:4], ',')
                  AS fingerprint
         FROM (${DocSql.shinglesSql(3)})
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ---- repetition signals (Gopher-style quality filters) ------------------
+    // The two standard repetition features for filtering degenerate /
+    // looping text: the fraction of all 2-gram occurrences taken by the
+    // single most frequent 2-gram, and the fraction of 3-gram occurrences
+    // that are repeats of an already-seen 3-gram. Two-level aggregation
+    // (per-(doc, gram) counts, then per-doc max/sum) — both levels
+    // map-side combinable, shuffle carries (doc, gram-hash) keys;
+    // ratios are single divisions of exact integers.
+    Q("txt_repetition",
+      (s, dir) => {
+        val d = docs(s, dir)
+        def gramCounts(n: Int) = TextOps.explodedShingles(d, n)
+          .groupBy(col("doc_id"), col("shingle"))
+          .agg(count(lit(1)).as("c"))
+        val a2 = gramCounts(2).groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n2"), max(col("c")).as("top2"))
+        val a3 = gramCounts(3).groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n3"),
+            (sum(col("c")) - count(lit(1))).as("dup3"))
+        a2.join(a3, "doc_id")
+          .select(col("doc_id"), col("n2").as("n_2grams"),
+            (col("top2").cast("double") / col("n2").cast("double"))
+              .as("top_2gram_frac"),
+            (col("dup3").cast("double") / col("n3").cast("double"))
+              .as("dup_3gram_frac"))
+      },
+      Some(s"""
+        WITH g2 AS (
+          SELECT doc_id, shingle, count(*) AS c
+          FROM (${DocSql.shinglesSql(2)}) GROUP BY 1, 2),
+        a2 AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS top2
+          FROM g2 GROUP BY 1),
+        g3 AS (
+          SELECT doc_id, shingle, count(*) AS c
+          FROM (${DocSql.shinglesSql(3)}) GROUP BY 1, 2),
+        a3 AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+                 CAST(sum(c) - count(*) AS BIGINT) AS dup3
+          FROM g3 GROUP BY 1)
+        SELECT a2.doc_id, a2.n2 AS n_2grams,
+               CAST(a2.top2 AS DOUBLE) / CAST(a2.n2 AS DOUBLE)
+                 AS top_2gram_frac,
+               CAST(a3.dup3 AS DOUBLE) / CAST(a3.n3 AS DOUBLE)
+                 AS dup_3gram_frac
+        FROM a2 JOIN a3 ON a3.doc_id = a2.doc_id""")),
+
+    // ---- source mixture weights (temperature-scaled sampling) ---------------
+    // The multi-source mixture op: per-source sampling weights
+    // ∝ sqrt(char share) (temperature α = 0.5 — up-weights small sources
+    // the way multilingual/multi-domain training mixes do). Weights must
+    // be identical across engines, so the irrational sqrt is quantized to
+    // a 1e9 fixed-point long BEFORE normalization: integer sums are
+    // order-independent, and each double division is one correctly-rounded
+    // IEEE op. The unpartitioned windows run AFTER aggregation to
+    // |sources| rows (20 here; domains not documents in production), so
+    // the single-partition window is a constant-size reduction, not a
+    // scale hazard.
+    Q("txt_source_mix",
+      (s, dir) => {
+        val w = Window.partitionBy()
+        docs(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("chars"))
+          .withColumn("sq",
+            round(sqrt(col("chars").cast("double") /
+                sum(col("chars")).over(w).cast("double")) *
+              lit(1000000000L)).cast("long"))
+          .withColumn("weight",
+            col("sq").cast("double") / sum(col("sq")).over(w).cast("double"))
+          .select(col("source"), col("n_docs"), col("chars"), col("weight"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY 1),
+        q AS (
+          SELECT *, CAST(round(sqrt(CAST(chars AS DOUBLE) /
+                      CAST(sum(chars) OVER () AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS sq
+          FROM a)
+        SELECT source, n_docs, chars,
+               CAST(sq AS DOUBLE) / CAST(sum(sq) OVER () AS DOUBLE) AS weight
+        FROM q""")),
+
+    // ---- TF-IDF-style salient terms (rarity-weighted ranking) ---------------
+    // Top-3 most characteristic tokens per document, scored tf/df — the
+    // same ranking as tf·idf for any monotone idf (N is constant per
+    // corpus), with the score a single exact-integer division so both
+    // engines agree bitwise. The document-frequency table is corpus-wide
+    // and Zipf-small (broadcastable); the probe side is filtered BEFORE
+    // the join, so the full corpus is touched exactly once for df.
+    Q("txt_tfidf",
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        val df_ = tok.select(col("doc_id"), col("token")).distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+        val tf = tok.filter(col("doc_id") < 20)
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token").asc)
+        tf.join(df_, "token")
+          .withColumn("score",
+            col("tf").cast("double") / col("doc_freq").cast("double"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("doc_freq"),
+            col("score"), col("rank"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        freq AS (
+          SELECT token, count(*) AS doc_freq
+          FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM tok WHERE doc_id < 20 GROUP BY 1, 2),
+        scored AS (
+          SELECT t.doc_id, t.token, t.tf, f.doc_freq,
+                 CAST(t.tf AS DOUBLE) / CAST(f.doc_freq AS DOUBLE) AS score
+          FROM tf t JOIN freq f ON f.token = t.token),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, token ASC) AS rank
+          FROM scored)
+        SELECT doc_id, token, tf, doc_freq, score, rank
+        FROM r WHERE rank <= 3"""))
   )
 }
