@@ -540,6 +540,68 @@ object Text {
                       ORDER BY score DESC, token ASC) AS rank
           FROM scored)
         SELECT doc_id, token, tf, doc_freq, score, rank
-        FROM r WHERE rank <= 3"""))
+        FROM r WHERE rank <= 3""")),
+
+    // ---- count-min heavy hitters (bounded-memory frequency estimation) ------
+    // Corpus token frequencies through a 4×64 count-min grid
+    // (functions.CountMinSketch, a typed Aggregator whose buffer is one
+    // fixed-size counter array — the 100 TB replacement for an exact
+    // per-token groupBy when only heavy hitters matter). Estimates for a
+    // fixed probe set run alongside the exact counts: est ≥ exact always,
+    // with the gap bounded by the grid's collision mass. Deterministic
+    // md5 bucket hashes make the grid — and therefore the estimate —
+    // exactly reproducible in the oracle, so the SKETCH itself is under
+    // the correctness gate.
+    Q("txt_heavy_hitters",
+      (s, dir) => {
+        val d = 4; val w = 64
+        val probes = stopEn ++ Seq("spark", "table", "query")
+        val cm = udaf(new graft.functions.CountMinSketch(d, w))
+        val tok = docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+        val sk = tok
+          .select(graft.functions.CountMinSketch
+            .bucketCols(col("token"), d, w).as("b"))
+          .agg(cm(col("b")).as("grid"))
+        val est = sk
+          .select(explode(array(probes.map(lit): _*)).as("token"), col("grid"))
+          .select(col("token"),
+            graft.functions.CountMinSketch
+              .estimate(col("grid"), col("token"), d, w).as("est_cm"))
+        tok.filter(inList(col("token"), probes))
+          .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+          .join(est, "token")
+          .select(col("token"), col("n_exact"), col("est_cm"))
+      },
+      Some {
+        val d = 4; val w = 64
+        val probes = stopEn ++ Seq("spark", "table", "query")
+        def bucketSql(tok: String, j: Int) =
+          s"CAST(('0x' || substr(md5('$j|' || $tok), 1, 15)) AS BIGINT) % $w"
+        val grids = (0 until d).map(j =>
+          s"g$j AS (SELECT ${bucketSql("token", j)} AS b, count(*) AS c FROM tok GROUP BY 1)")
+          .mkString(",\n        ")
+        val joins = (0 until d).map(j =>
+          s"LEFT JOIN g$j e$j ON e$j.b = ${bucketSql("p.token", j)}")
+          .mkString("\n        ")
+        val leastExpr = s"least(${(0 until d)
+          .map(j => s"coalesce(e$j.c, 0)").mkString(", ")})"
+        s"""
+        WITH tok AS (
+          SELECT unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        probes AS (
+          SELECT unnest(${probes.map(p => s"'$p'").mkString("[", ", ", "]")})
+            AS token),
+        $grids,
+        est AS (
+          SELECT p.token, $leastExpr AS est_cm
+          FROM probes p
+          $joins),
+        ex AS (
+          SELECT token, count(*) AS n_exact FROM tok
+          WHERE token IN ${sqlList(probes)} GROUP BY 1)
+        SELECT ex.token, ex.n_exact, est.est_cm
+        FROM ex JOIN est ON est.token = ex.token"""
+      })
   )
 }
