@@ -286,6 +286,91 @@ object Similarity {
         n2 AS (SELECT cid, count(*) AS n_round2 FROM a2 GROUP BY 1)
         SELECT n1.cid AS centroid_id, n1.n_round1,
                CAST(coalesce(n2.n_round2, 0) AS BIGINT) AS n_round2
-        FROM n1 LEFT JOIN n2 ON n2.cid = n1.cid"""))
+        FROM n1 LEFT JOIN n2 ON n2.cid = n1.cid""")),
+
+    // ---- product quantization ANN (asymmetric distance computation) ---------
+    // The billion-scale memory play (IVF-PQ): each vector is compressed to
+    // M=8 one-byte codes (one per 8-dim subspace, nearest of K=16
+    // codebook entries), and probe→vector distance is approximated by
+    // table lookups — the probe computes ONE distance table per subspace
+    // (|probes|·M·K entries), then every corpus vector's approximate
+    // distance is Σ_m table[m, code_m(v)], touching only its 8 codes, not
+    // its 64 floats. Codebook entries are the subvectors of 16
+    // hash-chosen docs (same seeding discipline as sim_kmeans — swap in
+    // trained centroids without changing any plan). Every distance is an
+    // exact integer sum over quantized coordinates, so encode, tables,
+    // ADC, and ranking are all bit-reproducible in the oracle. Scale
+    // shape: the codebook broadcasts; encode is one corpus pass; the ADC
+    // join is keyed (m, code) against a broadcast-sized table — the
+    // corpus shuffles once, for its own 8-row code groups.
+    Q("sim_pq",
+      (s, dir) => {
+        val subDim = 8; val k = 16; val probeN = 4
+        val ex = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
+          .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qv")))
+          .withColumn("m", expr("d div 8"))
+          .localCheckpoint() // referenced 3x; decode/quantize once
+        val seeds = ex.select(col("vec_id")).distinct()
+          .orderBy(md5(concat(lit("pq|"), col("vec_id").cast("string"))
+            .cast("binary")).asc, col("vec_id").asc)
+          .limit(k)
+        val cb = ex.join(broadcast(seeds), "vec_id")
+          .select(col("vec_id").as("code"), col("m"), col("d"),
+            col("qv").as("qc"))
+        // per (vector, subspace): exact distance to every codebook entry —
+        // feeds BOTH the corpus encoding (argmin) and the probes' ADC
+        // tables (probe rows as-is), so it is materialized once
+        val dists = ex.join(broadcast(cb), Seq("m", "d"))
+          .groupBy(col("vec_id"), col("m"), col("code"))
+          .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc")))
+            .as("dist"))
+          .localCheckpoint()
+        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("dist").asc, col("code").asc)
+        val codes = dists.withColumn("rn", row_number().over(wEnc))
+          .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("code"))
+        val dt = dists.filter(col("vec_id") < probeN)
+          .select(col("vec_id").as("probe_id"), col("m"), col("code"),
+            col("dist"))
+        val adc = codes.join(broadcast(dt), Seq("m", "code"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("vec_id"))
+          .agg(sum(col("dist")).as("adc_dist"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("adc_dist"), col("rank"))
+      },
+      Some(s"""
+        WITH qn AS ($qnSql),
+        ex AS (
+          SELECT vec_id, g.i AS d, qv[g.i] AS q, (g.i - 1) // 8 AS m
+          FROM qn CROSS JOIN generate_series(1, $Dims) AS g(i)),
+        seeds AS (
+          SELECT vec_id FROM qn
+          ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cb AS (
+          SELECT e.vec_id AS code, e.m, e.d, e.q AS qc
+          FROM ex e JOIN seeds s ON s.vec_id = e.vec_id),
+        dists AS (
+          SELECT e.vec_id, e.m, c.code,
+                 CAST(sum((e.q - c.qc) * (e.q - c.qc)) AS BIGINT) AS dist
+          FROM ex e JOIN cb c ON c.m = e.m AND c.d = e.d GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1),
+        dt AS (
+          SELECT vec_id AS probe_id, m, code, dist FROM dists
+          WHERE vec_id < 4),
+        adc AS (
+          SELECT t.probe_id, c.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc_dist
+          FROM codes c JOIN dt t ON t.m = c.m AND t.code = c.code
+          WHERE c.vec_id <> t.probe_id GROUP BY 1, 2)
+        SELECT probe_id, vec_id AS neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY adc_dist, vec_id) AS rank
+          FROM adc) WHERE rank <= 5"""))
   )
 }
