@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.similarity.VectorOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,49 +203,66 @@ object Similarity {
     // seeds (8 smallest md5-hashed vec_ids) → Euclidean assignment →
     // centroid update (integer sum vectors + counts, never a float mean)
     // → reassignment against the updated centroids. Cluster sizes from
-    // both rounds show the movement. Everything runs in the EXPLODED
-    // (vec_id, dim, value) relational form: assignment distances are
-    // equi-joins on the dimension index against a broadcast centroid
-    // table — the corpus never shuffles, and the update aggregation
-    // shuffles (cluster, dim) partial sums only. Round-2 distance to mean
-    // S/n is compared exactly: Σ_d (q·n − S_d)² is overflow-safe integer
-    // arithmetic (≤ 64·(2·10³·n)², fine to n ~ 10⁷ rows/cluster) and the
+    // both rounds show the movement.
+    //
+    // Execution is the canonical Lloyd shape: centroids are MODEL-sized
+    // (k × dims longs — bounded by k, not data), so each round collects
+    // them to the driver and ships them back as literals; assignment is
+    // then a NARROW map over the corpus — ‖x−c‖² expanded to
+    // n2 − 2·x·c + ‖c‖² with x·c a codegen'd fixedpoint_dot against a
+    // literal array, argmin via array_min over (dist, cid) structs — no
+    // explode, no join, no shuffle. The only exchanges are the two
+    // k-row update aggregations (count + 64 per-dim integer sums, all
+    // map-side combinable). Round-2 distance to the mean S/n is compared
+    // exactly: Σ_d (q·n − S_d)² = n²·n2 − 2n·(q·S) + S·S is an integer
+    // identity (overflow-safe to ~2·10⁵ rows/cluster at |q| ≤ 10³;
+    // beyond that rescale by a common 2^s or compare in double) and the
     // single final ÷n² is one correctly-rounded IEEE op — both engines
     // agree bitwise, which is what puts ITERATIVE ML under the oracle
-    // gate. More rounds = repeating the same two CTEs.
+    // gate. More rounds = repeating the same collect-assign-update step.
     Q("sim_kmeans",
       (s, dir) => {
-        val ex = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
-          .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qv")))
-          .localCheckpoint() // referenced 4×; decode/quantize once
-        val seeds = ex.select(col("vec_id")).distinct()
+        val k = 8
+        val d = VectorOps.dotFn(Tables.sharded(s, dir, "embeddings"))
+        val q = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
+          .localCheckpoint() // scanned by both rounds; quantize once
+        def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
+        def argmin(scored: Seq[(Column, Long)]): Column =
+          array_min(array(scored.map { case (dist, cid) =>
+            struct(dist.as("dist"), lit(cid).as("cid")) }: _*))
+            .getField("cid")
+        // round-0 centroids: the k hash-smallest vectors, collected
+        val cents0 = q
           .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
             col("vec_id").asc)
-          .limit(8)
-        val c0 = ex.join(broadcast(seeds), "vec_id")
-          .select(col("vec_id").as("cid"), col("d"), col("qv").as("qc"))
-        def argmin(dists: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist").asc, col("cid").asc)
-          dists.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-        }
-        val a1 = argmin(ex.join(broadcast(c0), "d")
-          .groupBy(col("vec_id"), col("cid"))
-          .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc")))
-            .as("dist")))
-        val n1 = a1.groupBy(col("cid")).agg(count(lit(1)).as("n_round1"))
-        val c1 = ex.join(a1, "vec_id")
-          .groupBy(col("cid"), col("d")).agg(sum(col("qv")).as("sd"))
-          .join(n1, "cid")
-        val a2 = argmin(ex.join(broadcast(c1), "d")
-          .groupBy(col("vec_id"), col("cid"), col("n_round1"))
-          .agg((sum((col("qv") * col("n_round1") - col("sd")) *
-              (col("qv") * col("n_round1") - col("sd"))).cast("double") /
-            (col("n_round1") * col("n_round1")).cast("double")).as("dist"))
-          .select(col("vec_id"), col("cid"), col("dist")))
-        val n2 = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_round2"))
-        n1.join(n2, Seq("cid"), "left")
+          .limit(k).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        // assignment 1 (narrow): dist = n2 − 2·q·c + c·c, exact longs
+        val a1 = q.withColumn("cid", argmin(cents0.toSeq.map {
+          case (cid, c) =>
+            val cc = c.map(x => x * x).sum
+            (col("n2") - lit(2L) * d(col("q"), litVec(c)) + lit(cc), cid)
+        }))
+        // update: per-cluster count + per-dim integer sums (k rows out)
+        val upd = a1.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            (1 to Dims).map(i => sum(element_at(col("q"), i)).as(s"s$i")): _*)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            (1 to Dims).map(i => r.getLong(1 + i)).toArray))
+        // assignment 2 (narrow): Σ(q·n − S)²/n² via the integer identity
+        val a2 = q.withColumn("cid", argmin(upd.toSeq.map {
+          case (cid, n, sums) =>
+            val ss = sums.map(x => x * x).sum
+            val intDist = lit(n * n) * col("n2") -
+              lit(2L * n) * d(col("q"), litVec(sums)) + lit(ss)
+            (intDist.cast("double") / lit(n * n).cast("double"), cid)
+        }))
+        import s.implicits._
+        val n1 = upd.map { case (cid, n, _) => (cid, n) }.toSeq
+          .toDF("cid", "n_round1")
+        n1.join(a2.groupBy(col("cid")).agg(count(lit(1)).as("n_round2")),
+            Seq("cid"), "left")
           .select(col("cid").as("centroid_id"), col("n_round1"),
             coalesce(col("n_round2"), lit(0L)).as("n_round2"))
       },
@@ -300,42 +318,61 @@ object Similarity {
     // trained centroids without changing any plan). Every distance is an
     // exact integer sum over quantized coordinates, so encode, tables,
     // ADC, and ranking are all bit-reproducible in the oracle. Scale
-    // shape: the codebook broadcasts; encode is one corpus pass; the ADC
-    // join is keyed (m, code) against a broadcast-sized table — the
-    // corpus shuffles once, for its own 8-row code groups.
+    // shape: codebook and ADC tables are model-/probe-sized literals, so
+    // encode AND scoring are ONE narrow corpus pass; the only exchange is
+    // the per-probe top-k window over |probes|·|corpus| scored rows.
     Q("sim_pq",
       (s, dir) => {
-        val subDim = 8; val k = 16; val probeN = 4
-        val ex = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
-          .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qv")))
-          .withColumn("m", expr("d div 8"))
-          .localCheckpoint() // referenced 3x; decode/quantize once
-        val seeds = ex.select(col("vec_id")).distinct()
-          .orderBy(md5(concat(lit("pq|"), col("vec_id").cast("string"))
-            .cast("binary")).asc, col("vec_id").asc)
-          .limit(k)
-        val cb = ex.join(broadcast(seeds), "vec_id")
-          .select(col("vec_id").as("code"), col("m"), col("d"),
-            col("qv").as("qc"))
-        // per (vector, subspace): exact distance to every codebook entry —
-        // feeds BOTH the corpus encoding (argmin) and the probes' ADC
-        // tables (probe rows as-is), so it is materialized once
-        val dists = ex.join(broadcast(cb), Seq("m", "d"))
-          .groupBy(col("vec_id"), col("m"), col("code"))
-          .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc")))
-            .as("dist"))
-          .localCheckpoint()
-        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("dist").asc, col("code").asc)
-        val codes = dists.withColumn("rn", row_number().over(wEnc))
-          .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("code"))
-        val dt = dists.filter(col("vec_id") < probeN)
-          .select(col("vec_id").as("probe_id"), col("m"), col("code"),
-            col("dist"))
-        val adc = codes.join(broadcast(dt), Seq("m", "code"))
+        val subDim = 8; val kCodes = 16; val probeN = 4
+        val nSub = Dims / subDim
+        val q = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
+          .select(col("vec_id"), col("q"))
+        // codebook (k × dims longs) and probe vectors: MODEL- and
+        // probe-set-sized — collected and shipped back as literals, the
+        // same discipline as sim_kmeans' centroids; the ADC lookup
+        // tables are computed driver-side in exact integer arithmetic
+        // (probe-side work is client-side in a real ANN serving path too)
+        val cb = q.orderBy(md5(concat(lit("pq|"),
+            col("vec_id").cast("string")).cast("binary")).asc,
+            col("vec_id").asc)
+          .limit(kCodes).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        val probes = q.filter(col("vec_id") < probeN).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        def subv(v: Array[Long], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
+        def sqd(a: Array[Long], b: Array[Long]): Long =
+          a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+        // dt(probe)(m): code → exact distance of the probe's m-th subvector
+        val dt: Map[Long, Array[Map[Long, Long]]] = probes.map {
+          case (pid, pv) => pid -> Array.tabulate(nSub)(m =>
+            cb.map { case (cid, c) => cid -> sqd(subv(pv, m), subv(c, m)) }
+              .toMap)
+        }.toMap
+        // encode (narrow): per subspace, argmin over literal code
+        // subvectors via (dist, cid) struct minimum — no explode, no join
+        def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
+        val subCol = (m: Int) => slice(col("q"), m * subDim + 1, subDim)
+        val coded = q.select(col("vec_id") +: (0 until nSub).map { m =>
+          array_min(array(cb.map { case (cid, c) =>
+            struct(
+              aggregate(zip_with(subCol(m), litVec(subv(c, m)),
+                (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+                .as("dist"),
+              lit(cid).as("cid"))
+          }.toSeq: _*)).getField("cid").as(s"code$m")
+        }: _*)
+        // ADC (still narrow): per probe, Σ_m table[m][code_m] as literal
+        // map lookups; rows fan out |probes|× only at the very end
+        val adc = coded.select(col("vec_id"),
+          explode(array(probes.map { case (pid, _) =>
+            struct(lit(pid).as("probe_id"),
+              (0 until nSub).map(m =>
+                element_at(typedLit(dt(pid)(m)), col(s"code$m")))
+                .reduce(_ + _).as("adc_dist"))
+          }.toSeq: _*)).as("pa"))
+          .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
+            col("pa.adc_dist").as("adc_dist"))
           .filter(col("vec_id") =!= col("probe_id"))
-          .groupBy(col("probe_id"), col("vec_id"))
-          .agg(sum(col("dist")).as("adc_dist"))
         val w = Window.partitionBy(col("probe_id"))
           .orderBy(col("adc_dist").asc, col("vec_id").asc)
         adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
