@@ -118,11 +118,15 @@ object Dedup {
     Q("dd_minhash_estimate",
       (s, dir) => {
         val d = docs(s, dir)
-        val cand =
-          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).localCheckpoint()
+        // one corpus-wide signature pass feeds BOTH the LSH bucketing and
+        // the per-candidate signature join-back
+        val allSigs = TextOps.minhashSignatures(d, ShingleN, K)
+          .localCheckpoint()
+        val cand = TextOps.lshCandidatesFromSigs(allSigs, K, RowsPerBand)
+          .localCheckpoint()
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val sigs = TextOps.minhashSignatures(d, ShingleN, K)
+        val sigs = allSigs
           .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         val nMatch = (0 until K).map(k =>
           when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0))
@@ -242,6 +246,77 @@ object Dedup {
                count(DISTINCT e.shingle) AS n_shared_shingles
         FROM e JOIN t ON t.shingle = e.shingle
         GROUP BY 1""")),
+
+    // ---- PageRank over the near-dup graph (canonical-doc authority) --------
+    // Which document should represent its duplicate cluster? The one the
+    // near-dup graph points at most: two fixed-point PageRank iterations
+    // over the (undirected) LSH candidate edges. All arithmetic is
+    // integer — ranks start at 10⁹, each neighbor contribution is
+    // `rank div degree`, damping is `0.15·10⁹ + (85·Σ contribs) div 100`
+    // — so an iterative graph algorithm lands under the oracle gate
+    // bit-for-bit (a float PageRank would diverge across engines by
+    // summation order). Scale shape per iteration: one equi-join of the
+    // rank table against the edge list (both keyed on the node id — the
+    // classic Pregel contribution exchange) + one combinable aggregation;
+    // isolated docs have no edges and stay out of the graph by
+    // construction. More iterations = repeating the same two CTEs.
+    Q("dd_pagerank",
+      (s, dir) => {
+        val edges1 = TextOps
+          .lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand)
+        val edges = edges1
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(edges1.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+          .localCheckpoint() // two iterations re-read the edge list
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val base = lit(1000000000L)
+        def step(pr: org.apache.spark.sql.DataFrame) = {
+          // contributions flow src→dst; damped integer update
+          val contrib = edges
+            .join(pr, edges("src") === pr("node"))
+            .join(deg, "src")
+            .select(col("dst").as("node"),
+              expr("rank div deg").as("c"))
+            .groupBy(col("node")).agg(sum(col("c")).as("in_c"))
+          contrib.select(col("node"),
+            (lit(150000000L) + expr("(85 * in_c) div 100")).as("rank"))
+        }
+        val pr0 = deg.select(col("src").as("node"), base.as("rank"))
+        val pr2 = step(step(pr0))
+        pr2.join(deg.select(col("src").as("node"), col("deg")), "node")
+          .select(col("node").as("doc_id"), col("deg").as("degree"),
+            col("rank").as("pr"))
+      },
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM cand),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        pr0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank
+                FROM deg),
+        pr1 AS (
+          SELECT e.dst AS node,
+                 150000000 + (85 * sum(p.rank // d.deg)) // 100 AS rank
+          FROM edges e
+          JOIN pr0 p ON p.node = e.src
+          JOIN deg d ON d.src = e.src
+          GROUP BY 1),
+        pr2 AS (
+          SELECT e.dst AS node,
+                 150000000 + (85 * sum(p.rank // d.deg)) // 100 AS rank
+          FROM edges e
+          JOIN pr1 p ON p.node = e.src
+          JOIN deg d ON d.src = e.src
+          GROUP BY 1)
+        SELECT p.node AS doc_id, d.deg AS degree, CAST(p.rank AS BIGINT) AS pr
+        FROM pr2 p JOIN deg d ON d.src = p.node""")),
 
     // ---- SimHash fingerprints ----------------------------------------------
     // 32-bit locality-sensitive fingerprint per doc; identical fingerprints

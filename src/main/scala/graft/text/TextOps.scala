@@ -80,9 +80,17 @@ object TextOps {
     * the corpus genuinely contains that many near-identical docs).
     */
   def lshCandidates(docs: DataFrame, n: Int, k: Int,
+      rowsPerBand: Int): DataFrame =
+    lshCandidatesFromSigs(minhashSignatures(docs, n, k), k, rowsPerBand)
+
+  /** [[lshCandidates]] from a precomputed signature table — callers that
+    * need the signatures AGAIN downstream (estimation, rerank) pass a
+    * materialized `sigs` here so the corpus-wide signature pass runs
+    * once, not once per consumer.
+    */
+  def lshCandidatesFromSigs(sigs: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
-    val sigs = minhashSignatures(docs, n, k)
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandHash(b, rowsPerBand).as("bh"))): _*))
