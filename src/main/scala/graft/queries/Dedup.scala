@@ -247,6 +247,46 @@ object Dedup {
         FROM e JOIN t ON t.shingle = e.shingle
         GROUP BY 1""")),
 
+    // ---- span-level dedup accounting (C4-style partial-duplicate signal) ----
+    // Whole-doc dedup misses documents that COPY PARTS of each other;
+    // span dedup chunks every doc into non-overlapping 8-token spans and
+    // asks, per doc, how much of it is borne by other docs too. Shape:
+    // distinct (doc, span-hash) pairs → span document-frequency (one
+    // combinable aggregation, shuffle carries span hashes) → joined back
+    // to each doc's span instances. At 100 TB the frequency table is the
+    // only corpus-wide state, and it is Zipf-shaped (the overwhelmingly
+    // common case is doc_freq = 1, prunable before the join-back with a
+    // frequency filter when only the flagged spans matter).
+    Q("dd_spans",
+      (s, dir) => {
+        val spans = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(TextOps.strideSpans(col("toks"), 8)).as("span"))
+        val freq = spans.distinct()
+          .groupBy(col("span")).agg(count(lit(1)).as("doc_freq"))
+        spans.join(freq, "span")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("doc_freq") >= 2, 1L).otherwise(0L))
+              .as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+              .as("dup_frac"))
+      },
+      Some(s"""
+        WITH sp AS (${DocSql.spansSql(8)}),
+        freq AS (
+          SELECT span, count(*) AS doc_freq
+          FROM (SELECT DISTINCT doc_id, span FROM sp) GROUP BY span)
+        SELECT s.doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup_spans,
+               CAST(sum(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS dup_frac
+        FROM sp s JOIN freq f ON f.span = s.span
+        GROUP BY s.doc_id""")),
+
     // ---- PageRank over the near-dup graph (canonical-doc authority) --------
     // Which document should represent its duplicate cluster? The one the
     // near-dup graph points at most: two fixed-point PageRank iterations

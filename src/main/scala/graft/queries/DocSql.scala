@@ -22,6 +22,17 @@ private[queries] object DocSql {
         WHERE g.i <= len(tokens) - ${n - 1}"""
   }
 
+  /** Exploded (doc_id, span) non-overlapping n-token spans (stride n),
+    * mirroring TextOps.strideSpans.
+    */
+  def spansSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"tokens[g.i + $k]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, $parts AS span
+        FROM ($toksSql) t
+        CROSS JOIN generate_series(1, 512, $n) AS g(i)
+        WHERE g.i <= len(tokens) - ${n - 1}"""
+  }
+
   /** MinHash signature CTE body: doc_id, mh0..mh{k-1} — numeric 20-bit
     * slices of salted md5s, mirroring TextOps.minhash (component k = hex
     * digits [5·(k%6)+1, +5) of md5((k/6)|shingle)).

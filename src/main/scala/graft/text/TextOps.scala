@@ -27,6 +27,16 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Non-overlapping n-token spans (stride = n) from a token array —
+    * the chunking used for span-level dedup, where overlapping shingles
+    * would multiply the hash volume n× for no extra dedup power.
+    */
+  def strideSpans(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1), lit(n)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** One MinHash component: min over the group's shingles of a 20-bit
     * NUMERIC hash slice. Numeric, because a long min has a mutable
     * aggregation buffer and plans as HashAggregate (a string min falls back
