@@ -44,13 +44,17 @@ object TextOps {
     * yields six independent 5-hex-digit components, so K=12 costs 2 md5
     * evaluations per shingle instead of 12 (cryptographic hash digits are
     * independent; 2^20 values ≫ shingles-per-doc, so min-ties are
-    * negligible). DuckDB mirrors via CAST('0x'||substr(md5(salt|s),…,5)).
+    * negligible). The digest for salt `k/6` must be BOUND to a column
+    * before the aggregation (see [[minhashSignatures]]) — passing the
+    * bound column here, not the shingle, is what guarantees the
+    * 2-md5s-per-shingle cost instead of leaving it to codegen
+    * subexpression elimination. DuckDB mirrors via
+    * CAST('0x'||substr(md5(salt|s),…,5)).
     */
-  def minhash(shingle: Column, k: Int): Column = {
-    val salt = k / 6
+  def minhash(saltedDigest: Column, k: Int): Column = {
     val slice = k % 6
-    min(conv(substring(md5(concat(lit(s"$salt|"), shingle).cast("binary")),
-      slice * 5 + 1, 5), 16, 10).cast("long")).as(s"mh$k")
+    min(conv(substring(saltedDigest, slice * 5 + 1, 5), 16, 10)
+      .cast("long")).as(s"mh$k")
   }
 
   /** LSH band hash over `rowsPerBand` consecutive MinHash components. */
@@ -73,12 +77,22 @@ object TextOps {
       .select(col("doc_id"), explode(shingles(col("toks"), n)).as("shingle"))
 
   /** (doc_id, mh0..mh{k-1}) MinHash signatures — one map-side-combinable
-    * aggregation; the shuffle carries K hex strings per doc.
+    * aggregation; the shuffle carries K longs per doc. The ⌈k/6⌉ salted
+    * digests are computed ONCE per shingle in a projection and bound to
+    * columns; the aggregate's 6 slice-minima per digest then reference
+    * the bound column (same discipline as the token binding in
+    * [[explodedShingles]] — don't re-evaluate a crypto hash per
+    * consumer).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
-    explodedShingles(docs, n)
-      .groupBy(col("doc_id"))
-      .agg(minhash(col("shingle"), 0), (1 until k).map(minhash(col("shingle"), _)): _*)
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val salts = (k + 5) / 6
+    val bound = explodedShingles(docs, n).select(
+      col("doc_id") +: (0 until salts).map(s =>
+        md5(concat(lit(s"$s|"), col("shingle")).cast("binary")).as(s"h$s")): _*)
+    bound.groupBy(col("doc_id"))
+      .agg(minhash(col("h0"), 0),
+        (1 until k).map(i => minhash(col(s"h${i / 6}"), i)): _*)
+  }
 
   /** Banded-LSH candidate pairs (doc_a < doc_b) via the classic
     * `groupBy(band, signature)` bucketing: one signature computation, one
