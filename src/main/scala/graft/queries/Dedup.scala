@@ -247,6 +247,76 @@ object Dedup {
         FROM e JOIN t ON t.shingle = e.shingle
         GROUP BY 1""")),
 
+    // ---- bloom-filter decontamination (Dolma/CCNet-style) ------------------
+    // The membership-sketch variant of dd_contamination: build ONE fixed
+    // 2^20-bit Bloom filter over the training corpus' distinct 5-grams
+    // (a single map-side-combinable aggregation — the shuffle carries
+    // 128 KB bitsets, not shingles), then probe every held-out 5-gram
+    // with pure bit arithmetic against the broadcast bitset. Per eval
+    // doc: bloom hits (no false negatives, md5-deterministic false
+    // positives) next to exact hits — the sketch-accuracy accounting.
+    // Scale shape: the probe side is a narrow map over a 1-row broadcast
+    // (the BroadcastNestedLoopJoin is the bounded sketch × scan shape,
+    // see PLAN_AUDIT); only the exact-hit column needs the train-side
+    // key join, and a production decontamination pass would drop it and
+    // ship the 128 KB filter alone — constant state per 100 TB.
+    Q("dd_bloom_decontam",
+      (s, dir) => {
+        import graft.functions.BloomSketch
+        val k = 3; val bits = 1 << 20; val words = bits / 64
+        val bl = udaf(new BloomSketch(words))
+        val withSrc = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+        val train = withSrc.filter(col("source") =!= "src0")
+          .select(col("shingle")).distinct()
+        val bloom = train
+          .select(BloomSketch.positions(col("shingle"), k, bits).as("pos"))
+          .agg(bl(col("pos")).as("bloom"))
+        val evalSh = withSrc.filter(col("source") === "src0")
+          .select(col("doc_id").as("eval_doc"), col("shingle")).distinct()
+        evalSh.crossJoin(broadcast(bloom))
+          .select(col("eval_doc"), col("shingle"),
+            BloomSketch.mightContain(col("bloom"), col("shingle"), k, bits)
+              .as("bloom_hit"))
+          .join(train.withColumn("exact_hit", lit(1L)), Seq("shingle"), "left")
+          .groupBy(col("eval_doc"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+            sum(coalesce(col("exact_hit"), lit(0L))).as("n_exact_hits"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT d.doc_id, d.source, s.shingle
+          FROM documents d JOIN (${DocSql.shinglesSql(5)}) s
+            ON s.doc_id = d.doc_id),
+        train AS (SELECT DISTINCT shingle FROM sh WHERE source <> 'src0'),
+        pos AS (
+          SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || shingle),
+              1, 15)) AS BIGINT) % 1048576 AS p
+          FROM train CROSS JOIN generate_series(0, 2) AS j(j)),
+        ev AS (SELECT DISTINCT doc_id AS eval_doc, shingle
+               FROM sh WHERE source = 'src0'),
+        probe AS (
+          SELECT eval_doc, shingle,
+            CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || shingle),
+              1, 15)) AS BIGINT) % 1048576 AS p
+          FROM ev CROSS JOIN generate_series(0, 2) AS j(j)),
+        hits AS (
+          SELECT pr.eval_doc, pr.shingle, count(pos.p) = 3 AS bloom_hit
+          FROM probe pr LEFT JOIN pos ON pos.p = pr.p
+          GROUP BY 1, 2)
+        SELECT h.eval_doc, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bloom_hits,
+               CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_exact_hits
+        FROM hits h LEFT JOIN train t ON t.shingle = h.shingle
+        GROUP BY 1""")),
+
     // ---- span-level dedup accounting (C4-style partial-duplicate signal) ----
     // Whole-doc dedup misses documents that COPY PARTS of each other;
     // span dedup chunks every doc into non-overlapping 8-token spans and

@@ -16,9 +16,11 @@ class PlanAuditSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   // sim_recall composes knnBrute + knnIvf, so it inherits both bounded
-  // broadcast × scan shapes
+  // broadcast × scan shapes; dd_bloom_decontam probes a 1-row broadcast
+  // bitset (128 KB sketch × scan — the intended shape)
   private val bnljAllowed =
-    Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall")
+    Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall",
+      "dd_bloom_decontam")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
