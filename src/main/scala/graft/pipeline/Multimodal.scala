@@ -209,4 +209,17 @@ object Multimodal {
         sum(length(col("content"))).as("total_bytes"),
         min(conv(substring(md5(col("content")), 1, 15), 16, 10)
           .cast("long")).as("min_content_hash"))
+
+  /** Exact dedup of binary assets by payload hash: duplicate groups
+    * (≥2 members) with their canonical (smallest) asset id. The payload
+    * is hashed in the scan projection and pruned before the exchange —
+    * content bytes never shuffle.
+    */
+  def dedupByContent(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), col("kind"),
+        md5(col("content")).as("content_hash"))
+      .groupBy(col("kind"), col("content_hash"))
+      .agg(count(lit(1)).as("n_assets"), min(col("asset_id")).as("canonical_id"))
+      .filter(col("n_assets") >= 2)
 }

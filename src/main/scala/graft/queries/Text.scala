@@ -602,6 +602,99 @@ object Text {
           WHERE token IN ${sqlList(probes)} GROUP BY 1)
         SELECT ex.token, ex.n_exact, est.est_cm
         FROM ex JOIN est ON est.token = ex.token"""
-      })
+      }),
+
+    // ---- RAG-style overlapping chunking ------------------------------------
+    // Retrieval corpora are built from fixed-size overlapping windows:
+    // 64-token chunks on a 48-token stride (16-token overlap so no
+    // sentence is split across a boundary without context). Pure narrow
+    // work — sequence + slice per doc, no shuffle at all until a
+    // downstream consumer groups — and the chunk fingerprint (md5 of the
+    // space-joined window) is what a chunk-level dedup or index keys on.
+    // The last partial chunk is kept (n_tokens < 64), matching the usual
+    // retrieval-corpus convention.
+    Q("txt_chunk",
+      (s, dir) => {
+        val w = 64; val st = 48
+        docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(
+            when(size(col("toks")) >= 1,
+              transform(sequence(lit(1), size(col("toks")), lit(st)), i =>
+                struct(
+                  ((i - lit(1)) / lit(st)).cast("long").as("chunk_idx"),
+                  least(lit(w.toLong),
+                    (size(col("toks")) - i + lit(1)).cast("long"))
+                    .as("n_tokens"),
+                  md5(concat_ws(" ", slice(col("toks"), i, lit(w)))
+                    .cast("binary")).as("chunk_hash"))))
+              .otherwise(array().cast(
+                "array<struct<chunk_idx:bigint,n_tokens:bigint,chunk_hash:string>>")))
+            .as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            col("c.n_tokens").as("n_tokens"),
+            col("c.chunk_hash").as("chunk_hash"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST((g.i - 1) // 48 AS BIGINT) AS chunk_idx,
+               CAST(least(64, len(tokens) - g.i + 1) AS BIGINT) AS n_tokens,
+               md5(array_to_string(
+                 tokens[g.i:least(g.i + 63, len(tokens))], ' ')) AS chunk_hash
+        FROM (${DocSql.toksSql}) t
+        CROSS JOIN generate_series(1, 512, 48) AS g(i)
+        WHERE g.i <= len(tokens)""")),
+
+    // ---- hashed-ngram importance weights (DSIR-style data selection) -------
+    // Data Selection with Importance Resampling: score every document by
+    // how much its hashed-bigram distribution looks like a TARGET domain
+    // (source src1) relative to the raw corpus. Per bucket b of 4096:
+    // lr(b) = (10^6 · (target_count+1)) div (raw_count+1) — an integer
+    // likelihood ratio with add-one smoothing (integer div, not log, so
+    // both engines agree bit-for-bit); doc score = Σ over its bigrams of
+    // lr(bucket). Scale shape: the bucket tables are FIXED-size (4096
+    // rows) regardless of corpus size — a model, not data — so scoring
+    // is a broadcast join + one combinable aggregation; the raw corpus
+    // is read twice (count pass, score pass) and never self-joins.
+    Q("txt_importance",
+      (s, dir) => {
+        val b = 4096
+        val bigrams = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.shingles(col("toks"), 2)).as("ng"))
+          .select(col("doc_id"), col("source"),
+            pmod(conv(substring(md5(col("ng").cast("binary")), 1, 15), 16, 10)
+              .cast("long"), lit(b.toLong)).as("b"))
+        val target = bigrams.filter(col("source") === "src1")
+          .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+        val raw = bigrams.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+        val lr = raw.join(target, Seq("b"), "left")
+          .select(col("b"),
+            expr("(1000000 * (coalesce(c_t, 0) + 1)) div (c_r + 1)").as("lr"))
+        bigrams
+          .join(broadcast(lr), "b")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"), sum(col("lr")).as("importance"))
+      },
+      Some(s"""
+        WITH bg AS (
+          SELECT s.doc_id, d.source,
+                 CAST(('0x' || substr(md5(s.shingle), 1, 15)) AS BIGINT)
+                   % 4096 AS b
+          FROM (${DocSql.shinglesSql(2)}) s
+          JOIN documents d ON d.doc_id = s.doc_id),
+        tgt AS (SELECT b, count(*) AS c_t FROM bg
+                WHERE source = 'src1' GROUP BY 1),
+        raw AS (SELECT b, count(*) AS c_r FROM bg GROUP BY 1),
+        lr AS (
+          SELECT r.b,
+                 (1000000 * (coalesce(t.c_t, 0) + 1)) // (r.c_r + 1) AS lr
+          FROM raw r LEFT JOIN tgt t ON t.b = r.b)
+        SELECT bg.doc_id, count(*) AS n_ngrams,
+               CAST(sum(lr.lr) AS BIGINT) AS importance
+        FROM bg JOIN lr ON lr.b = bg.b
+        GROUP BY 1"""))
   )
 }
