@@ -428,6 +428,71 @@ object Dedup {
         SELECT p.node AS doc_id, d.deg AS degree, CAST(p.rank AS BIGINT) AS pr
         FROM pr2 p JOIN deg d ON d.src = p.node""")),
 
+    // ---- triangle counting on the near-dup graph ---------------------------
+    // How CLIQUEY is each near-duplicate neighborhood? A doc whose
+    // neighbors are all near-dups of each other (high local clustering)
+    // sits in one tight duplicate cluster; a doc bridging many mutually-
+    // unrelated neighbors is a template/boilerplate hub. Triangles are
+    // enumerated once each via the ordered a<b<c join: ordered edges
+    // (doc_a < doc_b) joined wedge-wise on the middle vertex, closed by
+    // a LEFT SEMI equi-join back to the edge list — never an all-pairs
+    // or unordered join (which would count each triangle 6× and explode
+    // on hubs; at larger scale the standard refinement is degree-ordered
+    // orientation, same plan shape). Output per node: degree, triangle
+    // count, local clustering coefficient 2T/(d(d-1)).
+    Q("dd_triangles",
+      (s, dir) => {
+        val e = TextOps.lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand)
+          .localCheckpoint() // three self-references; compute signatures once
+        val deg = e.select(col("doc_a").as("doc_id"))
+          .union(e.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+          .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+            Seq("a", "c"), "left_semi")
+        val triPerNode = tri
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+        deg.join(triPerNode, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("degree"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            when(col("degree") >= 2,
+              (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+                (col("degree") * (col("degree") - 1)).cast("double"))
+              .otherwise(lit(0.0)).as("clustering"))
+      },
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        deg AS (
+          SELECT doc_id, count(*) AS degree FROM (
+            SELECT doc_a AS doc_id FROM cand
+            UNION ALL SELECT doc_b FROM cand)
+          GROUP BY 1),
+        tri AS (
+          SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          FROM cand e1
+          JOIN cand e2 ON e2.doc_a = e1.doc_b
+          WHERE EXISTS (SELECT 1 FROM cand e3
+                        WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+        tpn AS (
+          SELECT doc_id, count(*) AS n_tri FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1)
+        SELECT d.doc_id, d.degree,
+               CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+               CASE WHEN d.degree >= 2
+                 THEN CAST(coalesce(t.n_tri, 0) * 2 AS DOUBLE) /
+                      CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                 ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN tpn t ON t.doc_id = d.doc_id""")),
+
     // ---- SimHash fingerprints ----------------------------------------------
     // 32-bit locality-sensitive fingerprint per doc; identical fingerprints
     // (exact groupBy on the bit string) are near-dup groups. The 32 bit

@@ -497,6 +497,63 @@ object Relational {
         SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                coalesce(l_linestatus, 'ALL') AS l_linestatus,
                sum(l_quantity) AS sum_qty, count(*) AS n
-        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ---- q21: histogram-quantile sketch vs exact ----------------------------
+    // The at-scale quantile pattern: exact percentiles (q17) buffer every
+    // value per group; a bounded equi-width histogram (buckets of $10k of
+    // cents) is one map-side-combinable aggregation whose state is the
+    // FIXED grid, then the quantile is read off the tiny histogram with a
+    // running sum — the shuffle carries (status, bucket, count), never
+    // values. est = lower edge of the first bucket whose cumulative count
+    // reaches ⌈n/2⌉, reported next to the exact interpolated median; the
+    // error is bounded by the bucket width by construction.
+    Q("q21_histogram_quantiles",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        val hist = o.groupBy(col("o_orderstatus"),
+            expr("cents div 1000000").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("o_orderstatus")).orderBy(col("b"))
+        val wAll = Window.partitionBy(col("o_orderstatus"))
+        val est = hist
+          .select(col("o_orderstatus"), col("b"),
+            sum(col("c")).over(wCum).as("cum"),
+            sum(col("c")).over(wAll).as("n"))
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("o_orderstatus"))
+          .agg(min(col("b")).as("bmin"), max(col("n")).as("n"))
+          .select(col("o_orderstatus"), col("n"),
+            (col("bmin") * 1000000L).as("p50_est_cents"))
+        val exact = o.groupBy(col("o_orderstatus"))
+          .agg(expr("percentile(cents, 0.5)").as("p50_exact_cents"))
+        est.join(exact, "o_orderstatus")
+          .select(col("o_orderstatus"), col("n"),
+            col("p50_est_cents"), col("p50_exact_cents"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        hist AS (
+          SELECT o_orderstatus, cents // 1000000 AS b, count(*) AS c
+          FROM o GROUP BY 1, 2),
+        cum AS (
+          SELECT o_orderstatus, b,
+                 sum(c) OVER (PARTITION BY o_orderstatus ORDER BY b) AS cum,
+                 sum(c) OVER (PARTITION BY o_orderstatus) AS n
+          FROM hist),
+        est AS (
+          SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n,
+                 min(b) * 1000000 AS p50_est_cents
+          FROM cum WHERE cum >= (n + 1) // 2
+          GROUP BY 1),
+        ex AS (
+          SELECT o_orderstatus, quantile_cont(cents, 0.5) AS p50_exact_cents
+          FROM o GROUP BY 1)
+        SELECT e.o_orderstatus, e.n, e.p50_est_cents, ex.p50_exact_cents
+        FROM est e JOIN ex ON ex.o_orderstatus = e.o_orderstatus"""))
   )
 }
