@@ -516,27 +516,24 @@ object Dedup {
     // ---- SimHash near-dup pairs (block-bucketed hamming search) ------------
     // dd_simhash only groups EXACTLY-equal fingerprints; the standard
     // near-dup search (Charikar / Manku-Jain-Sahai) finds pairs within
-    // hamming distance d. Scale shape: split the 32-bit fingerprint into
-    // 4 blocks of 8 — any pair within d ≤ 3 must agree EXACTLY on ≥ 1
-    // block (pigeonhole), so candidates come from the same
-    // groupBy(block, value) bucket + in-bucket pair generation as the
-    // MinHash LSH (never all-pairs), and the exact hamming check is one
-    // codegen'd bit_count(xor) per candidate. Recall is exact by
-    // construction, not probabilistic. The pair VOLUME is governed by
-    // fingerprint width: 32 bits over a shared-vocabulary corpus is
-    // deliberately collision-dense (3.5M pairs at sf0.1); at corpus
-    // scale the same plan runs with 64-bit fingerprints and 4-6 blocks,
-    // where bucket density — and the output — is bounded by the true
-    // near-dup rate rather than hash saturation.
+    // hamming distance d. Scale shape: split the 48-bit fingerprint
+    // (TextOps.simhashWide — wide enough that bucket density tracks the
+    // true near-dup rate, not hash saturation; the 32-bit fingerprint
+    // measured 16 s / 3.5M pairs at sf0.1) into 4 blocks of 12 — any
+    // pair within d ≤ 3 must agree EXACTLY on ≥ 1 block (pigeonhole),
+    // so candidates come from the same groupBy(block, value) bucket +
+    // in-bucket pair generation as the MinHash LSH (never all-pairs),
+    // and the exact hamming check is one codegen'd bit_count(xor) per
+    // candidate. Recall is exact by construction, not probabilistic.
     Q("dd_simhash_near",
       (s, dir) => {
-        val sims = TextOps.simhash(docs(s, dir))
+        val sims = TextOps.simhashWide(docs(s, dir))
           .select(col("doc_id"), col("simhash"),
             conv(col("simhash"), 2, 10).cast("long").as("si"))
         val blocked = sims.select(col("doc_id"), col("si"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("blk"),
-              substring(col("simhash"), b * 8 + 1, 8).as("bv"))): _*)).as("e"))
+              substring(col("simhash"), b * 12 + 1, 12).as("bv"))): _*)).as("e"))
           .select(col("doc_id"), col("si"),
             col("e.blk").as("blk"), col("e.bv").as("bv"))
         blocked.groupBy(col("blk"), col("bv"))
@@ -558,23 +555,28 @@ object Dedup {
           .filter(col("hamming") <= 3)
       },
       Some {
-        val sums = (0 until TextOps.simhashBits).map(j =>
-          s"sum(CASE WHEN substr(md5(token), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+        val w = TextOps.simhashWideBits
+        val digits = (0 until w / 4).map(i =>
+          s"CAST(('0x' || substr(md5(token), ${i + 1}, 1)) AS INT) AS d$i")
           .mkString(", ")
-        val bits = (0 until TextOps.simhashBits).map(j =>
+        val sums = (0 until w).map(j =>
+          s"sum(CASE WHEN (d${j / 4} >> ${3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(", ")
+        val bits = (0 until w).map(j =>
           s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-        val siExpr = (0 until TextOps.simhashBits).map(j =>
-          s"(CASE WHEN s$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)")
+        val siExpr = (0 until w).map(j =>
+          s"(CASE WHEN s$j >= 0 THEN ${1L << (w - 1 - j)} ELSE 0 END)")
           .mkString(" + ")
         s"""
         WITH tok AS (
           SELECT DISTINCT doc_id, unnest(tokens) AS token
           FROM (${DocSql.toksSql})),
-        sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+        dig AS (SELECT doc_id, $digits FROM tok),
+        sums AS (SELECT doc_id, $sums FROM dig GROUP BY doc_id),
         si AS (SELECT doc_id, $bits AS simhash,
                       CAST($siExpr AS BIGINT) AS sv FROM sums),
         blocked AS (
-          SELECT doc_id, sv, b.b AS blk, substr(simhash, b.b * 8 + 1, 8) AS bv
+          SELECT doc_id, sv, b.b AS blk, substr(simhash, b.b * 12 + 1, 12) AS bv
           FROM si CROSS JOIN generate_series(0, 3) AS b(b)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
