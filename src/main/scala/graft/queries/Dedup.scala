@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the first of the four
@@ -493,6 +494,110 @@ object Dedup {
                  ELSE 0.0 END AS clustering
         FROM deg d LEFT JOIN tpn t ON t.doc_id = d.doc_id""")),
 
+    // ---- END-TO-END corpus cleaning (the capstone composition) -------------
+    // The whole LLM-training-corpus cleaning pipeline as ONE lineage —
+    // what a user actually runs nightly: (1) Gopher-style quality gate
+    // (txt_quality_filter's exact thresholds, computed per-row with
+    // array functions — zero shuffle); (2) exact dedup keeping the
+    // smallest doc per normalized-text hash (one window exchange);
+    // (3) near-dup cluster keep-one over the LSH component labels
+    // (labels are graph-node-sized → broadcast back; canonical = min
+    // SURVIVING doc per cluster, so a cluster whose canonical failed
+    // quality still keeps a member); (4) decontamination — drop
+    // survivors sharing ≥3 distinct 5-grams with the held-out src0 set
+    // (computed on survivors only; the eval shingle set broadcasts at
+    // production scale). Output = the cleaned corpus manifest.
+    Q("dd_clean_corpus",
+      (s, dir) => {
+        val stop = Seq("the", "a", "and", "of", "is", "to", "in")
+        val d = docs(s, dir)
+        val toked = d.select(col("doc_id"), col("source"), col("lang"),
+          TextOps.tokens(col("text")).as("toks"))
+        val q1 = toked.select(col("doc_id"), col("source"), col("lang"),
+          col("toks"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+            .cast("long").as("n_stop"))
+        val s1 = q1.filter(col("source") =!= "src0" &&
+          col("n_tokens") >= 20 &&
+          col("n_distinct") * 10 >= col("n_tokens") * 3 &&
+          col("n_stop") * 100 >= col("n_tokens") * 2)
+        val wHash = Window.partitionBy(
+          md5(concat_ws(" ", col("toks")).cast("binary")))
+        val s2 = s1.withColumn("canon", min(col("doc_id")).over(wHash))
+          .filter(col("doc_id") === col("canon"))
+        val labels = graft.ops.Components.label(
+          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand), rounds = 4)
+        val wCl = Window.partitionBy(col("cluster_id"))
+        val s3 = s2.join(broadcast(labels), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("ckeep", min(col("doc_id")).over(wCl))
+          .filter(col("doc_id") === col("ckeep"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("cluster_id"), col("toks"))
+        val sh = s3.select(col("doc_id"),
+          explode(TextOps.shingles(col("toks"), 5)).as("shingle")).distinct()
+        val evSh = toked.filter(col("source") === "src0")
+          .select(explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+          .distinct()
+        val contam = sh.join(evSh, "shingle")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        s3.join(contam, Seq("doc_id"), "left")
+          .filter(coalesce(col("n_shared"), lit(0L)) < 3)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("cluster_id"))
+      },
+      Some(s"""
+        WITH t AS (${DocSql.toksSql}),
+        q1 AS (
+          SELECT t.doc_id, d.source, t.lang, t.tokens,
+                 CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(t.tokens)) AS BIGINT) AS n_distinct,
+                 CAST(len(list_filter(t.tokens, x ->
+                   x IN ('the', 'a', 'and', 'of', 'is', 'to', 'in')))
+                   AS BIGINT) AS n_stop
+          FROM t JOIN documents d ON d.doc_id = t.doc_id),
+        s1 AS (
+          SELECT * FROM q1
+          WHERE source <> 'src0' AND n_tokens >= 20
+            AND n_distinct * 10 >= n_tokens * 3
+            AND n_stop * 100 >= n_tokens * 2),
+        s2 AS (
+          SELECT * FROM (
+            SELECT s1.*, min(doc_id) OVER (
+              PARTITION BY md5(array_to_string(tokens, ' '))) AS canon
+            FROM s1)
+          WHERE doc_id = canon),
+        bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        ${graft.ops.Components.labelSql(4)},
+        s3 AS (
+          SELECT doc_id, lang, n_tokens, cluster_id FROM (
+            SELECT s2.doc_id, s2.lang, s2.n_tokens,
+                   coalesce(l.cluster_id, s2.doc_id) AS cluster_id,
+                   min(s2.doc_id) OVER (
+                     PARTITION BY coalesce(l.cluster_id, s2.doc_id)) AS ckeep
+            FROM s2 LEFT JOIN l4 l ON l.doc_id = s2.doc_id)
+          WHERE doc_id = ckeep),
+        sh AS (${DocSql.shinglesSql(5)}),
+        ev AS (
+          SELECT DISTINCT s.shingle
+          FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+          WHERE d.source = 'src0'),
+        contam AS (
+          SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+          FROM sh s
+          JOIN s3 ON s3.doc_id = s.doc_id
+          JOIN ev ON ev.shingle = s.shingle
+          GROUP BY 1)
+        SELECT s3.doc_id, s3.lang, s3.n_tokens, s3.cluster_id
+        FROM s3 LEFT JOIN contam c ON c.doc_id = s3.doc_id
+        WHERE coalesce(c.n_shared, 0) < 3""")),
+
     // ---- SimHash fingerprints ----------------------------------------------
     // 32-bit locality-sensitive fingerprint per doc; identical fingerprints
     // (exact groupBy on the bit string) are near-dup groups. The 32 bit
@@ -546,13 +651,13 @@ object Dedup {
                 a.getField("si").as("si_a"),
                 x.getField("doc_id").as("doc_b"),
                 x.getField("si").as("si_b")))))).as("p"))
-          .select(col("p.doc_a").as("doc_a"), col("p.si_a").as("si_a"),
-            col("p.doc_b").as("doc_b"), col("p.si_b").as("si_b"))
-          .distinct()
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("si_a").bitwiseXOR(col("si_b"))).cast("long")
+          // hamming BEFORE the dedup exchange: only surviving pairs (≤4
+          // copies each from the 4 blocks) reach the distinct's shuffle
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            bit_count(col("p.si_a").bitwiseXOR(col("p.si_b"))).cast("long")
               .as("hamming"))
           .filter(col("hamming") <= 3)
+          .distinct()
       },
       Some {
         val w = TextOps.simhashWideBits
