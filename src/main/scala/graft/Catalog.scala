@@ -18,4 +18,22 @@ object Catalog {
     // events gets the normalized (ts, ems) form every ev_* query uses
     Tables.events(spark, dir).createOrReplaceTempView("events")
   }
+
+  /** Register the typed sketch `Aggregator`s as SQL aggregate functions
+    * (`bottom_k(hash)`, `count_min(buckets)`, `bloom(positions)`), so the
+    * bounded-memory sketch family is reachable from pure SQL alongside
+    * the extension-injected scalar functions. Sketch shapes are fixed at
+    * registration (they size the aggregation buffer, which must be
+    * consistent across partial merges).
+    */
+  def registerSketches(spark: SparkSession, bottomK: Int = 16,
+      cmDepth: Int = 4, cmWidth: Int = 64, bloomWords: Int = 256): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("bottom_k",
+      udaf(new functions.BottomKSketch(bottomK)))
+    spark.udf.register("count_min",
+      udaf(new functions.CountMinSketch(cmDepth, cmWidth)))
+    spark.udf.register("bloom",
+      udaf(new functions.BloomSketch(bloomWords)))
+  }
 }

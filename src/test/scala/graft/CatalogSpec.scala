@@ -55,4 +55,32 @@ class CatalogSpec extends SparkSpec {
       .as[Long].head()
     assert(n > 0)
   }
+
+  test("sketch aggregators are callable from pure SQL") {
+    Catalog.registerTables(spark, sfDir)
+    Catalog.registerSketches(spark)
+    // count-min from SQL ≡ count-min from the DataFrame API
+    val d = 4; val w = 64
+    val sqlGrid = spark.sql(s"""
+      SELECT count_min(array(${(0 until d).map(j =>
+        s"CAST(CAST(CONV(substr(md5(CAST(concat('$j|', o_orderstatus) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % $w AS INT)")
+        .mkString(", ")})) AS grid
+      FROM orders""").as[Seq[Long]].head()
+    val cm = udaf(new graft.functions.CountMinSketch(d, w))
+    val dfGrid = Tables(spark, sfDir, "orders")
+      .select(graft.functions.CountMinSketch
+        .bucketCols(col("o_orderstatus"), d, w).as("b"))
+      .agg(cm(col("b"))).as[Seq[Long]].head()
+    assert(sqlGrid === dfGrid)
+    assert(sqlGrid.sum > 0)
+    // bloom + bottom_k resolve and produce correctly-shaped state
+    val bloomLen = spark.sql("""
+      SELECT bloom(array(CAST(o_orderkey % 16384 AS INT))) FROM orders""")
+      .as[Seq[Long]].head().length
+    assert(bloomLen === 256)
+    val bk = spark.sql("""
+      SELECT bottom_k(CAST(CONV(substr(md5(CAST(o_orderstatus AS BINARY)), 1, 15), 16, 10) AS BIGINT))
+      FROM orders""").as[Seq[Long]].head()
+    assert(bk.nonEmpty && bk.length <= 16)
+  }
 }
