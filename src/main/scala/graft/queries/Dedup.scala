@@ -632,29 +632,34 @@ object Dedup {
     // candidate. Recall is exact by construction, not probabilistic.
     Q("dd_simhash_near",
       (s, dir) => {
+        // Signatures materialized once (localCheckpoint): the corpus-wide
+        // 48-sum pass feeds both sides of the bucket join below without
+        // re-running.
         val sims = TextOps.simhashWide(docs(s, dir))
           .select(col("doc_id"), col("simhash"),
             conv(col("simhash"), 2, 10).cast("long").as("si"))
+          .localCheckpoint()
         val blocked = sims.select(col("doc_id"), col("si"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("blk"),
               substring(col("simhash"), b * 12 + 1, 12).as("bv"))): _*)).as("e"))
           .select(col("doc_id"), col("si"),
             col("e.blk").as("blk"), col("e.bv").as("bv"))
-        blocked.groupBy(col("blk"), col("bv"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("si"))))
-            .as("xs"))
-          .filter(size(col("xs")) >= 2)
-          .select(explode(flatten(transform(col("xs"), (a, i) =>
-            transform(slice(col("xs"), i + lit(2), size(col("xs"))), x =>
-              struct(a.getField("doc_id").as("doc_a"),
-                a.getField("si").as("si_a"),
-                x.getField("doc_id").as("doc_b"),
-                x.getField("si").as("si_b")))))).as("p"))
-          // hamming BEFORE the dedup exchange: only surviving pairs (≤4
-          // copies each from the 4 blocks) reach the distinct's shuffle
-          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-            bit_count(col("p.si_a").bitwiseXOR(col("p.si_b"))).cast("long")
+        // In-bucket pairs come from a SELF-JOIN on (blk, bv), not from
+        // collecting each bucket into one array row: a hot block value
+        // (near-dup cluster sharing a 12-bit prefix) stays spread across
+        // ordinary join tasks that AQE can skew-split, instead of becoming
+        // a single O(bucket²) array explosion on one core. The hamming
+        // filter runs BEFORE the dedup exchange, so only surviving pairs
+        // (≤4 copies each, one per agreeing block) reach the distinct.
+        val lhs = blocked.select(col("blk"), col("bv"),
+          col("doc_id").as("doc_a"), col("si").as("si_a"))
+        val rhs = blocked.select(col("blk"), col("bv"),
+          col("doc_id").as("doc_b"), col("si").as("si_b"))
+        lhs.join(rhs, Seq("blk", "bv"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("si_a").bitwiseXOR(col("si_b"))).cast("long")
               .as("hamming"))
           .filter(col("hamming") <= 3)
           .distinct()
