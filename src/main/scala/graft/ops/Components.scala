@@ -31,9 +31,13 @@ object Components {
     * executor-loss tolerance — local[] has no executor loss.
     */
   def label(pairs: DataFrame, rounds: Int): DataFrame = {
+    // Materialize the pair list BEFORE symmetrizing: the union references
+    // `pairs` twice, and without truncation the (expensive) candidate-
+    // generation DAG upstream would execute once per reference.
+    val p = pairs.localCheckpoint()
     // symmetric edge list + self-loops (keeps isolated-after-dedup rows)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()

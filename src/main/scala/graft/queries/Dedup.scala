@@ -375,6 +375,7 @@ object Dedup {
       (s, dir) => {
         val edges1 = TextOps
           .lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand)
+          .localCheckpoint() // referenced twice below; signatures run once
         val edges = edges1
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(edges1.select(col("doc_b").as("src"),
