@@ -16,6 +16,21 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The text/dedup oracle SQL explodes token positions with a
+    // constant-bound generate_series(1, 512, …) (DuckDB rejects lateral
+    // column arguments to table functions) while the Spark side handles
+    // arbitrary lengths. Assert the fixture invariant ONCE, loudly: a
+    // >512-token document would make the two engines silently diverge.
+    locally {
+      import org.apache.spark.sql.functions._
+      val maxToks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("n"))
+        .agg(max(col("n"))).head.getInt(0)
+      require(maxToks <= 512,
+        s"oracle token cap violated: a document has $maxToks tokens " +
+          "(> 512) — raise the generate_series bound in DocSql/Text")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

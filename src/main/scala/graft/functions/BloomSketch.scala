@@ -36,6 +36,11 @@ final class BloomSketch(words: Int)
   override def zero: Array[Long] = new Array[Long](words)
 
   override def reduce(buf: Array[Long], positions: Seq[Int]): Array[Long] = {
+    // a NULL position array (null item column) is skipped like any SQL
+    // aggregate input, instead of throwing from inside the merge path;
+    // null ELEMENTS can't reach here (callers filter null items — the
+    // Seq[Int] encoder would reject them before reduce)
+    if (positions == null) return buf
     positions.foreach { p =>
       buf(p >>> 6) |= 1L << (p & 63)
     }

@@ -33,6 +33,11 @@ final class CountMinSketch(depth: Int, width: Int)
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(buf: Array[Long], buckets: Seq[Int]): Array[Long] = {
+    // SQL-aggregate null semantics: a NULL item's bucket array is
+    // skipped (and a short array can't index out of bounds) instead of
+    // an opaque NPE from inside the merge path; null ELEMENTS can't
+    // reach here (callers filter null items first)
+    if (buckets == null || buckets.length < depth) return buf
     var j = 0
     while (j < depth) {
       buf(j * width + buckets(j)) += 1L

@@ -174,16 +174,20 @@ object Multimodal {
     * `sampleRateMs` of (synthetic) video time, 1→N per asset via the same
     * [[FrameDecoder]] contract the file pipeline uses — binary payloads
     * die inside the flatMap, before any shuffle. The decode is keyed on a
-    * fingerprint of the asset BYTES (not the asset id), so identical
-    * content ⇒ identical frames even under the synthetic decoder — the
-    * contract a real codec gives for free.
+    * CRYPTOGRAPHIC digest of the asset BYTES (not the asset id, not a
+    * 32-bit hash), so identical content ⇒ identical frames AND distinct
+    * content ⇒ distinct frames even under the synthetic decoder — both
+    * halves of the contract a real codec gives for free (a 32-bit key
+    * would manufacture false duplicates on hash collision).
     */
   def sampleVideoFrames(assets: Dataset[MediaAsset], decoder: FrameDecoder,
       sampleRateMs: Long): Dataset[DecodedImage] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      val key = s"asset_${java.util.Arrays.hashCode(a.content)}"
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val key = "asset_" + md.digest(a.content)
+        .map(b => f"$b%02x").mkString
       decoder.decode(key, a.content, sampleRateMs)
         .zipWithIndex.map { case (f, i) =>
           DecodedImage(a.asset_id * 1000 + i, f.height, f.width, f.image)

@@ -6,7 +6,10 @@ package graft.queries
   *
   * Shingle explosion uses the constant-bound generate_series + filter trick
   * (this DuckDB rejects lateral column arguments to table functions); 512
-  * comfortably bounds token counts at the oracle's sf0.01 (max ~120).
+  * comfortably bounds token counts at the oracle's sf0.01 (max ~120), and
+  * Verify.main asserts the invariant against the actual fixture before
+  * every dump, so a longer document fails loudly instead of silently
+  * diverging from the (unbounded) Spark side.
   */
 private[queries] object DocSql {
 

@@ -84,8 +84,11 @@ final class VideoFrameTable(properties: Map[String, String])
     // hdfs://, s3a://, gs:// — not just java.io.File. An unreadable or
     // missing directory is an error, not an empty scan: zero partitions
     // from a typo'd path is the silent failure mode at scale.
-    val hadoopConf = org.apache.spark.SparkContext.getOrCreate()
-      .hadoopConfiguration
+    // the session that is planning this scan — NOT SparkContext
+    // .getOrCreate(), which would silently manufacture a fresh bare
+    // context (wrong Hadoop conf) if somehow called with none active
+    val hadoopConf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(hadoopConf)
     if (!fs.exists(fsPath)) throw new IllegalArgumentException(

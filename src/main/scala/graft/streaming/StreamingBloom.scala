@@ -16,16 +16,61 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * into the running filter. Because Bloom insertion is idempotent and
   * commutative, at-least-once `foreachBatch` semantics give exactly the
   * correct filter — a replayed batch re-ORs bits that are already set.
-  * That idempotency is the whole reason this needs no state store: the
-  * accumulated filter IS the state, bounded at `words × 8` bytes forever.
+  *
+  * Idempotent replay alone only covers a single driver lifetime: with a
+  * durable `checkpointLocation`, a restarted driver resumes the source
+  * PAST already-committed offsets while an in-memory bitset would reset
+  * to zero — permanent false negatives, the one thing a decontamination
+  * filter must never produce. So the accumulated filter itself is
+  * persisted: when `persistPath` is set, each batch atomically rewrites
+  * the OR'd bitset (write-temp + rename, any Hadoop filesystem) AFTER
+  * folding it in, and construction reloads it before the query starts.
+  * Persist-then-commit ordering means a crash between the two replays
+  * the batch into an already-updated filter — idempotent, still exact.
+  * Without `persistPath` the filter is memory-only and the query must
+  * re-read the source from scratch on restart (no durable checkpoint).
   */
-final class StreamingBloom(k: Int, bits: Int) extends Serializable {
+final class StreamingBloom(k: Int, bits: Int,
+    persistPath: Option[String] = None) extends Serializable {
   require(bits % 64 == 0, s"bits must be a multiple of 64: $bits")
   private val words = bits / 64
   private val agg = new BloomSketch(words)
   // the running filter; foreachBatch callbacks run serially per query,
   // synchronized only for cross-thread reads via `snapshot`
   private val filter = new Array[Long](words)
+  persistPath.foreach(loadPersisted)
+
+  private def loadPersisted(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        val n = in.readInt()
+        require(n == words,
+          s"persisted filter at $path has $n words, expected $words")
+        var i = 0
+        while (i < words) { filter(i) = in.readLong(); i += 1 }
+      } finally in.close()
+    }
+  }
+
+  private def persist(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = p.getFileSystem(conf)
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      out.writeInt(words)
+      var i = 0
+      while (i < words) { out.writeLong(filter(i)); i += 1 }
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not persist bloom filter to $path")
+  }
 
   /** Current contents of the filter (copy). */
   def snapshot: Array[Long] = synchronized(filter.clone())
@@ -40,6 +85,9 @@ final class StreamingBloom(k: Int, bits: Int) extends Serializable {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch
+          // null keys contribute nothing (their md5 positions are null,
+          // which would die in the aggregator's Seq[Int] encoder)
+          .where(col(itemCol).isNotNull)
           .select(BloomSketch.positions(col(itemCol), k, bits).as("pos"))
           .agg(bl(col("pos")).as("bloom"))
           .collect()
@@ -48,6 +96,8 @@ final class StreamingBloom(k: Int, bits: Int) extends Serializable {
           synchronized {
             var i = 0
             while (i < words) { filter(i) |= batchBits(i); i += 1 }
+            persistPath.foreach(persist(_, batch.sparkSession
+              .sparkContext.hadoopConfiguration))
             onUpdate(filter.clone())
           }
         }

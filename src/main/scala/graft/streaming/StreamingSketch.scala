@@ -30,6 +30,10 @@ object StreamingSketch {
     val cm = udaf(new CountMinSketch(depth, width))
     events
       .withWatermark(tsCol, watermarkDelay)
+      // NULL items are dropped HERE (SQL-aggregate semantics): md5(null)
+      // propagates null through the bucket columns, and a null array
+      // element would die in the aggregator's Seq[Int] encoder
+      .where(col(itemCol).isNotNull)
       .select(col(tsCol), CountMinSketch
         .bucketCols(col(itemCol), depth, width).as("b"))
       .groupBy(window(col(tsCol), windowDuration))

@@ -45,6 +45,55 @@ class StreamingBloomSpec extends SparkSpec {
     assert(hits.forall(identity))
   }
 
+  test("persisted filter survives a driver restart (checkpoint-safe)") {
+    val items = (0 until 300).map(i => s"pkey$i")
+    val dir = Files.createTempDirectory("bloom_p_in").toString
+    val state = Files.createTempDirectory("bloom_p_state").toString + "/filter.bin"
+    items.take(150).toDF("item").coalesce(1).write.parquet(s"$dir/b0")
+
+    val sb1 = new StreamingBloom(k, bits, Some(state))
+    val q1 = sb1.build(
+      spark.readStream.schema("item STRING").parquet(s"$dir/*"), "item")
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = sb1.snapshot
+
+    // "restart": a fresh instance (fresh JVM-equivalent) must reload the
+    // persisted bitset, so keys the source will never replay stay member
+    val sb2 = new StreamingBloom(k, bits, Some(state))
+    assert(sb2.snapshot.toSeq === afterFirst.toSeq)
+
+    // and continue accumulating on top of the reloaded state
+    items.drop(150).toDF("item").coalesce(1).write.parquet(s"$dir/b1")
+    val q2 = sb2.build(
+      spark.readStream.schema("item STRING").parquet(s"$dir/*"), "item")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val bl = udaf(new BloomSketch(bits / 64))
+    val batchFilter = items.toDF("item")
+      .select(BloomSketch.positions(col("item"), k, bits).as("pos"))
+      .agg(bl(col("pos"))).as[Seq[Long]].head()
+    assert(sb2.snapshot.toSeq === batchFilter)
+
+    // a third instance sees the final persisted state without any query
+    assert(new StreamingBloom(k, bits, Some(state)).snapshot.toSeq
+      === batchFilter)
+  }
+
+  test("null keys are skipped, not a batch-killing NPE") {
+    val dir = Files.createTempDirectory("bloom_n_in").toString
+    Seq(Some("a"), None, Some("b"), None).toDF("item")
+      .coalesce(1).write.parquet(s"$dir/b0")
+    val sb = new StreamingBloom(k, bits)
+    val q = sb.build(
+      spark.readStream.schema("item STRING").parquet(s"$dir/*"), "item")
+    try q.processAllAvailable() finally q.stop()
+    val bl = udaf(new BloomSketch(bits / 64))
+    val batchFilter = Seq("a", "b").toDF("item")
+      .select(BloomSketch.positions(col("item"), k, bits).as("pos"))
+      .agg(bl(col("pos"))).as[Seq[Long]].head()
+    assert(sb.snapshot.toSeq === batchFilter)
+  }
+
   test("replaying a batch is a no-op (at-least-once safety)") {
     val agg = new BloomSketch(4)
     val positions = Seq(Seq(0, 100, 200), Seq(5, 100, 250))
