@@ -356,6 +356,113 @@ object Events {
                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
                count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
                count(*) AS n_total
-        FROM events GROUP BY user_id HAVING n_purchase > 0"""))
+        FROM events GROUP BY user_id HAVING n_purchase > 0""")),
+
+    // ---- sliding-window anomaly detection (rolling z-score) ----------------
+    // Per-user rolling baseline over the 20 PRECEDING events (excluding the
+    // current one — the classic online-monitoring frame): flag a value more
+    // than 2σ from the trailing mean. The test is done ENTIRELY in integer
+    // arithmetic on the 2-decimal fixed-point value q: multiplying
+    // |q−mean| > 2σ through by n² gives (q·n − s1)² > 4·(n·s2 − s1²) with
+    // s1=Σq, s2=Σq² — exact longs, so both engines agree bit-for-bit where
+    // a float mean/stddev would be summation-order-dependent. Scale shape:
+    // one exchange on user_id, one per-partition window pass, no global
+    // sort; n ≥ 10 guards the cold-start rows.
+    Q("ev_zscore",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("q", round(col("value") * 100).cast("long"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+          .rowsBetween(-20, -1)
+        e.withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("q")).over(w))
+          .withColumn("s2", sum(col("q") * col("q")).over(w))
+          .filter(col("n") >= 10)
+          .withColumn("dev2",
+            (col("q") * col("n") - col("s1")) * (col("q") * col("n") - col("s1")))
+          .withColumn("var_n2",
+            col("n") * col("s2") - col("s1") * col("s1"))
+          .filter(col("dev2") > lit(4L) * col("var_n2"))
+          .select(col("user_id"), col("event_id"), col("ems"), col("q"),
+            col("n"), col("dev2"), col("var_n2"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems,
+                 CAST(round(value * 100) AS BIGINT) AS q
+          FROM events),
+        w AS (
+          SELECT user_id, event_id, ems, q,
+                 count(*) OVER win AS n,
+                 CAST(sum(q) OVER win AS BIGINT) AS s1,
+                 CAST(sum(q * q) OVER win AS BIGINT) AS s2
+          FROM q
+          WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id, ems, q, n,
+               (q * n - s1) * (q * n - s1) AS dev2,
+               n * s2 - s1 * s1 AS var_n2
+        FROM w
+        WHERE n >= 10
+          AND (q * n - s1) * (q * n - s1) > 4 * (n * s2 - s1 * s1)""")),
+
+    // ---- SCD2 / change-data-capture interval construction ------------------
+    // The warehouse "type-2 dimension" build: per user, collapse
+    // consecutive runs of the same event_type into validity intervals
+    // [valid_from, valid_to) with the last state open (valid_to NULL).
+    // lag → change flag → running sum (run id) → one aggregate → lead for
+    // the interval end: a single user_id exchange and three per-partition
+    // window passes — the canonical CDC-merge shape, no self-join, no
+    // global sort, at any history length.
+    Q("ev_scd2",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+        val runs = e
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(byTime).isNull ||
+              lag(col("event_type"), 1).over(byTime) =!= col("event_type"),
+              1L).otherwise(0L))
+          .withColumn("run_id", sum(col("chg")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("run_id"))
+          .agg(min_by(col("event_type"), col("ems")).as("state"),
+            min(col("ems")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+        runs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("run_id"), col("state"),
+            col("valid_from"), col("valid_to"), col("is_current"),
+            col("n_events"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ems,
+                 CASE WHEN lag(event_type) OVER win IS NULL
+                        OR lag(event_type) OVER win <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id)),
+        r AS (
+          SELECT user_id, event_id, event_type, ems,
+                 CAST(sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ems, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+          FROM o),
+        runs AS (
+          SELECT user_id, run_id, min_by(event_type, ems) AS state,
+                 min(ems) AS valid_from, count(*) AS n_events
+          FROM r GROUP BY user_id, run_id)
+        SELECT user_id, run_id, state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+                 AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+                 IS NULL AS is_current,
+               n_events
+        FROM runs"""))
   )
 }

@@ -48,6 +48,23 @@ object Similarity {
                     ORDER BY ccos DESC, centroid_id ASC) AS rn
         FROM scored_c) WHERE rn = 1)"""
 
+  /** [[assignSql]] keeping the winning centroid cosine (mirror of
+    * VectorOps.assignIvfScored).
+    */
+  private val assignScoredSql = s"""
+    qn AS ($qnSql),
+    cents AS (SELECT vec_id AS centroid_id, qv, n2 FROM qn
+              WHERE vec_id % $CentroidModulo = 0),
+    scored_c AS (
+      SELECT v.vec_id, c.centroid_id, v.qv, v.n2,
+             ${cosSql("v", "c")} AS ccos
+      FROM qn v CROSS JOIN cents c),
+    asgs AS (
+      SELECT vec_id, centroid_id, qv, n2, ccos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored_c) WHERE rn = 1)"""
+
   private val LshPlanes = 8
   private val Dims = 64 // fixture embedding dimensionality
 
@@ -197,6 +214,65 @@ object Similarity {
         FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
                              AND a.vec_id < b.vec_id
         ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20""")),
+
+    // ---- SemDeDup-style semantic deduplication -----------------------------
+    // The embedding-space capstone (Abbas et al. 2023, "SemDeDup"): cluster
+    // the corpus (IVF assignment — one broadcast pass, corpus never
+    // shuffles), take within-cluster pairs above a cosine threshold as
+    // semantic-duplicate edges, group them into duplicate sets (bounded
+    // min-label components — rounds × |edges| joins, the 100 TB contract),
+    // and per set KEEP the member FARTHEST from its centroid (lowest
+    // centroid cosine, the paper's low-typicality retention rule; ties
+    // break on id). Output is one row per duplicate set: its size, the
+    // survivor, and how many rows semantic dedup removes. Every score is
+    // the deterministic fixed-point cosine, so an *iterative*
+    // clustering + graph pipeline still hash-matches the oracle.
+    Q("dd_semantic",
+      (s, dir) => {
+        val tau = 0.35
+        val assigned = VectorOps.assignIvfScored(
+          Tables.sharded(s, dir, "embeddings"), CentroidModulo)
+          .localCheckpoint() // referenced by pair-gen twice + rank join
+        val d = VectorOps.dotFn(assigned)
+        val a = assigned.select(col("centroid_id"),
+          col("vec_id").as("doc_a"), col("q").as("qa"), col("n2").as("na"))
+        val b = assigned.select(col("centroid_id"),
+          col("vec_id").as("doc_b"), col("q").as("qb"), col("n2").as("nb"))
+        val edges = a.join(b, Seq("centroid_id"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(VectorOps.cosine(d(col("qa"), col("qb")),
+            col("na"), col("nb")) >= tau)
+          .select(col("doc_a"), col("doc_b"))
+        val members = graft.ops.Components.label(edges, rounds = 2)
+          .join(assigned.select(col("vec_id").as("doc_id"), col("ccos")),
+            "doc_id")
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ccos").asc, col("doc_id").asc)
+        members.withColumn("rn", row_number().over(w))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rn") === 1, col("doc_id"))).as("keep_id"))
+          .withColumn("n_removed", col("n_members") - 1)
+      },
+      Some(s"""
+        WITH $assignScoredSql,
+        cand AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM asgs a JOIN asgs b ON a.centroid_id = b.centroid_id
+                                 AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a", "b")} >= 0.35),
+        ${graft.ops.Components.labelSql(2)},
+        m AS (
+          SELECT l.doc_id, l.cluster_id, s.ccos
+          FROM l2 l JOIN asgs s ON s.vec_id = l.doc_id),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY ccos ASC, doc_id ASC) AS rn
+          FROM m)
+        SELECT cluster_id, count(*) AS n_members,
+               max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+               count(*) - 1 AS n_removed
+        FROM r GROUP BY cluster_id""")),
 
     // ---- seeded k-means (one Lloyd round) — IVF centroid TRAINING ----------
     // sim_knn_ivf consumes centroids; this op trains them: deterministic

@@ -362,6 +362,105 @@ object Text {
                     ELSE CAST(len(sk) AS DOUBLE) END AS est_kmv
         FROM s""")),
 
+    // ---- HyperLogLog cardinality sketch -------------------------------------
+    // The fourth bounded-memory sketch family (KMV=cardinality-by-order-
+    // statistic, count-min=frequency, Bloom=membership, HLL=cardinality-
+    // by-bit-pattern): m=64 registers, bucket = h mod 64, register =
+    // max over bucket items of (leading zeros of the next 32 hash bits)+1
+    // — computed as 33 − bitlength(r) with bitlength = len(bin(r)), an
+    // identity both engines share. The raw HLL estimate
+    // α·m²/Σ2^−reg is kept ENTIRELY in integers: S = Σ 2^(33−reg)
+    // (empty registers contribute 2^33) and est_milli =
+    // (α₁₀₀₀·m²·2^33) div S — bit-reproducible where float registers
+    // would not be. State is 64 registers per group forever (a groupBy
+    // max — map-side combinable, the 100 TB shape); exact distinct runs
+    // alongside as the accuracy check.
+    Q("txt_hll_distinct",
+      (s, dir) => {
+        val m = 64
+        val alphaMilli = 709L // 0.7213/(1+1.079/64) to 3 decimals
+        val toks = docs(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+          .select(col("lang"),
+            conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val regs = toks
+          .select(col("lang"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+            pmod(call_function("div", col("h"), lit(m.toLong)),
+              lit(1L << 32)).as("r"))
+          .withColumn("rho",
+            when(col("r") === 0, lit(33L))
+              .otherwise(lit(33L) - length(bin(col("r")))))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(max(col("rho")).as("reg"))
+        val est = regs.groupBy(col("lang"))
+          .agg((sum(call_function("shiftleft", lit(1L),
+              (lit(33L) - col("reg")).cast("int"))) +
+            (lit(m.toLong) - count(lit(1))) * lit(1L << 33)).as("s"))
+          .select(col("lang"),
+            call_function("div", lit(alphaMilli * m * m * (1L << 33)),
+              col("s")).as("est_milli"))
+        val exact = toks.groupBy(col("lang"))
+          .agg(countDistinct(col("h")).as("n_exact"))
+        exact.join(est, "lang")
+          .select(col("lang"), col("n_exact"), col("est_milli"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT lang,
+                 CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT lang, unnest(tokens) AS token FROM (${DocSql.toksSql}))),
+        regs AS (
+          SELECT lang, h % 64 AS bucket,
+                 max(CASE WHEN (h // 64) % 4294967296 = 0 THEN 33
+                          ELSE 33 - length(bin((h // 64) % 4294967296))
+                     END) AS reg
+          FROM h GROUP BY 1, 2),
+        est AS (
+          SELECT lang,
+                 CAST((709 * 64 * 64 * 8589934592) //
+                   (CAST(sum(1::BIGINT << CAST(33 - reg AS INTEGER))
+                      AS BIGINT) +
+                    (64 - count(*)) * 8589934592) AS BIGINT) AS est_milli
+          FROM regs GROUP BY 1)
+        SELECT h.lang, count(DISTINCT h.h) AS n_exact, e.est_milli
+        FROM h JOIN est e ON e.lang = h.lang
+        GROUP BY h.lang, e.est_milli""")),
+
+    // ---- BPE merge counting (tokenizer-training primitive) ------------------
+    // The inner loop of byte-pair-encoding training: count adjacent
+    // CHARACTER pairs inside every token occurrence (weighted by
+    // frequency, not distinct) and rank the top merges — iteration 0 of
+    // the BPE loop; further iterations repeat the same count after
+    // applying the winning merge. Pure explode + hash aggregate: the pair
+    // explosion is a narrow ≤len−1 fan-out per token and the only
+    // exchange carries (pair, partial count) — map-side combinable at any
+    // corpus size. Top-20 by count with lexicographic tie-break.
+    Q("txt_bpe_merges",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+        toks
+          // single-char tokens have no pair — and Spark's sequence(1, 0)
+          // would helpfully count DOWN, fabricating one
+          .filter(length(col("token")) >= 2)
+          .select(col("token"), explode(sequence(lit(1),
+            length(col("token")) - 1)).as("i"))
+          .select(col("token").substr(col("i"), lit(2)).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some(s"""
+        SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
+               count(*) AS n
+        FROM (SELECT unnest(tokens) AS token FROM (${DocSql.toksSql})) t
+        CROSS JOIN generate_series(1, 16) AS g(i)
+        WHERE g.i <= length(token) - 1
+        GROUP BY 1
+        ORDER BY n DESC, pair ASC LIMIT 20""")),
+
     // ---- sequence packing (concat-and-chunk) --------------------------------
     // The LM-training packing step: concatenate documents per language
     // stream in a deterministic order and chunk into 1024-token context

@@ -77,7 +77,14 @@ object VectorOps {
     * own centroid's bucket. The candidate join is keyed on centroid_id, so
     * work scales with bucket size, not corpus size.
     */
-  def assignIvf(corpus: DataFrame, centroidModulo: Int): DataFrame = {
+  def assignIvf(corpus: DataFrame, centroidModulo: Int): DataFrame =
+    assignIvfScored(corpus, centroidModulo).drop("ccos")
+
+  /** [[assignIvf]] keeping the winning centroid cosine (`ccos`) — the
+    * per-member "typicality" score SemDeDup-style semantic dedup ranks
+    * on when choosing which member of a duplicate group to keep.
+    */
+  def assignIvfScored(corpus: DataFrame, centroidModulo: Int): DataFrame = {
     val d = dotFn(corpus)
     val q = quantized(corpus)
     val cents = q.filter(col("vec_id") % centroidModulo === 0)
@@ -90,7 +97,8 @@ object VectorOps {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"))
+      .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"),
+        col("ccos"))
   }
 
   /** Top-k per probe within the probe's IVF bucket. */
