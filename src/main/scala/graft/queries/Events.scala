@@ -463,6 +463,62 @@ object Events {
                lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
                  IS NULL AS is_current,
                n_events
-        FROM runs"""))
+        FROM runs""")),
+
+    // ---- windowed distinct-user estimation (HLL × event-time windows) ------
+    // "Unique visitors per window" at stream scale: per (30 s tumbling
+    // window, event_type), an m=64 integer HyperLogLog register table and
+    // its raw estimate next to the exact distinct count. The sketch path
+    // shuffles (window, type, bucket) → max — fixed m rows per group and
+    // fully map-side combinable, where exact distinct must move every
+    // distinct user id per window; at 100 TB the sketch IS the feasible
+    // plan and the exact side is the (gradeable) accuracy check.
+    Q("ev_hll_window",
+      (s, dir) => {
+        import graft.functions.Hll
+        val m = 64
+        val e = Tables.events(s, dir)
+          .select((call_function("div", col("ems"), lit(30000L)) * 30000L)
+              .as("window_start"),
+            col("event_type"), Hll.hash(col("user_id")).as("h"))
+        val regs = e
+          .select(col("window_start"), col("event_type"),
+            Hll.bucket(col("h"), m).as("bucket"),
+            Hll.rho(col("h"), m).as("rho"))
+          .groupBy(col("window_start"), col("event_type"), col("bucket"))
+          .agg(max(col("rho")).as("reg"))
+        val est = Hll.estimate(regs, m, col("window_start"), col("event_type"))
+        val exact = e.groupBy(col("window_start"), col("event_type"))
+          .agg(countDistinct(col("h")).as("n_users_exact"))
+        exact.join(est, Seq("window_start", "event_type"))
+          .select(col("window_start"), col("event_type"),
+            col("n_users_exact"), col("est_milli"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT CAST(floor(epoch_ms(ts) / 30000) * 30000 AS BIGINT)
+                   AS window_start,
+                 event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+          FROM events),
+        regs AS (
+          SELECT window_start, event_type, h % 64 AS bucket,
+                 max(CASE WHEN (h // 64) % 4294967296 = 0 THEN 33
+                          ELSE 33 - length(bin((h // 64) % 4294967296))
+                     END) AS reg
+          FROM h GROUP BY 1, 2, 3),
+        est AS (
+          SELECT window_start, event_type,
+                 CAST((709 * 64 * 64 * 8589934592) //
+                   (CAST(sum(1::BIGINT << CAST(33 - reg AS INTEGER))
+                      AS BIGINT) +
+                    (64 - count(*)) * 8589934592) AS BIGINT) AS est_milli
+          FROM regs GROUP BY 1, 2)
+        SELECT e.window_start, e.event_type,
+               count(DISTINCT e.h) AS n_users_exact, s.est_milli
+        FROM h e JOIN est s ON s.window_start = e.window_start
+                           AND s.event_type = e.event_type
+        GROUP BY e.window_start, e.event_type, s.est_milli"""))
   )
 }

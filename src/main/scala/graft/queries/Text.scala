@@ -377,29 +377,17 @@ object Text {
     // alongside as the accuracy check.
     Q("txt_hll_distinct",
       (s, dir) => {
+        import graft.functions.Hll
         val m = 64
-        val alphaMilli = 709L // 0.7213/(1+1.079/64) to 3 decimals
         val toks = docs(s, dir)
           .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
-          .select(col("lang"),
-            conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
-              .cast("long").as("h"))
+          .select(col("lang"), Hll.hash(col("token")).as("h"))
         val regs = toks
-          .select(col("lang"), pmod(col("h"), lit(m.toLong)).as("bucket"),
-            pmod(call_function("div", col("h"), lit(m.toLong)),
-              lit(1L << 32)).as("r"))
-          .withColumn("rho",
-            when(col("r") === 0, lit(33L))
-              .otherwise(lit(33L) - length(bin(col("r")))))
+          .select(col("lang"), Hll.bucket(col("h"), m).as("bucket"),
+            Hll.rho(col("h"), m).as("rho"))
           .groupBy(col("lang"), col("bucket"))
           .agg(max(col("rho")).as("reg"))
-        val est = regs.groupBy(col("lang"))
-          .agg((sum(call_function("shiftleft", lit(1L),
-              (lit(33L) - col("reg")).cast("int"))) +
-            (lit(m.toLong) - count(lit(1))) * lit(1L << 33)).as("s"))
-          .select(col("lang"),
-            call_function("div", lit(alphaMilli * m * m * (1L << 33)),
-              col("s")).as("est_milli"))
+        val est = Hll.estimate(regs, m, col("lang"))
         val exact = toks.groupBy(col("lang"))
           .agg(countDistinct(col("h")).as("n_exact"))
         exact.join(est, "lang")
