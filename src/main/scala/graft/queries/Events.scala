@@ -519,6 +519,43 @@ object Events {
                count(DISTINCT e.h) AS n_users_exact, s.est_milli
         FROM h e JOIN est s ON s.window_start = e.window_start
                            AND s.event_type = e.event_type
-        GROUP BY e.window_start, e.event_type, s.est_milli"""))
+        GROUP BY e.window_start, e.event_type, s.est_milli""")),
+
+    // ---- first/last-touch attribution --------------------------------------
+    // The marketing-attribution primitive: per user, the first and last
+    // event_type on their timeline (first_value/last_value over the
+    // UNBOUNDED frame — the one window shape where the default frame is a
+    // correctness trap: last_value over the default RANGE..CURRENT ROW
+    // frame returns the CURRENT row's value) plus journey span. One
+    // user_id exchange, one per-partition pass, then a distinct — no
+    // self-join against min/max timestamps.
+    Q("ev_first_touch",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        e.select(col("user_id"),
+            first(col("event_type")).over(w).as("first_touch"),
+            last(col("event_type")).over(w).as("last_touch"),
+            min(col("ems")).over(w).as("first_ems"),
+            max(col("ems")).over(w).as("last_ems"),
+            count(lit(1)).over(w).as("n_events"))
+          .distinct()
+          .withColumn("span_ms", col("last_ems") - col("first_ems"))
+      },
+      Some("""
+        SELECT DISTINCT user_id,
+               first_value(event_type) OVER win AS first_touch,
+               last_value(event_type) OVER win AS last_touch,
+               min(epoch_ms(ts)) OVER win AS first_ems,
+               max(epoch_ms(ts)) OVER win AS last_ems,
+               count(*) OVER win AS n_events,
+               max(epoch_ms(ts)) OVER win - min(epoch_ms(ts)) OVER win
+                 AS span_ms
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)"""))
   )
 }

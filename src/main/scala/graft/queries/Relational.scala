@@ -554,6 +554,34 @@ object Relational {
           SELECT o_orderstatus, quantile_cont(cents, 0.5) AS p50_exact_cents
           FROM o GROUP BY 1)
         SELECT e.o_orderstatus, e.n, e.p50_est_cents, ex.p50_exact_cents
-        FROM est e JOIN ex ON ex.o_orderstatus = e.o_orderstatus"""))
+        FROM est e JOIN ex ON ex.o_orderstatus = e.o_orderstatus""")),
+
+    // ---- q22: explicit GROUPING SETS ---------------------------------------
+    // The third member of the multi-aggregation family: q7 ROLLUP
+    // (hierarchical prefixes) and q15 CUBE (all combinations) can't
+    // express two NON-nested side-by-side breakdowns; GROUPING SETS
+    // ((status), (priority)) computes both in ONE pass over orders —
+    // Catalyst expands to a single Expand + hash aggregate, so the input
+    // is read once where two separate groupBys would scan twice.
+    // grouping() disambiguates which set a row belongs to (a NULL key
+    // value vs a rolled-up column).
+    Q("q22_grouping_sets",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), fxsum(col("o_totalprice"), 2).as("rev"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            col("n"), col("rev"))
+      },
+      Some(s"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n, ${fxsumSql("o_totalprice", 2)} AS rev
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""))
   )
 }

@@ -449,6 +449,57 @@ object Text {
         GROUP BY 1
         ORDER BY n DESC, pair ASC LIMIT 20""")),
 
+    // ---- BPE iteration 1: apply the winning merge, recount ------------------
+    // Proof the BPE loop ITERATES (txt_bpe_merges is iteration 0): the
+    // top pair is trained out of the corpus — collected to the driver
+    // (it's a 1-row model, the same model-sized-literal discipline as
+    // sim_kmeans' centroids) and applied as a non-overlapping
+    // left-to-right replace with a single-char placeholder symbol, then
+    // pairs are recounted over the new symbol strings. Both engines'
+    // replace() share the greedy non-overlapping semantics ('aaa' with
+    // merge 'aa' → '#a'), which is exactly BPE's application rule.
+    Q("txt_bpe_iterate",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .filter(length(col("token")) >= 2)
+        def pairCounts(t: org.apache.spark.sql.DataFrame) = t
+          .select(col("token"), explode(sequence(lit(1),
+            length(col("token")) - 1)).as("i"))
+          .select(col("token").substr(col("i"), lit(2)).as("pair"))
+          .filter(length(col("pair")) === 2) // merged tokens can shrink to 1
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        val top = pairCounts(toks)
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .collect()(0).getString(0)
+        val merged = toks.select(
+          call_function("replace", col("token"), lit(top), lit("#"))
+            .as("token"))
+          .filter(length(col("token")) >= 2)
+        pairCounts(merged)
+          .orderBy(col("n").desc, col("pair").asc).limit(20)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT token
+          FROM (SELECT unnest(tokens) AS token FROM (${DocSql.toksSql}))
+          WHERE length(token) >= 2),
+        p0 AS (
+          SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
+                 count(*) AS n
+          FROM tok CROSS JOIN generate_series(1, 16) AS g(i)
+          WHERE g.i <= length(token) - 1
+          GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1),
+        m AS (
+          SELECT replace(token, (SELECT pair FROM p0), '#') AS token
+          FROM tok)
+        SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
+               count(*) AS n
+        FROM m CROSS JOIN generate_series(1, 16) AS g(i)
+        WHERE g.i <= length(token) - 1 AND length(token) >= 2
+        GROUP BY 1
+        ORDER BY n DESC, pair ASC LIMIT 20""")),
+
     // ---- sequence packing (concat-and-chunk) --------------------------------
     // The LM-training packing step: concatenate documents per language
     // stream in a deterministic order and chunk into 1024-token context
