@@ -411,33 +411,39 @@ object Events {
     // The warehouse "type-2 dimension" build: per user, collapse
     // consecutive runs of the same event_type into validity intervals
     // [valid_from, valid_to) with the last state open (valid_to NULL).
-    // lag → change flag → running sum (run id) → one aggregate → lead for
-    // the interval end: a single user_id exchange and three per-partition
-    // window passes — the canonical CDC-merge shape, no self-join, no
-    // global sort, at any history length.
+    // PURE window functions, no aggregate: a run's first event (lag
+    // change flag = 1) carries the whole interval — state and valid_from
+    // directly, valid_to = the next start's time, and n_events from
+    // row-number differences between starts. One user_id exchange, a few
+    // per-partition window passes over the same sort, then a filter —
+    // no self-join, no global sort, and (deliberately) no min(string)
+    // aggregate, which would force a SortAggregate pair where a window
+    // over the existing sort is free.
     Q("ev_scd2",
       (s, dir) => {
         val e = Tables.events(s, dir)
         val byTime = Window.partitionBy(col("user_id"))
           .orderBy(col("ems"), col("event_id"))
-        val runs = e
+        val flagged = e
           .withColumn("chg",
             when(lag(col("event_type"), 1).over(byTime).isNull ||
               lag(col("event_type"), 1).over(byTime) =!= col("event_type"),
               1L).otherwise(0L))
           .withColumn("run_id", sum(col("chg")).over(
             byTime.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy(col("user_id"), col("run_id"))
-          .agg(min_by(col("event_type"), col("ems")).as("state"),
-            min(col("ems")).as("valid_from"),
-            count(lit(1)).as("n_events"))
+          .withColumn("rn", row_number().over(byTime).cast("long"))
+          .withColumn("total_n", count(lit(1)).over(
+            Window.partitionBy(col("user_id"))))
         val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-        runs
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
-          .withColumn("is_current", col("valid_to").isNull)
-          .select(col("user_id"), col("run_id"), col("state"),
-            col("valid_from"), col("valid_to"), col("is_current"),
-            col("n_events"))
+        flagged.filter(col("chg") === 1)
+          .withColumn("valid_to", lead(col("ems"), 1).over(byRun))
+          .withColumn("next_rn", lead(col("rn"), 1).over(byRun))
+          .select(col("user_id"), col("run_id"),
+            col("event_type").as("state"),
+            col("ems").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"),
+            (coalesce(col("next_rn"), col("total_n") + 1) - col("rn"))
+              .as("n_events"))
       },
       Some("""
         WITH o AS (
@@ -448,22 +454,21 @@ object Events {
           FROM events
           WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id)),
         r AS (
-          SELECT user_id, event_id, event_type, ems,
-                 CAST(sum(chg) OVER (PARTITION BY user_id
-                        ORDER BY ems, event_id
-                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
-          FROM o),
-        runs AS (
-          SELECT user_id, run_id, min_by(event_type, ems) AS state,
-                 min(ems) AS valid_from, count(*) AS n_events
-          FROM r GROUP BY user_id, run_id)
-        SELECT user_id, run_id, state, valid_from,
-               lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
-                 AS valid_to,
-               lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
-                 IS NULL AS is_current,
-               n_events
-        FROM runs""")),
+          SELECT user_id, event_type, ems, chg,
+                 CAST(sum(chg) OVER win AS BIGINT) AS run_id,
+                 CAST(row_number() OVER win2 AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS total_n
+          FROM o
+          WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id
+                         ROWS UNBOUNDED PRECEDING),
+                 win2 AS (PARTITION BY user_id ORDER BY ems, event_id)),
+        starts AS (SELECT * FROM r WHERE chg = 1)
+        SELECT user_id, run_id, event_type AS state, ems AS valid_from,
+               lead(ems) OVER winr AS valid_to,
+               lead(ems) OVER winr IS NULL AS is_current,
+               coalesce(lead(rn) OVER winr, total_n + 1) - rn AS n_events
+        FROM starts
+        WINDOW winr AS (PARTITION BY user_id ORDER BY run_id)""")),
 
     // ---- windowed distinct-user estimation (HLL × event-time windows) ------
     // "Unique visitors per window" at stream scale: per (30 s tumbling
