@@ -561,6 +561,96 @@ object Events {
         FROM events
         WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND UNBOUNDED FOLLOWING)"""))
+                            AND UNBOUNDED FOLLOWING)""")),
+
+    // ---- Markov transition matrix over user journeys -----------------------
+    // Journey analytics: global (prev event_type → next event_type)
+    // transition counts and row-normalized probabilities (integer
+    // millis — n·1000 div row-total, so both engines agree exactly).
+    // lag per user (one user_id exchange), then a combinable hash
+    // aggregate on the pair; the probability window runs over the
+    // |event_types|² aggregate, not the event stream — model-sized.
+    Q("ev_transitions",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+        val counts = e
+          .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+        val byPrev = Window.partitionBy(col("prev"))
+        counts
+          .withColumn("p_milli", call_function("div",
+            col("n") * 1000, sum(col("n")).over(byPrev)))
+          .select(col("prev"), col("next"), col("n"), col("p_milli"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS prev
+          FROM events),
+        c AS (
+          SELECT prev, event_type AS next, count(*) AS n
+          FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT prev, next, n,
+               CAST((n * 1000) //
+                 CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT)
+                 AS BIGINT) AS p_milli
+        FROM c""")),
+
+    // ---- MERGE / upsert (CDC apply onto a dimension snapshot) --------------
+    // The warehouse MERGE INTO shape: a change set (each user's LATEST
+    // event value — map-side WindowGroupLimit keeps one row per user
+    // before any exchange) applied onto the customer snapshot with
+    // matched→update / not-matched→insert / untouched→keep actions.
+    // One full-outer join on the key after the change set collapses to
+    // ≤|users| rows — the change set never rescans, the target scans
+    // once; at production scale this is exactly Delta/Iceberg MERGE's
+    // join, minus the transactional file rewrite.
+    Q("ev_merge_upsert",
+      (s, dir) => {
+        val tgt = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("key"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val byU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems").desc, col("event_id").desc)
+        val upd = Tables.events(s, dir)
+          .withColumn("rn", row_number().over(byU)).filter(col("rn") === 1)
+          .select(col("user_id").as("key"),
+            round(col("value") * 100).cast("long").as("last_value_cents"),
+            col("ems").as("last_ems"))
+        tgt.join(upd, Seq("key"), "full_outer")
+          .select(col("key"),
+            when(col("last_ems").isNull, lit("keep"))
+              .when(col("bal_cents").isNull, lit("insert"))
+              .otherwise(lit("update")).as("action"),
+            coalesce(col("last_value_cents"), col("bal_cents"))
+              .as("new_balance_cents"),
+            col("last_ems"))
+      },
+      Some("""
+        WITH tgt AS (
+          SELECT c_custkey AS key,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer),
+        upd AS (
+          SELECT user_id AS key, last_value_cents, last_ems FROM (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+                   epoch_ms(ts) AS last_ems,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)
+        SELECT coalesce(t.key, u.key) AS key,
+               CASE WHEN u.key IS NULL THEN 'keep'
+                    WHEN t.key IS NULL THEN 'insert'
+                    ELSE 'update' END AS action,
+               coalesce(u.last_value_cents, t.bal_cents)
+                 AS new_balance_cents,
+               u.last_ems
+        FROM tgt t FULL OUTER JOIN upd u ON u.key = t.key"""))
   )
 }
