@@ -582,6 +582,32 @@ object Relational {
                coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
                count(*) AS n, ${fxsumSql("o_totalprice", 2)} AS rev
         FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""))
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")),
+
+    // ---- q23: Z-order (Morton) clustering keys ------------------------------
+    // The data-LAYOUT operator (ops/ZOrder): interleave two filter
+    // columns' bucket bits into one clustering key so a range-partitioned,
+    // z-sorted table prunes parquet min/max stats on EITHER column
+    // (Delta/Iceberg OPTIMIZE ZORDER). The key is constant-unrolled shift/
+    // mask arithmetic fused by codegen — this query gates the key math
+    // cross-engine; ZOrderSpec proves the layout's pruning claim
+    // (bounded per-partition boxes in both dims vs a single-column sort).
+    Q("q23_zorder",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_custkey"),
+            pmod(col("c_custkey"), lit(256L)).as("bx"),
+            // abs() first: acctbal can be negative, and Spark's pmod vs
+            // SQL's % disagree there — abs-then-mod agrees everywhere
+            pmod(abs(round(col("c_acctbal") * 100).cast("long")), lit(256L))
+              .as("by"))
+        c.withColumn("z", graft.ops.ZOrder.zValue(col("bx"), col("by"), 8))
+      },
+      Some(s"""
+        SELECT c_custkey, bx, by, ${graft.ops.ZOrder.zValueSql("bx", "by", 8)} AS z
+        FROM (
+          SELECT c_custkey, c_custkey % 256 AS bx,
+                 abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 256 AS by
+          FROM customer)"""))
   )
 }
