@@ -110,6 +110,42 @@ object Dedup {
         JOIN sz sa ON sa.doc_id = i.doc_a
         JOIN sz sb ON sb.doc_id = i.doc_b""")),
 
+    // ---- candidate verification: edit distance ------------------------------
+    // The character-level rerank (complements dd_jaccard's set-level one):
+    // Levenshtein distance over the first 64 characters, computed ONLY
+    // for LSH candidate pairs — the O(len²) DP cost tracks |candidates|,
+    // never |corpus|², and the fixed prefix caps the per-pair cost (the
+    // standard production guard: full-text edit distance on long docs is
+    // quadratic in length too). Both engines implement unit-cost
+    // insert/delete/substitute Levenshtein, so the distances hash-match.
+    Q("dd_edit_distance",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cand =
+          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).localCheckpoint()
+        val p = d.select(col("doc_id"), substring(col("text"), 1, 64)
+          .as("prefix"))
+        cand
+          .join(p.select(col("doc_id").as("doc_a"), col("prefix").as("pa")),
+            "doc_a")
+          .join(p.select(col("doc_id").as("doc_b"), col("prefix").as("pb")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("pa"), col("pb")).cast("long").as("edit64"))
+      },
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        p AS (SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents)
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit64
+        FROM cand c
+        JOIN p a ON a.doc_id = c.doc_a
+        JOIN p b ON b.doc_id = c.doc_b""")),
+
     // ---- MinHash estimation accuracy (sketch eval, like sim_recall) ---------
     // For every LSH candidate pair: estimated Jaccard = fraction of
     // agreeing MinHash components vs the exact shingle Jaccard — the
