@@ -17,19 +17,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The text/dedup oracle SQL explodes token positions with a
-    // constant-bound generate_series(1, 512, …) (DuckDB rejects lateral
-    // column arguments to table functions) while the Spark side handles
-    // arbitrary lengths. Assert the fixture invariant ONCE, loudly: a
-    // >512-token document would make the two engines silently diverge.
+    // constant-bound generate_series(1, 512, …) and char-pair positions
+    // with generate_series(1, 16) (DuckDB rejects lateral column
+    // arguments to table functions) while the Spark side handles
+    // arbitrary lengths. Assert both fixture invariants ONCE, loudly —
+    // using the engine's own tokenizer (graft.text.TextOps.tokens), so
+    // the guard can't drift from what the queries actually tokenize.
     locally {
       import org.apache.spark.sql.functions._
+      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      val row = toks
+        .agg(max(length(col("t"))).as("max_len"), count(lit(1)).as("n"))
+        .head
+      if (!row.isNullAt(0)) { // empty documents table trivially satisfies
+        require(row.getInt(0) <= 17,
+          s"oracle char-pair cap violated: a token has ${row.getInt(0)} " +
+            "chars (> 17) — raise the generate_series(1, 16) bound in " +
+            "txt_bpe_merges/txt_bpe_iterate")
+      }
       val maxToks = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(size(regexp_extract_all(lower(col("text")),
-          lit("[a-z0-9]+"), lit(0))).as("n"))
-        .agg(max(col("n"))).head.getInt(0)
-      require(maxToks <= 512,
-        s"oracle token cap violated: a document has $maxToks tokens " +
-          "(> 512) — raise the generate_series bound in DocSql/Text")
+        .select(size(graft.text.TextOps.tokens(col("text"))).as("n"))
+        .agg(max(col("n"))).head
+      if (!maxToks.isNullAt(0)) {
+        require(maxToks.getInt(0) <= 512,
+          s"oracle token cap violated: a document has ${maxToks.getInt(0)} " +
+            "tokens (> 512) — raise the generate_series bound in DocSql/Text")
+      }
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -34,10 +34,14 @@ final class CountMinSketch(depth: Int, width: Int)
 
   override def reduce(buf: Array[Long], buckets: Seq[Int]): Array[Long] = {
     // SQL-aggregate null semantics: a NULL item's bucket array is
-    // skipped (and a short array can't index out of bounds) instead of
-    // an opaque NPE from inside the merge path; null ELEMENTS can't
-    // reach here (callers filter null items first)
-    if (buckets == null || buckets.length < depth) return buf
+    // skipped instead of an opaque NPE from inside the merge path; null
+    // ELEMENTS can't reach here (callers filter null items first). A
+    // WRONG-SIZED array, though, is a caller bug (bucketCols built with
+    // a different depth) and must stay loud — silently skipping every
+    // row would read as an all-zero sketch.
+    if (buckets == null) return buf
+    require(buckets.length == depth,
+      s"bucket array has ${buckets.length} positions, aggregator depth is $depth")
     var j = 0
     while (j < depth) {
       buf(j * width + buckets(j)) += 1L

@@ -25,6 +25,20 @@ object Hll {
   /** α₁₀₀₀ for m = 64: 0.7213/(1 + 1.079/64) to 3 decimals. */
   val AlphaMilli64 = 709L
 
+  /** HLL bias constant ×1000 for a given register count (Flajolet et al.:
+    * fixed small-m values, 0.7213/(1 + 1.079/m) beyond). Pinned to
+    * literals for the oracle-mirrored sizes so the SQL constants can't
+    * drift from the Scala side.
+    */
+  def alphaMilli(m: Int): Long = m match {
+    case 16 => 673L
+    case 32 => 697L
+    case 64 => AlphaMilli64
+    case _ =>
+      require(m >= 128 && (m & (m - 1)) == 0, s"m must be a power of 2: $m")
+      math.round(1000.0 * 0.7213 / (1 + 1.079 / m))
+  }
+
   /** 60-bit md5 prefix of an (arbitrary-typed) item, cast to string. */
   def hash(item: Column): Column =
     conv(substring(md5(item.cast("string").cast("binary")), 1, 15), 16, 10)
@@ -48,7 +62,7 @@ object Hll {
           (lit(33L) - col("reg")).cast("int"))) +
         (lit(m.toLong) - count(lit(1))) * lit(1L << 33)).as("s"))
       .withColumn("est_milli",
-        call_function("div", lit(AlphaMilli64 * m * m * (1L << 33)),
+        call_function("div", lit(alphaMilli(m) * m * m * (1L << 33)),
           col("s")))
       .drop("s")
 }

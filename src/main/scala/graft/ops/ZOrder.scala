@@ -24,9 +24,13 @@ object ZOrder {
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, s"bits out of range: $bits")
+    // cast to LONG first: on an INT column Spark's shift masks the count
+    // mod 32, so interleaved positions ≥ 32 (bits ≥ 16) would silently
+    // fold back onto low bits
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map { i =>
-      val xb = shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-      val yb = shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val xb = shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
       xb.bitwiseOR(yb)
     }.reduce(_.bitwiseOR(_))
   }

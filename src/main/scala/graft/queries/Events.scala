@@ -613,19 +613,22 @@ object Events {
     Q("ev_merge_upsert",
       (s, dir) => {
         val tgt = Tables(s, dir, "customer")
-          .select(col("c_custkey").as("key"),
+          .select(col("c_custkey").as("tkey"),
             round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
         val byU = Window.partitionBy(col("user_id"))
           .orderBy(col("ems").desc, col("event_id").desc)
         val upd = Tables.events(s, dir)
           .withColumn("rn", row_number().over(byU)).filter(col("rn") === 1)
-          .select(col("user_id").as("key"),
+          .select(col("user_id").as("ukey"),
             round(col("value") * 100).cast("long").as("last_value_cents"),
             col("ems").as("last_ems"))
-        tgt.join(upd, Seq("key"), "full_outer")
-          .select(col("key"),
-            when(col("last_ems").isNull, lit("keep"))
-              .when(col("bal_cents").isNull, lit("insert"))
+        // actions derive from JOIN-KEY nullness (side present/absent),
+        // exactly like the SQL mirror — value columns (bal_cents,
+        // last_ems) may legitimately be NULL on a matched row
+        tgt.join(upd, col("ukey") === col("tkey"), "full_outer")
+          .select(coalesce(col("tkey"), col("ukey")).as("key"),
+            when(col("ukey").isNull, lit("keep"))
+              .when(col("tkey").isNull, lit("insert"))
               .otherwise(lit("update")).as("action"),
             coalesce(col("last_value_cents"), col("bal_cents"))
               .as("new_balance_cents"),

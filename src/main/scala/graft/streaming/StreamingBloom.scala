@@ -42,14 +42,27 @@ final class StreamingBloom(k: Int, bits: Int,
 
   private def loadPersisted(path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val fs = p.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = new java.io.DataInputStream(fs.open(p))
+    // Crash-point analysis of persist(): the main file is deleted only
+    // AFTER the tmp is completely written and closed, so if the main
+    // file is missing the tmp (when present) is a complete, valid
+    // filter — never a half-written one (a crash mid-tmp-write leaves
+    // the main file untouched).
+    val src = if (fs.exists(p)) Some(p)
+      else if (fs.exists(tmp)) Some(tmp)
+      else None
+    src.foreach { f =>
+      val in = new java.io.DataInputStream(fs.open(f))
       try {
+        val kk = in.readInt()
+        require(kk == k,
+          s"persisted filter at $f was built with k=$kk, expected k=$k " +
+            "(membership under a different probe count has false negatives)")
         val n = in.readInt()
         require(n == words,
-          s"persisted filter at $path has $n words, expected $words")
+          s"persisted filter at $f has $n words, expected $words")
         var i = 0
         while (i < words) { filter(i) = in.readLong(); i += 1 }
       } finally in.close()
@@ -63,10 +76,13 @@ final class StreamingBloom(k: Int, bits: Int,
     val fs = p.getFileSystem(conf)
     val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try {
+      out.writeInt(k)
       out.writeInt(words)
       var i = 0
       while (i < words) { out.writeLong(filter(i)); i += 1 }
     } finally out.close()
+    // HDFS rename won't overwrite, so the main file is deleted first;
+    // the delete→rename gap is covered by loadPersisted's tmp fallback
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"could not persist bloom filter to $path")
