@@ -449,6 +449,54 @@ object Text {
         GROUP BY 1
         ORDER BY n DESC, pair ASC LIMIT 20""")),
 
+    // ---- unigram surprisal (integer perplexity-filter signal) ---------------
+    // The perplexity-filtering family (CCNet/Gopher-style "score every
+    // document under a corpus LM, drop the tails") reduced to its
+    // integer-exact core: a unigram LM whose per-token surprisal is
+    // floor(log2(N/count)) = bitlength(N div count) − 1 bits — the
+    // bitlength identity both engines share, so scores hash-match where
+    // float log-probs would drift. Plan shape: one combinable vocab
+    // count, a single-partition window over the MODEL-sized vocab for N
+    // (the txt_source_mix precedent), the frequency table joined back
+    // broadcast, one per-doc aggregate. High mean surprisal = rare-token
+    // soup (the quality-filter reject tail); low = boilerplate.
+    Q("txt_surprisal",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+            .as("token"))
+        val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+          .withColumn("n_total",
+            sum(col("c")).over(Window.partitionBy()))
+          .withColumn("sup_bits",
+            length(bin(call_function("div", col("n_total"), col("c"))))
+              .cast("long") - 1)
+        toks.join(broadcast(freq.select(col("token"), col("sup_bits"))),
+            "token")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("sup_bits")).as("sup_total_bits"))
+          .withColumn("mean_milli_bits", call_function("div",
+            col("sup_total_bits") * 1000, col("n_tokens")))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        freq AS (
+          SELECT token, count(*) AS c,
+                 CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+          FROM tok GROUP BY token),
+        sup AS (
+          SELECT token,
+                 CAST(length(bin(n_total // c)) AS BIGINT) - 1 AS sup_bits
+          FROM freq)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(s.sup_bits) AS BIGINT) AS sup_total_bits,
+               CAST((CAST(sum(s.sup_bits) AS BIGINT) * 1000) // count(*)
+                 AS BIGINT) AS mean_milli_bits
+        FROM tok t JOIN sup s ON s.token = t.token
+        GROUP BY t.doc_id""")),
+
     // ---- BPE iteration 1: apply the winning merge, recount ------------------
     // Proof the BPE loop ITERATES (txt_bpe_merges is iteration 0): the
     // top pair is trained out of the corpus — collected to the driver
