@@ -230,6 +230,69 @@ object Dedup {
         JOIN sz sb ON sb.doc_id = e.doc_b"""
       }),
 
+    // ---- LSH candidate recall vs exact ground truth -------------------------
+    // The dedup analog of sim_recall: does banding MISS true near-dups?
+    // Ground truth = every pair with exact Jaccard ≥ 0.5, found via the
+    // inverted index (pairs meeting through a shared shingle — exact for
+    // any Jaccard > 0, and bounded by shingle frequency, so no all-pairs
+    // scan and no Cartesian node; a stop-shingle frequency cap bounds
+    // the worst key at web scale). Report per true pair whether LSH
+    // surfaced it — the measured recall that justifies the band/row
+    // config (4 bands × 3 rows ⇒ ~0.63 Jaccard collision threshold).
+    Q("dd_lsh_recall",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sh = TextOps.explodedShingles(d, ShingleN).distinct()
+          .localCheckpoint() // feeds pair-gen (twice) + both size lookups
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+            "doc_b")
+          .filter(col("n_inter") * 2 >=
+            col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
+        val cand = TextOps.lshCandidates(d, ShingleN, K, RowsPerBand)
+          .withColumn("found", lit(1L))
+        truth.join(cand, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            (col("n_inter").cast("double") /
+              (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+              .as("jaccard"),
+            coalesce(col("found"), lit(0L)).as("found"))
+      },
+      Some(s"""
+        WITH sh AS (SELECT DISTINCT doc_id, shingle
+                    FROM (${DocSql.shinglesSql(ShingleN)})),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        truth AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON b.shingle = a.shingle
+                            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        tj AS (
+          SELECT t.doc_a, t.doc_b, t.n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+          FROM truth t
+          JOIN sz sa ON sa.doc_id = t.doc_a
+          JOIN sz sb ON sb.doc_id = t.doc_b
+          WHERE t.n_inter * 2 >= sa.sz + sb.sz - t.n_inter),
+        bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        SELECT t.doc_a, t.doc_b, t.n_inter,
+               CAST(t.n_inter AS DOUBLE) /
+                 CAST(t.sz_a + t.sz_b - t.n_inter AS DOUBLE) AS jaccard,
+               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS found
+        FROM tj t LEFT JOIN cand c ON c.doc_a = t.doc_a
+                                  AND c.doc_b = t.doc_b""")),
+
     // ---- near-dup cluster assignment ---------------------------------------
     // LSH pairs → dedup groups via bounded min-label propagation
     // (ops.Components): cluster_id = smallest doc id reachable in ≤4
