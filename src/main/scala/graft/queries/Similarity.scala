@@ -91,6 +91,62 @@ object Similarity {
         SELECT vec_id, $bitExprs AS signature FROM qn"""
       }),
 
+    // ---- sign-LSH-bucketed approximate top-k -------------------------------
+    // The second ANN bucketing scheme (next to IVF): candidates = vectors
+    // sharing the probe's full 8-bit hyperplane signature, reranked by
+    // exact cosine inside the bucket. One signature pass over the corpus
+    // (narrow — 8 codegen'd fixedpoint_dot projections), one equi-join
+    // keyed on the signature; cost tracks bucket size (n/2^planes on
+    // average), and recall/latency trades directly on `planes` — the
+    // multi-probe/fewer-planes knobs are this same plan with a looser
+    // bucket key. Probes with a lonely signature return no rows (the
+    // honest LSH failure mode IVF doesn't have; production multi-probes
+    // neighboring signatures).
+    Q("sim_knn_lshbucket",
+      (s, dir) => {
+        val sigs = VectorOps.lshSignatureFull(
+          Tables.sharded(s, dir, "embeddings"), LshPlanes, Dims)
+          .localCheckpoint() // one signature pass feeds probes AND corpus
+        val d = VectorOps.dotFn(sigs)
+        val probes = sigs.filter(col("vec_id") < ProbeLimit)
+          .select(col("signature"), col("vec_id").as("probe_id"),
+            col("q").as("pq"), col("n2").as("pn2"))
+        val scored = sigs.join(probes, Seq("signature"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", VectorOps.cosine(
+            d(col("pq"), col("q")), col("pn2"), col("n2")))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("cosine"), col("rank"))
+      },
+      Some {
+        val bitExprs = {
+          val signs = VectorOps.hyperplaneSigns(LshPlanes, Dims)
+          (0 until LshPlanes).map { j =>
+            val lst = signs(j).mkString("[", ", ", "]")
+            s"""CASE WHEN list_sum([qv[i] * ($lst)[i]
+                   for i in generate_series(1, $Dims)]) >= 0
+                THEN '1' ELSE '0' END"""
+          }.mkString(" || ")
+        }
+        s"""
+        WITH qn AS ($qnSql),
+        sig AS (SELECT vec_id, $bitExprs AS signature, qv, n2 FROM qn),
+        probes AS (SELECT vec_id AS probe_id, signature, qv, n2 FROM sig
+                   WHERE vec_id < $ProbeLimit),
+        scored AS (
+          SELECT p.probe_id, c.vec_id, ${cosSql("p", "c")} AS cosine
+          FROM probes p JOIN sig c ON c.signature = p.signature
+                                  AND c.vec_id <> p.probe_id)
+        SELECT probe_id, vec_id AS neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= 5"""
+      }),
+
     // ---- brute-force cosine top-k ------------------------------------------
     // The exact baseline: a small broadcast probe set against the full
     // corpus — one corpus scan, no corpus shuffle; per-probe top-k via

@@ -136,7 +136,16 @@ object VectorOps {
     * [[dot]] against a literal sign vector — codegen'd when the native
     * fixedpoint_dot is registered.
     */
-  def lshSignature(corpus: DataFrame, planes: Int, dims: Int): DataFrame = {
+  def lshSignature(corpus: DataFrame, planes: Int, dims: Int): DataFrame =
+    lshSignatureFull(corpus, planes, dims)
+      .select(col("vec_id"), col("signature"))
+
+  /** [[lshSignature]] keeping the quantized vector and norm — the working
+    * form for signature-bucketed k-NN (join on the signature, cosine
+    * rerank inside the bucket).
+    */
+  def lshSignatureFull(corpus: DataFrame, planes: Int,
+      dims: Int): DataFrame = {
     val d = dotFn(corpus)
     val signs = hyperplaneSigns(planes, dims)
     val q = quantized(corpus)
@@ -144,7 +153,8 @@ object VectorOps {
       when(d(col("q"), array(signs(j).map(lit).toSeq: _*)) >= 0, "1")
         .otherwise("0")
     }
-    q.select(col("vec_id"), concat(bits: _*).as("signature"))
+    q.select(col("vec_id"), concat(bits: _*).as("signature"), col("q"),
+      col("n2"))
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
