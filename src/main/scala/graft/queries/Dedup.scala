@@ -235,15 +235,22 @@ object Dedup {
     // Ground truth = every pair with exact Jaccard ≥ 0.5, found via the
     // inverted index (pairs meeting through a shared shingle — exact for
     // any Jaccard > 0, and bounded by shingle frequency, so no all-pairs
-    // scan and no Cartesian node; a stop-shingle frequency cap bounds
-    // the worst key at web scale). Report per true pair whether LSH
-    // surfaced it — the measured recall that justifies the band/row
-    // config (4 bands × 3 rows ⇒ ~0.63 Jaccard collision threshold).
+    // scan and no Cartesian node; the self-join cost is f² per shingle
+    // of document-frequency f, so at web scale you would ADDITIONALLY
+    // drop boilerplate shingles above a frequency cap before this join —
+    // acceptable because pairs meeting ONLY through boilerplate are far
+    // below the 0.5 threshold anyway; not needed at fixture scale).
+    // Report per true pair whether LSH surfaced it — the measured recall
+    // that justifies the band/row config (4 bands × 3 rows ⇒ ~0.63
+    // Jaccard collision threshold).
     Q("dd_lsh_recall",
       (s, dir) => {
         val d = docs(s, dir)
+        // ONE tokenize+shingle pass feeds truth pair-gen, both size
+        // lookups, AND the MinHash signatures (minima are identical
+        // over distinct shingles)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
-          .localCheckpoint() // feeds pair-gen (twice) + both size lookups
+          .localCheckpoint()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
@@ -257,7 +264,8 @@ object Dedup {
             "doc_b")
           .filter(col("n_inter") * 2 >=
             col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
-        val cand = TextOps.lshCandidates(d, ShingleN, K, RowsPerBand)
+        val cand = TextOps.lshCandidatesFromSigs(
+            TextOps.minhashFromShingles(sh, K), K, RowsPerBand)
           .withColumn("found", lit(1L))
         truth.join(cand, Seq("doc_a", "doc_b"), "left")
           .select(col("doc_a"), col("doc_b"), col("n_inter"),
@@ -289,7 +297,8 @@ object Dedup {
         SELECT t.doc_a, t.doc_b, t.n_inter,
                CAST(t.n_inter AS DOUBLE) /
                  CAST(t.sz_a + t.sz_b - t.n_inter AS DOUBLE) AS jaccard,
-               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS found
+               CAST(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS found
         FROM tj t LEFT JOIN cand c ON c.doc_a = t.doc_a
                                   AND c.doc_b = t.doc_b""")),
 

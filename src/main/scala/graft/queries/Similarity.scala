@@ -68,6 +68,19 @@ object Similarity {
   private val LshPlanes = 8
   private val Dims = 64 // fixture embedding dimensionality
 
+  /** DuckDB mirror of VectorOps.lshSignature's bit string (shared by
+    * sim_lsh_sig and sim_knn_lshbucket so the two oracles cannot drift).
+    */
+  private def sigBitsSql: String = {
+    val signs = VectorOps.hyperplaneSigns(LshPlanes, Dims)
+    (0 until LshPlanes).map { j =>
+      val lst = signs(j).mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum([qv[i] * ($lst)[i]
+             for i in generate_series(1, $Dims)]) >= 0
+          THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- random-hyperplane (sign) LSH signatures ---------------------------
@@ -78,18 +91,9 @@ object Similarity {
     Q("sim_lsh_sig",
       (s, dir) => VectorOps.lshSignature(
         Tables.sharded(s, dir, "embeddings"), LshPlanes, Dims),
-      Some {
-        val signs = VectorOps.hyperplaneSigns(LshPlanes, Dims)
-        val bitExprs = (0 until LshPlanes).map { j =>
-          val lst = signs(j).mkString("[", ", ", "]")
-          s"""CASE WHEN list_sum([qv[i] * ($lst)[i]
-                 for i in generate_series(1, $Dims)]) >= 0
-              THEN '1' ELSE '0' END"""
-        }.mkString(" || ")
-        s"""
+      Some(s"""
         WITH qn AS ($qnSql)
-        SELECT vec_id, $bitExprs AS signature FROM qn"""
-      }),
+        SELECT vec_id, $sigBitsSql AS signature FROM qn""")),
 
     // ---- sign-LSH-bucketed approximate top-k -------------------------------
     // The second ANN bucketing scheme (next to IVF): candidates = vectors
@@ -103,38 +107,12 @@ object Similarity {
     // honest LSH failure mode IVF doesn't have; production multi-probes
     // neighboring signatures).
     Q("sim_knn_lshbucket",
-      (s, dir) => {
-        val sigs = VectorOps.lshSignatureFull(
-          Tables.sharded(s, dir, "embeddings"), LshPlanes, Dims)
-          .localCheckpoint() // one signature pass feeds probes AND corpus
-        val d = VectorOps.dotFn(sigs)
-        val probes = sigs.filter(col("vec_id") < ProbeLimit)
-          .select(col("signature"), col("vec_id").as("probe_id"),
-            col("q").as("pq"), col("n2").as("pn2"))
-        val scored = sigs.join(probes, Seq("signature"))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("cosine", VectorOps.cosine(
-            d(col("pq"), col("q")), col("pn2"), col("n2")))
-        val w = Window.partitionBy(col("probe_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            col("cosine"), col("rank"))
-      },
-      Some {
-        val bitExprs = {
-          val signs = VectorOps.hyperplaneSigns(LshPlanes, Dims)
-          (0 until LshPlanes).map { j =>
-            val lst = signs(j).mkString("[", ", ", "]")
-            s"""CASE WHEN list_sum([qv[i] * ($lst)[i]
-                   for i in generate_series(1, $Dims)]) >= 0
-                THEN '1' ELSE '0' END"""
-          }.mkString(" || ")
-        }
-        s"""
+      (s, dir) => VectorOps.knnLshBucket(
+        Tables.sharded(s, dir, "embeddings"),
+        col("vec_id") < ProbeLimit, LshPlanes, Dims, k = 5),
+      Some(s"""
         WITH qn AS ($qnSql),
-        sig AS (SELECT vec_id, $bitExprs AS signature, qv, n2 FROM qn),
+        sig AS (SELECT vec_id, $sigBitsSql AS signature, qv, n2 FROM qn),
         probes AS (SELECT vec_id AS probe_id, signature, qv, n2 FROM sig
                    WHERE vec_id < $ProbeLimit),
         scored AS (
@@ -144,8 +122,7 @@ object Similarity {
         SELECT probe_id, vec_id AS neighbor_id, cosine, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id
                       ORDER BY cosine DESC, vec_id ASC) AS rank
-          FROM scored) WHERE rank <= 5"""
-      }),
+          FROM scored) WHERE rank <= 5""")),
 
     // ---- brute-force cosine top-k ------------------------------------------
     // The exact baseline: a small broadcast probe set against the full

@@ -140,6 +140,28 @@ object VectorOps {
     lshSignatureFull(corpus, planes, dims)
       .select(col("vec_id"), col("signature"))
 
+  /** Top-k per probe within the probe's full-signature LSH bucket — the
+    * second ANN bucketing scheme next to [[knnIvf]]: candidates share all
+    * `planes` sign bits, reranked by exact cosine. Cost tracks bucket
+    * size (n/2^planes on average); probes with a lonely signature return
+    * no rows (the honest LSH failure mode IVF doesn't have — production
+    * multi-probes neighboring signatures).
+    */
+  def knnLshBucket(corpus: DataFrame, probeFilter: Column, planes: Int,
+      dims: Int, k: Int): DataFrame = {
+    val d = dotFn(corpus)
+    // one signature pass feeds probes AND corpus sides of the join
+    val sigs = lshSignatureFull(corpus, planes, dims).localCheckpoint()
+    val probes = sigs.filter(probeFilter)
+      .select(col("signature"), col("vec_id").as("probe_id"),
+        col("q").as("pq"), col("n2").as("pn2"))
+    val scored = sigs.join(probes, Seq("signature"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(d(col("pq"), col("q")), col("pn2"),
+        col("n2")))
+    topK(scored, k)
+  }
+
   /** [[lshSignature]] keeping the quantized vector and norm — the working
     * form for signature-bucketed k-NN (join on the signature, cosine
     * rerank inside the bucket).

@@ -84,9 +84,18 @@ object TextOps {
     * [[explodedShingles]] — don't re-evaluate a crypto hash per
     * consumer).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    minhashFromShingles(explodedShingles(docs, n), k)
+
+  /** [[minhashSignatures]] from an existing exploded (doc_id, shingle)
+    * table — callers that already materialized the shingle table (e.g.
+    * for an inverted-index pass) reuse it instead of paying a second
+    * full-corpus tokenize+shingle pass; MinHash minima are identical
+    * over duplicated or distinct shingle rows.
+    */
+  def minhashFromShingles(shingled: DataFrame, k: Int): DataFrame = {
     val salts = (k + 5) / 6
-    val bound = explodedShingles(docs, n).select(
+    val bound = shingled.select(
       col("doc_id") +: (0 until salts).map(s =>
         md5(concat(lit(s"$s|"), col("shingle")).cast("binary")).as(s"h$s")): _*)
     bound.groupBy(col("doc_id"))

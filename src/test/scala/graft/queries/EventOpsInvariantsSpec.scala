@@ -19,9 +19,15 @@ class EventOpsInvariantsSpec extends SparkSpec {
     val scd = run("ev_scd2").cache()
     val events = Tables.events(spark, sfDir)
 
+    // no user may be dropped (the checks below join through scd, so a
+    // missing user would otherwise pass vacuously)
+    assert(scd.select(col("user_id")).distinct().count() ===
+      events.select(col("user_id")).distinct().count())
+
     // one open (is_current) interval per user, and it is the last run
     val open = scd.filter(col("is_current"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(open.count() === scd.select(col("user_id")).distinct().count())
     assert(open.filter(col("n") =!= 1).count() === 0)
 
     // per user: n_events sums to the user's event count

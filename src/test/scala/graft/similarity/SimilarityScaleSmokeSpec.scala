@@ -19,13 +19,16 @@ class SimilarityScaleSmokeSpec extends SparkSpec {
   private val dims = 16
   private val centroidModulo = 500 // -> 100 centroids
 
-  // component (i, d) = md5-derived int in [-100, 100] / 100; every 1000th
-  // vector duplicates vector 1 exactly (planted semantic dups)
+  // component (i, d) = md5-derived int in [-100, 100] / 100; vectors with
+  // id ≡ 1 (mod 1000) all duplicate vector 1 exactly (planted semantic
+  // dups). The residue 1 is deliberate: residue 0 would collide with the
+  // centroid ids (id ≡ 0 mod 500), making half the centroids identical
+  // copies and breaking the uniform-bucket premise this smoke asserts.
   private def embeddings = spark.range(nVecs).select(
     col("id").as("vec_id"),
     transform(sequence(lit(0), lit(dims - 1)), d =>
       ((conv(substring(md5(concat(
-        when(col("id") % 1000 === 0, lit(1)).otherwise(col("id"))
+        when(col("id") % 1000 === 1, lit(1)).otherwise(col("id"))
           .cast("string"),
         lit("|"), d.cast("string")).cast("binary")), 1, 4), 16, 10)
         .cast("long") % 201 - 100).cast("float") / 100.0f))
@@ -40,7 +43,7 @@ class SimilarityScaleSmokeSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head.getLong(0)
     // uniform corpus over 100 centroids: mean 500/bucket; 5x mean bounds
-    // the skew (the planted 51-clique lands in one bucket)
+    // the skew (the planted 50-clique lands in one bucket)
     assert(maxBucket <= 2500, s"bucket blowup: $maxBucket")
     assigned.unpersist()
   }
@@ -57,8 +60,8 @@ class SimilarityScaleSmokeSpec extends SparkSpec {
       .filter(col("va") < col("vb"))
       .filter(VectorOps.cosine(d(col("qa"), col("qb")),
         col("na"), col("nb")) >= 0.999)
-    // vectors {0, 1000, 2000, ...} ∪ {1} are identical: C(51, 2) pairs
-    val clique = nVecs / 1000 + 1
+    // vectors {1, 1001, 2001, ...} are identical: C(50, 2) pairs
+    val clique = nVecs / 1000
     val expected = clique.toLong * (clique - 1) / 2
     val got = pairs.count()
     assert(got >= expected, s"missed planted dups: $got < $expected")

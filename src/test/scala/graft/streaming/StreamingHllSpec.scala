@@ -53,11 +53,18 @@ class StreamingHllSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
 
     assert(wantRegs.nonEmpty)
-    // append mode emits only watermark-closed windows; every emitted
-    // window's register set must match batch exactly, and most close
-    assert(gotRegs.nonEmpty && gotRegs.size >= wantRegs.size - 1)
+    // append mode emits only watermark-closed windows: every emitted
+    // window's register set must match batch exactly, and the ONLY
+    // windows allowed to be missing are those whose end is past the
+    // final watermark (max event time − 10 s) — however many that is
+    assert(gotRegs.nonEmpty)
     gotRegs.foreach { case (ws, regs) =>
       assert(regs === wantRegs(ws), s"window $ws")
+    }
+    val maxMs = events.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    (wantRegs.keySet -- gotRegs.keySet).foreach { ws =>
+      assert((ws + 3600L) * 1000L > maxMs - 10000L,
+        s"closed window $ws was never emitted")
     }
 
     // the model-sized estimate fold (the foreachBatch half) is
