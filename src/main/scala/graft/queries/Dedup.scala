@@ -805,6 +805,50 @@ object Dedup {
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sv_a, sv_b)) AS BIGINT) AS hamming
         FROM pairs WHERE bit_count(xor(sv_a, sv_b)) <= 3"""
-      })
+      }),
+
+    // ---- snapshot delta (incremental dataset versioning) --------------------
+    // Every recurring training-data refresh starts with "what changed
+    // since the last snapshot?" — the added/removed/changed/unchanged
+    // ledger that decides how much downstream work (re-dedup, re-embed,
+    // re-shard) actually reruns. Snapshots are simulated deterministically
+    // from the fixture (old = doc_id%10<8, new = doc_id%10>=2, every 7th
+    // doc's text revised in the new snapshot) and diffed by CONTENT HASH:
+    // each side is projected to (doc_id, md5) before the join, so the
+    // full-outer join — one co-partitioned key exchange — shuffles 32-char
+    // digests, never document text. At 100 TB the hash projections read
+    // only (doc_id, text) per side and the ledger aggregate is 4 rows.
+    Q("dd_delta",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val old = d.filter(col("doc_id") % 10 < 8)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+        val neu = d.filter(col("doc_id") % 10 >= 2)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).cast("binary")).as("h_new"))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .select(when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH old AS (
+          SELECT doc_id, md5(text) AS h_old FROM documents
+          WHERE doc_id % 10 < 8),
+        neu AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END) AS h_new
+          FROM documents WHERE doc_id % 10 >= 2),
+        j AS (
+          SELECT CASE WHEN o.h_old IS NULL THEN 'added'
+                      WHEN n.h_new IS NULL THEN 'removed'
+                      WHEN o.h_old <> n.h_new THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old o FULL OUTER JOIN neu n ON n.doc_id = o.doc_id)
+        SELECT status, count(*) AS n FROM j GROUP BY status"""))
   )
 }

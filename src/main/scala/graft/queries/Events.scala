@@ -654,6 +654,37 @@ object Events {
                coalesce(u.last_value_cents, t.bal_cents)
                  AS new_balance_cents,
                u.last_ems
-        FROM tgt t FULL OUTER JOIN upd u ON u.key = t.key"""))
+        FROM tgt t FULL OUTER JOIN upd u ON u.key = t.key""")),
+
+    // ---- per-window trending top-k ------------------------------------------
+    // The "what's trending right now" query: top-3 event types per 15s
+    // tumbling window by count. Two-exchange shape and both are small: a
+    // map-side-combinable (window, type) count, then a rank window
+    // PARTITIONed by the time window — at 100 TB the ranked input is
+    // |windows|×|types| aggregate rows, not events, and WindowGroupLimit
+    // pushes the rank<=3 cut map-side before that second exchange.
+    Q("ev_window_topk",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val counts = e.groupBy(window(col("ts"), "15 seconds").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("w.start")).as("window_start"),
+            col("event_type"), col("n"))
+        val w = Window.partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        counts.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(floor(epoch_ms(ts) / 15000) * 15000 AS BIGINT)
+                   AS window_start,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT window_start, event_type, n, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY window_start
+                      ORDER BY n DESC, event_type ASC) AS rank
+          FROM c) WHERE rank <= 3"""))
   )
 }

@@ -517,6 +517,202 @@ object Similarity {
         SELECT probe_id, vec_id AS neighbor_id, adc_dist, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id
                       ORDER BY adc_dist, vec_id) AS rank
-          FROM adc) WHERE rank <= 5"""))
+          FROM adc) WHERE rank <= 5""")),
+
+    // ---- IVF-PQ: coarse quantizer + in-list ADC rerank ----------------------
+    // The production billion-scale serving combo (FAISS IVFPQ): the IVF
+    // coarse quantizer restricts each probe's search to its own inverted
+    // list (sim_knn_ivf's bucketing) and PQ asymmetric-distance lookups
+    // rank those candidates without touching their floats (sim_pq's
+    // compression) — per-candidate memory is 8 one-byte codes AND
+    // per-probe work is bucket-sized, not corpus-sized, which is why this
+    // exact composition serves billion-vector indexes. Both parents'
+    // deterministic seeding is reused unchanged, so the composed plan
+    // stays under the oracle gate. Plan shape: one assignment pass
+    // (broadcast centroids — the audited bounded BNLJ), checkpointed and
+    // shared by the codebook/probe collects and the candidate scan; one
+    // narrow encode projection (argmin over literal codebook
+    // subvectors); candidates materialize via a probe-struct explode
+    // filtered to `probe.centroid == candidate.centroid` (probes are
+    // literal-sized — a serving path does exactly this per-candidate
+    // table lookup); the only exchanges are the assignment window and
+    // the final per-probe top-k.
+    Q("sim_ivfpq",
+      (s, dir) => {
+        val subDim = 8; val kCodes = 16; val probeN = 4
+        val nSub = Dims / subDim
+        val emb = Tables.sharded(s, dir, "embeddings")
+        val assigned = VectorOps.assignIvf(emb, CentroidModulo)
+          .localCheckpoint() // 3 consumers: codebook, probes, candidates
+        val cb = assigned.select(col("vec_id"), col("q"))
+          .orderBy(md5(concat(lit("pq|"), col("vec_id").cast("string"))
+            .cast("binary")).asc, col("vec_id").asc)
+          .limit(kCodes).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        val probes = assigned.filter(col("vec_id") < probeN)
+          .select(col("vec_id"), col("centroid_id"), col("q")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+        def subv(v: Array[Long], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
+        def sqd(a: Array[Long], b: Array[Long]): Long =
+          a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+        // per-probe ADC tables (probe-side work is client-side in serving)
+        val dt: Map[Long, Array[Map[Long, Long]]] = probes.map {
+          case (pid, _, pv) => pid -> Array.tabulate(nSub)(m =>
+            cb.map { case (cid, c) => cid -> sqd(subv(pv, m), subv(c, m)) }
+              .toMap)
+        }.toMap
+        def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
+        val subCol = (m: Int) => slice(col("q"), m * subDim + 1, subDim)
+        val coded = assigned.select(col("vec_id") +: col("centroid_id") +:
+          (0 until nSub).map { m =>
+            array_min(array(cb.map { case (cid, c) =>
+              struct(
+                aggregate(zip_with(subCol(m), litVec(subv(c, m)),
+                  (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+                  .as("dist"),
+                lit(cid).as("cid"))
+            }.toSeq: _*)).getField("cid").as(s"code$m")
+          }: _*)
+        val adc = coded.select(col("vec_id"), col("centroid_id"),
+          explode(array(probes.map { case (pid, pcent, _) =>
+            struct(lit(pid).as("probe_id"), lit(pcent).as("pcent"),
+              (0 until nSub).map(m =>
+                element_at(typedLit(dt(pid)(m)), col(s"code$m")))
+                .reduce(_ + _).as("adc_dist"))
+          }.toSeq: _*)).as("pa"))
+          .filter(col("pa.pcent") === col("centroid_id") &&
+            col("vec_id") =!= col("pa.probe_id"))
+          .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
+            col("pa.adc_dist").as("adc_dist"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("adc_dist"), col("rank"))
+      },
+      Some(s"""
+        WITH $assignSql,
+        ex AS (
+          SELECT vec_id, g.i AS d, qv[g.i] AS q, (g.i - 1) // 8 AS m
+          FROM qn CROSS JOIN generate_series(1, $Dims) AS g(i)),
+        seeds AS (
+          SELECT vec_id FROM qn
+          ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cb AS (
+          SELECT e.vec_id AS code, e.m, e.d, e.q AS qc
+          FROM ex e JOIN seeds s ON s.vec_id = e.vec_id),
+        dists AS (
+          SELECT e.vec_id, e.m, c.code,
+                 CAST(sum((e.q - c.qc) * (e.q - c.qc)) AS BIGINT) AS dist
+          FROM ex e JOIN cb c ON c.m = e.m AND c.d = e.d GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS probe_id, centroid_id FROM asg
+          WHERE vec_id < 4),
+        dt AS (
+          SELECT vec_id AS probe_id, m, code, dist FROM dists
+          WHERE vec_id < 4),
+        adc AS (
+          SELECT p.probe_id, a.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc_dist
+          FROM probes p
+          JOIN asg a ON a.centroid_id = p.centroid_id
+                    AND a.vec_id <> p.probe_id
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN dt t ON t.probe_id = p.probe_id AND t.m = c.m
+                   AND t.code = c.code
+          GROUP BY 1, 2)
+        SELECT probe_id, vec_id AS neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY adc_dist, vec_id) AS rank
+          FROM adc) WHERE rank <= 5""")),
+
+    // ---- filtered vector search (metadata-predicated ANN) -------------------
+    // The modern vector-store table stake: top-k under a metadata
+    // predicate (same tenant / language / category). PRE-filtered
+    // semantics — the label equality is applied with the bucket join,
+    // before any rerank, so k survivors are guaranteed to satisfy the
+    // predicate (post-filtering would silently return < k). Plan shape:
+    // labels join the IVF assignment on vec_id (co-partitioned equi-join;
+    // at scale the label rides the same row as the vector and this join
+    // disappears), then sim_knn_ivf's bucket-keyed search with the
+    // predicate as an extra join conjunct — selectivity cuts rerank work
+    // proportionally.
+    Q("sim_filtered_knn",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings")
+        val d = VectorOps.dotFn(emb)
+        val labels = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val assigned = VectorOps.assignIvf(emb, CentroidModulo)
+          .join(labels, "vec_id")
+        val probes = assigned.filter(col("vec_id") < ProbeLimit)
+          .select(col("vec_id").as("probe_id"), col("centroid_id"),
+            col("q").as("pq"), col("n2").as("pn2"),
+            col("label").as("plabel"))
+        val scored = assigned.join(probes, Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("probe_id") &&
+            col("label") === col("plabel"))
+          .withColumn("cosine", VectorOps.cosine(d(col("pq"), col("q")),
+            col("pn2"), col("n2")))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("label"), col("cosine"), col("rank"))
+      },
+      Some(s"""
+        WITH $assignSql,
+        al AS (
+          SELECT a.vec_id, a.centroid_id, a.qv, a.n2, e.label
+          FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+        probes AS (
+          SELECT vec_id AS probe_id, centroid_id, qv, n2, label FROM al
+          WHERE vec_id < $ProbeLimit),
+        scored AS (
+          SELECT p.probe_id, c.vec_id, c.label, ${cosSql("p", "c")} AS cosine
+          FROM probes p JOIN al c ON c.centroid_id = p.centroid_id
+                                 AND c.vec_id <> p.probe_id
+                                 AND c.label = p.label)
+        SELECT probe_id, vec_id AS neighbor_id, label, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= 5""")),
+
+    // ---- IVF index health: bucket load-balance report -----------------------
+    // The operational metric that decides when an ANN index needs
+    // re-training: per-bucket membership and its load factor vs the
+    // perfectly-balanced mean (1000 = balanced, ≫1000 = hot list that
+    // serializes every probe landing on it — the vector-search analog of
+    // partition skew). One combinable count per centroid; the
+    // normalizing window runs over |centroids| aggregate rows
+    // (model-sized — the txt_source_mix single-partition precedent), and
+    // the load factor is an exact integer per-mille.
+    Q("sim_ivf_stats",
+      (s, dir) => {
+        val assigned = VectorOps.assignIvf(
+          Tables.sharded(s, dir, "embeddings"), CentroidModulo)
+        val sizes = assigned.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("n_members"))
+        sizes
+          .withColumn("total", sum(col("n_members")).over(Window.partitionBy()))
+          .withColumn("n_buckets", count(lit(1)).over(Window.partitionBy()))
+          .select(col("centroid_id"), col("n_members"),
+            call_function("div",
+              col("n_members") * 1000 * col("n_buckets"), col("total"))
+              .as("load_milli"))
+      },
+      Some(s"""
+        WITH $assignSql,
+        sizes AS (
+          SELECT centroid_id, count(*) AS n_members FROM asg GROUP BY 1)
+        SELECT centroid_id, n_members,
+               CAST((n_members * 1000 * (SELECT count(*) FROM sizes))
+                 // (SELECT sum(n_members) FROM sizes) AS BIGINT)
+                 AS load_milli
+        FROM sizes"""))
   )
 }

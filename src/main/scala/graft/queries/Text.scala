@@ -881,6 +881,142 @@ object Text {
         SELECT bg.doc_id, count(*) AS n_ngrams,
                CAST(sum(lr.lr) AS BIGINT) AS importance
         FROM bg JOIN lr ON lr.b = bg.b
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- filter-cascade funnel (pipeline observability) ---------------------
+    // Production corpus cleaning is a CASCADE of filters, and the first
+    // question an operator asks of a run is "which stage eats my data?"
+    // Per-stage survivor counts, each stage the conjunction of all the
+    // previous ones (ordered drop accounting, the C4/Gopher reporting
+    // convention). All flags derive from one exploded aggregation's exact
+    // integer counts — integer-scaled thresholds, no float ratios — and
+    // the funnel itself is a single-row final aggregate, so the whole
+    // report costs one corpus pass regardless of stage count.
+    Q("txt_filter_funnel",
+      (s, dir) => {
+        val t = tokenRows(s, dir)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("token")).as("n_distinct"),
+            sum(length(col("token"))).as("sum_len"),
+            sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
+              .as("n_stop"))
+        val s1 = col("n_tokens") >= 20
+        val s2 = s1 && col("n_distinct") * 10 >= col("n_tokens") * 3
+        val s3 = s2 && col("n_stop") * 100 >= col("n_tokens") * 2
+        val s4 = s3 && col("sum_len") <= col("n_tokens") * 12
+        t.agg(count(lit(1)).as("n_input"),
+          sum(when(s1, 1L).otherwise(0L)).as("n_after_length"),
+          sum(when(s2, 1L).otherwise(0L)).as("n_after_distinct"),
+          sum(when(s3, 1L).otherwise(0L)).as("n_after_stopword"),
+          sum(when(s4, 1L).otherwise(0L)).as("n_after_tokenlen"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        t AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 count(DISTINCT token) AS n_distinct,
+                 sum(length(token)) AS sum_len,
+                 sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END)
+                   AS n_stop
+          FROM tok GROUP BY doc_id)
+        SELECT count(*) AS n_input,
+               CAST(sum(CASE WHEN n_tokens >= 20
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,
+               CAST(sum(CASE WHEN n_tokens >= 20
+                         AND n_distinct * 10 >= n_tokens * 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_after_distinct,
+               CAST(sum(CASE WHEN n_tokens >= 20
+                         AND n_distinct * 10 >= n_tokens * 3
+                         AND n_stop * 100 >= n_tokens * 2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_after_stopword,
+               CAST(sum(CASE WHEN n_tokens >= 20
+                         AND n_distinct * 10 >= n_tokens * 3
+                         AND n_stop * 100 >= n_tokens * 2
+                         AND sum_len <= n_tokens * 12
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_after_tokenlen
+        FROM t""")),
+
+    // ---- vocabulary coverage / OOV rate -------------------------------------
+    // Tokenizer-health metric: fix the vocabulary to the top-200 corpus
+    // tokens (deterministic count-then-token cut) and report each doc's
+    // out-of-vocabulary fraction — the signal that catches encoding junk,
+    // wrong-language shards, and tokenizer/corpus drift before training.
+    // Two-phase plan: a combinable token-frequency aggregate cut to a
+    // MODEL-sized vocab, broadcast back over a second exploded pass (the
+    // df-join-back shape txt_rare_ratio/txt_tfidf established); the OOV
+    // ratio ships as an exact integer per-mille.
+    Q("txt_oov_rate",
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("token").asc).limit(200)
+          .select(col("token"), lit(1L).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_milli", call_function("div",
+            col("n_oov") * 1000, col("n_tokens")))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS c FROM tok GROUP BY token
+            ORDER BY c DESC, token ASC LIMIT 200)),
+        agg AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov
+          FROM tok t LEFT JOIN vocab v ON v.token = t.token
+          GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens, n_oov,
+               CAST((n_oov * 1000) // n_tokens AS BIGINT) AS oov_milli
+        FROM agg""")),
+
+    // ---- sentence segmentation stats ----------------------------------------
+    // Sentence-level shape features (count, mean/max sentence length in
+    // tokens) — the structural half of quality filtering: wall-of-text
+    // and fragment-soup documents both read as outliers here. Regex
+    // sentence split + the engine-standard tokenizer, empty segments
+    // dropped on both engines; the mean ships as an exact integer
+    // per-mille. Narrow explode + one combinable per-doc aggregate.
+    Q("txt_sentences",
+      (s, dir) => {
+        val sent = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(col("text"), "[.!?]+")).as("sent"))
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("sent"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0)
+        sent.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sentences"),
+            sum(col("n_tok")).as("n_tokens"),
+            max(col("n_tok")).as("max_sent_tokens"))
+          .withColumn("mean_milli_tokens", call_function("div",
+            col("n_tokens") * 1000, col("n_sentences")))
+      },
+      Some("""
+        WITH seg AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(sent), '[a-z0-9]+'))
+                   AS BIGINT) AS n_tok
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
+                FROM documents)
+          WHERE len(regexp_extract_all(lower(sent), '[a-z0-9]+')) > 0),
+        agg AS (
+          SELECT doc_id, count(*) AS n_sentences,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(max(n_tok) AS BIGINT) AS max_sent_tokens
+          FROM seg GROUP BY doc_id)
+        SELECT doc_id, n_sentences, n_tokens, max_sent_tokens,
+               CAST((n_tokens * 1000) // n_sentences AS BIGINT)
+                 AS mean_milli_tokens
+        FROM agg"""))
   )
 }
