@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.similarity.VectorOps
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val ProbeLimit = 8 // probes = vec_id < 8
-  private val CentroidModulo = 25 // centroids = vec_id % 25 == 0
+  // centroids = vec_id % 25 == 0; package-visible so specs check against
+  // THIS constant instead of re-hardcoding it
+  private[graft] val CentroidModulo = 25
 
   /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
   private val qnSql = s"""
@@ -80,6 +82,120 @@ object Similarity {
           THEN '1' ELSE '0' END"""
     }.mkString(" || ")
   }
+
+  // ---- shared PQ machinery — sim_pq and sim_ivfpq compose ONE definition
+  // of the codebook seeding, subspace geometry, encode argmin, and ADC
+  // tables, so the composed query cannot drift from its parent.
+  private val PqSubDim = 8
+  private val PqCodes = 16
+  private val PqProbeN = 4
+  private val PqNSub = Dims / PqSubDim
+
+  private def pqSubv(v: Array[Long], m: Int): Array[Long] =
+    v.slice(m * PqSubDim, (m + 1) * PqSubDim)
+
+  private def pqSqd(a: Array[Long], b: Array[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Codebook: the PqCodes hash-chosen vectors of `src` (vec_id, q, …),
+    * collected as a model-sized literal — the sim_kmeans centroid
+    * discipline ("pq|" salt keeps the choice independent of other seeded
+    * ops). Swap in trained centroids without changing any plan.
+    */
+  private def pqCodebook(src: DataFrame): Array[(Long, Array[Long])] =
+    src.select(col("vec_id"), col("q"))
+      .orderBy(md5(concat(lit("pq|"), col("vec_id").cast("string"))
+        .cast("binary")).asc, col("vec_id").asc)
+      .limit(PqCodes).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  /** dt(probe)(m): code → exact integer distance of the probe's m-th
+    * subvector to that code's subvector (driver-side — probe-side work is
+    * client-side in a real ANN serving path too).
+    */
+  private def pqAdcTables(probes: Array[(Long, Array[Long])],
+      cb: Array[(Long, Array[Long])]): Map[Long, Array[Map[Long, Long]]] =
+    probes.map { case (pid, pv) =>
+      pid -> Array.tabulate(PqNSub)(m =>
+        cb.map { case (cid, c) =>
+          cid -> pqSqd(pqSubv(pv, m), pqSubv(c, m))
+        }.toMap)
+    }.toMap
+
+  /** Narrow encode: `keep` plus code0..code{M-1}, each the argmin over
+    * literal codebook subvectors via (dist, cid) struct minimum — no
+    * explode, no join.
+    */
+  private def pqEncoded(src: DataFrame, keep: Seq[Column],
+      cb: Array[(Long, Array[Long])]): DataFrame = {
+    def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
+    val subCol = (m: Int) => slice(col("q"), m * PqSubDim + 1, PqSubDim)
+    src.select(keep ++ (0 until PqNSub).map { m =>
+      array_min(array(cb.map { case (cid, c) =>
+        struct(
+          aggregate(zip_with(subCol(m), litVec(pqSubv(c, m)),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+            .as("dist"),
+          lit(cid).as("cid"))
+      }.toSeq: _*)).getField("cid").as(s"code$m")
+    }: _*)
+  }
+
+  /** Per-probe ADC lookup as a literal probe-struct explode: each struct
+    * carries probe_id, any `extras(pid)` fields, and adc_dist =
+    * Σ_m dt(pid)(m)(code_m) via literal map lookups — still narrow; rows
+    * fan out |probes|× only here at the very end.
+    */
+  private def pqAdcStructs(dt: Map[Long, Array[Map[Long, Long]]],
+      probeIds: Seq[Long], extras: Long => Seq[Column]): Column =
+    explode(array(probeIds.map { pid =>
+      struct(lit(pid).as("probe_id") +: extras(pid) :+
+        (0 until PqNSub).map(m =>
+          element_at(typedLit(dt(pid)(m)), col(s"code$m")))
+          .reduce(_ + _).as("adc_dist"): _*)
+    }: _*))
+
+  /** Per-probe ADC top-k (ascending distance, vec_id tie-break). */
+  private def pqTopK(adc: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
+  /** Oracle CTEs ex/seeds/cb/dists/codes/dt mirroring the PQ machinery —
+    * expects a `qn` CTE in scope; shared by sim_pq and sim_ivfpq so the
+    * two oracles cannot drift either.
+    */
+  private val pqCtesSql = s"""
+        ex AS (
+          SELECT vec_id, g.i AS d, qv[g.i] AS q, (g.i - 1) // $PqSubDim AS m
+          FROM qn CROSS JOIN generate_series(1, $Dims) AS g(i)),
+        seeds AS (
+          SELECT vec_id FROM qn
+          ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $PqCodes),
+        cb AS (
+          SELECT e.vec_id AS code, e.m, e.d, e.q AS qc
+          FROM ex e JOIN seeds s ON s.vec_id = e.vec_id),
+        dists AS (
+          SELECT e.vec_id, e.m, c.code,
+                 CAST(sum((e.q - c.qc) * (e.q - c.qc)) AS BIGINT) AS dist
+          FROM ex e JOIN cb c ON c.m = e.m AND c.d = e.d GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1),
+        dt AS (
+          SELECT vec_id AS probe_id, m, code, dist FROM dists
+          WHERE vec_id < $PqProbeN)"""
+
+  private val pqRankSql = """
+        SELECT probe_id, vec_id AS neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY adc_dist, vec_id) AS rank
+          FROM adc) WHERE rank <= 5"""
 
   val qs: Seq[Q] = Seq(
 
@@ -432,92 +548,29 @@ object Similarity {
     // the per-probe top-k window over |probes|·|corpus| scored rows.
     Q("sim_pq",
       (s, dir) => {
-        val subDim = 8; val kCodes = 16; val probeN = 4
-        val nSub = Dims / subDim
         val q = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
           .select(col("vec_id"), col("q"))
-        // codebook (k × dims longs) and probe vectors: MODEL- and
-        // probe-set-sized — collected and shipped back as literals, the
-        // same discipline as sim_kmeans' centroids; the ADC lookup
-        // tables are computed driver-side in exact integer arithmetic
-        // (probe-side work is client-side in a real ANN serving path too)
-        val cb = q.orderBy(md5(concat(lit("pq|"),
-            col("vec_id").cast("string")).cast("binary")).asc,
-            col("vec_id").asc)
-          .limit(kCodes).collect()
+        // codebook and ADC tables: model-/probe-set-sized literals via
+        // the shared PQ machinery (pqCodebook/pqAdcTables)
+        val cb = pqCodebook(q)
+        val probes = q.filter(col("vec_id") < PqProbeN).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        val probes = q.filter(col("vec_id") < probeN).collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        def subv(v: Array[Long], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
-        def sqd(a: Array[Long], b: Array[Long]): Long =
-          a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
-        // dt(probe)(m): code → exact distance of the probe's m-th subvector
-        val dt: Map[Long, Array[Map[Long, Long]]] = probes.map {
-          case (pid, pv) => pid -> Array.tabulate(nSub)(m =>
-            cb.map { case (cid, c) => cid -> sqd(subv(pv, m), subv(c, m)) }
-              .toMap)
-        }.toMap
-        // encode (narrow): per subspace, argmin over literal code
-        // subvectors via (dist, cid) struct minimum — no explode, no join
-        def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
-        val subCol = (m: Int) => slice(col("q"), m * subDim + 1, subDim)
-        val coded = q.select(col("vec_id") +: (0 until nSub).map { m =>
-          array_min(array(cb.map { case (cid, c) =>
-            struct(
-              aggregate(zip_with(subCol(m), litVec(subv(c, m)),
-                (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-                .as("dist"),
-              lit(cid).as("cid"))
-          }.toSeq: _*)).getField("cid").as(s"code$m")
-        }: _*)
-        // ADC (still narrow): per probe, Σ_m table[m][code_m] as literal
-        // map lookups; rows fan out |probes|× only at the very end
+        val dt = pqAdcTables(probes, cb)
+        val coded = pqEncoded(q, Seq(col("vec_id")), cb)
         val adc = coded.select(col("vec_id"),
-          explode(array(probes.map { case (pid, _) =>
-            struct(lit(pid).as("probe_id"),
-              (0 until nSub).map(m =>
-                element_at(typedLit(dt(pid)(m)), col(s"code$m")))
-                .reduce(_ + _).as("adc_dist"))
-          }.toSeq: _*)).as("pa"))
+            pqAdcStructs(dt, probes.map(_._1).toSeq, _ => Nil).as("pa"))
           .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
             col("pa.adc_dist").as("adc_dist"))
           .filter(col("vec_id") =!= col("probe_id"))
-        val w = Window.partitionBy(col("probe_id"))
-          .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            col("adc_dist"), col("rank"))
+        pqTopK(adc, 5)
       },
       Some(s"""
-        WITH qn AS ($qnSql),
-        ex AS (
-          SELECT vec_id, g.i AS d, qv[g.i] AS q, (g.i - 1) // 8 AS m
-          FROM qn CROSS JOIN generate_series(1, $Dims) AS g(i)),
-        seeds AS (
-          SELECT vec_id FROM qn
-          ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        cb AS (
-          SELECT e.vec_id AS code, e.m, e.d, e.q AS qc
-          FROM ex e JOIN seeds s ON s.vec_id = e.vec_id),
-        dists AS (
-          SELECT e.vec_id, e.m, c.code,
-                 CAST(sum((e.q - c.qc) * (e.q - c.qc)) AS BIGINT) AS dist
-          FROM ex e JOIN cb c ON c.m = e.m AND c.d = e.d GROUP BY 1, 2, 3),
-        codes AS (
-          SELECT vec_id, m, code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                        ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1),
-        dt AS (
-          SELECT vec_id AS probe_id, m, code, dist FROM dists
-          WHERE vec_id < 4),
+        WITH qn AS ($qnSql),$pqCtesSql,
         adc AS (
           SELECT t.probe_id, c.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc_dist
           FROM codes c JOIN dt t ON t.m = c.m AND t.code = c.code
           WHERE c.vec_id <> t.probe_id GROUP BY 1, 2)
-        SELECT probe_id, vec_id AS neighbor_id, adc_dist, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY probe_id
-                      ORDER BY adc_dist, vec_id) AS rank
-          FROM adc) WHERE rank <= 5""")),
+        $pqRankSql""")),
 
     // ---- IVF-PQ: coarse quantizer + in-list ADC rerank ----------------------
     // The production billion-scale serving combo (FAISS IVFPQ): the IVF
@@ -539,82 +592,31 @@ object Similarity {
     // the final per-probe top-k.
     Q("sim_ivfpq",
       (s, dir) => {
-        val subDim = 8; val kCodes = 16; val probeN = 4
-        val nSub = Dims / subDim
         val emb = Tables.sharded(s, dir, "embeddings")
         val assigned = VectorOps.assignIvf(emb, CentroidModulo)
           .localCheckpoint() // 3 consumers: codebook, probes, candidates
-        val cb = assigned.select(col("vec_id"), col("q"))
-          .orderBy(md5(concat(lit("pq|"), col("vec_id").cast("string"))
-            .cast("binary")).asc, col("vec_id").asc)
-          .limit(kCodes).collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        val probes = assigned.filter(col("vec_id") < probeN)
+        val cb = pqCodebook(assigned)
+        val probes = assigned.filter(col("vec_id") < PqProbeN)
           .select(col("vec_id"), col("centroid_id"), col("q")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
-        def subv(v: Array[Long], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
-        def sqd(a: Array[Long], b: Array[Long]): Long =
-          a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
-        // per-probe ADC tables (probe-side work is client-side in serving)
-        val dt: Map[Long, Array[Map[Long, Long]]] = probes.map {
-          case (pid, _, pv) => pid -> Array.tabulate(nSub)(m =>
-            cb.map { case (cid, c) => cid -> sqd(subv(pv, m), subv(c, m)) }
-              .toMap)
-        }.toMap
-        def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
-        val subCol = (m: Int) => slice(col("q"), m * subDim + 1, subDim)
-        val coded = assigned.select(col("vec_id") +: col("centroid_id") +:
-          (0 until nSub).map { m =>
-            array_min(array(cb.map { case (cid, c) =>
-              struct(
-                aggregate(zip_with(subCol(m), litVec(subv(c, m)),
-                  (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-                  .as("dist"),
-                lit(cid).as("cid"))
-            }.toSeq: _*)).getField("cid").as(s"code$m")
-          }: _*)
+        val dt = pqAdcTables(probes.map(p => (p._1, p._3)), cb)
+        val probeCent = probes.map(p => p._1 -> p._2).toMap
+        val coded = pqEncoded(assigned,
+          Seq(col("vec_id"), col("centroid_id")), cb)
         val adc = coded.select(col("vec_id"), col("centroid_id"),
-          explode(array(probes.map { case (pid, pcent, _) =>
-            struct(lit(pid).as("probe_id"), lit(pcent).as("pcent"),
-              (0 until nSub).map(m =>
-                element_at(typedLit(dt(pid)(m)), col(s"code$m")))
-                .reduce(_ + _).as("adc_dist"))
-          }.toSeq: _*)).as("pa"))
+            pqAdcStructs(dt, probes.map(_._1).toSeq,
+              pid => Seq(lit(probeCent(pid)).as("pcent"))).as("pa"))
           .filter(col("pa.pcent") === col("centroid_id") &&
             col("vec_id") =!= col("pa.probe_id"))
           .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
             col("pa.adc_dist").as("adc_dist"))
-        val w = Window.partitionBy(col("probe_id"))
-          .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            col("adc_dist"), col("rank"))
+        pqTopK(adc, 5)
       },
       Some(s"""
-        WITH $assignSql,
-        ex AS (
-          SELECT vec_id, g.i AS d, qv[g.i] AS q, (g.i - 1) // 8 AS m
-          FROM qn CROSS JOIN generate_series(1, $Dims) AS g(i)),
-        seeds AS (
-          SELECT vec_id FROM qn
-          ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        cb AS (
-          SELECT e.vec_id AS code, e.m, e.d, e.q AS qc
-          FROM ex e JOIN seeds s ON s.vec_id = e.vec_id),
-        dists AS (
-          SELECT e.vec_id, e.m, c.code,
-                 CAST(sum((e.q - c.qc) * (e.q - c.qc)) AS BIGINT) AS dist
-          FROM ex e JOIN cb c ON c.m = e.m AND c.d = e.d GROUP BY 1, 2, 3),
-        codes AS (
-          SELECT vec_id, m, code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                        ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1),
+        WITH $assignSql,$pqCtesSql,
         probes AS (
           SELECT vec_id AS probe_id, centroid_id FROM asg
-          WHERE vec_id < 4),
-        dt AS (
-          SELECT vec_id AS probe_id, m, code, dist FROM dists
-          WHERE vec_id < 4),
+          WHERE vec_id < $PqProbeN),
         adc AS (
           SELECT p.probe_id, a.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc_dist
           FROM probes p
@@ -624,10 +626,7 @@ object Similarity {
           JOIN dt t ON t.probe_id = p.probe_id AND t.m = c.m
                    AND t.code = c.code
           GROUP BY 1, 2)
-        SELECT probe_id, vec_id AS neighbor_id, adc_dist, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY probe_id
-                      ORDER BY adc_dist, vec_id) AS rank
-          FROM adc) WHERE rank <= 5""")),
+        $pqRankSql""")),
 
     // ---- filtered vector search (metadata-predicated ANN) -------------------
     // The modern vector-store table stake: top-k under a metadata
@@ -641,29 +640,12 @@ object Similarity {
     // predicate as an extra join conjunct — selectivity cuts rerank work
     // proportionally.
     Q("sim_filtered_knn",
-      (s, dir) => {
-        val emb = Tables.sharded(s, dir, "embeddings")
-        val d = VectorOps.dotFn(emb)
-        val labels = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"))
-        val assigned = VectorOps.assignIvf(emb, CentroidModulo)
-          .join(labels, "vec_id")
-        val probes = assigned.filter(col("vec_id") < ProbeLimit)
-          .select(col("vec_id").as("probe_id"), col("centroid_id"),
-            col("q").as("pq"), col("n2").as("pn2"),
-            col("label").as("plabel"))
-        val scored = assigned.join(probes, Seq("centroid_id"))
-          .filter(col("vec_id") =!= col("probe_id") &&
-            col("label") === col("plabel"))
-          .withColumn("cosine", VectorOps.cosine(d(col("pq"), col("q")),
-            col("pn2"), col("n2")))
-        val w = Window.partitionBy(col("probe_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            col("label"), col("cosine"), col("rank"))
-      },
+      (s, dir) => VectorOps.knnIvfPreFiltered(
+        Tables.sharded(s, dir, "embeddings"),
+        col("vec_id") < ProbeLimit, CentroidModulo, k = 5,
+        meta = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label")),
+        sameOn = "label"),
       Some(s"""
         WITH $assignSql,
         al AS (

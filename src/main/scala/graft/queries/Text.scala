@@ -34,6 +34,44 @@ object Text {
   private def sqlList(vs: Seq[String]): String =
     vs.map(v => s"'$v'").mkString("(", ", ", ")")
 
+  /** Per-doc token statistics — ONE definition feeding txt_stats,
+    * txt_quality_filter, and txt_filter_funnel, so the stat definitions
+    * (and the stopword list behind them) cannot drift between the
+    * reporting and filtering queries. One exploded pass, one combinable
+    * aggregation; `extraKeys` are doc-constant columns riding the
+    * grouping.
+    */
+  private def docTokenStats(s: SparkSession, dir: String,
+      extraKeys: Seq[String]): DataFrame =
+    tokenRows(s, dir)
+      .groupBy(col("doc_id") +: extraKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"),
+        sum(length(col("token"))).as("sum_len"),
+        // BPE-ish token budget: subword units of ≤4 chars per word —
+        // integer arithmetic, so the estimate is engine-portable
+        sum(expr("(length(token) + 3) div 4")).as("n_subwords"),
+        sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
+          .as("n_stop"))
+
+  /** DuckDB mirror of [[tokenRows]] (exploded tokens + doc-constant cols). */
+  private val tokenRowsSql: String =
+    """SELECT doc_id, lang, n_chars,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       FROM documents"""
+
+  /** DuckDB mirror of [[docTokenStats]]. */
+  private def docTokenStatsSql(extraKeys: Seq[String]): String = {
+    val keys = ("doc_id" +: extraKeys).mkString(", ")
+    s"""SELECT $keys, count(*) AS n_tokens,
+               count(DISTINCT token) AS n_distinct,
+               sum(length(token)) AS sum_len,
+               CAST(sum((length(token) + 3) // 4) AS BIGINT) AS n_subwords,
+               sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END)
+                 AS n_stop
+        FROM ($tokenRowsSql) GROUP BY $keys"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- per-document statistics + quality signals --------------------------
@@ -41,17 +79,7 @@ object Text {
     // standard quality-filter features. One exploded pass, one combinable
     // aggregation; ratios derived from exact integer sums.
     Q("txt_stats",
-      (s, dir) => tokenRows(s, dir)
-        .groupBy(col("doc_id"), col("n_chars"))
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("token")).as("n_distinct"),
-          sum(length(col("token"))).as("sum_len"),
-          // BPE-ish token budget: subword units of ≤4 chars per word —
-          // integer arithmetic, so the estimate is engine-portable
-          sum(expr("(length(token) + 3) div 4")).as("n_subwords"),
-          sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
-            .as("n_stop"))
+      (s, dir) => docTokenStats(s, dir, Seq("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
           col("n_distinct"), col("n_subwords"),
           (col("sum_len").cast("double") / col("n_tokens").cast("double"))
@@ -61,16 +89,7 @@ object Text {
           (col("n_stop").cast("double") / col("n_tokens").cast("double"))
             .as("stopword_ratio")),
       Some(s"""
-        WITH tok AS (
-          SELECT d.doc_id, d.n_chars, unnest(t.tokens) AS token
-          FROM documents d JOIN (${DocSql.toksSql}) t ON t.doc_id = d.doc_id),
-        agg AS (
-          SELECT doc_id, n_chars, count(*) AS n_tokens,
-                 count(DISTINCT token) AS n_distinct,
-                 sum(length(token)) AS sum_len,
-                 CAST(sum((length(token) + 3) // 4) AS BIGINT) AS n_subwords,
-                 sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END) AS n_stop
-          FROM tok GROUP BY doc_id, n_chars)
+        WITH agg AS (${docTokenStatsSql(Seq("n_chars"))})
         SELECT doc_id, n_chars, n_tokens, n_distinct, n_subwords,
                CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
                CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
@@ -292,30 +311,16 @@ object Text {
     // ratio thresholds as integer cross-multiplications (no fp in the
     // predicate).
     Q("txt_quality_filter",
-      (s, dir) => {
-        val t = tokenRows(s, dir)
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).as("n_tokens"),
-            countDistinct(col("token")).as("n_distinct"),
-            sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
-              .as("n_stop"))
-        t.withColumn("kept",
-            col("n_tokens") >= 20 &&
-              col("n_distinct") * 10 >= col("n_tokens") * 3 && // ≥0.3 distinct
-              col("n_stop") * 100 >= col("n_tokens") * 2) // ≥2% stopwords
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
-      },
+      (s, dir) => docTokenStats(s, dir, Seq("lang"))
+        .withColumn("kept",
+          col("n_tokens") >= 20 &&
+            col("n_distinct") * 10 >= col("n_tokens") * 3 && // ≥0.3 distinct
+            col("n_stop") * 100 >= col("n_tokens") * 2) // ≥2% stopwords
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept")),
       Some(s"""
-        WITH tok AS (
-          SELECT doc_id, lang, unnest(tokens) AS token FROM (${DocSql.toksSql})),
-        t AS (
-          SELECT doc_id, lang, count(*) AS n_tokens,
-                 count(DISTINCT token) AS n_distinct,
-                 sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END)
-                   AS n_stop
-          FROM tok GROUP BY doc_id, lang)
+        WITH t AS (${docTokenStatsSql(Seq("lang"))})
         SELECT lang, count(*) AS n_docs,
                CAST(sum(CASE WHEN n_tokens >= 20
                               AND n_distinct * 10 >= n_tokens * 3
@@ -547,6 +552,91 @@ object Text {
         WHERE g.i <= length(token) - 1 AND length(token) >= 2
         GROUP BY 1
         ORDER BY n DESC, pair ASC LIMIT 20""")),
+
+    // ---- BPE encode: apply the trained merge list in rank order -------------
+    // Closes the tokenizer loop (txt_bpe_merges trains iteration 0,
+    // txt_bpe_iterate proves the loop iterates): train a 3-merge model —
+    // each iteration one corpus pass whose winning pair is collected as a
+    // 1-row model literal, later pairs free to contain earlier merge
+    // symbols (real BPE) — then ENCODE the corpus through the accumulated
+    // replace chain and report per-doc compression. Encode is a single
+    // narrow pass: 3 chained replace() calls inside one projection, one
+    // combinable per-doc aggregate. (At 100 TB each training pass
+    // re-derives prior merges in-line; checkpoint between iterations to
+    // pay each replace once — encode itself is always one pass.)
+    Q("txt_bpe_encode",
+      (s, dir) => {
+        val marks = Seq("#", "%", "@") // outside [a-z0-9]: never collide
+        val toks0 = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        def topPair(t: DataFrame): String = t
+          // single-char tokens have no pair — and sequence(1, 0) counts
+          // DOWN, fabricating one (the txt_bpe_merges guard)
+          .filter(length(col("token")) >= 2)
+          .select(col("token"), explode(sequence(lit(1),
+            length(col("token")) - 1)).as("i"))
+          .select(col("token").substr(col("i"), lit(2)).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .collect()(0).getString(0)
+        var t = toks0
+        val merges = marks.map { mk =>
+          val p = topPair(t)
+          t = t.select(col("doc_id"),
+            call_function("replace", col("token"), lit(p), lit(mk))
+              .as("token"))
+          p
+        }
+        val enc = merges.zip(marks).foldLeft(col("token")) {
+          case (c, (p, mk)) => call_function("replace", c, lit(p), lit(mk))
+        }
+        toks0
+          .select(col("doc_id"),
+            length(col("token")).cast("long").as("raw_len"),
+            length(enc).cast("long").as("enc_len"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("raw_len")).as("raw_chars"),
+            sum(col("enc_len")).as("enc_symbols"))
+          .withColumn("saved_milli", call_function("div",
+            (col("raw_chars") - col("enc_symbols")) * 1000,
+            col("raw_chars")))
+      },
+      Some {
+        def pcSql(src: String) = s"""
+          SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
+                 count(*) AS n
+          FROM $src CROSS JOIN generate_series(1, 16) AS g(i)
+          WHERE length(token) >= 2 AND g.i <= length(token) - 1
+          GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1"""
+        s"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        pc0 AS (${pcSql("tok0")}),
+        tok1 AS (
+          SELECT doc_id, replace(token, (SELECT pair FROM pc0), '#') AS token
+          FROM tok0),
+        pc1 AS (${pcSql("tok1")}),
+        tok2 AS (
+          SELECT doc_id, replace(token, (SELECT pair FROM pc1), '%') AS token
+          FROM tok1),
+        pc2 AS (${pcSql("tok2")}),
+        tok3 AS (
+          SELECT doc_id, replace(token, (SELECT pair FROM pc2), '@') AS token
+          FROM tok2),
+        agg AS (
+          SELECT r.doc_id, r.n_tokens, r.raw_chars, e.enc_symbols
+          FROM (SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(length(token)) AS BIGINT) AS raw_chars
+                FROM tok0 GROUP BY 1) r
+          JOIN (SELECT doc_id,
+                       CAST(sum(length(token)) AS BIGINT) AS enc_symbols
+                FROM tok3 GROUP BY 1) e ON e.doc_id = r.doc_id)
+        SELECT doc_id, n_tokens, raw_chars, enc_symbols,
+               CAST(((raw_chars - enc_symbols) * 1000) // raw_chars AS BIGINT)
+                 AS saved_milli
+        FROM agg"""
+      }),
 
     // ---- sequence packing (concat-and-chunk) --------------------------------
     // The LM-training packing step: concatenate documents per language
@@ -891,17 +981,16 @@ object Text {
     // convention). All flags derive from one exploded aggregation's exact
     // integer counts — integer-scaled thresholds, no float ratios — and
     // the funnel itself is a single-row final aggregate, so the whole
-    // report costs one corpus pass regardless of stage count.
+    // report costs one corpus pass regardless of stage count. n_input
+    // counts from the DOCUMENTS table (left join onto the token stats):
+    // a zero-token doc — empty, punctuation-only, non-Latin junk — never
+    // reaches the exploded aggregate, and those are exactly the docs a
+    // funnel must report as dropped, not silently exclude.
     Q("txt_filter_funnel",
       (s, dir) => {
-        val t = tokenRows(s, dir)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            countDistinct(col("token")).as("n_distinct"),
-            sum(length(col("token"))).as("sum_len"),
-            sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
-              .as("n_stop"))
-        val s1 = col("n_tokens") >= 20
+        val t = docs(s, dir).select(col("doc_id"))
+          .join(docTokenStats(s, dir, Nil), Seq("doc_id"), "left")
+        val s1 = col("n_tokens") >= 20 // null n_tokens (no tokens) fails here
         val s2 = s1 && col("n_distinct") * 10 >= col("n_tokens") * 3
         val s3 = s2 && col("n_stop") * 100 >= col("n_tokens") * 2
         val s4 = s3 && col("sum_len") <= col("n_tokens") * 12
@@ -912,15 +1001,10 @@ object Text {
           sum(when(s4, 1L).otherwise(0L)).as("n_after_tokenlen"))
       },
       Some(s"""
-        WITH tok AS (
-          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        WITH t0 AS (${docTokenStatsSql(Nil)}),
         t AS (
-          SELECT doc_id, count(*) AS n_tokens,
-                 count(DISTINCT token) AS n_distinct,
-                 sum(length(token)) AS sum_len,
-                 sum(CASE WHEN token IN ${sqlList(stopEn)} THEN 1 ELSE 0 END)
-                   AS n_stop
-          FROM tok GROUP BY doc_id)
+          SELECT d.doc_id, t0.n_tokens, t0.n_distinct, t0.sum_len, t0.n_stop
+          FROM documents d LEFT JOIN t0 ON t0.doc_id = d.doc_id)
         SELECT count(*) AS n_input,
                CAST(sum(CASE WHEN n_tokens >= 20
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,

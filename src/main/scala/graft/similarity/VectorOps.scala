@@ -103,17 +103,42 @@ object VectorOps {
 
   /** Top-k per probe within the probe's IVF bucket. */
   def knnIvf(corpus: DataFrame, probeFilter: Column, centroidModulo: Int,
-      k: Int): DataFrame = {
-    val d = dotFn(corpus)
-    val assigned = assignIvf(corpus, centroidModulo)
-    val probes = assigned.filter(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("centroid_id"),
-        col("q").as("pq"), col("n2").as("pn2"))
-    val scored = assigned.join(probes, Seq("centroid_id"))
+      k: Int): DataFrame =
+    bucketTopK(assignIvf(corpus, centroidModulo), dotFn(corpus),
+      probeFilter, k, sameOn = None)
+
+  /** [[knnIvf]] under a metadata predicate (filtered vector search):
+    * candidates must share the probe's `sameOn` value, enforced as a
+    * conjunct of the bucket join — PRE-filtered semantics, so all k
+    * survivors satisfy the predicate (post-filtering would silently
+    * return fewer). `meta` is (vec_id, sameOn) and joins the assignment
+    * on vec_id — co-partitioned; at scale the metadata rides the vector
+    * row and the join disappears.
+    */
+  def knnIvfPreFiltered(corpus: DataFrame, probeFilter: Column,
+      centroidModulo: Int, k: Int, meta: DataFrame,
+      sameOn: String): DataFrame =
+    bucketTopK(assignIvf(corpus, centroidModulo).join(meta, "vec_id"),
+      dotFn(corpus), probeFilter, k, Some(sameOn))
+
+  /** Shared bucket-search body: probe projection, centroid-keyed
+    * candidate join (plus the optional same-`sameOn` conjunct),
+    * self-exclusion, cosine rerank, per-probe top-k — one definition so
+    * the filtered and unfiltered searches cannot drift.
+    */
+  private def bucketTopK(assigned: DataFrame, d: (Column, Column) => Column,
+      probeFilter: Column, k: Int, sameOn: Option[String]): DataFrame = {
+    val probeCols = Seq(col("vec_id").as("probe_id"), col("centroid_id"),
+      col("q").as("pq"), col("n2").as("pn2")) ++
+      sameOn.map(c => col(c).as(s"p_$c"))
+    val probes = assigned.filter(probeFilter).select(probeCols: _*)
+    val joined = assigned.join(probes, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", cosine(d(col("pq"), col("q")), col("pn2"),
-        col("n2")))
-    topK(scored, k)
+    val filtered = sameOn.fold(joined)(c =>
+      joined.filter(col(c) === col(s"p_$c")))
+    val scored = filtered.withColumn("cosine",
+      cosine(d(col("pq"), col("q")), col("pn2"), col("n2")))
+    topK(scored, k, carry = sameOn.toSeq.map(col))
   }
 
   /** Deterministic ±1 hyperplane matrix for sign-LSH: entry (plane j, dim
@@ -179,13 +204,14 @@ object VectorOps {
       col("n2"))
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private def topK(scored: DataFrame, k: Int,
+      carry: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
+      .select(col("probe_id") +: col("vec_id").as("neighbor_id") +:
+        carry :+ col("cosine") :+ col("rank"): _*)
   }
 }

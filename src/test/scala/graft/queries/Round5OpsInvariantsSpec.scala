@@ -44,7 +44,8 @@ class Round5OpsInvariantsSpec extends SparkSpec {
 
   test("sim_ivfpq: neighbors come from the probe's inverted list only") {
     val emb = graft.Tables.sharded(spark, sfDir, "embeddings")
-    val assigned = graft.similarity.VectorOps.assignIvf(emb, 25)
+    val assigned = graft.similarity.VectorOps
+      .assignIvf(emb, Similarity.CentroidModulo)
       .select(col("vec_id"), col("centroid_id"))
     val res = run("sim_ivfpq")
     // per (probe, neighbor): both must share the centroid
@@ -115,6 +116,23 @@ class Round5OpsInvariantsSpec extends SparkSpec {
     val loads = res.select(col("load_milli")).collect().map(_.getLong(0))
     val mean = loads.sum.toDouble / loads.length
     assert(mean > 500 && mean < 1500, s"implausible mean load $mean")
+  }
+
+  test("txt_bpe_encode: merges only shrink; corpus-wide compression > 0") {
+    val res = run("txt_bpe_encode").cache()
+    // a merge replaces 2 symbols with 1 — encoded length never grows
+    assert(res.filter(col("enc_symbols") > col("raw_chars")).count() === 0)
+    assert(res.filter(col("saved_milli") < 0 ||
+      col("saved_milli") >= 1000).count() === 0)
+    // the 3 trained merges must actually fire somewhere in the corpus
+    val saved = res.agg(sum(col("raw_chars") - col("enc_symbols"))).head
+    assert(saved.getLong(0) > 0, "trained merges never applied")
+    // every doc that has tokens is present
+    val withToks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+    assert(res.count() === withToks.count())
   }
 
   test("ev_window_topk: at most 3 per window, counts dominate the cut") {
