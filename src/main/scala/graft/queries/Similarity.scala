@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.similarity.VectorOps
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,6 +196,37 @@ object Similarity {
           SELECT *, row_number() OVER (PARTITION BY probe_id
                       ORDER BY adc_dist, vec_id) AS rank
           FROM adc) WHERE rank <= 5"""
+
+  /** Oracle `adc` CTE for the un-bucketed (whole-corpus) PQ scoring —
+    * shared by sim_pq and sim_recall_pq.
+    */
+  private val pqAdcSql = """
+        adc AS (
+          SELECT t.probe_id, c.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc_dist
+          FROM codes c JOIN dt t ON t.m = c.m AND t.code = c.code
+          WHERE c.vec_id <> t.probe_id GROUP BY 1, 2)"""
+
+  /** The sim_pq lineage (PQ encode + whole-corpus ADC top-5) as a
+    * DataFrame — the query itself and the recall evaluation both consume
+    * exactly this definition.
+    */
+  private def pqTop5(s: SparkSession, dir: String): DataFrame = {
+    val q = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
+      .select(col("vec_id"), col("q"))
+    // codebook and ADC tables: model-/probe-set-sized literals via
+    // the shared PQ machinery (pqCodebook/pqAdcTables)
+    val cb = pqCodebook(q)
+    val probes = q.filter(col("vec_id") < PqProbeN).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dt = pqAdcTables(probes, cb)
+    val coded = pqEncoded(q, Seq(col("vec_id")), cb)
+    val adc = coded.select(col("vec_id"),
+        pqAdcStructs(dt, probes.map(_._1).toSeq, _ => Nil).as("pa"))
+      .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
+        col("pa.adc_dist").as("adc_dist"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    pqTopK(adc, 5)
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -547,30 +578,54 @@ object Similarity {
     // encode AND scoring are ONE narrow corpus pass; the only exchange is
     // the per-probe top-k window over |probes|·|corpus| scored rows.
     Q("sim_pq",
+      (s, dir) => pqTop5(s, dir),
+      Some(s"""
+        WITH qn AS ($qnSql),$pqCtesSql,$pqAdcSql
+        $pqRankSql""")),
+
+    // ---- ANN quality evaluation: PQ recall@5 vs brute ground truth ----------
+    // sim_recall grades the IVF bucketing; this grades the COMPRESSION:
+    // per probe, how much of the exact cosine top-5 the 8-byte-code ADC
+    // ranking recovers — the accuracy budget the memory play costs.
+    // (Truth is the engine-standard cosine order; PQ ranks by quantized
+    // L2 ADC — on normalized embeddings the two orders coincide, and the
+    // gap between them is exactly what this evaluation measures.) Both
+    // sides are deterministic, so the evaluation itself is oracle-checked.
+    Q("sim_recall_pq",
       (s, dir) => {
-        val q = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
-          .select(col("vec_id"), col("q"))
-        // codebook and ADC tables: model-/probe-set-sized literals via
-        // the shared PQ machinery (pqCodebook/pqAdcTables)
-        val cb = pqCodebook(q)
-        val probes = q.filter(col("vec_id") < PqProbeN).collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        val dt = pqAdcTables(probes, cb)
-        val coded = pqEncoded(q, Seq(col("vec_id")), cb)
-        val adc = coded.select(col("vec_id"),
-            pqAdcStructs(dt, probes.map(_._1).toSeq, _ => Nil).as("pa"))
-          .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
-            col("pa.adc_dist").as("adc_dist"))
-          .filter(col("vec_id") =!= col("probe_id"))
-        pqTopK(adc, 5)
+        val e = Tables.sharded(s, dir, "embeddings")
+        val truth = VectorOps.knnBrute(e, e.filter(col("vec_id") < PqProbeN), 5)
+          .select(col("probe_id"), col("neighbor_id"))
+        val approx = pqTop5(s, dir)
+          .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+        truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("probe_id"), col("k"), col("n_hit"),
+            (col("n_hit").cast("double") / col("k").cast("double"))
+              .as("recall"))
       },
       Some(s"""
-        WITH qn AS ($qnSql),$pqCtesSql,
-        adc AS (
-          SELECT t.probe_id, c.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc_dist
-          FROM codes c JOIN dt t ON t.m = c.m AND t.code = c.code
-          WHERE c.vec_id <> t.probe_id GROUP BY 1, 2)
-        $pqRankSql""")),
+        WITH qn AS ($qnSql),$pqCtesSql,$pqAdcSql,
+        approx AS (
+          SELECT probe_id, vec_id AS neighbor_id, 1 AS hit FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY adc_dist, vec_id) AS rank
+            FROM adc) WHERE rank <= 5),
+        truth AS (
+          SELECT probe_id, vec_id AS neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id ASC) AS rank
+            FROM (SELECT * FROM qn WHERE vec_id < $PqProbeN) p
+            JOIN qn c ON c.vec_id <> p.vec_id) WHERE rank <= 5)
+        SELECT t.probe_id, count(*) AS k,
+               CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hit,
+               CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / count(*) AS recall
+        FROM truth t LEFT JOIN approx a
+          ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY 1""")),
 
     // ---- IVF-PQ: coarse quantizer + in-list ADC rerank ----------------------
     // The production billion-scale serving combo (FAISS IVFPQ): the IVF

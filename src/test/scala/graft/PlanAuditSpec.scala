@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
   // bitset (128 KB sketch × scan — the intended shape)
   private val bnljAllowed =
     Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall",
-      "dd_bloom_decontam", "sim_ivfpq", "sim_filtered_knn", "sim_ivf_stats")
+      "dd_bloom_decontam", "sim_ivfpq", "sim_filtered_knn", "sim_ivf_stats",
+      "sim_recall_pq")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

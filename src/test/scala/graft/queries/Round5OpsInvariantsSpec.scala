@@ -135,6 +135,19 @@ class Round5OpsInvariantsSpec extends SparkSpec {
     assert(res.count() === withToks.count())
   }
 
+  test("sim_recall_pq: one row per probe, recall = n_hit/k within [0,1]") {
+    val res = run("sim_recall_pq").collect()
+    assert(res.length === 4) // PqProbeN probes
+    res.foreach { r =>
+      val k = r.getLong(r.fieldIndex("k"))
+      val nHit = r.getLong(r.fieldIndex("n_hit"))
+      val recall = r.getDouble(r.fieldIndex("recall"))
+      assert(k === 5L)
+      assert(nHit >= 0L && nHit <= k)
+      assert(recall === nHit.toDouble / k)
+    }
+  }
+
   test("ev_window_topk: at most 3 per window, counts dominate the cut") {
     val res = run("ev_window_topk").cache()
     val perWindow = res.groupBy(col("window_start"))
