@@ -807,6 +807,39 @@ object Dedup {
         FROM pairs WHERE bit_count(xor(sv_a, sv_b)) <= 3"""
       }),
 
+    // ---- incremental LSH dedup (delta vs index) -----------------------------
+    // The production refresh shape: near-dup candidates between a NEW
+    // batch (doc_id%10 >= 8, ~20%) and the already-INDEXED corpus — never
+    // an old×old re-pair. The index side is the persisted (doc_id, band,
+    // bh) banded-signature table (TextOps.bandedRows — recomputed here
+    // from the fixture; in production it's read back partitioned by
+    // (band, bh)); the delta's banded rows equi-join against it, so
+    // refresh work is O(|delta| × bucket size). n_bands counts how many
+    // independent bands agree — the candidate-strength signal an
+    // incremental pipeline thresholds before the expensive rerank.
+    Q("dd_incremental_lsh",
+      (s, dir) => {
+        val banded = TextOps.bandedRows(
+          TextOps.minhashSignatures(docs(s, dir), ShingleN, K),
+          K, RowsPerBand)
+        val idx = banded.filter(col("doc_id") % 10 < 8)
+        val delta = banded.filter(col("doc_id") % 10 >= 8)
+          .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+        idx.join(delta, Seq("band", "bh"))
+          .select(col("new_id"), col("doc_id").as("indexed_id"), col("band"))
+          .groupBy(col("new_id"), col("indexed_id"))
+          .agg(countDistinct(col("band")).as("n_bands"))
+      },
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        idx AS (SELECT * FROM bands WHERE doc_id % 10 < 8),
+        delta AS (SELECT doc_id AS new_id, band, bh FROM bands
+                  WHERE doc_id % 10 >= 8)
+        SELECT d.new_id, i.doc_id AS indexed_id,
+               CAST(count(DISTINCT d.band) AS BIGINT) AS n_bands
+        FROM delta d JOIN idx i ON i.band = d.band AND i.bh = d.bh
+        GROUP BY 1, 2""")),
+
     // ---- snapshot delta (incremental dataset versioning) --------------------
     // Every recurring training-data refresh starts with "what changed
     // since the last snapshot?" — the added/removed/changed/unchanged

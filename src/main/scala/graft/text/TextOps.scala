@@ -122,14 +122,8 @@ object TextOps {
     * once, not once per consumer.
     */
   def lshCandidatesFromSigs(sigs: DataFrame, k: Int,
-      rowsPerBand: Int): DataFrame = {
-    val bands = k / rowsPerBand
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandHash(b, rowsPerBand).as("bh"))): _*))
-        .as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    banded
+      rowsPerBand: Int): DataFrame =
+    bandedRows(sigs, k, rowsPerBand)
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -139,6 +133,21 @@ object TextOps {
           struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+
+  /** (doc_id, band, bh) banded signature rows — the LSH INDEX layout.
+    * This is exactly the table a production index persists (partitioned/
+    * bucketed by (band, bh)); full-corpus candidate generation buckets
+    * it ([[lshCandidatesFromSigs]]) and incremental dedup equi-joins a
+    * delta's banded rows against it (dd_incremental_lsh) — O(delta)
+    * refresh work, never a corpus re-pair.
+    */
+  def bandedRows(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = k / rowsPerBand
+    sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b, rowsPerBand).as("bh"))): _*))
+        .as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
   /** 32-bit SimHash over a doc's distinct tokens, as a '0'/'1' bit string.

@@ -148,6 +148,25 @@ class Round5OpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dd_incremental_lsh: pairs cross the delta/index boundary only") {
+    val res = run("dd_incremental_lsh").cache()
+    // sides are disjoint by construction — assert it holds in the output
+    assert(res.filter(col("new_id") % 10 < 8).count() === 0)
+    assert(res.filter(col("indexed_id") % 10 >= 8).count() === 0)
+    // band agreement is bounded by the band count (K / RowsPerBand = 4)
+    assert(res.filter(col("n_bands") < 1 || col("n_bands") > 4).count() === 0)
+    // every cross-boundary pair from the FULL-corpus candidate generator
+    // must be found by the incremental join (no recall loss vs full LSH)
+    val full = run("dd_minhash_lsh")
+    val crossFull = full.filter(
+      (col("doc_a") % 10 >= 8) =!= (col("doc_b") % 10 >= 8))
+    val missing = crossFull.join(res,
+      (col("doc_a") === col("indexed_id") && col("doc_b") === col("new_id")) ||
+        (col("doc_a") === col("new_id") && col("doc_b") === col("indexed_id")),
+      "left_anti")
+    assert(missing.count() === 0)
+  }
+
   test("ev_window_topk: at most 3 per window, counts dominate the cut") {
     val res = run("ev_window_topk").cache()
     val perWindow = res.groupBy(col("window_start"))
