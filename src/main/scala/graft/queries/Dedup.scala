@@ -822,6 +822,7 @@ object Dedup {
         val banded = TextOps.bandedRows(
           TextOps.minhashSignatures(docs(s, dir), ShingleN, K),
           K, RowsPerBand)
+          .localCheckpoint() // both join sides — signatures run once
         val idx = banded.filter(col("doc_id") % 10 < 8)
         val delta = banded.filter(col("doc_id") % 10 >= 8)
           .select(col("band"), col("bh"), col("doc_id").as("new_id"))

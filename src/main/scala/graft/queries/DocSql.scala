@@ -14,7 +14,8 @@ package graft.queries
 private[queries] object DocSql {
 
   val toksSql: String =
-    "SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens FROM documents"
+    "SELECT doc_id, lang, regexp_extract_all(lower(text), " +
+      s"'${graft.text.TextOps.TokenRegex}') AS tokens FROM documents"
 
   /** Exploded (doc_id, shingle) word n-grams. */
   def shinglesSql(n: Int): String = {

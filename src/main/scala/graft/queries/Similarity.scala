@@ -88,7 +88,9 @@ object Similarity {
   // tables, so the composed query cannot drift from its parent.
   private val PqSubDim = 8
   private val PqCodes = 16
-  private val PqProbeN = 4
+  // package-visible so specs assert against THIS constant (CentroidModulo
+  // precedent) instead of re-hardcoding the probe count
+  private[graft] val PqProbeN = 4
   private val PqNSub = Dims / PqSubDim
 
   private def pqSubv(v: Array[Long], m: Int): Array[Long] =

@@ -54,11 +54,13 @@ object Text {
         sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
           .as("n_stop"))
 
-  /** DuckDB mirror of [[tokenRows]] (exploded tokens + doc-constant cols). */
+  /** DuckDB mirror of [[tokenRows]] (exploded tokens + doc-constant cols)
+    * — derived from DocSql.toksSql so the tokenizer definition stays
+    * single-sourced.
+    */
   private val tokenRowsSql: String =
-    """SELECT doc_id, lang, n_chars,
-              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
-       FROM documents"""
+    s"""SELECT d.doc_id, d.lang, d.n_chars, unnest(t.tokens) AS token
+        FROM documents d JOIN (${DocSql.toksSql}) t ON t.doc_id = d.doc_id"""
 
   /** DuckDB mirror of [[docTokenStats]]. */
   private def docTokenStatsSql(extraKeys: Seq[String]): String = {
@@ -1084,15 +1086,16 @@ object Text {
           .withColumn("mean_milli_tokens", call_function("div",
             col("n_tokens") * 1000, col("n_sentences")))
       },
-      Some("""
+      Some(s"""
         WITH seg AS (
           SELECT doc_id,
-                 CAST(len(regexp_extract_all(lower(sent), '[a-z0-9]+'))
-                   AS BIGINT) AS n_tok
+                 CAST(len(regexp_extract_all(lower(sent),
+                   '${TextOps.TokenRegex}')) AS BIGINT) AS n_tok
           FROM (SELECT doc_id,
                        unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
                 FROM documents)
-          WHERE len(regexp_extract_all(lower(sent), '[a-z0-9]+')) > 0),
+          WHERE len(regexp_extract_all(lower(sent),
+                  '${TextOps.TokenRegex}')) > 0),
         agg AS (
           SELECT doc_id, count(*) AS n_sentences,
                  CAST(sum(n_tok) AS BIGINT) AS n_tokens,

@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** THE tokenizer definition — every Spark-side tokenization and every
+    * oracle mirror (DocSql.toksSql, the sentence-split oracle) derives
+    * from this one literal, so the engine and its oracles cannot drift.
+    */
+  val TokenRegex = "[a-z0-9]+"
+
   /** Lowercased alphanumeric tokens. */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    regexp_extract_all(lower(text), lit(TokenRegex), lit(0))
 
   /** Word n-gram shingles from a token array (space-joined). */
   def shingles(toks: Column, n: Int): Column =

@@ -137,7 +137,7 @@ class Round5OpsInvariantsSpec extends SparkSpec {
 
   test("sim_recall_pq: one row per probe, recall = n_hit/k within [0,1]") {
     val res = run("sim_recall_pq").collect()
-    assert(res.length === 4) // PqProbeN probes
+    assert(res.length === Similarity.PqProbeN)
     res.foreach { r =>
       val k = r.getLong(r.fieldIndex("k"))
       val nHit = r.getLong(r.fieldIndex("n_hit"))
