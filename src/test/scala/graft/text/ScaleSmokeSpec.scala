@@ -41,6 +41,43 @@ class ScaleSmokeSpec extends SparkSpec {
     cand.unpersist()
   }
 
+  test("incremental delta-vs-index join stays delta-bounded at 4x scale") {
+    // dd_incremental_lsh's shape at 4× bench scale, with clones planted
+    // IN THE DELTA: docs ≡ 8 (mod 100) share doc 1's text, so every
+    // clone lands on the delta side (last digit 8) and its source doc 1
+    // on the index side. Contract: each planted clone surfaces against
+    // doc 1 with FULL band agreement (identical text ⇒ identical
+    // signature), and the 20k-doc uniform remainder adds ~nothing —
+    // refresh work tracks the delta, not the corpus.
+    val deltaCorpus = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+        substring(md5(concat(
+          when(col("id") % 100 === 8, lit(1)).otherwise(col("id"))
+            .cast("string"),
+          lit("|"), j.cast("string")).cast("binary")), 1, 4))).as("text"))
+    val banded = TextOps.bandedRows(
+      TextOps.minhashSignatures(deltaCorpus, n = 3, k = 12), k = 12,
+      rowsPerBand = 3).localCheckpoint()
+    val idx = banded.filter(col("doc_id") % 10 < 8)
+    val delta = banded.filter(col("doc_id") % 10 >= 8)
+      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+    val pairs = idx.join(delta, Seq("band", "bh"))
+      .select(col("new_id"), col("doc_id").as("indexed_id"), col("band"))
+      .groupBy(col("new_id"), col("indexed_id"))
+      .agg(countDistinct(col("band")).as("n_bands"))
+      .cache()
+    // every planted clone found against doc 1, all 4 bands agreeing
+    val planted = pairs.filter(col("indexed_id") === 1 &&
+      col("new_id") % 100 === 8)
+    assert(planted.count() === nDocs / 100)
+    assert(planted.filter(col("n_bands") =!= 4).count() === 0)
+    // the uniform remainder must not explode the candidate set
+    assert(pairs.count() <= nDocs / 100 + nDocs / 20,
+      s"uniform delta should add ~no pairs, got ${pairs.count()}")
+    pairs.unpersist()
+  }
+
   test("exact dedup finds exactly the planted duplicate group") {
     val groups = corpus
       .select(col("doc_id"),
