@@ -608,6 +608,71 @@ object Relational {
         FROM (
           SELECT c_custkey, c_custkey % 256 AS bx,
                  abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 256 AS by
-          FROM customer)"""))
+          FROM customer)""")),
+
+    // ---- sketch-based self-join size estimation (AMS via count-min) ---------
+    // The optimizer's question before any big join: how large is
+    // |A ⋈ B|? For a self-join on o_custkey that is the second frequency
+    // moment F2 = Σ_c n_c², and the count-min grid answers it WITHOUT
+    // the per-key groupBy: est = min over depths of Σ_w grid[j][w]² (the
+    // AMS/CM inner-product identity — collisions only ever inflate, so
+    // it is an overestimate with error ≤ N²/width per depth; width is
+    // sized ≥ N²/F2 to keep that below the signal). One fixed 4×2048
+    // grid crosses the shuffle (64 KB — bounded regardless of key
+    // cardinality); the exact F2 runs alongside so the evaluation is
+    // oracle-checked too, and the two single-row sides combine by
+    // union + max — joins on constant keys fold to the forbidden
+    // BNLJ/Cartesian nodes, a union never plans a join at all.
+    Q("q24_selfjoin_estimate",
+      (s, dir) => {
+        val d = 4; val w = 2048
+        val cm = udaf(new graft.functions.CountMinSketch(d, w))
+        val keys = Tables(s, dir, "orders")
+          .select(col("o_custkey").cast("string").as("k"))
+        val sk = keys
+          .select(graft.functions.CountMinSketch
+            .bucketCols(col("k"), d, w).as("b"))
+          .agg(cm(col("b")).as("grid"), count(lit(1)).as("n_rows"))
+        val est = (0 until d).map(j =>
+          aggregate(slice(col("grid"), j * w + 1, w), lit(0L),
+            (acc, v) => acc + v * v))
+          .reduce(least(_, _))
+        val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as("exact_selfjoin"))
+        // combine the two single-row sides by union + max, not a join: a
+        // constant-key join folds to the forbidden BNLJ under constant
+        // propagation
+        sk.select(col("n_rows"), est.as("est_selfjoin"),
+            lit(null).cast("long").as("exact_selfjoin"))
+          .unionByName(exact.select(
+            lit(null).cast("long").as("n_rows"),
+            lit(null).cast("long").as("est_selfjoin"),
+            col("exact_selfjoin")))
+          .agg(max(col("n_rows")).as("n_rows"),
+            max(col("est_selfjoin")).as("est_selfjoin"),
+            max(col("exact_selfjoin")).as("exact_selfjoin"))
+      },
+      Some {
+        val d = 4; val w = 2048
+        def bucketSql(j: Int) =
+          s"CAST(('0x' || substr(md5('$j|' || k), 1, 15)) AS BIGINT) % $w"
+        val grids = (0 until d).map(j =>
+          s"g$j AS (SELECT ${bucketSql(j)} AS b, count(*) AS c FROM k GROUP BY 1)")
+          .mkString(",\n        ")
+        val f2s = (0 until d)
+          .map(j => s"(SELECT CAST(sum(c * c) AS BIGINT) FROM g$j)")
+          .mkString(", ")
+        s"""
+        WITH k AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        $grids,
+        ex AS (
+          SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin
+          FROM (SELECT count(*) AS n FROM k GROUP BY k))
+        SELECT (SELECT count(*) FROM k) AS n_rows,
+               least($f2s) AS est_selfjoin,
+               ex.exact_selfjoin
+        FROM ex"""
+      })
   )
 }

@@ -167,6 +167,21 @@ class Round5OpsInvariantsSpec extends SparkSpec {
     assert(missing.count() === 0)
   }
 
+  test("q24_selfjoin_estimate: CM estimate bounds the exact F2 above") {
+    val rows = run("q24_selfjoin_estimate").collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    val est = r.getLong(r.fieldIndex("est_selfjoin"))
+    val exact = r.getLong(r.fieldIndex("exact_selfjoin"))
+    val n = r.getLong(r.fieldIndex("n_rows"))
+    // counters only add — the inner-product estimate NEVER undershoots
+    assert(est >= exact)
+    // and stays within the analytic error bound: exact + N²/width
+    assert(est <= exact + n * n / 2048 + 1)
+    // F2 is at least N (all keys distinct) and at most N² (one key)
+    assert(exact >= n && exact <= n * n)
+  }
+
   test("ev_window_topk: at most 3 per window, counts dominate the cut") {
     val res = run("ev_window_topk").cache()
     val perWindow = res.groupBy(col("window_start"))
