@@ -828,8 +828,11 @@ object Dedup {
           .select(col("band"), col("bh"), col("doc_id").as("new_id"))
         idx.join(delta, Seq("band", "bh"))
           .select(col("new_id"), col("doc_id").as("indexed_id"), col("band"))
+          // plain count, not countDistinct: each doc emits one (band, bh)
+          // per band, so joined (new, indexed, band) rows are unique
+          // already and the two-level distinct rewrite would be waste
           .groupBy(col("new_id"), col("indexed_id"))
-          .agg(countDistinct(col("band")).as("n_bands"))
+          .agg(count(col("band")).as("n_bands"))
       },
       Some(s"""
         WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
@@ -837,7 +840,7 @@ object Dedup {
         delta AS (SELECT doc_id AS new_id, band, bh FROM bands
                   WHERE doc_id % 10 >= 8)
         SELECT d.new_id, i.doc_id AS indexed_id,
-               CAST(count(DISTINCT d.band) AS BIGINT) AS n_bands
+               CAST(count(d.band) AS BIGINT) AS n_bands
         FROM delta d JOIN idx i ON i.band = d.band AND i.bh = d.bh
         GROUP BY 1, 2""")),
 

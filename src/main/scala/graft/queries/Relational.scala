@@ -616,8 +616,10 @@ object Relational {
     // moment F2 = Σ_c n_c², and the count-min grid answers it WITHOUT
     // the per-key groupBy: est = min over depths of Σ_w grid[j][w]² (the
     // AMS/CM inner-product identity — collisions only ever inflate, so
-    // it is an overestimate with error ≤ N²/width per depth; width is
-    // sized ≥ N²/F2 to keep that below the signal). One fixed 4×2048
+    // it is an overestimate whose per-depth error has EXPECTATION
+    // ≤ N²/width — Markov, concentrated by the min over depths, not a
+    // deterministic bound — and width is sized ≥ N²/F2 to keep that
+    // below the signal). One fixed 4×2048
     // grid crosses the shuffle (64 KB — bounded regardless of key
     // cardinality); the exact F2 runs alongside so the evaluation is
     // oracle-checked too, and the two single-row sides combine by

@@ -54,13 +54,14 @@ object Text {
         sum(when(inList(col("token"), stopEn), 1L).otherwise(0L))
           .as("n_stop"))
 
-  /** DuckDB mirror of [[tokenRows]] (exploded tokens + doc-constant cols)
-    * — derived from DocSql.toksSql so the tokenizer definition stays
-    * single-sourced.
+  /** DuckDB mirror of [[tokenRows]] (exploded tokens + doc-constant
+    * cols) — single-pass unnest; the tokenizer stays single-sourced via
+    * TextOps.TokenRegex, no self-join needed.
     */
   private val tokenRowsSql: String =
-    s"""SELECT d.doc_id, d.lang, d.n_chars, unnest(t.tokens) AS token
-        FROM documents d JOIN (${DocSql.toksSql}) t ON t.doc_id = d.doc_id"""
+    "SELECT doc_id, lang, n_chars, " +
+      s"unnest(regexp_extract_all(lower(text), '${TextOps.TokenRegex}')) " +
+      "AS token FROM documents"
 
   /** DuckDB mirror of [[docTokenStats]]. */
   private def docTokenStatsSql(extraKeys: Seq[String]): String = {

@@ -28,17 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object StreamingIndexDedup {
 
-  /** Narrow per-row MinHash components mh0..mh{k-1} of a shingle-array
-    * column — the streaming-safe (and shuffle-free) twin of the
-    * aggregate form; values identical by construction.
+  /** Per-salt digest arrays (⌈k/6⌉ columns) of a shingle-array column —
+    * bound as columns BEFORE the minima so each shingle pays ⌈k/6⌉ md5
+    * evaluations, not k (the same bind-the-digest discipline
+    * TextOps.minhash documents for the aggregate form; inlining the md5
+    * into every component's lambda would re-hash 6× per shingle on the
+    * per-row ingest hot path).
     */
-  def signatureCols(shingleCol: Column, k: Int): Seq[Column] =
+  def digestCols(shingleCol: Column, k: Int): Seq[Column] = {
+    val salts = (k + 5) / 6
+    (0 until salts).map(s =>
+      transform(shingleCol, sh =>
+        md5(concat(lit(s"$s|"), sh).cast("binary"))).as(s"__dig$s"))
+  }
+
+  /** Narrow per-row MinHash components __mh0..__mh{k-1} from the BOUND
+    * digest columns of [[digestCols]] — the streaming-safe (and
+    * shuffle-free) twin of the aggregate form; values identical by
+    * construction. Helper names are __-prefixed so a caller's own
+    * columns can never collide.
+    */
+  def signatureCols(k: Int): Seq[Column] =
     (0 until k).map { i =>
-      val salt = i / 6
       val start = (i % 6) * 5 + 1
-      array_min(transform(shingleCol, sh =>
-        conv(substring(md5(concat(lit(s"$salt|"), sh).cast("binary")),
-          start, 5), 16, 10).cast("long"))).as(s"mh$i")
+      array_min(transform(col(s"__dig${i / 6}"), d =>
+        conv(substring(d, start, 5), 16, 10).cast("long"))).as(s"__mh$i")
     }
 
   /** Admit only novel docs: `stream` must carry a `text` column; `index`
@@ -49,23 +63,28 @@ object StreamingIndexDedup {
   def novel(stream: DataFrame, index: DataFrame, n: Int, k: Int,
       rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
-    val withMh = stream
+    val salts = (k + 5) / 6
+    val withSh = stream
       .withColumn("__toks", TextOps.tokens(col("text")))
       .withColumn("__sh", TextOps.shingles(col("__toks"), n))
-    val sigged = withMh.select(
-      withMh.columns.map(col) ++ signatureCols(col("__sh"), k): _*)
+    val withDig = withSh.select(
+      withSh.columns.map(col) ++ digestCols(col("__sh"), k): _*)
+    val sigged = withDig.select(
+      withDig.columns.map(col) ++ signatureCols(k): _*)
     val withBh = (0 until bands).foldLeft(sigged) { (df, b) =>
-      df.withColumn(s"__bh$b", TextOps.bandHash(b, rowsPerBand))
+      df.withColumn(s"__bh$b", TextOps.bandHash(b, rowsPerBand, "__mh"))
     }
     // shingle-less docs have null minima — nothing to collide on; admit
-    val (empty, candidates) =
-      (withBh.filter(col("mh0").isNull), withBh.filter(col("mh0").isNotNull))
+    val (empty, candidates) = (withBh.filter(col("__mh0").isNull),
+      withBh.filter(col("__mh0").isNotNull))
     val survived = (0 until bands).foldLeft(candidates) { (df, b) =>
       df.join(
         index.filter(col("band") === b).select(col("bh").as(s"__idx$b")),
         col(s"__bh$b") === col(s"__idx$b"), "left_anti")
     }
-    val helpers = Seq("__toks", "__sh") ++ (0 until k).map(i => s"mh$i") ++
+    val helpers = Seq("__toks", "__sh") ++
+      (0 until salts).map(s => s"__dig$s") ++
+      (0 until k).map(i => s"__mh$i") ++
       (0 until bands).map(b => s"__bh$b")
     survived.unionByName(empty).drop(helpers: _*)
   }

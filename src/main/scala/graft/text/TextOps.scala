@@ -63,11 +63,14 @@ object TextOps {
       .cast("long")).as(s"mh$k")
   }
 
-  /** LSH band hash over `rowsPerBand` consecutive MinHash components. */
-  def bandHash(band: Int, rowsPerBand: Int): Column =
+  /** LSH band hash over `rowsPerBand` consecutive MinHash components
+    * (component columns named `<prefix>0..` — "mh" for the batch
+    * signature table, "__mh" for the streaming per-row form).
+    */
+  def bandHash(band: Int, rowsPerBand: Int, prefix: String = "mh"): Column =
     md5(concat_ws("|",
       (0 until rowsPerBand)
-        .map(j => col(s"mh${band * rowsPerBand + j}").cast("string")): _*)
+        .map(j => col(s"$prefix${band * rowsPerBand + j}").cast("string")): _*)
       .cast("binary"))
 
   /** documents(doc_id, text) → exploded (doc_id, shingle) pairs.

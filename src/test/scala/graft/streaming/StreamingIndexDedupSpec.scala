@@ -18,11 +18,14 @@ class StreamingIndexDedupSpec extends SparkSpec {
   test("narrow per-row signatures equal the batch aggregate form") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val narrow = docs
+    val shingled = docs
       .withColumn("__sh", TextOps.shingles(TextOps.tokens(col("text")), n))
-      .select(col("doc_id") +:
-        StreamingIndexDedup.signatureCols(col("__sh"), k): _*)
-      .filter(col("mh0").isNotNull)
+    val bound = shingled.select(col("doc_id") +: col("__sh") +:
+      StreamingIndexDedup.digestCols(col("__sh"), k): _*)
+    val narrow = bound
+      .select(col("doc_id") +: StreamingIndexDedup.signatureCols(k): _*)
+      .filter(col("__mh0").isNotNull)
+      .toDF("doc_id" +: (0 until k).map(i => s"mh$i"): _*)
     val agg = TextOps.minhashSignatures(docs, n, k)
     assert(narrow.count() === agg.count())
     assert(narrow.except(agg).count() === 0)
