@@ -844,6 +844,79 @@ object Dedup {
         FROM delta d JOIN idx i ON i.band = d.band AND i.bh = d.bh
         GROUP BY 1, 2""")),
 
+    // ---- corpus data card (one-row dedup/contamination report) --------------
+    // The summary every released dataset ships with: corpus size, how
+    // many docs are redundant exact copies, how many near-dup candidate
+    // pairs the LSH index surfaces, and how many eval docs are
+    // contaminated by train overlap — one row, composed from the SAME
+    // definitions the per-doc queries use (dd_exact's normalization,
+    // dd_minhash_lsh's banding, dd_contamination's 5-gram rule), so the
+    // card can never disagree with the detail views. The four
+    // single-row sides combine by union + max — constant-key joins fold
+    // to the forbidden BNLJ (the q24 lesson).
+    Q("dd_report",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nDocs = d.agg(count(lit(1)).as("n_docs"))
+        val nDups = d.select(md5(concat_ws(" ",
+            TextOps.tokens(col("text"))).cast("binary")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("n"))
+          .agg((sum(col("n")) - count(lit(1))).as("n_exact_dup_docs"))
+        val nPairs = TextOps.lshCandidates(d, ShingleN, K, RowsPerBand)
+          .agg(count(lit(1)).as("n_lsh_pairs"))
+        val sh = d.select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+        val eval_ = sh.filter(col("source") === "src0")
+          .select(col("shingle"), col("doc_id").as("eval_doc")).distinct()
+        val train = sh.filter(col("source") =!= "src0")
+          .select(col("shingle")).distinct()
+        val nContam = eval_.join(train, "shingle")
+          .groupBy(col("eval_doc"))
+          .agg(count(lit(1)).as("ns")) // (eval_doc, shingle) distinct already
+          .filter(col("ns") >= 3)
+          .agg(count(lit(1)).as("n_contaminated_eval"))
+        val cols = Seq("n_docs", "n_exact_dup_docs", "n_lsh_pairs",
+          "n_contaminated_eval")
+        def pad(df: org.apache.spark.sql.DataFrame) = df.select(cols.map(c =>
+          (if (df.columns.contains(c)) col(c)
+           else lit(null).cast("long")).as(c)): _*)
+        Seq(nDocs, nDups, nPairs, nContam).map(pad)
+          .reduce(_.unionByName(_))
+          .agg(max(col(cols.head)).as(cols.head),
+            cols.tail.map(c => max(col(c)).as(c)): _*)
+      },
+      Some(s"""
+        WITH t AS (${DocSql.toksSql}),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        dup AS (
+          SELECT CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dup_docs
+          FROM (SELECT md5(array_to_string(tokens, ' ')) AS h,
+                       count(*) AS n
+                FROM t GROUP BY 1)),
+        bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        lp AS (SELECT count(*) AS n_lsh_pairs FROM cand),
+        sh AS (
+          SELECT d.doc_id, d.source, s.shingle
+          FROM documents d JOIN (${DocSql.shinglesSql(5)}) s
+            ON s.doc_id = d.doc_id),
+        e AS (SELECT DISTINCT shingle, doc_id AS eval_doc
+              FROM sh WHERE source = 'src0'),
+        tr AS (SELECT DISTINCT shingle FROM sh WHERE source <> 'src0'),
+        ct AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_contaminated_eval
+          FROM (SELECT e.eval_doc
+                FROM e JOIN tr ON tr.shingle = e.shingle
+                GROUP BY 1 HAVING count(*) >= 3))
+        SELECT nd.n_docs, dup.n_exact_dup_docs, lp.n_lsh_pairs,
+               ct.n_contaminated_eval
+        FROM nd, dup, lp, ct""")),
+
     // ---- snapshot delta (incremental dataset versioning) --------------------
     // Every recurring training-data refresh starts with "what changed
     // since the last snapshot?" — the added/removed/changed/unchanged

@@ -186,6 +186,22 @@ class Round5OpsInvariantsSpec extends SparkSpec {
     assert(exact >= n && exact <= n * n)
   }
 
+  test("dd_report: the card agrees with the detail views it summarizes") {
+    val r = run("dd_report").collect()(0)
+    def g(c: String) = r.getLong(r.fieldIndex(c))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(g("n_docs") === docs.count())
+    // exact-dup count = Σ(group−1) over dd_exact's groups
+    val fromDetail = run("dd_exact")
+      .agg(sum(col("n_docs") - 1)).head.getLong(0)
+    assert(g("n_exact_dup_docs") === fromDetail)
+    // pair count = dd_minhash_lsh's row count
+    assert(g("n_lsh_pairs") === run("dd_minhash_lsh").count())
+    // contaminated = dd_contamination rows with ≥3 shared shingles
+    assert(g("n_contaminated_eval") ===
+      run("dd_contamination").filter(col("n_shared_shingles") >= 3).count())
+  }
+
   test("ev_window_topk: at most 3 per window, counts dominate the cut") {
     val res = run("ev_window_topk").cache()
     val perWindow = res.groupBy(col("window_start"))
