@@ -67,22 +67,43 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // Two FULL timed passes, min per query: this host shows multi-second
-    // wall-time bursts uncorrelated with the engine (idle CPU, zero full
-    // GCs during them — hypervisor neighbors), and a burst outlasts
-    // back-to-back samples of one query. Interleaving the passes puts the
-    // two samples ~30s apart, so the min measures the engine, not the
-    // neighbor; failures still fail the run.
-    val passA = names.map(n => n -> once(n)).toMap
-    val passB = names.map(n => n -> once(n)).toMap
-    val results = names.map(n => n -> math.min(passA(n), passB(n)))
+    // N FULL timed passes, interleaved, min per query: this host shows
+    // multi-second wall-time bursts uncorrelated with the engine (idle CPU,
+    // zero full GCs during them — hypervisor neighbors), and a burst
+    // outlasts back-to-back samples of one query. Rounds 5↔6 measured ±5×
+    // per-query swings on byte-identical code, so a single sample is
+    // unfalsifiable. Interleaving the passes puts samples ~30s apart, so
+    // the min measures the engine, not the neighbor; the emitted
+    // median/spread per query lets a reader tell a real regression (tight
+    // spread, min moved) from noise (spread ≫ min). Failures still fail
+    // the run.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3).max(1)
+    val samples: Map[String, Seq[Double]] = {
+      val perPass = (1 to passes).map(_ => names.map(n => n -> once(n)).toMap)
+      names.map(n => n -> perPass.map(_(n))).toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map(n => n -> samples(n).min)
     val ok = results.filterNot { case (n, _) => failed.contains(n) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query dispersion: min is what the driver grades; median and
+    // spread (= max-min, the burst amplitude this run) make the gate
+    // falsifiable — a regression is a moved min with a small spread.
+    val vars = ok.map { case (k, _) =>
+      val xs = samples(k)
+      "\"" + k + "\":{\"min\":" + xs.min + ",\"median\":" + median(xs) +
+        ",\"spread\":" + (xs.max - xs.min) + "}"
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""variance":$vars,"passes":$passes,""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")

@@ -31,10 +31,10 @@ object Verify {
         .agg(max(length(col("t"))).as("max_len"), count(lit(1)).as("n"))
         .head
       if (!row.isNullAt(0)) { // empty documents table trivially satisfies
-        require(row.getInt(0) <= 17,
+        require(row.getInt(0) <= graft.queries.Text.BpeMaxTokenLen,
           s"oracle char-pair cap violated: a token has ${row.getInt(0)} " +
-            "chars (> 17) — raise the generate_series(1, 16) bound in " +
-            "txt_bpe_merges/txt_bpe_iterate")
+            s"chars (> ${graft.queries.Text.BpeMaxTokenLen}) — raise " +
+            "Text.BpePairPositions")
       }
       val maxToks = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(size(graft.text.TextOps.tokens(col("text"))).as("n"))
@@ -46,7 +46,12 @@ object Verify {
       }
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev affordance (mirrors Bench): SPARK_GRAFT_ONLY=a,b dumps a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

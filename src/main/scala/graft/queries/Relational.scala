@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -381,6 +382,55 @@ object Relational {
         FROM (SELECT o_orderstatus,
                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
               FROM orders)
+        GROUP BY o_orderstatus""")),
+
+    // ---- q17b: sketch percentiles, rank-error-checked ------------------------
+    // The scale-safe twin of q17: approx_percentile's GK sketch is a
+    // combinable partial aggregate — only fixed-size sketches cross the
+    // shuffle, vs q17's exact `percentile` which concentrates every value
+    // of the table into 3 ObjectHashAggregate buffers. The sketch value
+    // itself is not cross-engine reproducible, so (sim_recall pattern) the
+    // query emits the VERDICT: each returned value's true rank interval
+    // [count(<v)+1, count(<=v)] must intersect the documented bound
+    // (q ± 1/accuracy)·n. Rank measurement is a second combinable agg over
+    // a 3-row broadcast join — nothing wide, nothing driver-side.
+    Q("q17b_percentiles_approx",
+      (s, dir) => {
+        val acc = 1000 // GK guarantee: rank error ≤ n/acc
+        val eps = 1.0 / acc
+        val o = Tables(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        val approx = o.groupBy(col("o_orderstatus"))
+          .agg(expr(
+            s"approx_percentile(cents, array(0.25, 0.5, 0.75), $acc)")
+            .as("ap"))
+          .select(col("o_orderstatus"),
+            col("ap")(0).as("a25"), col("ap")(1).as("a50"),
+            col("ap")(2).as("a75"))
+        def okFlag(q: Double, le: Column, lt: Column): Column =
+          (le.cast("double") >= (lit(q) - eps) * col("n") - 1.0 &&
+            lt.cast("double") <= (lit(q) + eps) * col("n") + 1.0)
+            .cast("long")
+        o.join(broadcast(approx), Seq("o_orderstatus"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("cents") <= col("a25"), 1L).otherwise(0L)).as("le25"),
+            sum(when(col("cents") < col("a25"), 1L).otherwise(0L)).as("lt25"),
+            sum(when(col("cents") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("cents") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("cents") <= col("a75"), 1L).otherwise(0L)).as("le75"),
+            sum(when(col("cents") < col("a75"), 1L).otherwise(0L)).as("lt75"))
+          .select(col("o_orderstatus"), col("n"),
+            okFlag(0.25, col("le25"), col("lt25")).as("p25_ok"),
+            okFlag(0.50, col("le50"), col("lt50")).as("p50_ok"),
+            okFlag(0.75, col("le75"), col("lt75")).as("p75_ok"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(1 AS BIGINT) AS p25_ok, CAST(1 AS BIGINT) AS p50_ok,
+               CAST(1 AS BIGINT) AS p75_ok
+        FROM orders
         GROUP BY o_orderstatus""")),
 
     // ---- q18: analytic rank metrics -----------------------------------------

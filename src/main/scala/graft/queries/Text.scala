@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
 object Text {
 
   private val stopEn = Seq("the", "a", "and", "of", "is", "to", "in")
+
+  /** BPE oracle cap. DuckDB's generate_series cannot take a lateral
+    * column bound (`length(token)-1` binds as an error), so every BPE
+    * oracle enumerates pair positions 1..BpePairPositions with a
+    * constant — exact iff no token exceeds BpePairPositions+1 chars.
+    * txt_bpe_encode guards this at run time; BpeFixtureBoundSpec asserts
+    * it against the real fixtures.
+    */
+  private[graft] val BpePairPositions = 16
+  private[graft] val BpeMaxTokenLen = BpePairPositions + 1
   // per-language stopword profiles for the lang-id heuristic
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is"),
@@ -452,7 +462,7 @@ object Text {
         SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
                count(*) AS n
         FROM (SELECT unnest(tokens) AS token FROM (${DocSql.toksSql})) t
-        CROSS JOIN generate_series(1, 16) AS g(i)
+        CROSS JOIN generate_series(1, $BpePairPositions) AS g(i)
         WHERE g.i <= length(token) - 1
         GROUP BY 1
         ORDER BY n DESC, pair ASC LIMIT 20""")),
@@ -525,9 +535,13 @@ object Text {
           .select(col("token").substr(col("i"), lit(2)).as("pair"))
           .filter(length(col("pair")) === 2) // merged tokens can shrink to 1
           .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        val top = pairCounts(toks)
+        val topRow = pairCounts(toks)
           .orderBy(col("n").desc, col("pair").asc).limit(1)
-          .collect()(0).getString(0)
+          .collect().headOption
+        require(topRow.nonEmpty,
+          "txt_bpe_iterate: corpus has no token of length >= 2 — " +
+            "no pair to merge")
+        val top = topRow.get.getString(0)
         val merged = toks.select(
           call_function("replace", col("token"), lit(top), lit("#"))
             .as("token"))
@@ -543,7 +557,7 @@ object Text {
         p0 AS (
           SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
                  count(*) AS n
-          FROM tok CROSS JOIN generate_series(1, 16) AS g(i)
+          FROM tok CROSS JOIN generate_series(1, $BpePairPositions) AS g(i)
           WHERE g.i <= length(token) - 1
           GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1),
         m AS (
@@ -551,7 +565,7 @@ object Text {
           FROM tok)
         SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
                count(*) AS n
-        FROM m CROSS JOIN generate_series(1, 16) AS g(i)
+        FROM m CROSS JOIN generate_series(1, $BpePairPositions) AS g(i)
         WHERE g.i <= length(token) - 1 AND length(token) >= 2
         GROUP BY 1
         ORDER BY n DESC, pair ASC LIMIT 20""")),
@@ -572,16 +586,31 @@ object Text {
         val marks = Seq("#", "%", "@") // outside [a-z0-9]: never collide
         val toks0 = docs(s, dir).select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("token"))
-        def topPair(t: DataFrame): String = t
-          // single-char tokens have no pair — and sequence(1, 0) counts
-          // DOWN, fabricating one (the txt_bpe_merges guard)
-          .filter(length(col("token")) >= 2)
-          .select(col("token"), explode(sequence(lit(1),
-            length(col("token")) - 1)).as("i"))
-          .select(col("token").substr(col("i"), lit(2)).as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1)
-          .collect()(0).getString(0)
+        // Oracle-exactness guard: the DuckDB mirror enumerates only
+        // BpePairPositions pair positions (constant series bound), so a
+        // token longer than BpeMaxTokenLen chars would silently diverge.
+        // One tiny combinable aggregate, loud failure instead.
+        val lenRow = toks0.agg(max(length(col("token"))).as("m")).collect()(0)
+        val maxLen = if (lenRow.isNullAt(0)) 0 else lenRow.getInt(0)
+        require(maxLen <= BpeMaxTokenLen,
+          s"txt_bpe_encode oracle is exact only for tokens of <= " +
+            s"$BpeMaxTokenLen chars; corpus has a $maxLen-char token")
+        def topPair(t: DataFrame): String = {
+          val top = t
+            // single-char tokens have no pair — and sequence(1, 0) counts
+            // DOWN, fabricating one (the txt_bpe_merges guard)
+            .filter(length(col("token")) >= 2)
+            .select(col("token"), explode(sequence(lit(1),
+              length(col("token")) - 1)).as("i"))
+            .select(col("token").substr(col("i"), lit(2)).as("pair"))
+            .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+            .collect().headOption
+          require(top.nonEmpty,
+            "txt_bpe_encode: corpus has no token of length >= 2 — " +
+              "no pair to merge")
+          top.get.getString(0)
+        }
         var t = toks0
         val merges = marks.map { mk =>
           val p = topPair(t)
@@ -609,7 +638,7 @@ object Text {
         def pcSql(src: String) = s"""
           SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
                  count(*) AS n
-          FROM $src CROSS JOIN generate_series(1, 16) AS g(i)
+          FROM $src CROSS JOIN generate_series(1, $BpePairPositions) AS g(i)
           WHERE length(token) >= 2 AND g.i <= length(token) - 1
           GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1"""
         s"""

@@ -34,7 +34,9 @@ object StreamingTopK {
       watermarkDelay: String = "10 seconds"): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .where(col(itemCol).isNotNull) // SQL-aggregate null semantics
+      // NULL items form their own group, exactly as batch GROUP BY
+      // retains NULL keys — the batch≡streaming parity contract holds
+      // for null itemCol too (StreamingTopKSpec plants nulls to prove it)
       .groupBy(window(col(tsCol), windowDuration), col(itemCol))
       .agg(count(lit(1)).as("n"))
 

@@ -12,8 +12,14 @@ class StreamingTopKSpec extends SparkSpec {
 
   test("streamed per-window top-3 equals batch on emitted windows") {
     val sfDir = "/root/testdata/sf0.001"
+    // plant NULL event_type on a slice of rows: GROUP BY retains NULL
+    // keys in both batch and streaming, and the parity check must cover
+    // that group too
     val events = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"), col("ts"))
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("event_type"),
+        col("ts"))
 
     val dir = Files.createTempDirectory("topk_in").toString
     val ckpt = Files.createTempDirectory("topk_ckpt").toString

@@ -65,7 +65,10 @@ class ScaleSmokeSpec extends SparkSpec {
     val pairs = idx.join(delta, Seq("band", "bh"))
       .select(col("new_id"), col("doc_id").as("indexed_id"), col("band"))
       .groupBy(col("new_id"), col("indexed_id"))
-      .agg(countDistinct(col("band")).as("n_bands"))
+      // plain count, NOT countDistinct: bandedRows emits one row per
+      // (doc, band), so the join yields each band at most once — this is
+      // the exact aggregation dd_incremental_lsh ships, mirrored here
+      .agg(count(col("band")).as("n_bands"))
       .cache()
     // every planted clone found against doc 1, all 4 bands agreeing
     val planted = pairs.filter(col("indexed_id") === 1 &&
