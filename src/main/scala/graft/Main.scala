@@ -23,23 +23,109 @@ object Main {
   case object FullVideo extends Mode
   case object CropVideo extends Mode
 
+  /** Pipeline knobs, defaults matching the reference driver's
+    * (run_preprocess.py:86-109: frame_sample_rate 500, sequence_length
+    * 15000, period 1000). Two deliberate divergences: `mode` defaults to
+    * FullVideo (reference: single_frame) because the flagship entry() smoke
+    * exercises the per-video sequence assembly, and `batchSize` defaults to
+    * 16 (reference: 1, a conservative remote-inference default) so the
+    * shape-keyed batching path is on by default.
+    */
   final case class Config(
       mode: Mode = FullVideo,
       sampleRateMs: Long = 500,
       batchSize: Int = 16,
       embeddingDim: Int = 64,
-      sequenceLengthMs: Long = 2000,
-      periodMs: Long = 500,
+      sequenceLengthMs: Long = 15000,
+      periodMs: Long = 1000,
       numShards: Int = 4,
       seed: Long = 42L)
 
-  /** files(filename) → TFRecords under `{outputDir}/data/{dataset=…}`. */
+  /** Parsed command line: fixture dir + output dir (positional,
+    * back-compatible), an optional real-file input glob, and the Config.
+    */
+  final case class CliArgs(
+      sfDir: String = "/root/testdata/sf0.001",
+      outDir: Option[String] = None,
+      inputDir: Option[String] = None,
+      cfg: Config = Config())
+
+  /** CLI parity with the reference driver (run_preprocess.py:28-111).
+    * Both the reference's snake_case spellings and kebab-case are
+    * accepted. The Dataflow-only flags (--cloud, --project_id, --job_dir,
+    * --job_name, --machine_type, --setup_file,
+    * --service_account_key_file, --log_level) have no Spark-local analog —
+    * cluster sizing and credentials belong to spark-submit — and are
+    * rejected with a pointer rather than silently ignored.
+    */
+  def parseArgs(args: Array[String]): CliArgs = {
+    val dataflowOnly = Set("cloud", "project_id", "job_dir", "job_name",
+      "machine_type", "setup_file", "service_account_key_file", "log_level")
+    def modeOf(v: String): Mode = v match {
+      case "single_frame" => SingleFrame
+      case "full_video"   => FullVideo
+      case "crop_video"   => CropVideo
+      case other => throw new IllegalArgumentException(
+        s"--mode must be one of single_frame|full_video|crop_video, got $other")
+    }
+    @annotation.tailrec
+    def loop(rest: List[String], acc: CliArgs, nPos: Int): CliArgs =
+      rest match {
+        case Nil => acc
+        case flag :: tail if flag.startsWith("--") =>
+          val key = flag.drop(2).replace('-', '_')
+          if (dataflowOnly(key)) throw new IllegalArgumentException(
+            s"$flag is Dataflow-specific; configure the Spark cluster via " +
+              "spark-submit instead")
+          tail match {
+            case v :: t2 =>
+              val next = key match {
+                case "mode" => acc.copy(cfg = acc.cfg.copy(mode = modeOf(v)))
+                case "batch_size" =>
+                  acc.copy(cfg = acc.cfg.copy(batchSize = v.toInt))
+                case "frame_sample_rate" =>
+                  acc.copy(cfg = acc.cfg.copy(sampleRateMs = v.toLong))
+                case "sequence_length" =>
+                  acc.copy(cfg = acc.cfg.copy(sequenceLengthMs = v.toLong))
+                case "period" =>
+                  acc.copy(cfg = acc.cfg.copy(periodMs = v.toLong))
+                case "num_shards" =>
+                  acc.copy(cfg = acc.cfg.copy(numShards = v.toInt))
+                case "seed" => acc.copy(cfg = acc.cfg.copy(seed = v.toLong))
+                case "embedding_dim" =>
+                  acc.copy(cfg = acc.cfg.copy(embeddingDim = v.toInt))
+                case "output_dir" => acc.copy(outDir = Some(v))
+                case "input_dir" => acc.copy(inputDir = Some(v))
+                case other => throw new IllegalArgumentException(
+                  s"unknown flag --$other")
+              }
+              loop(t2, next, nPos)
+            case Nil => throw new IllegalArgumentException(
+              s"$flag requires a value")
+          }
+        case pos :: tail => // positional back-compat: sfDir [outDir]
+          val next = nPos match {
+            case 0 => acc.copy(sfDir = pos)
+            case 1 => acc.copy(outDir = Some(pos))
+            case _ => throw new IllegalArgumentException(
+              s"unexpected positional argument $pos")
+          }
+          loop(tail, next, nPos + 1)
+      }
+    loop(args.toList, CliArgs(), 0)
+  }
+
+  /** files(filename) → TFRecords under `{outputDir}/data/{dataset=…}`.
+    * `decoder` defaults to synthetic because the default listing is the
+    * fixture synthesis (no real bytes to decode); pass
+    * `FfmpegFrameDecoder.orSynthetic()` for real video input.
+    */
   def run(files: DataFrame, outputDir: String,
-      cfg: Config = Config()): Unit = {
+      cfg: Config = Config(),
+      decoder: FrameDecoder = new SyntheticFrameDecoder()): Unit = {
     val prepared = Ingest.splitByHash(
       Ingest.withLabel(Ingest.filterVideos(files)), 0.70, 0.15, 0.15)
-    val frames = Frames.extract(prepared,
-      new SyntheticFrameDecoder(), cfg.sampleRateMs)
+    val frames = Frames.extract(prepared, decoder, cfg.sampleRateMs)
     val embedded = Embed.run(frames,
       new HashEmbedder(cfg.embeddingDim), cfg.batchSize).toDF()
     val listCols = Seq("timestamp_ms", "logits")
@@ -91,9 +177,9 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = if (args.length > 1) args(1)
-      else java.nio.file.Files.createTempDirectory("graft_out").toString
+    val cli = parseArgs(args)
+    val outDir = cli.outDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_out").toString)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -104,8 +190,19 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(fixtureListing(spark, sfDir), outDir)
-    val n = TFRecords.read(spark, outDir, sampleSchema(FullVideo)).count()
+    // --input_dir points at real files (distributed glob, the reference's
+    // --input_dir); otherwise the fixture listing is synthesized from sfDir
+    val (listing, decoder) = cli.inputDir match {
+      // real files: distributed glob + the load-if-present FFmpeg seam
+      case Some(glob) =>
+        (Ingest.listFiles(spark, glob), FfmpegFrameDecoder.orSynthetic())
+      // fixture listing synthesizes names with no bytes behind them —
+      // only the synthetic decoder can "decode" those
+      case None => (fixtureListing(spark, cli.sfDir),
+        new SyntheticFrameDecoder(): FrameDecoder)
+    }
+    run(listing, outDir, cli.cfg, decoder)
+    val n = TFRecords.read(spark, outDir, sampleSchema(cli.cfg.mode)).count()
     println(s"[main] wrote $n samples to $outDir/data")
     spark.stop()
   }

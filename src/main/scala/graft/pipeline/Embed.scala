@@ -60,6 +60,95 @@ final class HashEmbedder(override val dim: Int = 2048) extends Embedder {
     }
 }
 
+/** Production embedder over ONNX Runtime, bound reflectively so the
+  * library compiles and runs without the (absent offline) runtime jars.
+  * [[OnnxEmbedder.orHash]] is the deployment seam: a real model session
+  * when `ai.onnxruntime` is on the executor classpath, the deterministic
+  * [[HashEmbedder]] otherwise. Stands in for the reference's TF-Hub
+  * Inception-V3 predict_on_batch (preprocess.py:192-265); Embed.run's
+  * shape-keyed batching and per-JVM setup() singleton are the same either
+  * way.
+  *
+  * `inputShape` is the per-image tensor shape the model expects (e.g.
+  * 299,299,3); the batch dimension is prepended per call.
+  */
+final class OnnxEmbedder(modelPath: String, inputShape: Seq[Int],
+    override val dim: Int = 2048) extends Embedder {
+
+  // reflected per-JVM session state, built once in setup()
+  @transient private var runBatch: Seq[Array[Float]] => Seq[Array[Float]] = _
+
+  override def cacheKey: String =
+    s"${getClass.getName}#model=$modelPath#dim=$dim"
+
+  override def setup(): Unit = {
+    require(OnnxEmbedder.available,
+      "ONNX inference requested but ai.onnxruntime is not on the " +
+        "classpath — add the onnxruntime jar, or take the graceful seam " +
+        "OnnxEmbedder.orHash()")
+    val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+    val sessCls = Class.forName("ai.onnxruntime.OrtSession")
+    val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+    val valueCls = Class.forName("ai.onnxruntime.OnnxValue")
+    val resultCls = Class.forName("ai.onnxruntime.OrtSession$Result")
+    val env = envCls.getMethod("getEnvironment").invoke(null)
+    val session = envCls.getMethod("createSession", classOf[String])
+      .invoke(env, modelPath)
+    val inputName = sessCls.getMethod("getInputNames").invoke(session)
+      .asInstanceOf[java.util.Set[String]].iterator().next()
+    val createTensor = tensorCls.getMethod("createTensor", envCls,
+      classOf[java.nio.FloatBuffer], classOf[Array[Long]])
+    val run = sessCls.getMethod("run", classOf[java.util.Map[_, _]])
+    val resGet = resultCls.getMethod("get", classOf[Int])
+    val getValue = valueCls.getMethod("getValue")
+    val close = valueCls.getMethod("close")
+    runBatch = { images =>
+      val perImg = inputShape.product
+      images.foreach(i => require(i.length == perImg,
+        s"image has ${i.length} floats, model expects $perImg"))
+      val flat = new Array[Float](images.length * perImg)
+      images.zipWithIndex.foreach { case (img, i) =>
+        System.arraycopy(img, 0, flat, i * perImg, perImg)
+      }
+      val shape = (images.length.toLong +: inputShape.map(_.toLong)).toArray
+      val tensor = createTensor.invoke(null, env,
+        java.nio.FloatBuffer.wrap(flat), shape)
+      try {
+        val result = run.invoke(session,
+          java.util.Collections.singletonMap(inputName, tensor))
+        try resGet.invoke(result, Integer.valueOf(0)) match {
+          case v =>
+            getValue.invoke(v).asInstanceOf[Array[Array[Float]]].toSeq
+        } finally resultCls.getMethod("close").invoke(result)
+      } finally close.invoke(tensor)
+    }
+  }
+
+  override def embed(images: Seq[Array[Float]]): Seq[Array[Float]] = {
+    require(runBatch != null, "setup() not called — embed through " +
+      "Embed.run, which initializes the per-JVM singleton")
+    runBatch(images)
+  }
+}
+
+object OnnxEmbedder {
+
+  /** True iff the ONNX Runtime binding is loadable in this JVM. */
+  lazy val available: Boolean =
+    try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
+    catch { case _: ClassNotFoundException | _: LinkageError => false }
+
+  /** The best embedder this JVM can offer — the load-if-present seam. */
+  def orHash(modelPath: String, inputShape: Seq[Int],
+      dim: Int = 2048): Embedder =
+    if (available) new OnnxEmbedder(modelPath, inputShape, dim)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn("onnxruntime not on classpath — using HashEmbedder")
+      new HashEmbedder(dim)
+    }
+}
+
 object Embed {
 
   // Per-executor-JVM singleton embedder (the Spark analog of DoFn.setup).

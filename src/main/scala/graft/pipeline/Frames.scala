@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** O7 — the frame-extraction UDTF (reference: preprocess.py:156-189).
   *
-  * The decode itself sits behind [[FrameDecoder]]: the container has no
-  * codec libraries, so the production decoder is a clearly-marked stub and
-  * [[SyntheticFrameDecoder]] provides a deterministic implementation that
-  * exercises every downstream stage (batching, grouping, pivot, sink) with
-  * real Spark plumbing. The flatMap is the Spark-native shape of a 1→N
-  * generator: no shuffle, decode parallelism = input file partitioning.
+  * The decode itself sits behind [[FrameDecoder]]: [[FfmpegFrameDecoder]]
+  * binds JavaCV reflectively (load-if-present — the offline container has
+  * no codec jars), and [[SyntheticFrameDecoder]] provides a deterministic
+  * fallback that exercises every downstream stage (batching, grouping,
+  * pivot, sink) with real Spark plumbing. The flatMap is the Spark-native
+  * shape of a 1→N generator: no shuffle, decode parallelism = input file
+  * partitioning.
   */
 trait FrameDecoder extends Serializable {
 
@@ -69,17 +70,104 @@ final class SyntheticFrameDecoder(height: Int = 8, width: Int = 8,
   }
 }
 
-/** Production video decoder — requires an FFmpeg/JavaCV binding that is not
-  * present in this environment. The Spark-side contract (schema, flatMap
-  * shape, partitioning) is identical to the synthetic decoder, so swapping
-  * this in changes no plan.
+/** Production video decoder over JavaCV's FFmpegFrameGrabber, bound
+  * reflectively so the library compiles and runs without the (absent
+  * offline) codec jars. [[FfmpegFrameDecoder.orSynthetic]] is the
+  * deployment seam: real FFmpeg when `org.bytedeco.javacv` is on the
+  * executor classpath, the deterministic synthetic decoder otherwise. The
+  * Spark-side contract (schema, flatMap shape, partitioning) is identical
+  * either way, so swapping changes no plan.
+  *
+  * Mirrors the reference's decode loop (preprocess.py:156-189): open the
+  * container, seek to each sampleRateMs-spaced timestamp, grab one image
+  * frame, normalize pixels to [0,1] floats.
   */
 final class FfmpegFrameDecoder extends FrameDecoder {
   override def decode(filename: String, content: Array[Byte],
-      sampleRateMs: Long): Iterator[DecodedFrame] =
-    throw new UnsupportedOperationException(
-      "STUB: real video decode needs FFmpeg/JavaCV, unavailable offline; " +
-        "use SyntheticFrameDecoder")
+      sampleRateMs: Long): Iterator[DecodedFrame] = {
+    require(FfmpegFrameDecoder.available,
+      "FFmpeg decode requested but org.bytedeco.javacv is not on the " +
+        "classpath — add the JavaCV jars, or take the graceful seam " +
+        "FfmpegFrameDecoder.orSynthetic()")
+    FfmpegFrameDecoder.grabFrames(filename, content, sampleRateMs)
+  }
+}
+
+object FfmpegFrameDecoder {
+
+  /** True iff the JavaCV FFmpeg binding is loadable in this JVM. */
+  lazy val available: Boolean =
+    try {
+      Class.forName("org.bytedeco.javacv.FFmpegFrameGrabber"); true
+    } catch { case _: ClassNotFoundException | _: LinkageError => false }
+
+  /** The best decoder this JVM can offer — the load-if-present seam.
+    * Logged once so a cluster silently missing the codec jars is visible
+    * in the driver log rather than only in the (synthetic) output.
+    */
+  def orSynthetic(): FrameDecoder =
+    if (available) new FfmpegFrameDecoder
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn("JavaCV not on classpath — using SyntheticFrameDecoder")
+      new SyntheticFrameDecoder()
+    }
+
+  /** Reflective decode loop; only reachable when [[available]]. Frames
+    * are materialized before the grabber closes (the reference holds the
+    * full sampled-frame list in memory too — at 2 fps this is small
+    * relative to the container bytes already held in `content`).
+    */
+  private[pipeline] def grabFrames(filename: String, content: Array[Byte],
+      sampleRateMs: Long): Iterator[DecodedFrame] = {
+    val grabberCls = Class.forName("org.bytedeco.javacv.FFmpegFrameGrabber")
+    val frameCls = Class.forName("org.bytedeco.javacv.Frame")
+    val convCls = Class.forName("org.bytedeco.javacv.Java2DFrameConverter")
+    val grabber =
+      if (content != null)
+        grabberCls.getConstructor(classOf[java.io.InputStream])
+          .newInstance(new java.io.ByteArrayInputStream(content))
+      else grabberCls.getConstructor(classOf[String]).newInstance(filename)
+    val start = grabberCls.getMethod("start")
+    val stop = grabberCls.getMethod("stop")
+    val setTs = grabberCls.getMethod("setTimestamp", classOf[Long])
+    val grabImage = grabberCls.getMethod("grabImage")
+    val lengthInTime = grabberCls.getMethod("getLengthInTime")
+    val converter = convCls.getConstructor().newInstance()
+    val convert = convCls.getMethod("convert", frameCls)
+    start.invoke(grabber)
+    try {
+      val durationUs = lengthInTime.invoke(grabber).asInstanceOf[Long]
+      val n = math.max(1L, durationUs / 1000L / sampleRateMs + 1L).toInt
+      val fps = math.round(1000.0 / sampleRateMs).toDouble
+      val frames = (0 until n).flatMap { i =>
+        val tsMs = i.toLong * sampleRateMs
+        setTs.invoke(grabber, java.lang.Long.valueOf(tsMs * 1000L))
+        Option(grabImage.invoke(grabber)).map { frame =>
+          val img = convert.invoke(converter, frame)
+            .asInstanceOf[java.awt.image.BufferedImage]
+          val (h, w) = (img.getHeight, img.getWidth)
+          val px = new Array[Float](h * w * 3)
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(p) = ((rgb >> 16) & 0xff) / 255.0f
+              px(p + 1) = ((rgb >> 8) & 0xff) / 255.0f
+              px(p + 2) = (rgb & 0xff) / 255.0f
+              p += 3
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(tsMs, fps, n.toDouble, h, w, px)
+        }
+      }
+      frames.iterator
+    } finally stop.invoke(grabber)
+  }
 }
 
 object Frames {

@@ -128,8 +128,11 @@ final class VideoFrameScan(files: Array[String], sampleRateMs: Long,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // same rule as getTable's listing: the ACTIVE session plans this
+    // scan — SparkContext.getOrCreate() could manufacture a bare context
     val slices = math.max(1, math.min(files.length,
-      org.apache.spark.SparkContext.getOrCreate().defaultParallelism))
+      org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism))
     (0 until slices).map(i =>
       VideoFilesPartition(files.zipWithIndex.collect {
         case (f, j) if j % slices == i => f

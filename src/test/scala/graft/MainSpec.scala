@@ -82,8 +82,11 @@ class MainSpec extends SparkSpec {
       .head().toSeq === Seq(1, 1))
 
     val oCrop = Files.createTempDirectory("main_cv").toString
+    // explicit short windows: the reference-default 15000/1000 would crop
+    // nothing out of the ≤3.5s synthetic fixture videos
     Main.run(listing, oCrop,
-      Main.Config(mode = Main.CropVideo, embeddingDim = 8))
+      Main.Config(mode = Main.CropVideo, embeddingDim = 8,
+        sequenceLengthMs = 2000, periodMs = 500))
     val crop = TFRecords.read(spark, oCrop,
       Main.sampleSchema(Main.CropVideo))
     assert(crop.count() > 0)
@@ -92,5 +95,39 @@ class MainSpec extends SparkSpec {
       "count_if(NOT (window_end = 2000 OR (window_start >= 0 AND " +
         "window_end <= 1000.0 * frame_total / frame_per_sec)))")
       .head().getLong(0) === 0L)
+  }
+
+  test("parseArgs covers the reference driver's local flag surface") {
+    val cli = Main.parseArgs(Array(
+      "--mode", "crop_video", "--batch_size", "8",
+      "--frame-sample-rate", "250", "--sequence_length", "4000",
+      "--period", "2000", "--num_shards", "2", "--seed", "7",
+      "--output_dir", "/tmp/x", "--input-dir", "/data/videos/*"))
+    assert(cli.cfg === Main.Config(mode = Main.CropVideo, sampleRateMs = 250,
+      batchSize = 8, sequenceLengthMs = 4000, periodMs = 2000,
+      numShards = 2, seed = 7))
+    assert(cli.outDir === Some("/tmp/x"))
+    assert(cli.inputDir === Some("/data/videos/*"))
+  }
+
+  test("parseArgs defaults match the reference driver's defaults") {
+    val cfg = Main.parseArgs(Array.empty[String]).cfg
+    // run_preprocess.py:86-109: frame_sample_rate 500, sequence_length
+    // 15000, period 1000
+    assert(cfg.sampleRateMs === 500L)
+    assert(cfg.sequenceLengthMs === 15000L)
+    assert(cfg.periodMs === 1000L)
+  }
+
+  test("parseArgs keeps positional back-compat and rejects bad input") {
+    val cli = Main.parseArgs(Array("/root/testdata/sf0.01", "/tmp/out"))
+    assert(cli.sfDir === "/root/testdata/sf0.01")
+    assert(cli.outDir === Some("/tmp/out"))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--mode", "nope")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--bogus", "1")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--seed")))
+    // Dataflow-only flags fail with a pointer, never silently ignore
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Array("--project_id", "p")))
   }
 }

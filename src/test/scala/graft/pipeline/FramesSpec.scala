@@ -72,9 +72,13 @@ class FramesSpec extends SparkSpec {
     assert(ContentProbeSink.lengths.asScala.toSeq === Seq(-1))
   }
 
-  test("O7 production decoder stub fails loudly, not silently") {
-    intercept[UnsupportedOperationException] {
+  test("O7 production decoder without its runtime fails loudly") {
+    // the graceful path is FfmpegFrameDecoder.orSynthetic()
+    // (LoadIfPresentSpec); the HARD path must still fail with an
+    // actionable message rather than decode nothing
+    val e = intercept[IllegalArgumentException] {
       new FfmpegFrameDecoder().decode("x.mp4", null, 500)
     }
+    assert(e.getMessage.contains("JavaCV"))
   }
 }
