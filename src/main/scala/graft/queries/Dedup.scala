@@ -19,6 +19,16 @@ object Dedup {
   private val K = 12
   private val RowsPerBand = 3
 
+  // Exact-substring dedup gram width — Lee et al. 2022's 50 tokens, used
+  // as-is (the sf0.01 fixture still surfaces ~600 cross-doc repeated
+  // grams at this width, so the faithful parameter is also testable).
+  private val SubstringGramN = 50
+
+  // Every (bands, rowsPerBand) factorization of the K=12 signature —
+  // the dd_lsh_sweep grid. Collision threshold ≈ (1/b)^(1/r).
+  private val SweepConfigs: Seq[(Int, Int)] =
+    Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.sharded(s, dir, "documents")
 
@@ -302,6 +312,95 @@ object Dedup {
         FROM tj t LEFT JOIN cand c ON c.doc_a = t.doc_a
                                   AND c.doc_b = t.doc_b""")),
 
+    // ---- LSH parameter sweep: recall vs candidate volume per config ---------
+    // The tuning table behind the K=12, 4×3 choice: every (bands, rows)
+    // factorization of the SAME 12-component signature evaluated against
+    // the SAME jaccard≥0.5 inverted-index ground truth — collision
+    // threshold (1/b)^(1/r) sweeps ~0 → 0.94 down the rows. ONE signature
+    // pass and ONE truth pass (both localCheckpointed) feed all configs;
+    // per config the only new work is the band bucketing + a union-tag
+    // aggregate (cand ∪ truth → flags → three combinable sums — no scalar
+    // collects, no cross join). Output is model-sized: one row per config.
+    Q("dd_lsh_sweep",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sh = TextOps.explodedShingles(d, ShingleN).distinct()
+          .localCheckpoint()
+        val sigs = TextOps.minhashFromShingles(sh, K).localCheckpoint()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val truthPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+            "doc_b")
+          .filter(col("n_inter") * 2 >=
+            col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
+        val configRows = SweepConfigs.map { case (b, r) =>
+          TextOps.lshCandidatesFromSigs(sigs, b * r, r)
+            .select(col("doc_a"), col("doc_b"),
+              lit(1L).as("is_cand"), lit(0L).as("is_truth"))
+            .unionByName(truthPairs.select(col("doc_a"), col("doc_b"),
+              lit(0L).as("is_cand"), lit(1L).as("is_truth")))
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(max(col("is_cand")).as("c"), max(col("is_truth")).as("t"))
+            .agg(sum(col("c")).as("n_candidates"),
+              sum(col("t")).as("n_truth"),
+              sum(col("c") * col("t")).as("n_found"))
+            .select(lit(b.toLong).as("bands"),
+              lit(r.toLong).as("rows_per_band"),
+              col("n_candidates"), col("n_truth"), col("n_found"),
+              (col("n_found").cast("double") / col("n_truth").cast("double"))
+                .as("recall"))
+        }
+        configRows.reduce(_.unionByName(_))
+      },
+      Some {
+        val configCtes = SweepConfigs.map { case (b, r) =>
+          s"""bands_${b}_$r AS (${DocSql.bandsFromSigSql(b, r)}),
+          cand_${b}_$r AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_${b}_$r a JOIN bands_${b}_$r b
+              ON a.band = b.band AND a.bh = b.bh
+             AND a.doc_id < b.doc_id)"""
+        }.mkString(",\n")
+        val configSelects = SweepConfigs.map { case (b, r) =>
+          s"""SELECT CAST($b AS BIGINT) AS bands,
+                 CAST($r AS BIGINT) AS rows_per_band,
+                 (SELECT count(*) FROM cand_${b}_$r) AS n_candidates,
+                 (SELECT count(*) FROM tj) AS n_truth,
+                 (SELECT count(*) FROM tj t JOIN cand_${b}_$r c
+                    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found,
+                 CAST((SELECT count(*) FROM tj t JOIN cand_${b}_$r c
+                    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS DOUBLE)
+                   / (SELECT count(*) FROM tj) AS recall"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH sh AS (SELECT DISTINCT doc_id, shingle
+                    FROM (${DocSql.shinglesSql(ShingleN)})),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        tr0 AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON b.shingle = a.shingle
+                             AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        tj AS (
+          SELECT t.doc_a, t.doc_b
+          FROM tr0 t
+          JOIN sz sa ON sa.doc_id = t.doc_a
+          JOIN sz sb ON sb.doc_id = t.doc_b
+          WHERE t.n_inter * 2 >= sa.sz + sb.sz - t.n_inter),
+        sig AS (${DocSql.minhashSql(ShingleN, K)}),
+        $configCtes
+        $configSelects"""
+      }),
+
     // ---- near-dup cluster assignment ---------------------------------------
     // LSH pairs → dedup groups via bounded min-label propagation
     // (ops.Components): cluster_id = smallest doc id reachable in ≤4
@@ -465,6 +564,80 @@ object Dedup {
                  AS DOUBLE) / count(*) AS dup_frac
         FROM sp s JOIN freq f ON f.span = s.span
         GROUP BY s.doc_id""")),
+
+    // ---- substring-level dedup: maximal cross-doc repeated spans ------------
+    // Lee et al. 2022 exact-substring dedup, Spark-first: their suffix
+    // array becomes overlapping 50-token gram hashes → one combinable
+    // document-frequency pass → an equi-join back on the gram hash (the
+    // ONLY join key — never content, never all-pairs), then duplicated
+    // gram starts merge into MAXIMAL spans per doc with a gaps-and-islands
+    // window (partitioned by doc_id: no global sort, skew bounded by
+    // tokens-per-doc). Output localizes WHAT to cut: (doc_id, span_start,
+    // span_len) for every verbatim run of ≥ SubstringGramN tokens shared
+    // with at least one other document. Scale shape: gram volume ≈ token
+    // volume (stride 1), all of it map-side-combinable or bucketed on the
+    // hash; at web scale the same frequency-cap mitigation as
+    // dd_lsh_recall applies to boilerplate grams.
+    Q("dd_substring",
+      (s, dir) => {
+        val n = SubstringGramN
+        val grams = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(TextOps.posGramHashes(col("toks"), n)).as("g"))
+          .select(col("doc_id"), col("g.start").as("start"),
+            col("g.h").as("h"))
+          .localCheckpoint() // feeds BOTH the freq pass and the join-back
+        val dupHashes = grams.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("h"))
+        val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+        grams.join(dupHashes, "h")
+          .select(col("doc_id"), col("start"))
+          .withColumn("brk",
+            when(col("start") - lag(col("start"), 1).over(wOrd) > n, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("start")).as("span_start"),
+            (max(col("start")) + lit(n.toLong) - min(col("start")))
+              .as("span_len"),
+            count(lit(1)).as("n_grams"))
+          .select(col("doc_id"), col("span_start"), col("span_len"),
+            col("n_grams"))
+      },
+      Some {
+        val n = SubstringGramN
+        val parts = (0 until n).map(k => s"tokens[g.i + $k]")
+          .mkString(" || ' ' || ")
+        s"""
+        WITH g AS (
+          SELECT doc_id, CAST(g.i AS BIGINT) AS start, md5($parts) AS h
+          FROM (${DocSql.toksSql}) t
+          CROSS JOIN generate_series(1, 512) AS g(i)
+          WHERE g.i <= len(tokens) - ${n - 1}),
+        freq AS (
+          SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+          WHERE nd >= 2),
+        brk AS (
+          SELECT g.doc_id, g.start,
+                 CASE WHEN g.start - lag(g.start) OVER (
+                   PARTITION BY g.doc_id ORDER BY g.start) > $n
+                 THEN 1 ELSE 0 END AS brk
+          FROM g JOIN freq USING (h)),
+        isl AS (
+          SELECT doc_id, start, sum(brk) OVER (
+            PARTITION BY doc_id ORDER BY start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM brk)
+        SELECT doc_id, min(start) AS span_start,
+               max(start) + $n - min(start) AS span_len,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, island"""
+      }),
 
     // ---- PageRank over the near-dup graph (canonical-doc authority) --------
     // Which document should represent its duplicate cluster? The one the

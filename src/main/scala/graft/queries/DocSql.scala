@@ -52,15 +52,20 @@ private[queries] object DocSql {
     s"SELECT doc_id, $mins FROM (${shinglesSql(n)}) GROUP BY doc_id"
   }
 
-  /** Banded signature rows: doc_id, band, bh (UNION ALL over bands). */
-  def bandsSql(n: Int, k: Int, rowsPerBand: Int): String = {
-    val bands = k / rowsPerBand
-    val selects = (0 until bands).map { b =>
+  /** Banded rows from an in-scope `sig` CTE (doc_id, mh0..) — the body
+    * bandsSql wraps, exposed separately so a SWEEP over (bands, rows)
+    * configs can share ONE sig CTE across configs (dd_lsh_sweep).
+    */
+  def bandsFromSigSql(bands: Int, rowsPerBand: Int): String =
+    (0 until bands).map { b =>
       val cat = (0 until rowsPerBand)
         .map(j => s"CAST(mh${b * rowsPerBand + j} AS VARCHAR)")
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
-    }
-    s"WITH sig AS (${minhashSql(n, k)}) ${selects.mkString(" UNION ALL ")}"
-  }
+    }.mkString(" UNION ALL ")
+
+  /** Banded signature rows: doc_id, band, bh (UNION ALL over bands). */
+  def bandsSql(n: Int, k: Int, rowsPerBand: Int): String =
+    s"WITH sig AS (${minhashSql(n, k)}) " +
+      bandsFromSigSql(k / rowsPerBand, rowsPerBand)
 }

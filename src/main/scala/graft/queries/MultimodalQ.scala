@@ -63,6 +63,84 @@ object MultimodalQ {
                  md5(substr(text, 1, 80)) AS content_hash
           FROM documents)
         GROUP BY kind, content_hash
-        HAVING count(*) >= 2"""))
+        HAVING count(*) >= 2""")),
+
+    // ---- cross-modal join: per-doc text ⋈ asset feature fusion --------------
+    // The multimodal-training-data shape: each document links to its media
+    // assets (here two synthesized per doc — the full payload and an
+    // 80-char "thumbnail"), asset features are aggregated per doc, and the
+    // text-side stats join in on doc_id to one fused feature row. Scale
+    // shape: payload bytes are measured/hashed IN THE SCAN PROJECTION and
+    // die before the aggregation exchange — the doc_id join moves only
+    // small per-doc feature rows, never content (PlanAuditSpec asserts no
+    // binary crosses an exchange). Fused milli_bytes_per_token is integer
+    // arithmetic, so the row hash-matches the oracle.
+    Q("mm_crossmodal",
+      (s, dir) => {
+        val d = Tables.sharded(s, dir, "documents")
+        val assets = d.select(col("doc_id"), explode(array(
+            struct((col("doc_id") * 10).as("asset_id"),
+              element_at(array(lit("image"), lit("audio"), lit("video")),
+                (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+              col("text").cast("binary").as("content")),
+            struct((col("doc_id") * 10 + 1).as("asset_id"),
+              lit("image").as("kind"),
+              substring(col("text"), 1, 80).cast("binary").as("content"))))
+            .as("a"))
+          .select(col("doc_id"), col("a.kind").as("kind"),
+            col("a.content").as("content"))
+        val assetFeats = assets
+          // payload consumed here: length + numeric hash prefix (long min
+          // aggregates via HashAggregate — the TextOps.minhash trade)
+          .select(col("doc_id"), col("kind"),
+            length(col("content")).cast("long").as("nbytes"),
+            conv(substring(md5(col("content")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("nbytes")).as("total_bytes"),
+            countDistinct(col("kind")).as("n_kinds"),
+            min(col("h")).as("min_content_hash"))
+        val textFeats = d.select(col("doc_id"), col("n_chars"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        textFeats.join(assetFeats, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+            col("n_assets"), col("n_kinds"), col("total_bytes"),
+            col("min_content_hash"),
+            call_function("div", col("total_bytes") * 1000,
+              greatest(col("n_tokens"), lit(1L)))
+              .as("milli_bytes_per_token"))
+      },
+      Some("""
+        WITH assets AS (
+          SELECT doc_id,
+                 list_extract(['image', 'audio', 'video'],
+                              CAST(doc_id % 3 + 1 AS INT)) AS kind,
+                 octet_length(encode(text)) AS nbytes,
+                 CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'image',
+                 octet_length(encode(substr(text, 1, 80))),
+                 CAST(('0x' || substr(md5(substr(text, 1, 80)), 1, 15))
+                   AS BIGINT)
+          FROM documents),
+        af AS (
+          SELECT doc_id, count(*) AS n_assets,
+                 CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+                 count(DISTINCT kind) AS n_kinds,
+                 min(h) AS min_content_hash
+          FROM assets GROUP BY doc_id),
+        tf AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT t.doc_id, t.n_tokens, t.n_chars, a.n_assets, a.n_kinds,
+               a.total_bytes, a.min_content_hash,
+               CAST((a.total_bytes * 1000) // greatest(t.n_tokens, 1)
+                 AS BIGINT) AS milli_bytes_per_token
+        FROM tf t JOIN af a USING (doc_id)"""))
   )
 }

@@ -33,6 +33,22 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Overlapping n-token gram hashes WITH their 1-based token start
+    * position — the exact-substring dedup primitive (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", uses
+    * 50-token grams; the distributed equivalent of their suffix array is
+    * hash → group → equi-join). Returns array<struct<start,h>>; md5 over
+    * the space-joined gram keeps the hash portable to the DuckDB mirror.
+    */
+  def posGramHashes(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        struct(i.cast("long").as("start"),
+          md5(concat_ws(" ",
+            (0 until n).map(k => element_at(toks, i + lit(k))): _*)
+            .cast("binary")).as("h"))))
+      .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
+
   /** Non-overlapping n-token spans (stride = n) from a token array —
     * the chunking used for span-level dedup, where overlapping shingles
     * would multiply the hash volume n× for no extra dedup power.

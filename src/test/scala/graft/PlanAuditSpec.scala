@@ -37,6 +37,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("mm_crossmodal prunes binary payloads before any exchange") {
+    // the cross-modal contract: content bytes are consumed in the scan
+    // projection (length + hash); every exchange and the doc_id join
+    // move only feature rows. A `binary` type anywhere downstream of an
+    // Exchange means payload bytes are shuffling — the 100 TB killer.
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect);
+    // plan once without it — the exchange OUTPUTS are identical either way
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    val exec =
+      try {
+        spark.conf.set(aqeKey, "false")
+        SparkEntry.queries("mm_crossmodal")(spark, sfDir)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(aqeKey, aqeWas)
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty) // the agg + join do shuffle...
+    exchanges.foreach(e => assert(!e.output.exists(_.dataType ==
+      org.apache.spark.sql.types.BinaryType),
+      "binary column crosses an exchange"))
+  }
+
   test("column pruning reaches the scan (q5 reads 3 customer columns)") {
     val plan = SparkEntry.queries("q5_distinct_agg")(spark, sfDir)
       .queryExecution.executedPlan.toString
