@@ -29,6 +29,10 @@ object Dedup {
   private val SweepConfigs: Seq[(Int, Int)] =
     Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
 
+  // dd_shingle_cap's document-frequency caps: tight, moderate, uncapped
+  // (the uncapped row is the lost-pair baseline).
+  private val ShingleDfCaps: Seq[Long] = Seq(2L, 5L, 1000000L)
+
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.sharded(s, dir, "documents")
 
@@ -401,6 +405,81 @@ object Dedup {
         $configSelects"""
       }),
 
+    // ---- shingle document-frequency cap: the web-scale cost mitigation ------
+    // dd_lsh_recall's inverted-index ground truth costs Σ df² per shingle
+    // of document frequency df — at web scale a boilerplate shingle
+    // ("click here to subscribe") with df=10^6 single-handedly generates
+    // 10^12 pairs. The standard mitigation drops shingles above a df cap
+    // from the index, trading pairs whose ONLY shared content is
+    // boilerplate for a bounded join. This query MEASURES that trade on
+    // the corpus instead of documenting it: per cap — the number of
+    // surviving duplicated shingles, the pair-generation cost
+    // Σ df·(df−1)/2 the inverted index actually pays, and the distinct
+    // candidate pairs still surfaced. One shingle pass and one combinable
+    // df aggregation (both checkpointed) feed every cap; the uncapped row
+    // is the baseline the lost-pair count reads against. Output: 3 rows.
+    Q("dd_shingle_cap",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sh = TextOps.explodedShingles(d, ShingleN).distinct()
+          .localCheckpoint()
+        val dfreq = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2) // df=1 shingles generate zero pairs
+          .localCheckpoint()
+        ShingleDfCaps.map { cap =>
+          val kept = dfreq.filter(col("df") <= cap)
+          val shingleStats = kept.agg(
+            count(lit(1)).as("n_shingles"),
+            coalesce(sum(call_function("div",
+              col("df") * (col("df") - 1), lit(2L))), lit(0L)).as("gen_cost"))
+          val shKept = sh.join(kept.select(col("shingle")), "shingle")
+          val pairStats = shKept
+            .select(col("doc_id").as("doc_a"), col("shingle"))
+            .join(shKept.select(col("doc_id").as("doc_b"), col("shingle")),
+              Seq("shingle"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b")).distinct()
+            .agg(count(lit(1)).as("n_pairs"))
+          // single-row sides combine by union+max (the q24/dd_report rule:
+          // a constant-key join would fold to BNLJ)
+          shingleStats.select(col("n_shingles"), col("gen_cost"),
+              lit(null).cast("long").as("n_pairs"))
+            .unionByName(pairStats.select(
+              lit(null).cast("long").as("n_shingles"),
+              lit(null).cast("long").as("gen_cost"), col("n_pairs")))
+            .agg(max(col("n_shingles")).as("n_shingles"),
+              max(col("gen_cost")).as("gen_cost"),
+              max(col("n_pairs")).as("n_pairs"))
+            .select(lit(cap).as("cap"), col("n_shingles"), col("gen_cost"),
+              col("n_pairs"))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val capCtes = ShingleDfCaps.map { cap =>
+          s"""kept_$cap AS (SELECT shingle, df FROM dfreq WHERE df <= $cap),
+          pairs_$cap AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN kept_$cap k ON k.shingle = a.shingle
+            JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id)"""
+        }.mkString(",\n")
+        val capSelects = ShingleDfCaps.map { cap =>
+          s"""SELECT CAST($cap AS BIGINT) AS cap,
+                 (SELECT count(*) FROM kept_$cap) AS n_shingles,
+                 (SELECT CAST(coalesce(sum(df * (df - 1) // 2), 0) AS BIGINT)
+                  FROM kept_$cap) AS gen_cost,
+                 (SELECT count(*) FROM pairs_$cap) AS n_pairs"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH sh AS (SELECT DISTINCT doc_id, shingle
+                    FROM (${DocSql.shinglesSql(ShingleN)})),
+        dfreq AS (
+          SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+          HAVING count(*) >= 2),
+        $capCtes
+        $capSelects"""
+      }),
+
     // ---- near-dup cluster assignment ---------------------------------------
     // LSH pairs → dedup groups via bounded min-label propagation
     // (ops.Components): cluster_id = smallest doc id reachable in ≤4
@@ -637,6 +716,103 @@ object Dedup {
                max(start) + $n - min(start) AS span_len,
                count(*) AS n_grams
         FROM isl GROUP BY doc_id, island"""
+      }),
+
+    // ---- substring-level dedup APPLIED: cut duplicated spans, keep one ------
+    // The removal stage Lee et al. run after localization: every
+    // duplicated gram keeps exactly ONE occurrence corpus-wide (the
+    // lexicographically-first (doc_id, start) — deterministic in both
+    // engines) and all other occurrences are cut. Keeper selection is a
+    // single combinable min over a packed (doc_id << 32 | start) key —
+    // no window over the gram stream, no second shuffle (the pack is for
+    // DuckDB portability; doc_id < 2^31 and start < 2^32 hold to
+    // billions of docs, and the Spark-native form at any scale is
+    // min(struct(doc_id, start))). Cut starts then merge into covered
+    // spans with the dd_substring gaps-and-islands window and the ledger
+    // reports per-doc tokens kept/cut in exact integers. Docs with
+    // nothing to cut appear with zero counts (left join on the per-doc
+    // token table — the data-card completeness rule from dd_report).
+    Q("dd_substring_clean",
+      (s, dir) => {
+        val n = SubstringGramN
+        val shift = 4294967296L // 2^32
+        val base = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+            TextOps.posGramHashes(col("toks"), n).as("gs"))
+          .localCheckpoint() // feeds the token ledger AND the gram stream
+        val tokCounts = base.select(col("doc_id"), col("n_tokens"))
+        val grams = base
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
+        val keepers = grams.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"),
+            min(col("doc_id") * shift + col("start")).as("keeper"))
+          .filter(col("nd") >= 2)
+          .select(col("h"), col("keeper"))
+        val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+        val cutSpans = grams.join(keepers, "h")
+          .filter(col("doc_id") * shift + col("start") =!= col("keeper"))
+          .select(col("doc_id"), col("start"))
+          .withColumn("brk",
+            when(col("start") - lag(col("start"), 1).over(wOrd) > n, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg((max(col("start")) + lit(n.toLong) - min(col("start")))
+            .as("span_len"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("spans_cut"),
+            sum(col("span_len")).as("tokens_cut"))
+        tokCounts.join(cutSpans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"),
+            coalesce(col("spans_cut"), lit(0L)).as("spans_cut"),
+            call_function("div",
+              (col("n_tokens") - coalesce(col("tokens_cut"), lit(0L))) * 1000,
+              greatest(col("n_tokens"), lit(1L))).as("keep_permille"))
+      },
+      Some {
+        val n = SubstringGramN
+        val parts = (0 until n).map(k => s"tokens[g.i + $k]")
+          .mkString(" || ' ' || ")
+        s"""
+        WITH t AS (${DocSql.toksSql}),
+        tc AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM t),
+        g AS (
+          SELECT doc_id, CAST(g.i AS BIGINT) AS start, md5($parts) AS h
+          FROM t
+          CROSS JOIN generate_series(1, 512) AS g(i)
+          WHERE g.i <= len(tokens) - ${n - 1}),
+        keepers AS (
+          SELECT h, min(doc_id * 4294967296 + start) AS keeper
+          FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        brk AS (
+          SELECT g.doc_id, g.start,
+                 CASE WHEN g.start - lag(g.start) OVER (
+                   PARTITION BY g.doc_id ORDER BY g.start) > $n
+                 THEN 1 ELSE 0 END AS brk
+          FROM g JOIN keepers USING (h)
+          WHERE g.doc_id * 4294967296 + g.start <> keepers.keeper),
+        isl AS (
+          SELECT doc_id, start, sum(brk) OVER (
+            PARTITION BY doc_id ORDER BY start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM brk),
+        sp AS (
+          SELECT doc_id, max(start) + $n - min(start) AS span_len
+          FROM isl GROUP BY doc_id, island),
+        agg AS (
+          SELECT doc_id, count(*) AS spans_cut,
+                 CAST(sum(span_len) AS BIGINT) AS tokens_cut
+          FROM sp GROUP BY doc_id)
+        SELECT tc.doc_id, tc.n_tokens,
+               coalesce(a.tokens_cut, 0) AS tokens_cut,
+               coalesce(a.spans_cut, 0) AS spans_cut,
+               (tc.n_tokens - coalesce(a.tokens_cut, 0)) * 1000
+                 // greatest(tc.n_tokens, 1) AS keep_permille
+        FROM tc LEFT JOIN agg a USING (doc_id)"""
       }),
 
     // ---- PageRank over the near-dup graph (canonical-doc authority) --------

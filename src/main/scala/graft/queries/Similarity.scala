@@ -91,6 +91,8 @@ object Similarity {
   // package-visible so specs assert against THIS constant (CentroidModulo
   // precedent) instead of re-hardcoding the probe count
   private[graft] val PqProbeN = 4
+  // sim_ivfpq_refine: ADC candidates surviving to the exact-cosine rerank
+  private val RefineShortlist = 10
   private val PqNSub = Dims / PqSubDim
 
   private def pqSubv(v: Array[Long], m: Int): Array[Long] =
@@ -684,6 +686,95 @@ object Similarity {
                    AND t.code = c.code
           GROUP BY 1, 2)
         $pqRankSql""")),
+
+    // ---- IVF-PQ + refine: ADC shortlist, exact-cosine rerank ----------------
+    // The accuracy-recovery stage production IVFPQ serving adds on top of
+    // sim_ivfpq (FAISS IndexRefineFlat): ADC lookups are lossy (8-byte
+    // codes), so the top-RefineShortlist ADC candidates per probe are
+    // re-scored with EXACT cosine against their full vectors and only
+    // then cut to top-k. Cost shape at scale: the expensive exact math
+    // runs on shortlist-sized data (|probes| × RefineShortlist rows),
+    // never bucket- or corpus-sized; the probe's own vector enters as a
+    // literal `when` chain (probes are a model-sized driver collect —
+    // the sim_kmeans centroid discipline), so the rerank is a narrow
+    // projection with no extra join or exchange. The shortlist cut
+    // reuses the ADC window exchange; rank ties break on vec_id in both
+    // engines.
+    Q("sim_ivfpq_refine",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings")
+        val d = VectorOps.dotFn(emb)
+        val assigned = VectorOps.assignIvf(emb, CentroidModulo)
+          .localCheckpoint() // 3 consumers: codebook, probes, candidates
+        val cb = pqCodebook(assigned)
+        val probes = assigned.filter(col("vec_id") < PqProbeN)
+          .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Long](2).toArray, r.getLong(3)))
+        val dt = pqAdcTables(probes.map(p => (p._1, p._3)), cb)
+        val probeCent = probes.map(p => p._1 -> p._2).toMap
+        val coded = pqEncoded(assigned,
+          Seq(col("vec_id"), col("centroid_id"), col("q"), col("n2")), cb)
+        val adc = coded.select(col("vec_id"), col("q"), col("n2"),
+            col("centroid_id"),
+            pqAdcStructs(dt, probes.map(_._1).toSeq,
+              pid => Seq(lit(probeCent(pid)).as("pcent"))).as("pa"))
+          .filter(col("pa.pcent") === col("centroid_id") &&
+            col("vec_id") =!= col("pa.probe_id"))
+          .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
+            col("pa.adc_dist").as("adc_dist"), col("q"), col("n2"))
+        val wAdc = Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        val short = adc.withColumn("srank", row_number().over(wAdc))
+          .filter(col("srank") <= RefineShortlist)
+        // exact rerank on the shortlist only; probe vector as literal
+        val exact = probes.map { case (pid, _, pq, pn2) =>
+          (col("probe_id") === pid) ->
+            // probe norm divides FIRST (cosSql("p","c") order): fp division
+            // is non-associative, so argument order is part of the contract
+            VectorOps.cosine(d(col("q"),
+              array(pq.map(lit(_)).toSeq: _*)), lit(pn2), col("n2"))
+        }.foldRight(lit(Double.NaN)) { case ((pred, cos), acc) =>
+          when(pred, cos).otherwise(acc)
+        }
+        val wCos = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        short.withColumn("cosine", exact)
+          .withColumn("rank", row_number().over(wCos))
+          .filter(col("rank") <= 5)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("adc_dist"), col("cosine"), col("rank"))
+      },
+      Some(s"""
+        WITH $assignSql,$pqCtesSql,
+        probes AS (
+          SELECT vec_id AS probe_id, centroid_id, qv, n2 FROM asg
+          WHERE vec_id < $PqProbeN),
+        adc AS (
+          SELECT p.probe_id, a.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc_dist
+          FROM probes p
+          JOIN asg a ON a.centroid_id = p.centroid_id
+                    AND a.vec_id <> p.probe_id
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN dt t ON t.probe_id = p.probe_id AND t.m = c.m
+                   AND t.code = c.code
+          GROUP BY 1, 2),
+        short AS (
+          SELECT probe_id, vec_id, adc_dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY adc_dist, vec_id) AS srank
+            FROM adc) WHERE srank <= $RefineShortlist),
+        rer AS (
+          SELECT s.probe_id, s.vec_id, s.adc_dist,
+                 ${cosSql("p", "c")} AS cosine
+          FROM short s
+          JOIN probes p ON p.probe_id = s.probe_id
+          JOIN asg c ON c.vec_id = s.vec_id)
+        SELECT probe_id, vec_id AS neighbor_id, adc_dist, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cosine DESC, vec_id) AS rank
+          FROM rer) WHERE rank <= 5""")),
 
     // ---- filtered vector search (metadata-predicated ANN) -------------------
     // The modern vector-store table stake: top-k under a metadata

@@ -81,6 +81,55 @@ class ScaleSmokeSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("substring dedup stays span-bounded at 4x scale with planted spans") {
+    // dd_substring's shape at 4× bench scale: 20k docs × 120 tokens, a
+    // 60-token span planted mid-doc in every 100th doc, all other tokens
+    // unique per doc. Contracts that make the path survive growth: the
+    // duplicated-gram table is SPAN-sized (60−50+1 = 11 distinct gram
+    // hashes regardless of corpus size — the doc-frequency aggregate
+    // collapses the 200 planted copies), and span localization recovers
+    // exactly the planted (start, length) in every planted doc with
+    // zero false spans in the 19.8k unique docs.
+    val gramN = 50
+    // 8-hex (32-bit) tokens, unlike the 16-bit tokens of the LSH corpus
+    // above: a boundary gram differs from a planted one in as little as
+    // ONE token, so 16-bit tokens yield ~0.6 expected accidental extra
+    // shared grams across the 19 900 planted-doc pairs; 32-bit makes the
+    // exact-count assertions stable (expected ≈ 1e-5)
+    def uniq(cnt: Int, salt: String) =
+      transform(sequence(lit(0), lit(cnt - 1)), j =>
+        substring(md5(concat(col("id").cast("string"), lit("|" + salt + "|"),
+          j.cast("string")).cast("binary")), 1, 8))
+    val span = transform(sequence(lit(0), lit(59)), j =>
+      substring(md5(concat(lit("span|"), j.cast("string")).cast("binary")),
+        1, 8))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", concat(uniq(30, "a"),
+        when(col("id") % 100 === 0, span).otherwise(uniq(60, "b")),
+        uniq(30, "c"))).as("text"))
+    val grams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.posGramHashes(col("toks"), gramN)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
+      .localCheckpoint()
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .cache()
+    assert(dup.count() === (60 - gramN + 1).toLong) // span-sized, not corpus-sized
+    val spans = grams.join(dup.select(col("h")), "h")
+      .groupBy(col("doc_id"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(gramN.toLong) - min(col("start")))
+          .as("span_len"))
+      .cache()
+    assert(spans.count() === (nDocs / 100).toLong) // planted docs only
+    assert(spans.filter(col("span_start") =!= 31 ||
+      col("span_len") =!= 60).count() === 0)
+    dup.unpersist(); spans.unpersist()
+  }
+
   test("exact dedup finds exactly the planted duplicate group") {
     val groups = corpus
       .select(col("doc_id"),
