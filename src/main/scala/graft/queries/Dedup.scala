@@ -321,10 +321,16 @@ object Dedup {
     // factorization of the SAME 12-component signature evaluated against
     // the SAME jaccard≥0.5 inverted-index ground truth — collision
     // threshold (1/b)^(1/r) sweeps ~0 → 0.94 down the rows. ONE signature
-    // pass and ONE truth pass (both localCheckpointed) feed all configs;
-    // per config the only new work is the band bucketing + a union-tag
-    // aggregate (cand ∪ truth → flags → three combinable sums — no scalar
-    // collects, no cross join). Output is model-sized: one row per config.
+    // pass and ONE truth pass (both localCheckpointed) feed all configs,
+    // and the configs are MULTIPLEXED through shared plan nodes rather
+    // than run as 6 branches: the per-config banded rows (narrow maps
+    // off the signature checkpoint, Σb = 28 rows/doc total) union into
+    // one frame whose grouping keys carry (bands, rows_per_band), so the
+    // whole sweep costs one bucket aggregate, one pair-distinct, and one
+    // union-tag aggregate regardless of how many configs are swept —
+    // 4 exchanges total instead of ~3 per config. Truth pairs fan out
+    // |configs|× via a literal-array explode (model-sized constant).
+    // Output is model-sized: one row per config.
     Q("dd_lsh_sweep",
       (s, dir) => {
         val d = docs(s, dir)
@@ -346,24 +352,49 @@ object Dedup {
             col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
           .select(col("doc_a"), col("doc_b"))
           .localCheckpoint()
-        val configRows = SweepConfigs.map { case (b, r) =>
-          TextOps.lshCandidatesFromSigs(sigs, b * r, r)
-            .select(col("doc_a"), col("doc_b"),
-              lit(1L).as("is_cand"), lit(0L).as("is_truth"))
-            .unionByName(truthPairs.select(col("doc_a"), col("doc_b"),
-              lit(0L).as("is_cand"), lit(1L).as("is_truth")))
-            .groupBy(col("doc_a"), col("doc_b"))
-            .agg(max(col("is_cand")).as("c"), max(col("is_truth")).as("t"))
-            .agg(sum(col("c")).as("n_candidates"),
-              sum(col("t")).as("n_truth"),
-              sum(col("c") * col("t")).as("n_found"))
+        val cfgKeys = Seq(col("bands"), col("rows_per_band"))
+        val banded = SweepConfigs.map { case (b, r) =>
+          TextOps.bandedRows(sigs, b * r, r)
             .select(lit(b.toLong).as("bands"),
               lit(r.toLong).as("rows_per_band"),
-              col("n_candidates"), col("n_truth"), col("n_found"),
-              (col("n_found").cast("double") / col("n_truth").cast("double"))
-                .as("recall"))
-        }
-        configRows.reduce(_.unionByName(_))
+              col("doc_id"), col("band"), col("bh"))
+        }.reduce(_.unionByName(_))
+        val cand = banded
+          .groupBy(cfgKeys :+ col("band") :+ col("bh"): _*)
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          // ordered pairs (i < j) from the sorted bucket membership — the
+          // lshCandidatesFromSigs idiom with the config keys retained
+          .select(cfgKeys :+
+            explode(flatten(transform(col("ids"), (a, i) =>
+              transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+                struct(a.as("doc_a"), b.as("doc_b")))))).as("p"): _*)
+          .select(cfgKeys :+ col("p.doc_a").as("doc_a") :+
+            col("p.doc_b").as("doc_b"): _*)
+          .distinct()
+        val cfgLit = explode(array(SweepConfigs.map { case (b, r) =>
+          struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"))
+        }: _*))
+        val truthTagged = truthPairs
+          .select(cfgLit.as("c"), col("doc_a"), col("doc_b"))
+          .select(col("c.bands").as("bands"),
+            col("c.rows_per_band").as("rows_per_band"),
+            col("doc_a"), col("doc_b"))
+        cand.select(cfgKeys :+ col("doc_a") :+ col("doc_b") :+
+            lit(1L).as("is_cand") :+ lit(0L).as("is_truth"): _*)
+          .unionByName(truthTagged.select(cfgKeys :+ col("doc_a") :+
+            col("doc_b") :+ lit(0L).as("is_cand") :+
+            lit(1L).as("is_truth"): _*))
+          .groupBy(cfgKeys :+ col("doc_a") :+ col("doc_b"): _*)
+          .agg(max(col("is_cand")).as("c"), max(col("is_truth")).as("t"))
+          .groupBy(cfgKeys: _*)
+          .agg(sum(col("c")).as("n_candidates"),
+            sum(col("t")).as("n_truth"),
+            sum(col("c") * col("t")).as("n_found"))
+          .select(cfgKeys :+ col("n_candidates") :+ col("n_truth") :+
+            col("n_found") :+
+            (col("n_found").cast("double") / col("n_truth").cast("double"))
+              .as("recall"): _*)
       },
       Some {
         val configCtes = SweepConfigs.map { case (b, r) =>

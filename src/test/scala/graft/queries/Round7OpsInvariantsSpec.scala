@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-7 additions — properties the DuckDB
+  * hash compare can't express: the substring removal ledger must account
+  * for every doc and never cut more than it localized, the df-cap trade
+  * must be monotone in the cap, the LSH sweep must be monotone down the
+  * nested band factorizations, the refine stage must never score below
+  * plain ADC ranking, and the cross-modal fusion must reconstruct its
+  * synthesized asset arithmetic exactly.
+  */
+class Round7OpsInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("dd_substring_clean: full ledger, cuts bounded by localization") {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val clean = run("dd_substring_clean").cache()
+    assert(clean.count() === nDocs) // zero-cut docs included
+    assert(clean.filter(col("tokens_cut") < 0 ||
+      col("tokens_cut") > col("n_tokens")).count() === 0)
+    assert(clean.filter((col("spans_cut") === 0) =!=
+      (col("tokens_cut") === 0)).count() === 0)
+    val locTotal = run("dd_substring")
+      .agg(sum(col("span_len"))).collect()(0).getLong(0)
+    val cutTotal = clean.agg(sum(col("tokens_cut"))).collect()(0).getLong(0)
+    // cut spans are a strict subset of localized spans: every duplicated
+    // gram keeps one occurrence, so strictly fewer tokens are cut than
+    // were localized as duplicated
+    assert(cutTotal > 0 && cutTotal < locTotal,
+      s"cut=$cutTotal localized=$locTotal")
+    clean.unpersist()
+  }
+
+  test("dd_shingle_cap: every column monotone non-decreasing in the cap") {
+    val rows = run("dd_shingle_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length === 3)
+    rows.zip(rows.tail).foreach { case ((_, s1, g1, p1), (_, s2, g2, p2)) =>
+      assert(s1 <= s2 && g1 <= g2 && p1 <= p2,
+        s"df-cap trade not monotone: $rows")
+    }
+    val (_, _, gUncapped, pUncapped) = rows.last
+    assert(pUncapped > 0) // the fixture plants duplicates
+    assert(gUncapped >= pUncapped) // generation cost counts pair multiplicity
+  }
+
+  test("dd_lsh_sweep: monotone down the nested factorization chain") {
+    // bands of (b, r) refine bands of (2b, r/…): agreement on a wider
+    // band implies agreement on every contained narrower band, so the
+    // candidate set (and with fixed truth, the recall) can only shrink
+    // down the (12,1) → (1,12) chain
+    val byRows = run("dd_lsh_sweep").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+      .sortBy(_._1) // rows_per_band ascending = chain order
+    assert(byRows.length === 6)
+    assert(byRows.map(_._3).distinct.length === 1) // one shared truth set
+    byRows.zip(byRows.tail).foreach {
+      case ((r1, c1, _, f1, rec1), (r2, c2, _, f2, rec2)) =>
+        assert(c1 >= c2 && f1 >= f2 && rec1 >= rec2,
+          s"sweep not monotone between rows_per_band=$r1 and $r2")
+    }
+    byRows.foreach { case (_, c, t, f, rec) =>
+      assert(f <= math.min(c, t) && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("sim_ivfpq_refine: exact-cosine top-5 never scores below plain ADC") {
+    import graft.similarity.VectorOps
+    val emb = graft.Tables.sharded(spark, sfDir, "embeddings")
+    val d = VectorOps.dotFn(emb)
+    val q = VectorOps.quantized(emb).localCheckpoint()
+    def exactSum(res: org.apache.spark.sql.DataFrame) = res
+      .join(q.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("n2").as("pn2")), "probe_id")
+      .join(q.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+        col("n2").as("cn2")), "neighbor_id")
+      .withColumn("cos", VectorOps.cosine(d(col("pq"), col("cq")),
+        col("pn2"), col("cn2")))
+      .groupBy(col("probe_id")).agg(sum(col("cos")).as("s"),
+        count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val adc = exactSum(run("sim_ivfpq"))
+    val ref = exactSum(run("sim_ivfpq_refine"))
+    assert(ref.keySet === adc.keySet)
+    ref.foreach { case (probe, (refSum, refK)) =>
+      val (adcSum, adcK) = adc(probe)
+      assert(refK === adcK) // both return exactly k rows per probe
+      // refine picks the best k by exact cosine from an ADC shortlist
+      // that contains plain IVFPQ's k — it can only improve the sum
+      assert(refSum >= adcSum - 1e-9,
+        s"refine degraded probe $probe: $refSum < $adcSum")
+    }
+  }
+
+  test("mm_crossmodal: fused features reconstruct the asset arithmetic") {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val res = run("mm_crossmodal").cache()
+    assert(res.count() === nDocs)
+    // two synthesized assets per doc: the full payload + an 80-char thumb
+    assert(res.filter(col("n_assets") =!= 2).count() === 0)
+    assert(res.filter(col("n_kinds") < 1 || col("n_kinds") > 2)
+      .count() === 0)
+    assert(res.filter(col("total_bytes") =!=
+      col("n_chars") + least(col("n_chars"), lit(80L))).count() === 0)
+    assert(res.filter(col("milli_bytes_per_token") < 0).count() === 0)
+    res.unpersist()
+  }
+}
