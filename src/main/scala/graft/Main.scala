@@ -78,6 +78,11 @@ object Main {
             s"$flag is Dataflow-specific; configure the Spark cluster via " +
               "spark-submit instead")
           tail match {
+            // a following --flag token is a MISSING value, not a value:
+            // silently consuming it would cascade into misparsing the
+            // rest of the command line
+            case v :: _ if v.startsWith("--") =>
+              throw new IllegalArgumentException(s"$flag requires a value")
             case v :: t2 =>
               val next = key match {
                 case "mode" => acc.copy(cfg = acc.cfg.copy(mode = modeOf(v)))
@@ -193,9 +198,17 @@ object Main {
     // --input_dir points at real files (distributed glob, the reference's
     // --input_dir); otherwise the fixture listing is synthesized from sfDir
     val (listing, decoder) = cli.inputDir match {
-      // real files: distributed glob + the load-if-present FFmpeg seam
+      // real files: distributed glob + the load-if-present FFmpeg seam.
+      // When FFmpeg will actually decode, carry binaryFile's lazy
+      // `content` so executors get the bytes through Hadoop (FFmpeg
+      // cannot open hdfs:// or s3a:// URIs itself); the synthetic
+      // fallback needs no bytes, so it keeps the metadata-only listing
       case Some(glob) =>
-        (Ingest.listFiles(spark, glob), FfmpegFrameDecoder.orSynthetic())
+        val listing =
+          if (FfmpegFrameDecoder.available)
+            Ingest.listFilesWithContent(spark, glob)
+          else Ingest.listFiles(spark, glob)
+        (listing, FfmpegFrameDecoder.orSynthetic())
       // fixture listing synthesizes names with no bytes behind them —
       // only the synthetic decoder can "decode" those
       case None => (fixtureListing(spark, cli.sfDir),

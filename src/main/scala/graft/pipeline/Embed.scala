@@ -79,7 +79,11 @@ final class OnnxEmbedder(modelPath: String, inputShape: Seq[Int],
   @transient private var runBatch: Seq[Array[Float]] => Seq[Array[Float]] = _
 
   override def cacheKey: String =
-    s"${getClass.getName}#model=$modelPath#dim=$dim"
+    // inputShape is part of the key: NHWC and NCHW variants of the same
+    // model have equal element counts, so sharing a singleton across them
+    // would feed tensors with the wrong layout
+    s"${getClass.getName}#model=$modelPath#dim=$dim" +
+      s"#shape=${inputShape.mkString("x")}"
 
   override def setup(): Unit = {
     require(OnnxEmbedder.available,

@@ -32,6 +32,23 @@ trait FrameDecoder extends Serializable {
     decode(filename, content, sampleRateMs)
 }
 
+object FrameDecoder {
+
+  /** Effective fps of the emitted frame stream: one frame per
+    * `sampleRateMs` of video time. EXACT division, no rounding — the
+    * downstream window-validity rule divides by this
+    * (`video_length = 1000 * frame_total / frame_per_sec`,
+    * preprocess.py:293), so round(1000/2500)=0 would make every window
+    * length infinite and round(1000/667)=1 would misstate the video
+    * length by 33%. One definition shared by every decoder.
+    */
+  def effectiveFps(sampleRateMs: Long): Double = {
+    require(sampleRateMs > 0, s"frame sample rate must be positive ms," +
+      s" got $sampleRateMs")
+    1000.0 / sampleRateMs
+  }
+}
+
 /** Deterministic fake decoder: frame count, fps, and pixels derive from a
   * hash of the filename, so every run (and every engine re-running a lost
   * partition) produces identical frames. Pixels are normalized [0,1] floats
@@ -44,7 +61,7 @@ final class SyntheticFrameDecoder(height: Int = 8, width: Int = 8,
       sampleRateMs: Long): Iterator[DecodedFrame] = {
     val h0 = filename.hashCode
     val nFrames = 1 + java.lang.Math.floorMod(h0, maxFrames)
-    val fps = math.round(1000.0 / sampleRateMs).toDouble
+    val fps = FrameDecoder.effectiveFps(sampleRateMs)
     Iterator.tabulate(nFrames) { i =>
       val image = new Array[Float](height * width * 3)
       var x = h0 * 31 + i
@@ -64,7 +81,7 @@ final class SyntheticFrameDecoder(height: Int = 8, width: Int = 8,
       sampleRateMs: Long): Iterator[DecodedFrame] = {
     val h0 = filename.hashCode
     val nFrames = 1 + java.lang.Math.floorMod(h0, maxFrames)
-    val fps = math.round(1000.0 / sampleRateMs).toDouble
+    val fps = FrameDecoder.effectiveFps(sampleRateMs)
     Iterator.tabulate(nFrames)(i => DecodedFrame(i * sampleRateMs, fps,
       nFrames.toDouble, height, width, Array.emptyFloatArray))
   }
@@ -139,7 +156,7 @@ object FfmpegFrameDecoder {
     try {
       val durationUs = lengthInTime.invoke(grabber).asInstanceOf[Long]
       val n = math.max(1L, durationUs / 1000L / sampleRateMs + 1L).toInt
-      val fps = math.round(1000.0 / sampleRateMs).toDouble
+      val fps = FrameDecoder.effectiveFps(sampleRateMs)
       val frames = (0 until n).flatMap { i =>
         val tsMs = i.toLong * sampleRateMs
         setTs.invoke(grabber, java.lang.Long.valueOf(tsMs * 1000L))

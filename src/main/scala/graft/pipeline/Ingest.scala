@@ -22,6 +22,18 @@ object Ingest {
     spark.read.format("binaryFile").load(globPath)
       .select(col("path").as("filename"))
 
+  /** [[listFiles]] keeping binaryFile's `content` column for a decode
+    * stage that needs the bytes (FFmpeg has no hdfs/s3a protocol
+    * handler, so reopening the URI on the executor only works for local
+    * files — the byte channel works everywhere). `content` is read
+    * LAZILY: the filter/label/split stages project only `filename`, so
+    * the bytes of filtered-out files are never fetched, and each
+    * surviving file is read exactly once, at the decode flatMap.
+    */
+  def listFilesWithContent(spark: SparkSession, globPath: String): DataFrame =
+    spark.read.format("binaryFile").load(globPath)
+      .select(col("path").as("filename"), col("content"))
+
   /** O2 variant for an in-memory list (beam.Create). */
   def fromList(spark: SparkSession, files: Seq[String]): DataFrame = {
     import spark.implicits._

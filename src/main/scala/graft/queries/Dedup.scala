@@ -36,6 +36,31 @@ object Dedup {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.sharded(s, dir, "documents")
 
+  /** Merge duplicated n-gram starts (doc_id, start) into maximal covered
+    * spans — the gaps-and-islands window shared by dd_substring and
+    * dd_substring_clean (one definition so the cut ledger cannot diverge
+    * from the localization it is documented to be a subset of): break
+    * when consecutive starts are more than n apart (gap == n is
+    * adjacent-non-overlapping coverage, still one span), then one
+    * aggregate per island. Windows are partitioned by doc_id: no global
+    * sort, skew bounded by tokens-per-doc.
+    */
+  private def dupSpans(starts: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    starts
+      .withColumn("brk",
+        when(col("start") - lag(col("start"), 1).over(wOrd) > n, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(n.toLong) - min(col("start")))
+          .as("span_len"),
+        count(lit(1)).as("n_grams"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact dedup: normalized-text hash groups ---------------------------
@@ -702,19 +727,8 @@ object Dedup {
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
           .select(col("h"))
-        val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-        grams.join(dupHashes, "h")
-          .select(col("doc_id"), col("start"))
-          .withColumn("brk",
-            when(col("start") - lag(col("start"), 1).over(wOrd) > n, 1L)
-              .otherwise(0L))
-          .withColumn("island", sum(col("brk")).over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("start")).as("span_start"),
-            (max(col("start")) + lit(n.toLong) - min(col("start")))
-              .as("span_len"),
-            count(lit(1)).as("n_grams"))
+        dupSpans(grams.join(dupHashes, "h")
+            .select(col("doc_id"), col("start")), n)
           .select(col("doc_id"), col("span_start"), col("span_len"),
             col("n_grams"))
       },
@@ -732,21 +746,8 @@ object Dedup {
           SELECT h FROM (
             SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
           WHERE nd >= 2),
-        brk AS (
-          SELECT g.doc_id, g.start,
-                 CASE WHEN g.start - lag(g.start) OVER (
-                   PARTITION BY g.doc_id ORDER BY g.start) > $n
-                 THEN 1 ELSE 0 END AS brk
-          FROM g JOIN freq USING (h)),
-        isl AS (
-          SELECT doc_id, start, sum(brk) OVER (
-            PARTITION BY doc_id ORDER BY start
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM brk)
-        SELECT doc_id, min(start) AS span_start,
-               max(start) + $n - min(start) AS span_len,
-               count(*) AS n_grams
-        FROM isl GROUP BY doc_id, island"""
+        dup AS (SELECT g.doc_id, g.start FROM g JOIN freq USING (h))
+        ${DocSql.spanIslandsSql("dup", n)}"""
       }),
 
     // ---- substring-level dedup APPLIED: cut duplicated spans, keep one ------
@@ -781,18 +782,9 @@ object Dedup {
             min(col("doc_id") * shift + col("start")).as("keeper"))
           .filter(col("nd") >= 2)
           .select(col("h"), col("keeper"))
-        val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-        val cutSpans = grams.join(keepers, "h")
-          .filter(col("doc_id") * shift + col("start") =!= col("keeper"))
-          .select(col("doc_id"), col("start"))
-          .withColumn("brk",
-            when(col("start") - lag(col("start"), 1).over(wOrd) > n, 1L)
-              .otherwise(0L))
-          .withColumn("island", sum(col("brk")).over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("doc_id"), col("island"))
-          .agg((max(col("start")) + lit(n.toLong) - min(col("start")))
-            .as("span_len"))
+        val cutSpans = dupSpans(grams.join(keepers, "h")
+            .filter(col("doc_id") * shift + col("start") =!= col("keeper"))
+            .select(col("doc_id"), col("start")), n)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("spans_cut"),
             sum(col("span_len")).as("tokens_cut"))
@@ -819,21 +811,11 @@ object Dedup {
         keepers AS (
           SELECT h, min(doc_id * 4294967296 + start) AS keeper
           FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        brk AS (
-          SELECT g.doc_id, g.start,
-                 CASE WHEN g.start - lag(g.start) OVER (
-                   PARTITION BY g.doc_id ORDER BY g.start) > $n
-                 THEN 1 ELSE 0 END AS brk
+        cut AS (
+          SELECT g.doc_id, g.start
           FROM g JOIN keepers USING (h)
           WHERE g.doc_id * 4294967296 + g.start <> keepers.keeper),
-        isl AS (
-          SELECT doc_id, start, sum(brk) OVER (
-            PARTITION BY doc_id ORDER BY start
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM brk),
-        sp AS (
-          SELECT doc_id, max(start) + $n - min(start) AS span_len
-          FROM isl GROUP BY doc_id, island),
+        sp AS (${DocSql.spanIslandsSql("cut", n)}),
         agg AS (
           SELECT doc_id, count(*) AS spans_cut,
                  CAST(sum(span_len) AS BIGINT) AS tokens_cut

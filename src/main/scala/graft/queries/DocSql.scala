@@ -68,4 +68,25 @@ private[queries] object DocSql {
   def bandsSql(n: Int, k: Int, rowsPerBand: Int): String =
     s"WITH sig AS (${minhashSql(n, k)}) " +
       bandsFromSigSql(k / rowsPerBand, rowsPerBand)
+
+  /** Oracle twin of Dedup.dupSpans: merge (doc_id, start) rows of the
+    * in-scope relation `src` into maximal spans (gap > n breaks) and
+    * aggregate per island — shared by the dd_substring and
+    * dd_substring_clean mirrors so the two cannot drift.
+    */
+  def spanIslandsSql(src: String, n: Int): String = s"""
+    SELECT doc_id, min(start) AS span_start,
+           max(start) + $n - min(start) AS span_len,
+           count(*) AS n_grams
+    FROM (
+      SELECT doc_id, start, sum(brk) OVER (
+        PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (
+                 PARTITION BY doc_id ORDER BY start) > $n
+               THEN 1 ELSE 0 END AS brk
+        FROM $src))
+    GROUP BY doc_id, island"""
 }

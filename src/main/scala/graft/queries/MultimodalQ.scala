@@ -79,12 +79,11 @@ object MultimodalQ {
       (s, dir) => {
         val d = Tables.sharded(s, dir, "documents")
         val assets = d.select(col("doc_id"), explode(array(
-            struct((col("doc_id") * 10).as("asset_id"),
+            struct(
               element_at(array(lit("image"), lit("audio"), lit("video")),
                 (col("doc_id") % 3 + 1).cast("int")).as("kind"),
               col("text").cast("binary").as("content")),
-            struct((col("doc_id") * 10 + 1).as("asset_id"),
-              lit("image").as("kind"),
+            struct(lit("image").as("kind"),
               substring(col("text"), 1, 80).cast("binary").as("content"))))
             .as("a"))
           .select(col("doc_id"), col("a.kind").as("kind"),

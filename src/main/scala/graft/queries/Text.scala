@@ -589,12 +589,16 @@ object Text {
         // Oracle-exactness guard: the DuckDB mirror enumerates only
         // BpePairPositions pair positions (constant series bound), so a
         // token longer than BpeMaxTokenLen chars would silently diverge.
-        // One tiny combinable aggregate, loud failure instead.
-        val lenRow = toks0.agg(max(length(col("token"))).as("m")).collect()(0)
-        val maxLen = if (lenRow.isNullAt(0)) 0 else lenRow.getInt(0)
-        require(maxLen <= BpeMaxTokenLen,
-          s"txt_bpe_encode oracle is exact only for tokens of <= " +
-            s"$BpeMaxTokenLen chars; corpus has a $maxLen-char token")
+        // The check RIDES the encode projection (raise_error inside the
+        // pass the query already pays) instead of a separate corpus scan
+        // — an extra scan per invocation would inflate every bench run
+        // for a guard Verify.main also asserts once per dump.
+        val guarded = when(length(col("token")) > BpeMaxTokenLen,
+          raise_error(concat(
+            lit(s"txt_bpe_encode oracle is exact only for tokens of <= " +
+              s"$BpeMaxTokenLen chars; corpus has a "),
+            length(col("token")).cast("string"), lit("-char token"))))
+          .otherwise(col("token")).as("token")
         def topPair(t: DataFrame): String = {
           val top = t
             // single-char tokens have no pair — and sequence(1, 0) counts
@@ -622,7 +626,7 @@ object Text {
         val enc = merges.zip(marks).foldLeft(col("token")) {
           case (c, (p, mk)) => call_function("replace", c, lit(p), lit(mk))
         }
-        toks0
+        toks0.select(col("doc_id"), guarded)
           .select(col("doc_id"),
             length(col("token")).cast("long").as("raw_len"),
             length(enc).cast("long").as("enc_len"))

@@ -49,23 +49,31 @@ class Round7OpsInvariantsSpec extends SparkSpec {
     assert(gUncapped >= pUncapped) // generation cost counts pair multiplicity
   }
 
-  test("dd_lsh_sweep: monotone down the nested factorization chain") {
-    // bands of (b, r) refine bands of (2b, r/…): agreement on a wider
-    // band implies agreement on every contained narrower band, so the
-    // candidate set (and with fixed truth, the recall) can only shrink
-    // down the (12,1) → (1,12) chain
-    val byRows = run("dd_lsh_sweep").collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getDouble(5)))
-      .sortBy(_._1) // rows_per_band ascending = chain order
-    assert(byRows.length === 6)
-    assert(byRows.map(_._3).distinct.length === 1) // one shared truth set
-    byRows.zip(byRows.tail).foreach {
-      case ((r1, c1, _, f1, rec1), (r2, c2, _, f2, rec2)) =>
+  test("dd_lsh_sweep: monotone down genuinely nested factorizations") {
+    // Set containment holds only where every band of the coarser config
+    // is a union of full bands of the finer one: a (b, r) collision then
+    // implies a collision in each contained band. That nests
+    // (12,1) ⊇ (6,2) ⊇ (4,3) ⊇ (2,6) ⊇ (1,12) and (6,2) ⊇ (3,4) ⊇ (2,6)
+    // — but NOT (4,3) vs (3,4): the r=4 band [mh4..mh7] contains no
+    // aligned r=3 triple, so those two are incomparable and a blanket
+    // sort-by-rows chain would assert an invariant the math doesn't give
+    val byCfg = run("dd_lsh_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(byCfg.size === 6)
+    assert(byCfg.values.map(_._2).toSeq.distinct.length === 1) // one truth
+    val chains = Seq(
+      Seq((12L, 1L), (6L, 2L), (4L, 3L), (2L, 6L), (1L, 12L)),
+      Seq((6L, 2L), (3L, 4L), (2L, 6L)))
+    chains.foreach(chain => chain.zip(chain.tail).foreach {
+      case (wide, narrow) =>
+        val (c1, _, f1, rec1) = byCfg(wide)
+        val (c2, _, f2, rec2) = byCfg(narrow)
         assert(c1 >= c2 && f1 >= f2 && rec1 >= rec2,
-          s"sweep not monotone between rows_per_band=$r1 and $r2")
-    }
-    byRows.foreach { case (_, c, t, f, rec) =>
+          s"sweep not monotone between $wide and $narrow")
+    })
+    byCfg.values.foreach { case (c, t, f, rec) =>
       assert(f <= math.min(c, t) && rec >= 0.0 && rec <= 1.0)
     }
   }
