@@ -31,6 +31,54 @@ object Text {
     "es" -> Seq("el", "la", "los", "y", "es"),
     "fr" -> Seq("le", "les", "des", "et", "un"))
 
+  /** txt_classifier_lr hyperparameters — shared by the Spark lineage, the
+    * oracle builder, and the specs. Declared (with the lr helpers below)
+    * BEFORE `qs`: the oracle string interpolates them eagerly at object
+    * init, so declaration order is load-bearing.
+    */
+  private[graft] val LrIters = 3
+  private[graft] val LrRate = 0.5
+
+  /** The classifier's feature projection: weak label y = [lang = 'en']
+    * plus three char-statistic features (scaled length, whitespace
+    * ratio, vowel ratio), every value a single IEEE division over exact
+    * integers so both engines agree bitwise. One narrow documents pass.
+    */
+  private def lrFeatures(d: DataFrame): DataFrame = {
+    val nc = greatest(col("n_chars"), lit(1L)).cast("double")
+    d.select(
+      col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      (col("n_chars").cast("double") / lit(1000.0)).as("f1"),
+      ((length(col("text")) -
+        length(call_function("replace", col("text"), lit(" "), lit(""))))
+        .cast("double") / nc).as("f2"),
+      (length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+        .cast("double") / nc).as("f3"))
+  }
+
+  /** DuckDB twin of [[lrFeatures]]. */
+  private val lrFeaturesSql = """
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           CAST(n_chars AS DOUBLE) / 1000.0 AS f1,
+           CAST(length(text) - length(replace(text, ' ', ''))
+             AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS f2,
+           CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+             AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS f3
+    FROM documents"""
+
+  /** Rational-sigmoid score against model literals: z associates as
+    * ((b + c1·f1) + c2·f2) + c3·f3 — the SQL builder mirrors this
+    * association exactly, which is what makes the two engines bitwise
+    * comparable.
+    */
+  private def lrScore(w: Array[Double]): Column = {
+    val z = lit(w(0)) + lit(w(1)) * col("f1") +
+      lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+    lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.sharded(s, dir, "documents")
 
@@ -1138,6 +1186,82 @@ object Text {
         SELECT doc_id, n_sentences, n_tokens, max_sent_tokens,
                CAST((n_tokens * 1000) // n_sentences AS BIGINT)
                  AS mean_milli_tokens
-        FROM agg"""))
+        FROM agg""")),
+
+    // ---- weak-label classifier: iterative GD under the oracle gate ----------
+    // The fastText-style quality/language classifier every production
+    // corpus pipeline trains on weak labels (CCNet/GPT-3 lineage): here a
+    // linear model over three char-statistic features with label
+    // y = [lang = 'en'], trained by LrIters full-batch gradient steps.
+    // Execution is the sim_kmeans discipline applied to SUPERVISED
+    // iterative ML: the model is 4 driver doubles, each GD step is ONE
+    // map-side-combinable aggregate (count + 4 fixed-point gradient
+    // sums) over a narrow 5-column feature pass, and scoring is a narrow
+    // map against model literals — K+1 scans, zero shuffles beyond the
+    // 1-row aggregates, nothing grows with data. Determinism is total,
+    // not probabilistic: the link is the RATIONAL sigmoid
+    // 0.5 + 0.5·z/(1+|z|), so every step of feature → z → p → update is
+    // a composition of single correctly-rounded IEEE ops (no exp — both
+    // engines' libm would agree only to ~1 ULP) with identical
+    // association on both engines, and cross-row sums go through the
+    // fxsum fixed-point pattern; the oracle re-trains from scratch in
+    // unrolled CTEs and must land on bitwise-equal weights. At 100 TB
+    // the fixed-point gradient terms bound |Σ round(g·10⁶)| by
+    // 10⁶·max|g|·rows — rescale the fxsum scale (or batch per shard)
+    // past ~10¹² rows to stay inside a long.
+    Q("txt_classifier_lr",
+      (s, dir) => {
+        val feats = lrFeatures(docs(s, dir)).localCheckpoint()
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        for (_ <- 1 to LrIters) {
+          val p = lrScore(w)
+          val g = feats.agg(
+            count(lit(1)).as("n"),
+            Q.fxsum(p - col("y"), 6).as("g0"),
+            Q.fxsum((p - col("y")) * col("f1"), 6).as("g1"),
+            Q.fxsum((p - col("y")) * col("f2"), 6).as("g2"),
+            Q.fxsum((p - col("y")) * col("f3"), 6).as("g3")).collect()(0)
+          val n = g.getLong(0).toDouble
+          w = Array.tabulate(4)(i => w(i) - LrRate * g.getDouble(1 + i) / n)
+        }
+        feats.select(col("doc_id"), col("y").cast("long").as("label"),
+          round(lrScore(w), 6).as("score"),
+          (lrScore(w) >= 0.5).cast("long").as("pred"))
+      },
+      Some {
+        def zSql(w: String) =
+          s"((($w.b + $w.c1 * f1) + $w.c2 * f2) + $w.c3 * f3)"
+        def pSql = "0.5 + 0.5 * z / (1.0 + abs(z))"
+        val steps = (1 to LrIters).map { k =>
+          s"""
+        z$k AS (
+          SELECT doc_id, y, f1, f2, f3, ${zSql("w")} AS z
+          FROM feat CROSS JOIN w${k - 1} w),
+        p$k AS (SELECT *, $pSql AS p FROM z$k),
+        g$k AS (
+          SELECT count(*) AS n,
+                 ${Q.fxsumSql("(p - y)", 6)} AS g0,
+                 ${Q.fxsumSql("(p - y) * f1", 6)} AS g1,
+                 ${Q.fxsumSql("(p - y) * f2", 6)} AS g2,
+                 ${Q.fxsumSql("(p - y) * f3", 6)} AS g3
+          FROM p$k),
+        w$k AS (
+          SELECT w.b - $LrRate * g.g0 / g.n AS b,
+                 w.c1 - $LrRate * g.g1 / g.n AS c1,
+                 w.c2 - $LrRate * g.g2 / g.n AS c2,
+                 w.c3 - $LrRate * g.g3 / g.n AS c3
+          FROM w${k - 1} w CROSS JOIN g$k g)"""
+        }.mkString(",")
+        s"""
+        WITH feat AS ($lrFeaturesSql),
+        w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),$steps,
+        zf AS (
+          SELECT doc_id, y, ${zSql("w")} AS z
+          FROM feat CROSS JOIN w$LrIters w)
+        SELECT doc_id, CAST(y AS BIGINT) AS label,
+               round($pSql, 6) AS score,
+               CAST($pSql >= 0.5 AS BIGINT) AS pred
+        FROM zf"""
+      })
   )
 }
