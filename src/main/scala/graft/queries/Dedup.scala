@@ -755,11 +755,13 @@ object Dedup {
     // duplicated gram keeps exactly ONE occurrence corpus-wide (the
     // lexicographically-first (doc_id, start) — deterministic in both
     // engines) and all other occurrences are cut. Keeper selection is a
-    // single combinable min over a packed (doc_id << 32 | start) key —
-    // no window over the gram stream, no second shuffle (the pack is for
-    // DuckDB portability; doc_id < 2^31 and start < 2^32 hold to
-    // billions of docs, and the Spark-native form at any scale is
-    // min(struct(doc_id, start))). Cut starts then merge into covered
+    // single combinable min over struct(doc_id, start) — no window over
+    // the gram stream, no second shuffle, and no overflow ceiling (the
+    // struct min is exact at any doc_id). The ORACLE mirror packs the
+    // key as doc_id·2^32 + start instead (DuckDB has no struct min);
+    // the two agree for doc_id < 2^31, and past that ceiling DuckDB
+    // raises on BIGINT overflow rather than silently diverging, so the
+    // oracle bound fails loudly. Cut starts then merge into covered
     // spans with the dd_substring gaps-and-islands window and the ledger
     // reports per-doc tokens kept/cut in exact integers. Docs with
     // nothing to cut appear with zero counts (left join on the per-doc
@@ -767,7 +769,6 @@ object Dedup {
     Q("dd_substring_clean",
       (s, dir) => {
         val n = SubstringGramN
-        val shift = 4294967296L // 2^32
         val base = docs(s, dir)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
@@ -779,11 +780,11 @@ object Dedup {
           .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
         val keepers = grams.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"),
-            min(col("doc_id") * shift + col("start")).as("keeper"))
+            min(struct(col("doc_id"), col("start"))).as("keeper"))
           .filter(col("nd") >= 2)
           .select(col("h"), col("keeper"))
         val cutSpans = dupSpans(grams.join(keepers, "h")
-            .filter(col("doc_id") * shift + col("start") =!= col("keeper"))
+            .filter(struct(col("doc_id"), col("start")) =!= col("keeper"))
             .select(col("doc_id"), col("start")), n)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("spans_cut"),

@@ -49,6 +49,18 @@ object VectorOps {
   def cosine(dotCol: Column, na: Column, nb: Column): Column =
     dotCol.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
 
+  /** [[cosine]] for centroid ASSIGNMENT: a zero-norm side (n2 = 0) scores
+    * -∞ instead of NaN, so a degenerate (all-zero) vector or centroid
+    * loses to every real one and the (cos desc, id asc) tie-break
+    * resolves identically in the batch `row_number` form and the
+    * streaming struct-min form. Unguarded, the two DIVERGE on NaN: Spark
+    * sorts NaN largest, so a NaN-cosine centroid wins a `ccos DESC`
+    * row_number but loses an `array_min(struct(negcos, cid))`.
+    */
+  def cosineAssign(dotCol: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, lit(Double.NegativeInfinity))
+      .otherwise(cosine(dotCol, na, nb))
+
   /** embeddings → (vec_id, q ARRAY<BIGINT>, n2 BIGINT), the working form. */
   def quantized(embeddings: DataFrame): DataFrame = {
     val d = dotFn(embeddings)
@@ -92,7 +104,7 @@ object VectorOps {
         col("n2").as("cn2"))
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(broadcast(cents))
-      .withColumn("ccos", cosine(d(col("q"), col("cq")), col("n2"),
+      .withColumn("ccos", cosineAssign(d(col("q"), col("cq")), col("n2"),
         col("cn2")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)

@@ -33,16 +33,23 @@ import org.apache.spark.sql.functions._
 object StreamingAnn {
 
   /** The literal coarse-quantizer model from an `assignIvf` index: the
-    * centroid rows are exactly those assigned to themselves. Model-sized
+    * DISTINCT centroid_id values joined back to their own index rows
+    * (vec_id = centroid_id) for q/n2. NOT `vec_id === centroid_id`
+    * self-assignment — a centroid exactly colinear with a lower-id
+    * centroid is assigned away from itself by the tie-break, and
+    * filtering on self-assignment would silently drop it from the
+    * model, making its inverted list unreachable to probes. Model-sized
     * driver collect (|centroids| rows), same discipline as the PQ
     * codebook and k-means centroid literals.
     */
-  def centroidModel(index: DataFrame): Seq[(Long, Array[Long], Long)] =
-    index.filter(col("vec_id") === col("centroid_id"))
-      .select(col("centroid_id"), col("q"), col("n2"))
+  def centroidModel(index: DataFrame): Seq[(Long, Array[Long], Long)] = {
+    val cids = index.select(col("centroid_id").as("cid")).distinct()
+    index.join(cids, col("vec_id") === col("cid"))
+      .select(col("vec_id"), col("q"), col("n2"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .toSeq
+  }
 
   /** Score a probe stream against the static index. `probes` has
     * (probe_id, embedding ARRAY<FLOAT>); `index` is an `assignIvf`
@@ -56,15 +63,17 @@ object StreamingAnn {
     def litVec(v: Array[Long]) = array(v.map(lit(_)).toIndexedSeq: _*)
     // argmax cosine via struct-min over (negated cosine, centroid_id):
     // IEEE negation is exact, so the (cos desc, id asc) order matches
-    // assignIvf's row_number tie-break bit-for-bit
+    // assignIvf's row_number tie-break bit-for-bit. cosineAssign (not
+    // cosine) so a zero-norm probe or centroid scores -∞ in BOTH paths
+    // instead of a NaN that batch and streaming order differently.
     val quantized = probes.select(col("probe_id"),
       VectorOps.quantize(col("embedding")).as("pq"))
       .withColumn("pn2", d(col("pq"), col("pq")))
     val assigned = quantized.withColumn("centroid_id",
       array_min(array(centroids.map { case (cid, cq, cn2) =>
         struct(
-          (-VectorOps.cosine(d(col("pq"), litVec(cq)), col("pn2"), lit(cn2)))
-            .as("negcos"),
+          (-VectorOps.cosineAssign(d(col("pq"), litVec(cq)), col("pn2"),
+            lit(cn2))).as("negcos"),
           lit(cid).as("cid"))
       }: _*)).getField("cid"))
     assigned.join(index, Seq("centroid_id"))

@@ -78,4 +78,44 @@ class StreamingAnnSpec extends SparkSpec {
       .filter(col("centroid_id") =!= col("idx_cent"))
     assert(offList.count() === 0)
   }
+
+  test("centroidModel covers every centroid_id in the index, including a " +
+      "centroid assigned away from itself") {
+    // centroid 7 is colinear with lower-id centroid 3, so assignIvf's
+    // (cos desc, id asc) tie-break assigned 7's own row to 3 — but
+    // vector 11 sits in 7's inverted list. Deriving the model from
+    // self-assigned rows (vec_id === centroid_id) would drop 7 and make
+    // vector 11 unreachable; the distinct-centroid_id derivation keeps it.
+    val index = Seq(
+      (3L, 3L, Seq(1000L, 0L), 1000000L),
+      (7L, 3L, Seq(2000L, 0L), 4000000L),
+      (11L, 7L, Seq(0L, 500L), 250000L)
+    ).toDF("vec_id", "centroid_id", "q", "n2")
+    val model = StreamingAnn.centroidModel(index)
+    assert(model.map(_._1).toSet === Set(3L, 7L))
+    val m7 = model.find(_._1 == 7L).get
+    assert(m7._2.toSeq === Seq(2000L, 0L) && m7._3 === 4000000L)
+  }
+
+  test("zero-norm probe coarse-assigns identically in batch and streaming " +
+      "(guarded -inf beats NaN order divergence)") {
+    // Unguarded, a zero vector's cosine to every centroid is NaN, which
+    // a batch `ccos DESC` row_number sorts FIRST and the streaming
+    // struct-min sorts LAST. cosineAssign maps zero-norm to -inf in both
+    // paths, so both fall through to the centroid_id-asc tie-break.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.3f)),
+      (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.1f, 0.9f)), (7L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val index = VectorOps.assignIvf(emb, 5) // centroids: 0 and 5
+    val batchAssign = index.filter(col("vec_id") === 7L)
+      .select(col("centroid_id")).as[Long].collect()
+    assert(batchAssign.toSeq === Seq(0L)) // -inf tie → lowest centroid id
+
+    val centroids = StreamingAnn.centroidModel(index.localCheckpoint())
+    val probe = Seq((7L, Seq(0.0f, 0.0f))).toDF("probe_id", "embedding")
+    val streamAssign = StreamingAnn.scored(probe, index, centroids)
+      .select(col("centroid_id")).distinct().as[Long].collect()
+    assert(streamAssign.toSeq === Seq(0L)) // same centroid as batch
+  }
 }
