@@ -61,6 +61,69 @@ object Dedup {
         count(lit(1)).as("n_grams"))
   }
 
+  /** Cross-doc duplicated-substring LOCALIZATION over any (doc_id, text)
+    * frame — the dd_substring body, reusable so the scale smoke and the
+    * idempotence property test exercise the exact production lineage:
+    * positional gram hashes (checkpointed once, feeding BOTH the
+    * document-frequency pass and the join-back), duplicated hashes by a
+    * combinable countDistinct, then [[dupSpans]] gaps-and-islands.
+    */
+  private[graft] def substringSpans(docsDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docsDf
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.posGramHashes(col("toks"), n)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"),
+        col("g.h").as("h"))
+      .localCheckpoint() // feeds BOTH the freq pass and the join-back
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    dupSpans(grams.join(dupHashes, "h")
+        .select(col("doc_id"), col("start")), n)
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_grams"))
+  }
+
+  /** (doc_id, n_tokens, gs) base for the removal stage, checkpointed once
+    * so the token ledger and the gram stream share one computation.
+    */
+  private def substringBase(docsDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    docsDf.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        TextOps.posGramHashes(col("toks"), n).as("gs"))
+      .localCheckpoint()
+
+  /** Maximal covered spans of NON-KEEPER duplicated-gram occurrences —
+    * what dd_substring_clean cuts. Keeper = min(struct(doc_id, start))
+    * per gram hash, one combinable aggregate.
+    */
+  private[graft] def substringCutSpansFromBase(
+      base: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = base.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
+    val keepers = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("start"))).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keeper"))
+    dupSpans(grams.join(keepers, "h")
+        .filter(struct(col("doc_id"), col("start")) =!= col("keeper"))
+        .select(col("doc_id"), col("start")), n)
+  }
+
+  /** [[substringCutSpansFromBase]] from a raw (doc_id, text) frame. */
+  private[graft] def substringCutSpans(docsDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    substringCutSpansFromBase(substringBase(docsDf, n), n)
+
+  /** The exact-substring gram width (Lee et al.'s 50), exposed for specs. */
+  private[graft] def substringGramN: Int = SubstringGramN
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact dedup: normalized-text hash groups ---------------------------
@@ -714,24 +777,7 @@ object Dedup {
     // hash; at web scale the same frequency-cap mitigation as
     // dd_lsh_recall applies to boilerplate grams.
     Q("dd_substring",
-      (s, dir) => {
-        val n = SubstringGramN
-        val grams = docs(s, dir)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            explode(TextOps.posGramHashes(col("toks"), n)).as("g"))
-          .select(col("doc_id"), col("g.start").as("start"),
-            col("g.h").as("h"))
-          .localCheckpoint() // feeds BOTH the freq pass and the join-back
-        val dupHashes = grams.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("h"))
-        dupSpans(grams.join(dupHashes, "h")
-            .select(col("doc_id"), col("start")), n)
-          .select(col("doc_id"), col("span_start"), col("span_len"),
-            col("n_grams"))
-      },
+      (s, dir) => substringSpans(docs(s, dir), SubstringGramN),
       Some {
         val n = SubstringGramN
         val parts = (0 until n).map(k => s"tokens[g.i + $k]")
@@ -769,23 +815,9 @@ object Dedup {
     Q("dd_substring_clean",
       (s, dir) => {
         val n = SubstringGramN
-        val base = docs(s, dir)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-            TextOps.posGramHashes(col("toks"), n).as("gs"))
-          .localCheckpoint() // feeds the token ledger AND the gram stream
+        val base = substringBase(docs(s, dir), n)
         val tokCounts = base.select(col("doc_id"), col("n_tokens"))
-        val grams = base
-          .select(col("doc_id"), explode(col("gs")).as("g"))
-          .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
-        val keepers = grams.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"),
-            min(struct(col("doc_id"), col("start"))).as("keeper"))
-          .filter(col("nd") >= 2)
-          .select(col("h"), col("keeper"))
-        val cutSpans = dupSpans(grams.join(keepers, "h")
-            .filter(struct(col("doc_id"), col("start")) =!= col("keeper"))
-            .select(col("doc_id"), col("start")), n)
+        val cutSpans = substringCutSpansFromBase(base, n)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("spans_cut"),
             sum(col("span_len")).as("tokens_cut"))
