@@ -79,6 +79,68 @@ object Text {
     lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
   }
 
+  /** LrIters full-batch GD steps over a checkpointed [[lrFeatures]]
+    * frame — the txt_classifier_lr training loop, shared with
+    * txt_classifier_eval so the evaluated model IS the trained model.
+    * Each step is one map-side-combinable aggregate returning exactly
+    * one row (an agg with no grouping), so the per-step collect is
+    * model-sized by construction.
+    */
+  private def lrTrain(feats: DataFrame): Array[Double] = {
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to LrIters) {
+      val p = lrScore(w)
+      val g = feats.agg(
+        count(lit(1)).as("n"),
+        Q.fxsum(p - col("y"), 6).as("g0"),
+        Q.fxsum((p - col("y")) * col("f1"), 6).as("g1"),
+        Q.fxsum((p - col("y")) * col("f2"), 6).as("g2"),
+        Q.fxsum((p - col("y")) * col("f3"), 6).as("g3")).collect()(0)
+      val n = g.getLong(0).toDouble
+      w = Array.tabulate(4)(i => w(i) - LrRate * g.getDouble(1 + i) / n)
+    }
+    w
+  }
+
+  /** The rational sigmoid over a column named z (oracle-side). */
+  private val lrPSql = "0.5 + 0.5 * z / (1.0 + abs(z))"
+
+  /** Shared oracle prelude: features, the unrolled GD re-training, and
+    * the final scored frame `zf` (doc_id, y, z) against the converged
+    * weights — both classifier queries' oracles start here, so the
+    * oracle cannot evaluate a different model than it trained.
+    */
+  private val lrOracleCtes: String = {
+    def zSql(w: String) =
+      s"((($w.b + $w.c1 * f1) + $w.c2 * f2) + $w.c3 * f3)"
+    val steps = (1 to LrIters).map { k =>
+      s"""
+        z$k AS (
+          SELECT doc_id, y, f1, f2, f3, ${zSql("w")} AS z
+          FROM feat CROSS JOIN w${k - 1} w),
+        p$k AS (SELECT *, $lrPSql AS p FROM z$k),
+        g$k AS (
+          SELECT count(*) AS n,
+                 ${Q.fxsumSql("(p - y)", 6)} AS g0,
+                 ${Q.fxsumSql("(p - y) * f1", 6)} AS g1,
+                 ${Q.fxsumSql("(p - y) * f2", 6)} AS g2,
+                 ${Q.fxsumSql("(p - y) * f3", 6)} AS g3
+          FROM p$k),
+        w$k AS (
+          SELECT w.b - $LrRate * g.g0 / g.n AS b,
+                 w.c1 - $LrRate * g.g1 / g.n AS c1,
+                 w.c2 - $LrRate * g.g2 / g.n AS c2,
+                 w.c3 - $LrRate * g.g3 / g.n AS c3
+          FROM w${k - 1} w CROSS JOIN g$k g)"""
+    }.mkString(",")
+    s"""
+        WITH feat AS ($lrFeaturesSql),
+        w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),$steps,
+        zf AS (
+          SELECT doc_id, y, ${zSql("w")} AS z
+          FROM feat CROSS JOIN w$LrIters w)"""
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.sharded(s, dir, "documents")
 
@@ -1212,56 +1274,79 @@ object Text {
     Q("txt_classifier_lr",
       (s, dir) => {
         val feats = lrFeatures(docs(s, dir)).localCheckpoint()
-        var w = Array(0.0, 0.0, 0.0, 0.0)
-        for (_ <- 1 to LrIters) {
-          val p = lrScore(w)
-          val g = feats.agg(
-            count(lit(1)).as("n"),
-            Q.fxsum(p - col("y"), 6).as("g0"),
-            Q.fxsum((p - col("y")) * col("f1"), 6).as("g1"),
-            Q.fxsum((p - col("y")) * col("f2"), 6).as("g2"),
-            Q.fxsum((p - col("y")) * col("f3"), 6).as("g3")).collect()(0)
-          val n = g.getLong(0).toDouble
-          w = Array.tabulate(4)(i => w(i) - LrRate * g.getDouble(1 + i) / n)
-        }
+        val w = lrTrain(feats)
         feats.select(col("doc_id"), col("y").cast("long").as("label"),
           round(lrScore(w), 6).as("score"),
           (lrScore(w) >= 0.5).cast("long").as("pred"))
       },
-      Some {
-        def zSql(w: String) =
-          s"((($w.b + $w.c1 * f1) + $w.c2 * f2) + $w.c3 * f3)"
-        def pSql = "0.5 + 0.5 * z / (1.0 + abs(z))"
-        val steps = (1 to LrIters).map { k =>
-          s"""
-        z$k AS (
-          SELECT doc_id, y, f1, f2, f3, ${zSql("w")} AS z
-          FROM feat CROSS JOIN w${k - 1} w),
-        p$k AS (SELECT *, $pSql AS p FROM z$k),
-        g$k AS (
-          SELECT count(*) AS n,
-                 ${Q.fxsumSql("(p - y)", 6)} AS g0,
-                 ${Q.fxsumSql("(p - y) * f1", 6)} AS g1,
-                 ${Q.fxsumSql("(p - y) * f2", 6)} AS g2,
-                 ${Q.fxsumSql("(p - y) * f3", 6)} AS g3
-          FROM p$k),
-        w$k AS (
-          SELECT w.b - $LrRate * g.g0 / g.n AS b,
-                 w.c1 - $LrRate * g.g1 / g.n AS c1,
-                 w.c2 - $LrRate * g.g2 / g.n AS c2,
-                 w.c3 - $LrRate * g.g3 / g.n AS c3
-          FROM w${k - 1} w CROSS JOIN g$k g)"""
-        }.mkString(",")
-        s"""
-        WITH feat AS ($lrFeaturesSql),
-        w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),$steps,
-        zf AS (
-          SELECT doc_id, y, ${zSql("w")} AS z
-          FROM feat CROSS JOIN w$LrIters w)
+      Some(s"""
+        $lrOracleCtes
         SELECT doc_id, CAST(y AS BIGINT) AS label,
-               round($pSql, 6) AS score,
-               CAST($pSql >= 0.5 AS BIGINT) AS pred
-        FROM zf"""
-      })
+               round($lrPSql, 6) AS score,
+               CAST($lrPSql >= 0.5 AS BIGINT) AS pred
+        FROM zf""")),
+
+    // ---- classifier evaluation: confusion counts + exact metrics ------------
+    // txt_classifier_lr trains and scores but never reports quality; this
+    // is the held-in evaluation every weak-label pipeline publishes next
+    // to the model: the 2×2 confusion matrix and accuracy / precision /
+    // recall as EXACT integer per-mille (the fixed-point discipline —
+    // float ratios would hash-diverge across engines). One extra narrow
+    // pass over the checkpointed features after the same K-step training
+    // (the model is re-trained here because queries are self-contained by
+    // contract; the loop is K map-side-combinable 1-row aggregates, so
+    // the rerun costs K+1 scans, nothing data-sized on the driver). The
+    // zero-denominator guards (greatest(·, 1)) keep the metrics total
+    // on degenerate corpora — an all-negative corpus reports 0, not a
+    // division error.
+    Q("txt_classifier_eval",
+      (s, dir) => {
+        val feats = lrFeatures(docs(s, dir)).localCheckpoint()
+        val w = lrTrain(feats)
+        val conf = feats.select(col("y").cast("long").as("label"),
+            (lrScore(w) >= 0.5).cast("long").as("pred"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("label") === 1 && col("pred") === 1).cast("long"))
+              .as("tp"),
+            sum((col("label") === 0 && col("pred") === 1).cast("long"))
+              .as("fp"),
+            sum((col("label") === 1 && col("pred") === 0).cast("long"))
+              .as("fn"),
+            sum((col("label") === 0 && col("pred") === 0).cast("long"))
+              .as("tn"))
+        conf.select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+          call_function("div", (col("tp") + col("tn")) * 1000,
+            greatest(col("n_docs"), lit(1L))).as("accuracy_milli"),
+          call_function("div", col("tp") * 1000,
+            greatest(col("tp") + col("fp"), lit(1L))).as("precision_milli"),
+          call_function("div", col("tp") * 1000,
+            greatest(col("tp") + col("fn"), lit(1L))).as("recall_milli"))
+      },
+      Some(s"""
+        $lrOracleCtes,
+        pred AS (
+          SELECT CAST(y AS BIGINT) AS label,
+                 CAST($lrPSql >= 0.5 AS BIGINT) AS pred
+          FROM zf),
+        conf AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tn
+          FROM pred)
+        SELECT n_docs, tp, fp, fn, tn,
+               CAST(((tp + tn) * 1000) // greatest(n_docs, 1) AS BIGINT)
+                 AS accuracy_milli,
+               CAST((tp * 1000) // greatest(tp + fp, 1) AS BIGINT)
+                 AS precision_milli,
+               CAST((tp * 1000) // greatest(tp + fn, 1) AS BIGINT)
+                 AS recall_milli
+        FROM conf"""))
   )
 }
