@@ -70,12 +70,7 @@ object Dedup {
     */
   private[graft] def substringSpans(docsDf: org.apache.spark.sql.DataFrame,
       n: Int): org.apache.spark.sql.DataFrame = {
-    val grams = docsDf
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(TextOps.posGramHashes(col("toks"), n)).as("g"))
-      .select(col("doc_id"), col("g.start").as("start"),
-        col("g.h").as("h"))
+    val grams = substringGrams(docsDf, n)
       .localCheckpoint() // feeds BOTH the freq pass and the join-back
     val dupHashes = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -86,6 +81,29 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_len"),
         col("n_grams"))
   }
+
+  /** The positional gram-hash stream (doc_id, start, h) at width n — the
+    * shared gram construction (no checkpoint; callers decide reuse).
+    */
+  private def substringGrams(docsDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    docsDf
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.posGramHashes(col("toks"), n)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
+
+  /** DISTINCT duplicated gram hashes (document frequency ≥ 2) — the
+    * build side of the streaming substring guard
+    * ([[graft.streaming.StreamingSubstringGuard]]). One combinable
+    * countDistinct aggregate; output is the duplicated-hash set only.
+    */
+  private[graft] def substringDupHashes(docsDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    substringGrams(docsDf, n).groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
 
   /** (doc_id, n_tokens, gs) base for the removal stage, checkpointed once
     * so the token ledger and the gram stream share one computation.
