@@ -24,15 +24,17 @@ object Main {
   case object CropVideo extends Mode
 
   /** Pipeline knobs, defaults matching the reference driver's
-    * (run_preprocess.py:86-109: frame_sample_rate 500, sequence_length
-    * 15000, period 1000). Two deliberate divergences: `mode` defaults to
-    * FullVideo (reference: single_frame) because the flagship entry() smoke
-    * exercises the per-video sequence assembly, and `batchSize` defaults to
-    * 16 (reference: 1, a conservative remote-inference default) so the
-    * shape-keyed batching path is on by default.
+    * (run_preprocess.py:86-109: mode single_frame, frame_sample_rate 500,
+    * sequence_length 15000, period 1000). One deliberate divergence:
+    * `batchSize` defaults to 16 (reference: 1, a conservative
+    * remote-inference default) so the shape-keyed batching path is on by
+    * default. `mode` previously defaulted to FullVideo so the flagship
+    * entry() smoke exercised sequence assembly; entry() now passes its
+    * mode explicitly, and the CLI default matches the reference
+    * flag-for-flag.
     */
   final case class Config(
-      mode: Mode = FullVideo,
+      mode: Mode = SingleFrame,
       sampleRateMs: Long = 500,
       batchSize: Int = 16,
       embeddingDim: Int = 64,
@@ -177,7 +179,9 @@ object Main {
     */
   def smoke(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_main").toString
-    run(fixtureListing(spark, sfDir), out)
+    // FullVideo explicitly: the flagship smoke exercises per-video
+    // sequence assembly regardless of the CLI default (single_frame)
+    run(fixtureListing(spark, sfDir), out, Config(mode = FullVideo))
     TFRecords.read(spark, out, sampleSchema(FullVideo))
   }
 

@@ -17,7 +17,8 @@ class MainSpec extends SparkSpec {
 
   test("end-to-end: listing → decode → embed → assemble → tfrecord → read") {
     val out = Files.createTempDirectory("main_e2e").toString
-    Main.run(Main.fixtureListing(spark, sfDir), out)
+    Main.run(Main.fixtureListing(spark, sfDir), out,
+      Main.Config(mode = Main.FullVideo))
     val back = TFRecords.read(spark, out, Main.sampleSchema(Main.FullVideo))
     val rows = decodedRows(back)
     assert(rows.nonEmpty)
@@ -32,8 +33,10 @@ class MainSpec extends SparkSpec {
   test("golden determinism: two runs produce identical decoded multisets") {
     val o1 = Files.createTempDirectory("main_g1").toString
     val o2 = Files.createTempDirectory("main_g2").toString
-    Main.run(Main.fixtureListing(spark, sfDir), o1)
-    Main.run(Main.fixtureListing(spark, sfDir), o2)
+    Main.run(Main.fixtureListing(spark, sfDir), o1,
+      Main.Config(mode = Main.FullVideo))
+    Main.run(Main.fixtureListing(spark, sfDir), o2,
+      Main.Config(mode = Main.FullVideo))
     val r1 = decodedRows(
       TFRecords.read(spark, o1, Main.sampleSchema(Main.FullVideo)))
     val r2 = decodedRows(
@@ -44,7 +47,8 @@ class MainSpec extends SparkSpec {
   test("round-trip equality: sink+read ≡ direct in-memory assembly") {
     val out = Files.createTempDirectory("main_rt").toString
     val listing = Main.fixtureListing(spark, sfDir)
-    Main.run(listing, out, Main.Config(embeddingDim = 8))
+    Main.run(listing, out,
+      Main.Config(mode = Main.FullVideo, embeddingDim = 8))
     val back = TFRecords.read(spark, out,
       Main.sampleSchema(Main.FullVideo))
 
@@ -112,8 +116,9 @@ class MainSpec extends SparkSpec {
 
   test("parseArgs defaults match the reference driver's defaults") {
     val cfg = Main.parseArgs(Array.empty[String]).cfg
-    // run_preprocess.py:86-109: frame_sample_rate 500, sequence_length
-    // 15000, period 1000
+    // run_preprocess.py:86-109: mode single_frame, frame_sample_rate 500,
+    // sequence_length 15000, period 1000
+    assert(cfg.mode === Main.SingleFrame)
     assert(cfg.sampleRateMs === 500L)
     assert(cfg.sequenceLengthMs === 15000L)
     assert(cfg.periodMs === 1000L)
