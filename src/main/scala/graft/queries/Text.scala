@@ -584,22 +584,26 @@ object Text {
     // floor(log2(N/count)) = bitlength(N div count) − 1 bits — the
     // bitlength identity both engines share, so scores hash-match where
     // float log-probs would drift. Plan shape: one combinable vocab
-    // count, a single-partition window over the MODEL-sized vocab for N
-    // (the txt_source_mix precedent), the frequency table joined back
-    // broadcast, one per-doc aggregate. High mean surprisal = rare-token
-    // soup (the quality-filter reject tail); low = boilerplate.
+    // count; N is a 1-row aggregate cross-joined broadcast (the
+    // dd_contamination probe pattern — NOT a single-partition window
+    // over the vocab, which is corpus-sized, not model-sized, at scale);
+    // the frequency join back to the token stream is left to AQE (the
+    // vocab of a 100 TB corpus is not broadcastable, and both sides are
+    // already hash-partitioned on token from the freq aggregate).
     Q("txt_surprisal",
       (s, dir) => {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text")))
             .as("token"))
-        val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-          .withColumn("n_total",
-            sum(col("c")).over(Window.partitionBy()))
+        val freqBase = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("c"))
+        val freq = freqBase
+          .crossJoin(broadcast(
+            freqBase.agg(sum(col("c")).as("n_total"))))
           .withColumn("sup_bits",
             length(bin(call_function("div", col("n_total"), col("c"))))
               .cast("long") - 1)
-        toks.join(broadcast(freq.select(col("token"), col("sup_bits"))),
+        toks.join(freq.select(col("token"), col("sup_bits")),
             "token")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),

@@ -17,11 +17,13 @@ class PlanAuditSpec extends SparkSpec {
 
   // sim_recall composes knnBrute + knnIvf, so it inherits both bounded
   // broadcast × scan shapes; dd_bloom_decontam probes a 1-row broadcast
-  // bitset (128 KB sketch × scan — the intended shape)
+  // bitset (128 KB sketch × scan — the intended shape); txt_surprisal
+  // crosses the vocab with the broadcast 1-row corpus total (the same
+  // 1-row probe shape, replacing a vocab-wide global window)
   private val bnljAllowed =
     Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall",
       "dd_bloom_decontam", "sim_ivfpq", "sim_filtered_knn", "sim_ivf_stats",
-      "sim_recall_pq")
+      "sim_recall_pq", "txt_surprisal")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -59,6 +61,29 @@ class PlanAuditSpec extends SparkSpec {
     exchanges.foreach(e => assert(!e.output.exists(_.dataType ==
       org.apache.spark.sql.types.BinaryType),
       "binary column crosses an exchange"))
+  }
+
+  test("global (empty-partition) windows only over model-sized inputs") {
+    // A WindowExec with no partitionSpec moves its whole input to ONE
+    // partition — fatal when the input is corpus-sized (the txt_surprisal
+    // bug class: a window over the vocabulary). Allowed only where the
+    // window input is a model-sized aggregate: txt_source_mix (|sources|
+    // rows) and sim_ivf_stats (|centroids| rows).
+    val allowed = Set("txt_source_mix", "sim_ivf_stats")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    val offenders =
+      try {
+        spark.conf.set(aqeKey, "false")
+        SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          val globals = fn(spark, sfDir).queryExecution.executedPlan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }
+          if (globals.nonEmpty && !allowed(name)) Some(name) else None
+        }
+      } finally spark.conf.set(aqeKey, aqeWas)
+    assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
   test("column pruning reaches the scan (q5 reads 3 customer columns)") {
