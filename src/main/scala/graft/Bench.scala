@@ -17,6 +17,58 @@ import java.nio.file.{Files, Paths}
   * and fail the process: a broken query must never bench as "fast".
   */
 object Bench {
+
+  /** bench_trend.json payload: each current per-query min against the best
+    * prior recorded min (bench_baseline.json), so regressions self-report
+    * instead of waiting for a human diff of round artifacts. `ratio_milli`
+    * is an integer per-mille (current·1000 ÷ best, floor) — exact integer
+    * arithmetic, no float-format drift across JVMs. A query regresses when
+    * its min moved ≥ `thresholdMilli` (default 1500‰ = 1.5×, above this
+    * host's measured burst amplitude for back-to-back mins); queries with
+    * no baseline are listed as new, never as regressions.
+    */
+  private[graft] def trendJson(cur: Seq[(String, Double)],
+      base: Map[String, Double], thresholdMilli: Long = 1500L): String = {
+    val rows = cur.sortBy(_._1).map { case (name, min) =>
+      base.get(name) match {
+        case Some(b) if b > 0 =>
+          val milli = (min * 1000 / b).toLong
+          (name,
+            "\"" + name + "\":{\"min\":" + min + ",\"best_prior\":" + b +
+              ",\"ratio_milli\":" + milli + "}",
+            Some(milli))
+        case _ =>
+          (name, "\"" + name + "\":{\"min\":" + min + "}", None)
+      }
+    }
+    val regressed = rows.collect {
+      case (n, _, Some(m)) if m >= thresholdMilli => "\"" + n + "\""
+    }
+    val improved = rows.collect {
+      case (n, _, Some(m)) if m * thresholdMilli <= 1000L * 1000L =>
+        "\"" + n + "\"" // ratio ≤ 1/threshold, the symmetric win
+    }
+    val fresh = rows.collect { case (n, _, None) => "\"" + n + "\"" }
+    s"""{"threshold_milli":$thresholdMilli,""" +
+      s""""regressed":${regressed.mkString("[", ",", "]")},""" +
+      s""""improved":${improved.mkString("[", ",", "]")},""" +
+      s""""new":${fresh.mkString("[", ",", "]")},""" +
+      s""""queries":${rows.map(_._2).mkString("{", ",", "}")}}"""
+  }
+
+  /** bench_baseline.json → per-query best prior min. Hand-rolled parse of
+    * the known flat shape ("name":number pairs under "queries") — no JSON
+    * library on the unmanaged classpath.
+    */
+  private[graft] def readBaseline(path: java.nio.file.Path): Map[String, Double] =
+    if (!Files.exists(path)) Map.empty
+    else {
+      val text = Files.readString(path)
+      val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+      pair.findAllMatchIn(text.substring(text.indexOf("\"queries\"")))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,6 +159,8 @@ object Bench {
         s""""errors":$errs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    Files.writeString(Paths.get("bench_trend.json"),
+      trendJson(ok, readBaseline(Paths.get("bench_baseline.json"))) + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
