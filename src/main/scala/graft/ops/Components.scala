@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,11 +35,11 @@ object Components {
     // Materialize the pair list BEFORE symmetrizing: the union references
     // `pairs` twice, and without truncation the (expensive) candidate-
     // generation DAG upstream would execute once per reference.
-    val p = pairs.localCheckpoint()
+    val p = pairs.materialize()
     // symmetric edge list + self-loops (keeps isolated-after-dedup rows)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .materialize()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -50,7 +51,7 @@ object Components {
       labels = labels.union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .materialize()
     }
     labels
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Materialize._
 import graft.text.TextOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,7 +72,7 @@ object Dedup {
   private[graft] def substringSpans(docsDf: org.apache.spark.sql.DataFrame,
       n: Int): org.apache.spark.sql.DataFrame = {
     val grams = substringGrams(docsDf, n)
-      .localCheckpoint() // feeds BOTH the freq pass and the join-back
+      .materialize() // feeds BOTH the freq pass and the join-back
     val dupHashes = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -113,7 +114,7 @@ object Dedup {
     docsDf.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         TextOps.posGramHashes(col("toks"), n).as("gs"))
-      .localCheckpoint()
+      .materialize()
 
   /** Maximal covered spans of NON-KEEPER duplicated-gram occurrences —
     * what dd_substring_clean cuts. Keeper = min(struct(doc_id, start))
@@ -186,7 +187,7 @@ object Dedup {
       (s, dir) => {
         val d = docs(s, dir)
         val cand =
-          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).localCheckpoint()
+          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).materialize()
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
         val sh = TextOps.explodedShingles(d, ShingleN)
@@ -242,7 +243,7 @@ object Dedup {
       (s, dir) => {
         val d = docs(s, dir)
         val cand =
-          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).localCheckpoint()
+          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).materialize()
         val p = d.select(col("doc_id"), substring(col("text"), 1, 64)
           .as("prefix"))
         cand
@@ -278,9 +279,9 @@ object Dedup {
         // one corpus-wide signature pass feeds BOTH the LSH bucketing and
         // the per-candidate signature join-back
         val allSigs = TextOps.minhashSignatures(d, ShingleN, K)
-          .localCheckpoint()
+          .materialize()
         val cand = TextOps.lshCandidatesFromSigs(allSigs, K, RowsPerBand)
-          .localCheckpoint()
+          .materialize()
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
         val sigs = allSigs
@@ -370,7 +371,7 @@ object Dedup {
         // lookups, AND the MinHash signatures (minima are identical
         // over distinct shingles)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
-          .localCheckpoint()
+          .materialize()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
@@ -441,8 +442,8 @@ object Dedup {
       (s, dir) => {
         val d = docs(s, dir)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
-          .localCheckpoint()
-        val sigs = TextOps.minhashFromShingles(sh, K).localCheckpoint()
+          .materialize()
+        val sigs = TextOps.minhashFromShingles(sh, K).materialize()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val truthPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
@@ -457,7 +458,7 @@ object Dedup {
           .filter(col("n_inter") * 2 >=
             col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
           .select(col("doc_a"), col("doc_b"))
-          .localCheckpoint()
+          .materialize()
         val cfgKeys = Seq(col("bands"), col("rows_per_band"))
         val banded = SweepConfigs.map { case (b, r) =>
           TextOps.bandedRows(sigs, b * r, r)
@@ -559,11 +560,11 @@ object Dedup {
       (s, dir) => {
         val d = docs(s, dir)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
-          .localCheckpoint()
+          .materialize()
         val dfreq = sh.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2) // df=1 shingles generate zero pairs
-          .localCheckpoint()
+          .materialize()
         ShingleDfCaps.map { cap =>
           val kept = dfreq.filter(col("df") <= cap)
           val shingleStats = kept.agg(
@@ -896,12 +897,12 @@ object Dedup {
       (s, dir) => {
         val edges1 = TextOps
           .lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand)
-          .localCheckpoint() // referenced twice below; signatures run once
+          .materialize() // referenced twice below; signatures run once
         val edges = edges1
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(edges1.select(col("doc_b").as("src"),
             col("doc_a").as("dst")))
-          .localCheckpoint() // two iterations re-read the edge list
+          .materialize() // two iterations re-read the edge list
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val base = lit(1000000000L)
         def step(pr: org.apache.spark.sql.DataFrame) = {
@@ -966,7 +967,7 @@ object Dedup {
     Q("dd_triangles",
       (s, dir) => {
         val e = TextOps.lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand)
-          .localCheckpoint() // three self-references; compute signatures once
+          .materialize() // three self-references; compute signatures once
         val deg = e.select(col("doc_a").as("doc_id"))
           .union(e.select(col("doc_b").as("doc_id")))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -1160,7 +1161,7 @@ object Dedup {
         val sims = TextOps.simhashWide(docs(s, dir))
           .select(col("doc_id"), col("simhash"),
             conv(col("simhash"), 2, 10).cast("long").as("si"))
-          .localCheckpoint()
+          .materialize()
         val blocked = sims.select(col("doc_id"), col("si"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("blk"),
@@ -1235,7 +1236,7 @@ object Dedup {
         val banded = TextOps.bandedRows(
           TextOps.minhashSignatures(docs(s, dir), ShingleN, K),
           K, RowsPerBand)
-          .localCheckpoint() // both join sides — signatures run once
+          .materialize() // both join sides — signatures run once
         val idx = banded.filter(col("doc_id") % 10 < 8)
         val delta = banded.filter(col("doc_id") % 10 >= 8)
           .select(col("band"), col("bh"), col("doc_id").as("new_id"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Materialize._
 import graft.similarity.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -377,7 +378,7 @@ object Similarity {
         // scale you persist assignments before any bucket self-join)
         val assigned = VectorOps.assignIvf(
           Tables.sharded(s, dir, "embeddings"), CentroidModulo)
-          .localCheckpoint()
+          .materialize()
         val a = assigned.select(col("centroid_id"),
           col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
         val b = assigned.select(col("centroid_id"),
@@ -416,7 +417,7 @@ object Similarity {
         val tau = 0.35
         val assigned = VectorOps.assignIvfScored(
           Tables.sharded(s, dir, "embeddings"), CentroidModulo)
-          .localCheckpoint() // referenced by pair-gen twice + rank join
+          .materialize() // referenced by pair-gen twice + rank join
         val d = VectorOps.dotFn(assigned)
         val a = assigned.select(col("centroid_id"),
           col("vec_id").as("doc_a"), col("q").as("qa"), col("n2").as("na"))
@@ -485,7 +486,7 @@ object Similarity {
         val k = 8
         val d = VectorOps.dotFn(Tables.sharded(s, dir, "embeddings"))
         val q = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
-          .localCheckpoint() // scanned by both rounds; quantize once
+          .materialize() // scanned by both rounds; quantize once
         def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
         def argmin(scored: Seq[(Column, Long)]): Column =
           array_min(array(scored.map { case (dist, cid) =>
@@ -653,7 +654,7 @@ object Similarity {
       (s, dir) => {
         val emb = Tables.sharded(s, dir, "embeddings")
         val assigned = VectorOps.assignIvf(emb, CentroidModulo)
-          .localCheckpoint() // 3 consumers: codebook, probes, candidates
+          .materialize() // 3 consumers: codebook, probes, candidates
         val cb = pqCodebook(assigned)
         val probes = assigned.filter(col("vec_id") < PqProbeN)
           .select(col("vec_id"), col("centroid_id"), col("q")).collect()
@@ -705,7 +706,7 @@ object Similarity {
         val emb = Tables.sharded(s, dir, "embeddings")
         val d = VectorOps.dotFn(emb)
         val assigned = VectorOps.assignIvf(emb, CentroidModulo)
-          .localCheckpoint() // 3 consumers: codebook, probes, candidates
+          .materialize() // 3 consumers: codebook, probes, candidates
         val cb = pqCodebook(assigned)
         val probes = assigned.filter(col("vec_id") < PqProbeN)
           .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"))

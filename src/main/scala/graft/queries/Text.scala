@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Materialize._
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1277,7 +1278,7 @@ object Text {
     // past ~10¹² rows to stay inside a long.
     Q("txt_classifier_lr",
       (s, dir) => {
-        val feats = lrFeatures(docs(s, dir)).localCheckpoint()
+        val feats = lrFeatures(docs(s, dir)).materialize()
         val w = lrTrain(feats)
         feats.select(col("doc_id"), col("y").cast("long").as("label"),
           round(lrScore(w), 6).as("score"),
@@ -1305,7 +1306,7 @@ object Text {
     // division error.
     Q("txt_classifier_eval",
       (s, dir) => {
-        val feats = lrFeatures(docs(s, dir)).localCheckpoint()
+        val feats = lrFeatures(docs(s, dir)).materialize()
         val w = lrTrain(feats)
         val conf = feats.select(col("y").cast("long").as("label"),
             (lrScore(w) >= 0.5).cast("long").as("pred"))

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.ops.Materialize._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -188,7 +189,7 @@ object VectorOps {
       dims: Int, k: Int): DataFrame = {
     val d = dotFn(corpus)
     // one signature pass feeds probes AND corpus sides of the join
-    val sigs = lshSignatureFull(corpus, planes, dims).localCheckpoint()
+    val sigs = lshSignatureFull(corpus, planes, dims).materialize()
     val probes = sigs.filter(probeFilter)
       .select(col("signature"), col("vec_id").as("probe_id"),
         col("q").as("pq"), col("n2").as("pn2"))
