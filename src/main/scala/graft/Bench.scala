@@ -97,6 +97,7 @@ object Bench {
 
     // a crash below must never leave a previous run's results parseable
     Files.deleteIfExists(Paths.get("bench_out.json"))
+    Files.deleteIfExists(Paths.get("bench_trend.json"))
 
     // dev affordance: SPARK_GRAFT_ONLY=q1_agg,dd_jaccard benches a subset
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
