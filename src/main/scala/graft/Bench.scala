@@ -64,9 +64,13 @@ object Bench {
     if (!Files.exists(path)) Map.empty
     else {
       val text = Files.readString(path)
-      val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
-      pair.findAllMatchIn(text.substring(text.indexOf("\"queries\"")))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val at = text.indexOf("\"queries\"")
+      if (at < 0) Map.empty // malformed baseline = no priors, not a crash
+      else {
+        val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+        pair.findAllMatchIn(text.substring(at))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
 
   def main(args: Array[String]): Unit = {

@@ -48,6 +48,9 @@ class BenchTrendSpec extends AnyFunSuite {
     val m = Bench.readBaseline(p)
     assert(m === Map("q1_agg" -> 0.25, "dd_exact" -> 1.5))
     assert(Bench.readBaseline(Paths.get("/nonexistent/x.json")) === Map.empty)
+    val bad = Files.createTempFile("baseline_bad", ".json")
+    Files.writeString(bad, """{"source": "no queries key here"}""")
+    assert(Bench.readBaseline(bad) === Map.empty)
   }
 
   test("the committed baseline covers the live query surface") {
