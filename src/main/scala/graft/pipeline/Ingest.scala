@@ -120,4 +120,39 @@ object Ingest {
     s"""CASE WHEN substr(md5($keyExpr), 1, 2) <= '${hex2(train)}' THEN 'train'
               WHEN substr(md5($keyExpr), 1, 2) <= '${hex2(train + validation)}' THEN 'val'
               ELSE 'test' END"""
+
+  private val uriSchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*"
+  private val uriBucketRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*).*"
+  private val uriKeyRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*/?(.*)$"
+
+  /** O7 plumbing — the reference's storage-URI split: `urllib.parse
+    * .urlparse(element["filename"])` then `u.netloc` (bucket) and
+    * `u.path[1:]` (object key) to address the video bytes
+    * (preprocess.py:163-165). Three codegen `regexp_extract` columns over
+    * the listing — like every other Ingest stage it runs on filenames
+    * only, never content, so at 100 TB it prices as a narrow map over the
+    * file index. Non-URI paths keep urlparse's shape (empty scheme and
+    * bucket) with the key = the path minus any leading '/' — the sane
+    * generalization of the reference's `[1:]`, which assumes a URI whose
+    * path always starts with '/'.
+    */
+  def withUriParts(files: DataFrame): DataFrame = {
+    val f = col("filename")
+    val scheme = regexp_extract(f, uriSchemeRe, 1)
+    files
+      .withColumn("scheme", scheme)
+      .withColumn("bucket", regexp_extract(f, uriBucketRe, 1))
+      .withColumn("obj_key",
+        when(scheme =!= "", regexp_extract(f, uriKeyRe, 1))
+          .otherwise(regexp_replace(f, "^/", "")))
+  }
+
+  /** DuckDB mirror of [[withUriParts]], for oracle SQL. */
+  private[graft] def uriPartsSql(fExpr: String): String = Seq(
+    s"regexp_extract($fExpr, '$uriSchemeRe', 1) AS scheme",
+    s"regexp_extract($fExpr, '$uriBucketRe', 1) AS bucket",
+    s"""CASE WHEN regexp_extract($fExpr, '$uriSchemeRe', 1) <> ''
+             THEN regexp_extract($fExpr, '$uriKeyRe', 1)
+             ELSE regexp_replace($fExpr, '^/', '') END AS obj_key""")
+    .mkString(",\n           ")
 }

@@ -94,6 +94,29 @@ object Reference {
         FROM ($filesSql)
         WHERE string_split(filename, '.')[-1] IN ('mkv', 'avi', 'mp4')""")),
 
+    // ---- O7 plumbing: storage-URI → (scheme, bucket, object key) ----------
+    // The reference's urlparse split (preprocess.py:163-165) over a listing
+    // that mixes gs:// and s3a:// URIs with absolute local paths — the three
+    // address shapes a mixed-lake listing actually contains.
+    Q("ref_uri_parts",
+      (s, dir) => Ingest.withUriParts(
+        synthFiles(s, dir).select(
+          when(col("doc_id") % 3 === 0, concat(lit("/"), col("filename")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("gs://corpus-raw/"), col("filename")))
+            .otherwise(concat(lit("s3a://lake-"), col("doc_id") % 4,
+              lit("/"), col("filename"))).as("filename"))),
+      Some(s"""
+        SELECT filename,
+           ${Ingest.uriPartsSql("filename")}
+        FROM (
+          SELECT CASE
+                   WHEN doc_id % 3 = 0 THEN '/' || filename
+                   WHEN doc_id % 3 = 1 THEN 'gs://corpus-raw/' || filename
+                   ELSE 's3a://lake-' || (doc_id % 4) || '/' || filename
+                 END AS filename
+          FROM ($filesSql))""")),
+
     // ---- O6 deterministic 70/15/15 split, accounting per (dataset,label) --
     Q("ref_split",
       (s, dir) => preparedFiles(s, dir)

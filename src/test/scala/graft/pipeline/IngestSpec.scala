@@ -100,4 +100,22 @@ class IngestSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.map(_._2).forall(Set("train", "val", "test")))
   }
+
+  test("O7 plumbing: URI split mirrors urlparse netloc/path semantics") {
+    val got = Ingest.withUriParts(Seq(
+        "gs://bkt/a/b.mp4", // the reference's exact shape
+        "s3a://lake-1/x.mkv", // other scheme, digits/dash in bucket
+        "gs://bkt", // bucket-only URI: empty key, not a crash
+        "/abs/local.mp4", // absolute path: no scheme/bucket, '/' stripped
+        "rel/local.avi") // relative path: passes through whole
+        .toDF("filename"))
+      .select("filename", "scheme", "bucket", "obj_key")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got === Seq(
+      ("gs://bkt/a/b.mp4", "gs", "bkt", "a/b.mp4"),
+      ("s3a://lake-1/x.mkv", "s3a", "lake-1", "x.mkv"),
+      ("gs://bkt", "gs", "bkt", ""),
+      ("/abs/local.mp4", "", "", "abs/local.mp4"),
+      ("rel/local.avi", "", "", "rel/local.avi")))
+  }
 }
