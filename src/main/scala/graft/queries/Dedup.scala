@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.Materialize._
-import graft.text.TextOps
+import graft.text.{TextOps, UrlOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,6 +160,63 @@ object Dedup {
         SELECT md5(array_to_string(tokens, ' ')) AS text_hash,
                count(*) AS n_docs, min(doc_id) AS canonical_id
         FROM (${DocSql.toksSql})
+        GROUP BY 1""")),
+
+    // ---- URL-level dedup: canonicalize, then collapse ----------------------
+    // The cheapest dedup a web corpus gets: crawls of one page under
+    // scheme/case/port/tracking-param/trailing-slash variant URLs collapse
+    // on UrlOps.canonicalUrl BEFORE any content is read — a narrow codegen
+    // projection plus one combinable aggregation, so at 100 TB it prices as
+    // a scan while content dedup prices as a shuffle of the corpus. The
+    // fixture has no URL column, so (like ref_uri_parts) the four crawl
+    // variants are synthesized deterministically per page id doc_id÷4:
+    // clean / upper-case+default-port+trailing-slash / no-www+tracking-param
+    // / http+port-80+fragment+unsorted-params. Variants 0,1 and 2,3 collapse
+    // pairwise (2,3 keep sorted params a=1&b=2), exercising every rule.
+    Q("dd_url_dedup", {
+      (s, dir) =>
+        val pid = expr("doc_id DIV 4")
+        val ps = pid.cast("string")
+        val hb = concat(lit("example-"), (pid % 50).cast("string"), lit(".com"))
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://www."), hb, lit("/articles/"), ps))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("HTTPS://WWW."), upper(hb), lit(":443/articles/"), ps,
+              lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://"), hb, lit("/articles/"), ps,
+              lit("?b=2&a=1&utm_source=feed")))
+          .otherwise(concat(lit("http://www."), hb, lit(":80/articles/"), ps,
+            lit("?a=1&utm_campaign=x&b=2#frag")))
+        docs(s, dir)
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("canonical_url", UrlOps.canonicalUrl(col("url")))
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("url")).as("n_raw_forms"),
+            min(col("doc_id")).as("keeper_id"))
+    },
+      Some(s"""
+        WITH urls AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'https://www.example-' || ((doc_id // 4) % 50)
+                        || '.com/articles/' || (doc_id // 4)
+                   WHEN 1 THEN 'HTTPS://WWW.EXAMPLE-' || ((doc_id // 4) % 50)
+                        || '.COM:443/articles/' || (doc_id // 4) || '/'
+                   WHEN 2 THEN 'https://example-' || ((doc_id // 4) % 50)
+                        || '.com/articles/' || (doc_id // 4)
+                        || '?b=2&a=1&utm_source=feed'
+                   ELSE 'http://www.example-' || ((doc_id // 4) % 50)
+                        || '.com:80/articles/' || (doc_id // 4)
+                        || '?a=1&utm_campaign=x&b=2#frag'
+                 END AS url
+          FROM documents)
+        SELECT ${UrlOps.canonicalUrlSql("url")} AS canonical_url,
+               count(*) AS n_docs,
+               count(DISTINCT url) AS n_raw_forms,
+               min(doc_id) AS keeper_id
+        FROM urls
         GROUP BY 1""")),
 
     // ---- near-dup candidates: MinHash + banded LSH --------------------------
