@@ -143,6 +143,33 @@ object Dedup {
   /** The exact-substring gram width (Lee et al.'s 50), exposed for specs. */
   private[graft] def substringGramN: Int = SubstringGramN
 
+  /** Deterministic crawl-variant URL for a doc_id — the dd_url_dedup
+    * fixture synthesis (the corpus has no URL column), shared with the
+    * scale smoke: page id = doc_id÷4, and the four doc_ids of a page get
+    * the four crawl shapes of one address (clean / upper-case+default-
+    * port+trailing-slash / no-www+tracking-param / http+port-80+fragment+
+    * unsorted-params). Variants 0,1 and 2,3 collapse pairwise under
+    * [[UrlOps.canonicalUrl]] (2,3 keep sorted params `a=1&b=2`), so every
+    * canonicalization rule is exercised. Mirrored literally in the
+    * dd_url_dedup oracle SQL.
+    */
+  private[graft] def crawlUrl(docId: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    val pid = shiftright(docId, 2) // exact integer ÷4 (doc_id ≥ 0)
+    val ps = pid.cast("string")
+    val hb = concat(lit("example-"), (pid % 50).cast("string"), lit(".com"))
+    when(docId % 4 === 0,
+        concat(lit("https://www."), hb, lit("/articles/"), ps))
+      .when(docId % 4 === 1,
+        concat(lit("HTTPS://WWW."), upper(hb), lit(":443/articles/"), ps,
+          lit("/")))
+      .when(docId % 4 === 2,
+        concat(lit("https://"), hb, lit("/articles/"), ps,
+          lit("?b=2&a=1&utm_source=feed")))
+      .otherwise(concat(lit("http://www."), hb, lit(":80/articles/"), ps,
+        lit("?a=1&utm_campaign=x&b=2#frag")))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact dedup: normalized-text hash groups ---------------------------
@@ -175,21 +202,8 @@ object Dedup {
     // pairwise (2,3 keep sorted params a=1&b=2), exercising every rule.
     Q("dd_url_dedup", {
       (s, dir) =>
-        val pid = expr("doc_id DIV 4")
-        val ps = pid.cast("string")
-        val hb = concat(lit("example-"), (pid % 50).cast("string"), lit(".com"))
-        val url = when(col("doc_id") % 4 === 0,
-            concat(lit("https://www."), hb, lit("/articles/"), ps))
-          .when(col("doc_id") % 4 === 1,
-            concat(lit("HTTPS://WWW."), upper(hb), lit(":443/articles/"), ps,
-              lit("/")))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("https://"), hb, lit("/articles/"), ps,
-              lit("?b=2&a=1&utm_source=feed")))
-          .otherwise(concat(lit("http://www."), hb, lit(":80/articles/"), ps,
-            lit("?a=1&utm_campaign=x&b=2#frag")))
         docs(s, dir)
-          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), crawlUrl(col("doc_id")).as("url"))
           .withColumn("canonical_url", UrlOps.canonicalUrl(col("url")))
           .groupBy(col("canonical_url"))
           .agg(count(lit(1)).as("n_docs"),

@@ -130,6 +130,26 @@ class ScaleSmokeSpec extends SparkSpec {
     dup.unpersist(); spans.unpersist()
   }
 
+  test("URL canonicalization collapses crawl variants pairwise at 400k rows") {
+    // dd_url_dedup's exact lineage (shared synthesis + canonicalization)
+    // at 100× the sf0.01 fixture: 100k pages × 4 crawl variants must
+    // yield exactly 2 canonical groups per page, each holding exactly
+    // 2 docs under 2 distinct raw forms — any rule misfiring at scale
+    // (regex mis-anchor, param-sort instability) breaks the invariant.
+    val n = 400000L
+    val ok = spark.range(n)
+      .select(col("id").as("doc_id"),
+        graft.queries.Dedup.crawlUrl(col("id")).as("url"))
+      .withColumn("c", UrlOps.canonicalUrl(col("url")))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("nd"), countDistinct(col("url")).as("nr"))
+      .agg(count(lit(1)).as("groups"),
+        sum(when(col("nd") === 2 && col("nr") === 2, 1L).otherwise(0L))
+          .as("pairwise"))
+      .as[(Long, Long)].head()
+    assert(ok === ((n / 2, n / 2)))
+  }
+
   test("exact dedup finds exactly the planted duplicate group") {
     val groups = corpus
       .select(col("doc_id"),

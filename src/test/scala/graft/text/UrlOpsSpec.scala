@@ -31,6 +31,14 @@ class UrlOpsSpec extends SparkSpec {
       "ex.com"))
   }
 
+  test("canonicalization is idempotent (re-canonicalizing a canonical URL " +
+      "re-prefixed with a scheme is the identity)") {
+    val canonical = canon(
+      "https://www.ex.com/a/b", "https://ex.com/a/b?b=2&a=1&utm_campaign=x",
+      "https://ex.com:8080/a/b", "http://ex.com:80/a/b#frag", "https://ex.com/")
+    assert(canon(canonical.map("https://" + _): _*) === canonical)
+  }
+
   test("distinct pages stay distinct") {
     assert(canon(
       "https://ex.com/a", "https://ex.com/b", "https://other.com/a",
