@@ -25,6 +25,12 @@ object Dedup {
   // grams at this width, so the faithful parameter is also testable).
   private val SubstringGramN = 50
 
+  /** dd_domain_cap: max docs kept per canonical host, and the salt
+    * fan-out bounding the phase-2 window at Cap×Salt rows per host.
+    */
+  private val DomainCap = 3
+  private[graft] val DomainSalt = 8
+
   // Every (bands, rowsPerBand) factorization of the K=12 signature —
   // the dd_lsh_sweep grid. Collision threshold ≈ (1/b)^(1/r).
   private val SweepConfigs: Seq[(Int, Int)] =
@@ -170,6 +176,25 @@ object Dedup {
         lit("?a=1&utm_campaign=x&b=2#frag")))
   }
 
+  /** DuckDB mirror of [[crawlUrl]] over a BIGINT doc_id expression — the
+    * single source for every oracle that replays the crawl-URL synthesis.
+    */
+  private def crawlUrlSql(idExpr: String): String = {
+    val pid = s"($idExpr // 4)"
+    s"""CASE $idExpr % 4
+          WHEN 0 THEN 'https://www.example-' || ($pid % 50)
+               || '.com/articles/' || $pid
+          WHEN 1 THEN 'HTTPS://WWW.EXAMPLE-' || ($pid % 50)
+               || '.COM:443/articles/' || $pid || '/'
+          WHEN 2 THEN 'https://example-' || ($pid % 50)
+               || '.com/articles/' || $pid
+               || '?b=2&a=1&utm_source=feed'
+          ELSE 'http://www.example-' || ($pid % 50)
+               || '.com:80/articles/' || $pid
+               || '?a=1&utm_campaign=x&b=2#frag'
+        END"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact dedup: normalized-text hash groups ---------------------------
@@ -212,19 +237,7 @@ object Dedup {
     },
       Some(s"""
         WITH urls AS (
-          SELECT doc_id,
-                 CASE doc_id % 4
-                   WHEN 0 THEN 'https://www.example-' || ((doc_id // 4) % 50)
-                        || '.com/articles/' || (doc_id // 4)
-                   WHEN 1 THEN 'HTTPS://WWW.EXAMPLE-' || ((doc_id // 4) % 50)
-                        || '.COM:443/articles/' || (doc_id // 4) || '/'
-                   WHEN 2 THEN 'https://example-' || ((doc_id // 4) % 50)
-                        || '.com/articles/' || (doc_id // 4)
-                        || '?b=2&a=1&utm_source=feed'
-                   ELSE 'http://www.example-' || ((doc_id // 4) % 50)
-                        || '.com:80/articles/' || (doc_id // 4)
-                        || '?a=1&utm_campaign=x&b=2#frag'
-                 END AS url
+          SELECT doc_id, ${crawlUrlSql("doc_id")} AS url
           FROM documents)
         SELECT ${UrlOps.canonicalUrlSql("url")} AS canonical_url,
                count(*) AS n_docs,
@@ -232,6 +245,85 @@ object Dedup {
                min(doc_id) AS keeper_id
         FROM urls
         GROUP BY 1""")),
+
+    // ---- per-domain corpus statistics --------------------------------------
+    // The profile behind every domain-level curation decision (CCNet's
+    // per-domain filtering, RefinedWeb's blocklists, Gopher's source
+    // rules): group the crawl by canonical HOST (UrlOps.host — the
+    // per-domain key, where canonicalUrl is the per-page key) and report
+    // docs, distinct pages, and exact content volume. Plan shape: the
+    // scan reads (doc_id, n_chars) only, the URL synthesis+host split is
+    // a narrow codegen projection, and the whole query is one two-phase
+    // aggregate (countDistinct(page) rewrites to two exchanges) — at
+    // 100 TB this prices as a scan plus a host-keyed shuffle of small
+    // (host, page) pairs, never of content.
+    Q("dd_domain_stats", {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            crawlUrl(col("doc_id")).as("url"))
+          .select(col("doc_id"), col("n_chars"),
+            UrlOps.host(col("url")).as("host"),
+            UrlOps.canonicalUrl(col("url")).as("page"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("page")).as("n_pages"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"))
+    },
+      Some(s"""
+        WITH urls AS (
+          SELECT doc_id, n_chars, ${crawlUrlSql("doc_id")} AS url
+          FROM documents)
+        SELECT ${UrlOps.hostSql("url")} AS host,
+               count(*) AS n_docs,
+               count(DISTINCT ${UrlOps.canonicalUrlSql("url")}) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc
+        FROM urls
+        GROUP BY 1""")),
+
+    // ---- domain balancing: cap docs per domain, skew-safely ----------------
+    // The training-mix balancing step: keep at most DomainCap docs per
+    // canonical host, preferring longer docs (n_chars DESC, doc_id ASC as
+    // the total-order tie-break). A naive row_number over host partitions
+    // sorts EVERY doc of a heavy-hitter domain on one task — the classic
+    // skew cliff at 100 TB, where one domain can be 1%+ of the crawl. So
+    // the rank runs in two salted phases: phase 1 ranks within (host,
+    // doc_id % DomainSalt) and keeps its top DomainCap — correct because
+    // a global top-K element is a top-K element of any subset containing
+    // it — bounding phase 2's per-host partition at Cap×Salt rows
+    // regardless of domain size. The oracle ranks directly over host
+    // (DuckDB sees small data; the salted plan is the point on OUR side).
+    Q("dd_domain_cap", {
+      (s, dir) =>
+        val ranked = docs(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            UrlOps.host(crawlUrl(col("doc_id"))).as("host"))
+        val order = Seq(col("n_chars").desc, col("doc_id").asc)
+        val pre = Window.partitionBy(col("host"), pmod(col("doc_id"),
+          lit(DomainSalt))).orderBy(order: _*)
+        val fin = Window.partitionBy(col("host")).orderBy(order: _*)
+        ranked
+          .withColumn("pre_rk", row_number().over(pre))
+          .filter(col("pre_rk") <= DomainCap)
+          .withColumn("rk", row_number().over(fin).cast("long"))
+          .filter(col("rk") <= DomainCap)
+          .select(col("host"), col("rk"), col("doc_id"), col("n_chars"))
+    },
+      Some(s"""
+        WITH urls AS (
+          SELECT doc_id, n_chars, ${crawlUrlSql("doc_id")} AS url
+          FROM documents),
+        ranked AS (
+          SELECT ${UrlOps.hostSql("url")} AS host, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY ${UrlOps.hostSql("url")}
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM urls)
+        SELECT host, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        FROM ranked
+        WHERE rk <= $DomainCap""")),
 
     // ---- near-dup candidates: MinHash + banded LSH --------------------------
     // The scale-critical property: candidates come from a shuffle join on

@@ -29,28 +29,39 @@ object UrlOps {
   private val QueryRe = "\\?([^#]*)"
   private val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid)="
 
+  /** Canonical host of an absolute URL — rule 2 alone (lowercased, `www.`
+    * stripped, default ports dropped): the per-DOMAIN grouping key for
+    * domain statistics and domain capping, where the full [[canonicalUrl]]
+    * is the per-PAGE key.
+    */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", ""),
+      ":(80|443)$", "")
+
+  /** DuckDB mirror of [[host]]. */
+  private[graft] def hostSql(urlExpr: String): String =
+    s"regexp_replace(regexp_replace(lower(regexp_extract(" +
+      s"$urlExpr, '$HostRe', 1)), '^www\\.', ''), ':(80|443)$$', '')"
+
   /** Canonical dedup key for an absolute URL column, per the rules above.
     * Built entirely from codegen'd built-ins (regexp_extract /
     * regexp_replace / split / filter / array_sort / array_join).
     */
   def canonicalUrl(url: Column): Column = {
-    val host = regexp_replace(
-      regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", ""),
-      ":(80|443)$", "")
     val path = regexp_replace(regexp_extract(url, PathRe, 1), "/$", "")
     val query = array_join(
       array_sort(filter(
         split(regexp_extract(url, QueryRe, 1), "&"),
         p => p =!= "" && !p.rlike(TrackingParamRe))),
       "&")
-    concat(host, path, when(query =!= "", concat(lit("?"), query))
+    concat(host(url), path, when(query =!= "", concat(lit("?"), query))
       .otherwise(lit("")))
   }
 
   /** DuckDB mirror of [[canonicalUrl]] over a URL-typed SQL expression. */
   private[graft] def canonicalUrlSql(urlExpr: String): String = {
-    val host = s"regexp_replace(regexp_replace(lower(regexp_extract(" +
-      s"$urlExpr, '$HostRe', 1)), '^www\\.', ''), ':(80|443)$$', '')"
+    val host = hostSql(urlExpr)
     val path = s"regexp_replace(regexp_extract($urlExpr, '$PathRe', 1), '/$$', '')"
     val query = s"array_to_string(list_sort(list_filter(string_split(" +
       s"regexp_extract($urlExpr, '\\?([^#]*)', 1), '&'), " +
