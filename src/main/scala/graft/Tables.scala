@@ -46,11 +46,16 @@ object Tables {
     apply(spark, dir, name)
       .repartition(spark.sparkContext.defaultParallelism)
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects; read nanos as a long and normalize to an
-    * epoch-millisecond `ems` column plus a millisecond-precision `ts`
-    * timestamp (window boundaries are all >= 1s, so ms precision is exact
-    * for every event-time operator here). Matches DuckDB's epoch_ms floor.
+  /** The events table's `ts` encoding has varied across fixture
+    * generations — parquet TIMESTAMP(NANOS) (read as a nanosecond long via
+    * `nanosAsLong`) and plain `timestamp[us]` (read as TIMESTAMP_NTZ under
+    * the default NTZ inference, or TIMESTAMP when inference is off). A real
+    * lake is no different: timestamp physical encodings drift between
+    * writers. Normalize whatever the scan yields to one canonical pair —
+    * an epoch-millisecond `ems` long plus a millisecond-precision `ts`
+    * TimestampType column — so every event-time operator downstream sees
+    * one schema. Window boundaries here are all >= 1s, so ms precision is
+    * exact; the floor semantics match DuckDB's `epoch_ms`.
     *
     * nanosAsLong is set at session build by every entry point (Verify /
     * Bench / Explain / test fixture); the set here is a defensive repeat
@@ -59,9 +64,21 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ems = raw.schema("ts").dataType match {
       // integer div, not `/`: long/long promotes to double, which cannot
       // represent an ~1.7e18 nanosecond epoch exactly (53-bit mantissa)
-      .withColumn("ems", expr("ts div 1000000"))
+      case LongType => expr("ts div 1000000")
+      // NTZ fixtures carry UTC wall-clock; the session timezone is pinned
+      // to UTC at every entry point, so the NTZ->LTZ cast is instant-exact.
+      // unix_millis floor-divides the underlying micros, matching epoch_ms.
+      case TimestampNTZType | TimestampType =>
+        unix_millis(col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported fixture encoding $other — expected " +
+          "BIGINT (nanos), TIMESTAMP_NTZ, or TIMESTAMP; see Tables.events")
+    }
+    raw.withColumn("ems", ems)
       .withColumn("ts", timestamp_millis(col("ems")))
   }}

@@ -51,11 +51,25 @@ object Verify {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
+    // A failed query must show up RED in the correctness artifact, never
+    // silently vanish: leave an empty marker dir (the driver's parquet read
+    // fails -> `err` row) plus an `_ERROR.txt` (underscore-prefixed, so no
+    // parquet glob matches it) and a consolidated `_errors.json`.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.list(d).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet") ||
+              p.getFileName.toString == "_SUCCESS") Files.delete(p)
+        }
+        Files.writeString(d.resolve("_ERROR.txt"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -73,6 +87,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    // Exit 0 even on per-query failures: the marker dirs carry the red
+    // signal per query, and a nonzero exit could cost the WHOLE compare
+    // (all green queries) if the driver gates on rc.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: " +
+        errors.keys.mkString(", "))
   }
 }
