@@ -211,6 +211,87 @@ object Similarity {
           FROM codes c JOIN dt t ON t.m = c.m AND t.code = c.code
           WHERE c.vec_id <> t.probe_id GROUP BY 1, 2)"""
 
+  /** Shared IVF-PQ candidate generation behind sim_ivfpq and
+    * sim_ivfpq_refine: IVF assignment → codebook/probe collects → narrow
+    * encode → ADC via a BROADCAST probe relation joined on the coarse
+    * centroid key. The probe table carries (probe_id, pcent, dts[, pq,
+    * pn2]) where `dts` is the per-subspace code→distance map; adc_dist is
+    * then Σ_m dts[m][code_m] as plain `element_at` lookups against the
+    * joined row. Unlike the literal probe-struct explode ([[pqAdcStructs]],
+    * still the right shape for the few-probe serving analog in sim_pq),
+    * the PLAN here is probe-count-independent — one BroadcastHashJoin
+    * whatever |probes| is — so the same lineage serves a 4-probe query or
+    * a million-probe batch job; only the broadcast payload
+    * (|probes| × M × K longs — model-sized) grows.
+    *
+    * `probeN` is a parameter so specs drive a 10×-probe batch through the
+    * exact production path; `keepVec` controls whether candidate rows
+    * carry (q, n2) for a downstream exact rerank (refine) or stay
+    * minimal-width for the ADC-only top-k (ivfpq).
+    */
+  private[graft] def ivfPqAdc(s: SparkSession, dir: String, probeN: Int,
+      keepVec: Boolean): (DataFrame, DataFrame) = {
+    val emb = Tables.sharded(s, dir, "embeddings")
+    val assigned = VectorOps.assignIvf(emb, CentroidModulo)
+      .materialize() // 3 consumers: codebook, probes, candidates
+    val cb = pqCodebook(assigned)
+    val probes = assigned.filter(col("vec_id") < probeN)
+      .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+    val dt = pqAdcTables(probes.map(p => (p._1, p._3)), cb)
+    import s.implicits._
+    val probeRel = probes.toSeq.map { case (pid, cent, pv, pn2) =>
+      (pid, cent, (0 until PqNSub).map(m => dt(pid)(m)), pv.toSeq, pn2)
+    }.toDF("probe_id", "pcent", "dts", "pq", "pn2")
+    val keep =
+      if (keepVec) Seq(col("vec_id"), col("centroid_id"), col("q"), col("n2"))
+      else Seq(col("vec_id"), col("centroid_id"))
+    val coded = pqEncoded(assigned, keep, cb)
+    val adc = coded
+      .join(broadcast(probeRel.select(col("probe_id"), col("pcent"),
+          col("dts"))),
+        col("pcent") === col("centroid_id") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(Seq(col("probe_id"), col("vec_id"),
+        (0 until PqNSub).map(m =>
+          element_at(element_at(col("dts"), m + 1), col(s"code$m")))
+          .reduce(_ + _).as("adc_dist")) ++
+        (if (keepVec) Seq(col("q"), col("n2")) else Nil): _*)
+    (adc, probeRel)
+  }
+
+  /** The sim_ivfpq_refine lineage for an arbitrary probe batch: ADC
+    * shortlist via [[ivfPqAdc]], then the exact-cosine rerank as a SECOND
+    * broadcast join on probe_id — the shortlist window stays narrow
+    * (probe vectors join in only after the RefineShortlist cut, so the
+    * expensive 64-long probe payload rides |probes| × shortlist rows,
+    * never bucket-sized data).
+    */
+  private[graft] def ivfPqRefine(s: SparkSession, dir: String,
+      probeN: Int): DataFrame = {
+    val (adc, probeRel) = ivfPqAdc(s, dir, probeN, keepVec = true)
+    val d = VectorOps.dotFn(adc)
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= RefineShortlist)
+    // probe norm divides FIRST (cosSql("p","c") order): fp division is
+    // non-associative, so argument order is part of the contract
+    val rer = short
+      .join(broadcast(probeRel.select(col("probe_id"), col("pq"),
+        col("pn2"))), Seq("probe_id"))
+      .withColumn("cosine",
+        VectorOps.cosine(d(col("q"), col("pq")), col("pn2"), col("n2")))
+    val wCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    rer.withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("cosine"), col("rank"))
+  }
+
   /** The sim_pq lineage (PQ encode + whole-corpus ADC top-5) as a
     * DataFrame — the query itself and the recall evaluation both consume
     * exactly this definition.
@@ -645,33 +726,13 @@ object Similarity {
     // (broadcast centroids — the audited bounded BNLJ), checkpointed and
     // shared by the codebook/probe collects and the candidate scan; one
     // narrow encode projection (argmin over literal codebook
-    // subvectors); candidates materialize via a probe-struct explode
-    // filtered to `probe.centroid == candidate.centroid` (probes are
-    // literal-sized — a serving path does exactly this per-candidate
-    // table lookup); the only exchanges are the assignment window and
-    // the final per-probe top-k.
+    // subvectors); candidates come from ONE BroadcastHashJoin of the
+    // probe relation on the coarse centroid key (ivfPqAdc — the plan is
+    // probe-count-independent, so the same lineage serves a batch probe
+    // set); the only exchanges are the assignment window and the final
+    // per-probe top-k.
     Q("sim_ivfpq",
-      (s, dir) => {
-        val emb = Tables.sharded(s, dir, "embeddings")
-        val assigned = VectorOps.assignIvf(emb, CentroidModulo)
-          .materialize() // 3 consumers: codebook, probes, candidates
-        val cb = pqCodebook(assigned)
-        val probes = assigned.filter(col("vec_id") < PqProbeN)
-          .select(col("vec_id"), col("centroid_id"), col("q")).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
-        val dt = pqAdcTables(probes.map(p => (p._1, p._3)), cb)
-        val probeCent = probes.map(p => p._1 -> p._2).toMap
-        val coded = pqEncoded(assigned,
-          Seq(col("vec_id"), col("centroid_id")), cb)
-        val adc = coded.select(col("vec_id"), col("centroid_id"),
-            pqAdcStructs(dt, probes.map(_._1).toSeq,
-              pid => Seq(lit(probeCent(pid)).as("pcent"))).as("pa"))
-          .filter(col("pa.pcent") === col("centroid_id") &&
-            col("vec_id") =!= col("pa.probe_id"))
-          .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
-            col("pa.adc_dist").as("adc_dist"))
-        pqTopK(adc, 5)
-      },
+      (s, dir) => pqTopK(ivfPqAdc(s, dir, PqProbeN, keepVec = false)._1, 5),
       Some(s"""
         WITH $assignSql,$pqCtesSql,
         probes AS (
@@ -695,58 +756,13 @@ object Similarity {
     // re-scored with EXACT cosine against their full vectors and only
     // then cut to top-k. Cost shape at scale: the expensive exact math
     // runs on shortlist-sized data (|probes| × RefineShortlist rows),
-    // never bucket- or corpus-sized; the probe's own vector enters as a
-    // literal `when` chain (probes are a model-sized driver collect —
-    // the sim_kmeans centroid discipline), so the rerank is a narrow
-    // projection with no extra join or exchange. The shortlist cut
-    // reuses the ADC window exchange; rank ties break on vec_id in both
-    // engines.
+    // never bucket- or corpus-sized; the probe's own vector enters via a
+    // SECOND broadcast join applied after the shortlist cut (ivfPqRefine),
+    // so the 64-long probe payload rides shortlist rows only and the
+    // shortlist window exchange stays narrow. The plan is
+    // probe-count-independent; rank ties break on vec_id in both engines.
     Q("sim_ivfpq_refine",
-      (s, dir) => {
-        val emb = Tables.sharded(s, dir, "embeddings")
-        val d = VectorOps.dotFn(emb)
-        val assigned = VectorOps.assignIvf(emb, CentroidModulo)
-          .materialize() // 3 consumers: codebook, probes, candidates
-        val cb = pqCodebook(assigned)
-        val probes = assigned.filter(col("vec_id") < PqProbeN)
-          .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1),
-            r.getSeq[Long](2).toArray, r.getLong(3)))
-        val dt = pqAdcTables(probes.map(p => (p._1, p._3)), cb)
-        val probeCent = probes.map(p => p._1 -> p._2).toMap
-        val coded = pqEncoded(assigned,
-          Seq(col("vec_id"), col("centroid_id"), col("q"), col("n2")), cb)
-        val adc = coded.select(col("vec_id"), col("q"), col("n2"),
-            col("centroid_id"),
-            pqAdcStructs(dt, probes.map(_._1).toSeq,
-              pid => Seq(lit(probeCent(pid)).as("pcent"))).as("pa"))
-          .filter(col("pa.pcent") === col("centroid_id") &&
-            col("vec_id") =!= col("pa.probe_id"))
-          .select(col("pa.probe_id").as("probe_id"), col("vec_id"),
-            col("pa.adc_dist").as("adc_dist"), col("q"), col("n2"))
-        val wAdc = Window.partitionBy(col("probe_id"))
-          .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        val short = adc.withColumn("srank", row_number().over(wAdc))
-          .filter(col("srank") <= RefineShortlist)
-        // exact rerank on the shortlist only; probe vector as literal
-        val exact = probes.map { case (pid, _, pq, pn2) =>
-          (col("probe_id") === pid) ->
-            // probe norm divides FIRST (cosSql("p","c") order): fp division
-            // is non-associative, so argument order is part of the contract
-            VectorOps.cosine(d(col("q"),
-              array(pq.map(lit(_)).toSeq: _*)), lit(pn2), col("n2"))
-        }.foldRight(lit(Double.NaN)) { case ((pred, cos), acc) =>
-          when(pred, cos).otherwise(acc)
-        }
-        val wCos = Window.partitionBy(col("probe_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        short.withColumn("cosine", exact)
-          .withColumn("rank", row_number().over(wCos))
-          .filter(col("rank") <= 5)
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            col("adc_dist"), col("cosine"), col("rank"))
-      },
+      (s, dir) => ivfPqRefine(s, dir, PqProbeN),
       Some(s"""
         WITH $assignSql,$pqCtesSql,
         probes AS (
