@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Materialize._
 import graft.pipeline.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -13,7 +14,107 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQ {
 
+  // dHash geometry: 60-bit fingerprint (fits a positive BIGINT in both
+  // engines — the simhashWide 48-bit precedent), 4 blocks of 15 bits so
+  // hamming ≤ 3 pairs must agree exactly on ≥ 1 block (pigeonhole — exact
+  // recall, not probabilistic), over a fixed-length "thumbnail" crop.
+  private[graft] val DhashBits = 60
+  private[graft] val DhashBlocks = 4
+  private[graft] val DhashMaxHamming = 3
+  private[graft] val DhashThumb = 96
+  private val DhashBlockBits = DhashBits / DhashBlocks // 15
+  private val DhashBlockMask = (1L << DhashBlockBits) - 1
+
+  /** 60-bit difference hash of a string payload: sample DhashBits+1 fixed
+    * positions across the first [[DhashThumb]] chars, bit i = sampled
+    * char i > sampled char i+1. The FIXED-length crop is the stub
+    * "resize" — alignment is the point: real dHash scales every image to
+    * the same 9×8 grid for exactly this reason, and a variable-length
+    * sample (measured here first) scatters near-identical payloads to
+    * hamming 22+. In production the (substr, ascii) projection is swapped
+    * for a real thumbnail decode (mapPartitions / the DSv2 frame source);
+    * everything downstream — banding, bucket join, hamming check — is
+    * payload-agnostic and unchanged.
+    */
+  private[graft] def dhash(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    // sample positions are Scala-side constants (Thumb is fixed), so the
+    // whole hash is one codegen'd projection: 61 ascii(substr) + 60
+    // compare-and-or terms, no UDF, no explode
+    val cs = (0 to DhashBits).map { i =>
+      ascii(substring(payload, 1 + i * (DhashThumb - 1) / DhashBits, 1))
+    }
+    (0 until DhashBits).map { i =>
+      when(cs(i) > cs(i + 1), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   val qs: Seq[Q] = Seq(
+
+    // ---- perceptual-hash near-dup (dHash + block-bucketed hamming) ---------
+    // The media analog of dd_simhash_near (imagededup's default): identical
+    // or slightly-retouched assets land within hamming 3 of each other's
+    // difference hash, and candidates come from the same Manku-style
+    // block-bucket join — never all-pairs. Scale shape: one narrow hash
+    // projection over the payload (payload bytes die in the scan), a
+    // 4× (blk, bv) explode of 8-byte hashes, a self-join keyed on the
+    // block value (hot buckets stay spread across tasks for AQE to
+    // skew-split), and the exact bit_count(xor) check runs BEFORE the
+    // pair-dedup exchange.
+    Q("mm_dhash_neardup",
+      (s, dir) => {
+        val dh = Tables.sharded(s, dir, "documents")
+          .select(col("doc_id").as("asset_id"),
+            dhash(substring(col("text"), 1, DhashThumb)).as("dhash"))
+          .materialize() // both sides of the bucket join — hash pass once
+        val blocked = dh.select(col("asset_id"), col("dhash"),
+          explode(array((0 until DhashBlocks).map(b =>
+            struct(lit(b).as("blk"),
+              shiftright(col("dhash"), b * DhashBlockBits)
+                .bitwiseAND(lit(DhashBlockMask)).as("bv"))): _*)).as("e"))
+          .select(col("asset_id"), col("dhash"),
+            col("e.blk").as("blk"), col("e.bv").as("bv"))
+        val lhs = blocked.select(col("blk"), col("bv"),
+          col("asset_id").as("asset_a"), col("dhash").as("h_a"))
+        val rhs = blocked.select(col("blk"), col("bv"),
+          col("asset_id").as("asset_b"), col("dhash").as("h_b"))
+        lhs.join(rhs, Seq("blk", "bv"))
+          .filter(col("asset_a") < col("asset_b"))
+          .select(col("asset_a"), col("asset_b"),
+            bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
+              .as("hamming"))
+          .filter(col("hamming") <= DhashMaxHamming)
+          .distinct()
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id AS asset_id, substr(text, 1, $DhashThumb) AS t
+          FROM documents),
+        ch AS (
+          SELECT asset_id,
+                 [ascii(substr(t, 1 + (i * ${DhashThumb - 1}) // $DhashBits, 1))
+                  for i in generate_series(0, $DhashBits)] AS cs
+          FROM base),
+        dh AS (
+          SELECT asset_id,
+                 CAST(list_sum([CASE WHEN cs[i+1] > cs[i+2]
+                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                                for i in generate_series(0, ${DhashBits - 1})])
+                   AS BIGINT) AS dhash
+          FROM ch),
+        blocked AS (
+          SELECT asset_id, dhash, b.b AS blk,
+                 (dhash >> ($DhashBlockBits * b.b)) & $DhashBlockMask AS bv
+          FROM dh CROSS JOIN generate_series(0, ${DhashBlocks - 1}) AS b(b)),
+        pairs AS (
+          SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                 a.dhash AS h_a, b.dhash AS h_b
+          FROM blocked a JOIN blocked b
+            ON a.blk = b.blk AND a.bv = b.bv AND a.asset_id < b.asset_id)
+        SELECT asset_a, asset_b,
+               CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(h_a, h_b)) <= $DhashMaxHamming""")),
+
     Q("mm_asset_stats",
       (s, dir) => Multimodal.assetStats(
         Tables.sharded(s, dir, "documents").select(
