@@ -49,6 +49,18 @@ object MultimodalQ {
     }.reduce(_ + _)
   }
 
+  /** The 4 (blk, bv) block structs of a dhash column — ONE definition
+    * shared by the batch near-dup query and the streaming asset-dedup
+    * index ([[graft.streaming.StreamingAssetDedup]]), so the online and
+    * offline bucket layouts cannot drift.
+    */
+  private[graft] def dhashBlockStructs(h: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until DhashBlocks).map(b =>
+      struct(lit(b).as("blk"),
+        shiftright(h, b * DhashBlockBits)
+          .bitwiseAND(lit(DhashBlockMask)).as("bv"))): _*)
+
   val qs: Seq[Q] = Seq(
 
     // ---- perceptual-hash near-dup (dHash + block-bucketed hamming) ---------
@@ -68,10 +80,7 @@ object MultimodalQ {
             dhash(substring(col("text"), 1, DhashThumb)).as("dhash"))
           .materialize() // both sides of the bucket join — hash pass once
         val blocked = dh.select(col("asset_id"), col("dhash"),
-          explode(array((0 until DhashBlocks).map(b =>
-            struct(lit(b).as("blk"),
-              shiftright(col("dhash"), b * DhashBlockBits)
-                .bitwiseAND(lit(DhashBlockMask)).as("bv"))): _*)).as("e"))
+            explode(dhashBlockStructs(col("dhash"))).as("e"))
           .select(col("asset_id"), col("dhash"),
             col("e.blk").as("blk"), col("e.bv").as("bv"))
         val lhs = blocked.select(col("blk"), col("bv"),
