@@ -16,8 +16,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Temporal columns the engine's queries rely on, with their canonical
+    * engine-side type (TIMESTAMP_NTZ — what the current fixtures scan as
+    * and what every date filter/extract compares against). The round-8
+    * events outage showed fixture timestamp encodings DO drift between
+    * generations; these coercions make the relational loaders
+    * drift-proof the same way [[events]] is: DATE and TIMESTAMP (under
+    * the UTC session timezone every entry point pins) both cast
+    * losslessly to NTZ, and the current NTZ encoding passes through
+    * unchanged (coercion skipped — plans identical today).
+    */
+  private val temporalNtz: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_shipdate"),
+    "orders" -> Seq("o_orderdate"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    temporalNtz.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      df.schema.find(_.name == c).map(_.dataType) match {
+        case Some(TimestampNTZType) | None => df // canonical (or absent)
+        case Some(DateType) | Some(TimestampType) =>
+          df.withColumn(c, col(c).cast(TimestampNTZType))
+        case Some(other) => throw new IllegalArgumentException(
+          s"$name.$c: unsupported fixture encoding $other — expected " +
+            "DATE, TIMESTAMP, or TIMESTAMP_NTZ; see Tables.temporalNtz")
+      }
+    }
+  }
 
   /** Read a fixture table and spread it across the session's full
     * parallelism. The fixture tables are single-row-group parquet files, so

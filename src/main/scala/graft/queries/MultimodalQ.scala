@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.ops.Materialize._
 import graft.pipeline.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal metadata surface under the correctness gate. Binary decode /
@@ -61,42 +62,38 @@ object MultimodalQ {
         shiftright(h, b * DhashBlockBits)
           .bitwiseAND(lit(DhashBlockMask)).as("bv"))): _*)
 
-  val qs: Seq[Q] = Seq(
+  /** The dhash near-dup pair lineage (hash → block explode → bucket
+    * self-join → exact hamming, pre-distinct) — ONE definition consumed
+    * by mm_dhash_neardup and mm_dhash_clusters so the ledger cannot
+    * drift from the pair query it composes.
+    */
+  private def dhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val dh = Tables.sharded(s, dir, "documents")
+      .select(col("doc_id").as("asset_id"),
+        dhash(substring(col("text"), 1, DhashThumb)).as("dhash"))
+      .materialize() // both sides of the bucket join — hash pass once
+    val blocked = dh.select(col("asset_id"), col("dhash"),
+        explode(dhashBlockStructs(col("dhash"))).as("e"))
+      .select(col("asset_id"), col("dhash"),
+        col("e.blk").as("blk"), col("e.bv").as("bv"))
+    val lhs = blocked.select(col("blk"), col("bv"),
+      col("asset_id").as("asset_a"), col("dhash").as("h_a"))
+    val rhs = blocked.select(col("blk"), col("bv"),
+      col("asset_id").as("asset_b"), col("dhash").as("h_b"))
+    lhs.join(rhs, Seq("blk", "bv"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= DhashMaxHamming)
+      .distinct()
+  }
 
-    // ---- perceptual-hash near-dup (dHash + block-bucketed hamming) ---------
-    // The media analog of dd_simhash_near (imagededup's default): identical
-    // or slightly-retouched assets land within hamming 3 of each other's
-    // difference hash, and candidates come from the same Manku-style
-    // block-bucket join — never all-pairs. Scale shape: one narrow hash
-    // projection over the payload (payload bytes die in the scan), a
-    // 4× (blk, bv) explode of 8-byte hashes, a self-join keyed on the
-    // block value (hot buckets stay spread across tasks for AQE to
-    // skew-split), and the exact bit_count(xor) check runs BEFORE the
-    // pair-dedup exchange.
-    Q("mm_dhash_neardup",
-      (s, dir) => {
-        val dh = Tables.sharded(s, dir, "documents")
-          .select(col("doc_id").as("asset_id"),
-            dhash(substring(col("text"), 1, DhashThumb)).as("dhash"))
-          .materialize() // both sides of the bucket join — hash pass once
-        val blocked = dh.select(col("asset_id"), col("dhash"),
-            explode(dhashBlockStructs(col("dhash"))).as("e"))
-          .select(col("asset_id"), col("dhash"),
-            col("e.blk").as("blk"), col("e.bv").as("bv"))
-        val lhs = blocked.select(col("blk"), col("bv"),
-          col("asset_id").as("asset_a"), col("dhash").as("h_a"))
-        val rhs = blocked.select(col("blk"), col("bv"),
-          col("asset_id").as("asset_b"), col("dhash").as("h_b"))
-        lhs.join(rhs, Seq("blk", "bv"))
-          .filter(col("asset_a") < col("asset_b"))
-          .select(col("asset_a"), col("asset_b"),
-            bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
-              .as("hamming"))
-          .filter(col("hamming") <= DhashMaxHamming)
-          .distinct()
-      },
-      Some(s"""
-        WITH base AS (
+  /** Oracle CTEs base/ch/dh/blocked/pairs mirroring [[dhashPairs]] —
+    * shared by both dhash oracles for the same no-drift reason.
+    */
+  private val dhashPairsSql = s"""
+        base AS (
           SELECT doc_id AS asset_id, substr(text, 1, $DhashThumb) AS t
           FROM documents),
         ch AS (
@@ -119,10 +116,56 @@ object MultimodalQ {
           SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
                  a.dhash AS h_a, b.dhash AS h_b
           FROM blocked a JOIN blocked b
-            ON a.blk = b.blk AND a.bv = b.bv AND a.asset_id < b.asset_id)
+            ON a.blk = b.blk AND a.bv = b.bv AND a.asset_id < b.asset_id)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- perceptual-hash near-dup (dHash + block-bucketed hamming) ---------
+    // The media analog of dd_simhash_near (imagededup's default): identical
+    // or slightly-retouched assets land within hamming 3 of each other's
+    // difference hash, and candidates come from the same Manku-style
+    // block-bucket join — never all-pairs. Scale shape: one narrow hash
+    // projection over the payload (payload bytes die in the scan), a
+    // 4× (blk, bv) explode of 8-byte hashes, a self-join keyed on the
+    // block value (hot buckets stay spread across tasks for AQE to
+    // skew-split), and the exact bit_count(xor) check runs BEFORE the
+    // pair-dedup exchange.
+    Q("mm_dhash_neardup",
+      (s, dir) => dhashPairs(s, dir),
+      Some(s"""
+        WITH $dhashPairsSql
         SELECT asset_a, asset_b,
                CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
         FROM pairs WHERE bit_count(xor(h_a, h_b)) <= $DhashMaxHamming""")),
+
+    // ---- perceptual-dup ledger: pairs → clusters → keep-newest -------------
+    // What a media pipeline actually consumes: near-dup PAIRS folded into
+    // duplicate SETS (bounded min-label components — the dd_clusters /
+    // dd_semantic contract: rounds × |edges| joins, exact for the
+    // clique-shaped groups block-bucketing produces) and one ledger row
+    // per set with the retention decision. Keep rule: HIGHEST asset_id
+    // survives — "newest upload wins", the common media-CMS policy (and
+    // deliberately distinct from cluster_id = min reachable id, so the
+    // ledger carries real information beyond the label).
+    Q("mm_dhash_clusters",
+      (s, dir) => {
+        val pairs = dhashPairs(s, dir)
+          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+        graft.ops.Components.label(pairs, rounds = 2)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(col("doc_id")).as("keep_id"))
+          .withColumn("n_removed", col("n_members") - 1)
+      },
+      Some(s"""
+        WITH $dhashPairsSql,
+        cand AS (
+          SELECT asset_a AS doc_a, asset_b AS doc_b FROM pairs
+          WHERE bit_count(xor(h_a, h_b)) <= $DhashMaxHamming),
+        ${graft.ops.Components.labelSql(2)}
+        SELECT cluster_id, count(*) AS n_members, max(doc_id) AS keep_id,
+               count(*) - 1 AS n_removed
+        FROM l2 GROUP BY cluster_id""")),
 
     Q("mm_asset_stats",
       (s, dir) => Multimodal.assetStats(

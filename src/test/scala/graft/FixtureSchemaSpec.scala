@@ -76,6 +76,23 @@ class FixtureSchemaSpec extends SparkSpec {
     }
   }
 
+  test("Tables.apply normalizes drifted temporal encodings to NTZ") {
+    import org.apache.spark.sql.functions._
+    // synthesize a lineitem whose l_shipdate is DATE (a plausible future
+    // fixture regen) and check the loader coerces it to the canonical
+    // TIMESTAMP_NTZ with midnight wall-clock values
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    spark.sql("SELECT 1L AS l_orderkey, DATE'1995-03-14' AS l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val df = Tables(spark, dir, "lineitem")
+    assert(df.schema("l_shipdate").dataType == TimestampNTZType)
+    assert(df.select(date_format(col("l_shipdate"),
+      "yyyy-MM-dd HH:mm:ss")).head.getString(0) == "1995-03-14 00:00:00")
+    // current fixtures are already NTZ → coercion is a no-op passthrough
+    assert(Tables(spark, sfDir, "lineitem")
+      .schema("l_shipdate").dataType == TimestampNTZType)
+  }
+
   test("events.ts stays within the encodings Tables.events adapts to") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsType = raw.schema("ts").dataType

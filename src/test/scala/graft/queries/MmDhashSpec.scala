@@ -53,4 +53,32 @@ class MmDhashSpec extends SparkSpec {
       s"bucketed ${got.size} pairs vs brute-force ${brute.size}: " +
         s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
+
+  test("cluster ledger is consistent with the pair set") {
+    val pairs = MultimodalQ.qs.find(_.name == "mm_dhash_neardup").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ledger = MultimodalQ.qs.find(_.name == "mm_dhash_clusters").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // union-find ground truth from the pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.length.toLong, ms.max, ms.length.toLong - 1)
+    }.toSet
+    assert(ledger.toSet == want,
+      s"ledger=${ledger.toSet} vs union-find=$want")
+    // every asset in a pair appears in exactly one cluster's membership
+    assert(ledger.map(_._2).sum == members.length)
+  }
 }
