@@ -43,6 +43,32 @@ object Dedup {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.sharded(s, dir, "documents")
 
+  /** Exact pairwise shingle-intersection counts (doc_a < doc_b, n_inter)
+    * from a distinct (doc_id, shingle) table — the ground-truth kernel
+    * behind dd_lsh_recall and dd_lsh_sweep, as a SELF-JOIN on the
+    * shingle. Measured alternative (r9): the LSH-bucket idiom (group
+    * shingle → sorted member list → ordered-pair explode) was tried here
+    * and is ~20% SLOWER (4.3 → 5.2 s on dd_lsh_sweep at sf0.1): raw
+    * shingles have much fatter buckets than banded LSH keys, and the
+    * collect_list form concentrates each hot shingle's f² pair explosion
+    * on one task with no partial aggregation, while the join streams the
+    * same pairs through sort-merge across tasks. The idiom wins for
+    * band-bucket candidates (small, hash-bounded buckets) and loses for
+    * raw document-frequency buckets — bucket fatness decides, not the
+    * operator count. At web scale you additionally drop boilerplate
+    * shingles above a df cap before this join (dd_shingle_cap measures
+    * that trade; pairs meeting only through boilerplate sit far below
+    * any useful Jaccard threshold).
+    */
+  private def shingleIntersections(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
   /** Merge duplicated n-gram starts (doc_id, start) into maximal covered
     * spans — the gaps-and-islands window shared by dd_substring and
     * dd_substring_clean (one definition so the cut ledger cannot diverge
@@ -536,12 +562,7 @@ object Dedup {
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
           .materialize()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-            Seq("shingle"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
+        val truth = shingleIntersections(sh)
           .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
             "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
@@ -608,12 +629,7 @@ object Dedup {
           .materialize()
         val sigs = TextOps.minhashFromShingles(sh, K).materialize()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val truthPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-            Seq("shingle"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
+        val truthPairs = shingleIntersections(sh)
           .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
             "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
