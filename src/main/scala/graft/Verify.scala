@@ -20,9 +20,16 @@ object Verify {
     // constant-bound generate_series(1, 512, …) and char-pair positions
     // with generate_series(1, 16) (DuckDB rejects lateral column
     // arguments to table functions) while the Spark side handles
-    // arbitrary lengths. Assert both fixture invariants ONCE, loudly —
+    // arbitrary lengths. Check both fixture invariants ONCE, loudly —
     // using the engine's own tokenizer (graft.text.TextOps.tokens), so
     // the guard can't drift from what the queries actually tokenize.
+    // WARN, never throw: a violated bound makes the text-family ORACLES
+    // wrong (their red rows then point here), but a crash at this point
+    // would zero the ENTIRE correctness artifact — the round-8 failure
+    // mode (silently missing entries) in its worst form.
+    def invariant(ok: Boolean, msg: => String): Unit =
+      if (!ok) System.err.println(s"[verify] FIXTURE INVARIANT VIOLATED " +
+        s"(text/dedup oracles will hash-mismatch): $msg")
     locally {
       import org.apache.spark.sql.functions._
       val toks = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -31,18 +38,18 @@ object Verify {
         .agg(max(length(col("t"))).as("max_len"), count(lit(1)).as("n"))
         .head
       if (!row.isNullAt(0)) { // empty documents table trivially satisfies
-        require(row.getInt(0) <= graft.queries.Text.BpeMaxTokenLen,
-          s"oracle char-pair cap violated: a token has ${row.getInt(0)} " +
-            s"chars (> ${graft.queries.Text.BpeMaxTokenLen}) — raise " +
+        invariant(row.getInt(0) <= graft.queries.Text.BpeMaxTokenLen,
+          s"a token has ${row.getInt(0)} chars " +
+            s"(> ${graft.queries.Text.BpeMaxTokenLen}) — raise " +
             "Text.BpePairPositions")
       }
       val maxToks = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(size(graft.text.TextOps.tokens(col("text"))).as("n"))
         .agg(max(col("n"))).head
       if (!maxToks.isNullAt(0)) {
-        require(maxToks.getInt(0) <= 512,
-          s"oracle token cap violated: a document has ${maxToks.getInt(0)} " +
-            "tokens (> 512) — raise the generate_series bound in DocSql/Text")
+        invariant(maxToks.getInt(0) <= 512,
+          s"a document has ${maxToks.getInt(0)} tokens (> 512) — raise " +
+            "the generate_series bound in DocSql/Text")
       }
     }
     new java.io.File(outDir).mkdirs()
