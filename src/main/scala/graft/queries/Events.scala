@@ -70,6 +70,47 @@ object Events {
     // aggregation-shaped parts plus AQE skew handling for joins — sessions
     // themselves can also be bounded by splitting on calendar day first
     // (day becomes part of the key, capping any key's row count).
+    // ---- inter-event gap statistics: the session-timeout sizing table ------
+    // ev_sessionize hardcodes a 30-minute gap threshold; this is the table
+    // an operator reads to CHOOSE that number (and a streaming job reads
+    // to size its watermark): per event_type, the distribution of gaps
+    // between a user's consecutive events of that type. Quartiles only
+    // (0.25/0.5/0.75 — binary-exact fractions, the q17 parity discipline:
+    // both engines interpolate identically on integer ms gaps). Plan
+    // shape: one (user_id, event_type) exchange for the lag window, then
+    // a per-type aggregate; the exact `percentile` concentrates each
+    // type's gap list on one task (documented q17 trade — q17b is the
+    // sketch twin to swap in at scale).
+    Q("ev_gap_stats",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ems"), col("event_id"))
+        e.withColumn("prev_ems", lag(col("ems"), 1).over(byUserType))
+          .filter(col("prev_ems").isNotNull)
+          .withColumn("gap_ms", col("ems") - col("prev_ems"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_ms, 0.25)").as("p25_ms"),
+            expr("percentile(gap_ms, 0.5)").as("p50_ms"),
+            expr("percentile(gap_ms, 0.75)").as("p75_ms"),
+            max(col("gap_ms")).as("max_ms"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT event_type,
+                 epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_ms(ts), event_id) AS gap_ms
+          FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+               quantile_cont(gap_ms, 0.25) AS p25_ms,
+               quantile_cont(gap_ms, 0.5) AS p50_ms,
+               quantile_cont(gap_ms, 0.75) AS p75_ms,
+               max(gap_ms) AS max_ms
+        FROM g WHERE gap_ms IS NOT NULL
+        GROUP BY event_type""")),
+
     Q("ev_sessionize",
       (s, dir) => {
         val e = Tables.events(s, dir)

@@ -220,6 +220,40 @@ object Text {
                CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
         FROM agg""")),
 
+    // ---- per-language token-length distribution: threshold sizing ----------
+    // txt_quality_filter hardcodes its length cutoffs; this is the table
+    // you read to CHOOSE them (the txt twin of ev_gap_stats' timeout
+    // sizing): per lang, doc-length quartiles over exact token counts.
+    // Quartiles only (0.25/0.5/0.75 — binary-exact fractions, the q17
+    // parity discipline). One narrow size() pass (no token explode), one
+    // per-lang aggregate; the exact percentile concentrates each lang's
+    // length list — model-sized per group, and q17b's sketch twin is the
+    // scale swap if ever needed.
+    Q("txt_len_stats",
+      (s, dir) => docs(s, dir)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, 0.25)").as("p25_tokens"),
+          expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+          expr("percentile(n_tokens, 0.75)").as("p75_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens")),
+      Some(s"""
+        WITH n AS (
+          SELECT lang,
+                 CAST(len(regexp_extract_all(lower(text),
+                   '${TextOps.TokenRegex}')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               quantile_cont(n_tokens, 0.25) AS p25_tokens,
+               quantile_cont(n_tokens, 0.5) AS p50_tokens,
+               quantile_cont(n_tokens, 0.75) AS p75_tokens,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens
+        FROM n GROUP BY lang""")),
+
     // ---- corpus-level n-gram frequencies (top 20 bigrams) -------------------
     // Map-side-combinable count + TakeOrderedAndProject — no global sort.
     Q("txt_ngram_top",
