@@ -93,6 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "fixedpoint_dot takes exactly 2 arguments")
         FixedPointDot(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dhash60"),
+      new ExpressionInfo(classOf[Dhash60].getName, "dhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "dhash60 takes exactly 1 argument")
+        Dhash60(args.head)
+      }))
     // HOF dot product → FixedPointDot (see DotProductRewrite scaladoc)
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }

@@ -38,10 +38,23 @@ object MultimodalQ {
     * payload-agnostic and unchanged.
     */
   private[graft] def dhash(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    // native one-byte-walk form (functions.Dhash60) when the session
+    // registered GraftExtensions — the fixedpoint_dot seam discipline;
+    // DhashExprSpec pins bit-equality of the two forms
+    if (SparkSession.active.catalog.functionExists("dhash60"))
+      call_function("dhash60", payload)
+    else dhashColumnForm(payload)
+
+  /** Portable built-in-only form of [[dhash]] (works on any session):
+    * sample positions are Scala-side constants (Thumb is fixed), so the
+    * whole hash is one codegen'd projection — 61 ascii(substr) + 60
+    * compare-and-or terms, no UDF, no explode. Each substr walks the
+    * (variable-width) string from its start, which is why the native
+    * expression exists.
+    */
+  private[graft] def dhashColumnForm(payload: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    // sample positions are Scala-side constants (Thumb is fixed), so the
-    // whole hash is one codegen'd projection: 61 ascii(substr) + 60
-    // compare-and-or terms, no UDF, no explode
     val cs = (0 to DhashBits).map { i =>
       ascii(substring(payload, 1 + i * (DhashThumb - 1) / DhashBits, 1))
     }

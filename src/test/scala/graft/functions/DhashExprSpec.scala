@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.queries.MultimodalQ
+import org.apache.spark.sql.functions._
+
+/** The native Dhash60 expression must be BIT-IDENTICAL to the portable
+  * Column form on every input class — ASCII, multibyte UTF-8 (where
+  * `ascii` returns the signed lead byte), strings shorter/longer than the
+  * 96-char thumb, empty, and NULL (both forms hash null to 0L, never
+  * null) — because the oracle gate and the streaming index were built on
+  * the Column form's semantics.
+  */
+class DhashExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases: Seq[String] = Seq(
+    null,
+    "",
+    "a",
+    "ab",
+    "abc" * 64,                      // > thumb
+    "z" * 96,                        // exactly thumb, constant
+    "the quick brown fox jumps over the lazy dog 0123456789",
+    "Ünïcodé — émojis 🎥🎬 and ïñtërnâtiônàl tëxt beyond ascii",
+    "é" * 100,                  // 2-byte chars throughout
+    "🎥" * 50,             // surrogate pairs (4-byte UTF-8)
+    "mixed ascii Ünd 🎥 bytes" + "x" * 80)
+
+  test("native dhash60 ≡ the Column form on every input class") {
+    assume(spark.catalog.functionExists("dhash60"),
+      "GraftExtensions not registered on this session")
+    val df = cases.toDF("payload")
+    val both = df.select(
+      col("payload"),
+      call_function("dhash60", col("payload")).as("native"),
+      MultimodalQ.dhashColumnForm(col("payload")).as("portable"))
+    both.collect().foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        s"dhash must never be null (payload=${r.get(0)})")
+      assert(r.getLong(1) == r.getLong(2),
+        s"native ${r.getLong(1)} != portable ${r.getLong(2)} " +
+          s"for payload=${Option(r.getString(0)).map(_.take(40))}")
+    }
+  }
+
+  test("native form agrees with the Column form on the whole fixture") {
+    assume(spark.catalog.functionExists("dhash60"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        call_function("dhash60",
+          substring(col("text"), 1, MultimodalQ.DhashThumb)).as("n"),
+        MultimodalQ.dhashColumnForm(
+          substring(col("text"), 1, MultimodalQ.DhashThumb)).as("p"))
+      .filter(col("n") =!= col("p")).count()
+    assert(diff == 0L)
+  }
+}
