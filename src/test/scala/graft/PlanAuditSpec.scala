@@ -86,6 +86,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("hot narrow kernels run inside WholeStageCodegen spans") {
+    // the brief's "codegen-friendly" rule as an invariant: the custom
+    // expressions (dhash60, fixedpoint_dot) and the big narrow
+    // projections they live in must sit INSIDE WholeStageCodegen — a
+    // kernel that falls out of codegen (e.g. by becoming a non-codegen
+    // Expression or an opaque lambda) silently costs an interpreter
+    // round-trip per row. Checked on one representative per family.
+    val hot = Seq("mm_dhash_neardup", "sim_lsh_sig", "txt_fingerprint")
+    // AQE wraps the tree in AdaptiveSparkPlanExec, whose codegen stages
+    // only materialize at execution — plan without it (sibling-test
+    // pattern); codegen eligibility is identical either way
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      hot.foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      val spans = exec.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(spans.nonEmpty, s"$name: no WholeStageCodegen span at all")
+      // every ProjectExec must be inside a span, not interpreted
+      def insideCodegen(
+          p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        spans.exists(_.collect {
+          case q if q eq p => q
+        }.nonEmpty)
+      val bareProjects = exec.collect {
+        case pr: org.apache.spark.sql.execution.ProjectExec
+            if !insideCodegen(pr) => pr
+      }
+      assert(bareProjects.isEmpty,
+        s"$name: ${bareProjects.size} ProjectExec outside codegen:\n" +
+          bareProjects.map(_.simpleStringWithNodeId()).mkString("\n"))
+      }
+    } finally spark.conf.set(aqeKey, aqeWas)
+  }
+
   test("column pruning reaches the scan (q5 reads 3 customer columns)") {
     val plan = SparkEntry.queries("q5_distinct_agg")(spark, sfDir)
       .queryExecution.executedPlan.toString
