@@ -19,6 +19,66 @@ import org.apache.spark.sql.expressions.Window
 object Events {
   import Q.{fxsum, fxsumSql}
 
+  /** SCD2 interval construction (the CDC shape): collapse each user's
+    * event stream into state runs and emit one validity interval per run
+    * — ONE definition consumed by ev_scd2 (the interval table itself)
+    * and ev_dwell (the occupancy report over it), so the two cannot
+    * drift. Two window passes over one user_id exchange.
+    */
+  private def scd2Intervals(e: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ems"), col("event_id"))
+    val flagged = e
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+          lag(col("event_type"), 1).over(byTime) =!= col("event_type"),
+          1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(byTime).cast("long"))
+      .withColumn("total_n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    flagged.filter(col("chg") === 1)
+      .withColumn("valid_to", lead(col("ems"), 1).over(byRun))
+      .withColumn("next_rn", lead(col("rn"), 1).over(byRun))
+      .select(col("user_id"), col("run_id"),
+        col("event_type").as("state"),
+        col("ems").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        (coalesce(col("next_rn"), col("total_n") + 1) - col("rn"))
+          .as("n_events"))
+  }
+
+  /** DuckDB mirror of [[scd2Intervals]] as a CTE chain ending in `iv` —
+    * shared by the ev_scd2 and ev_dwell oracles.
+    */
+  private val scd2IvSql = """
+        o AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ems,
+                 CASE WHEN lag(event_type) OVER win IS NULL
+                        OR lag(event_type) OVER win <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id)),
+        r AS (
+          SELECT user_id, event_type, ems, chg,
+                 CAST(sum(chg) OVER win AS BIGINT) AS run_id,
+                 CAST(row_number() OVER win2 AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS total_n
+          FROM o
+          WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id
+                         ROWS UNBOUNDED PRECEDING),
+                 win2 AS (PARTITION BY user_id ORDER BY ems, event_id)),
+        starts AS (SELECT * FROM r WHERE chg = 1),
+        iv AS (
+          SELECT user_id, run_id, event_type AS state, ems AS valid_from,
+                 lead(ems) OVER winr AS valid_to,
+                 lead(ems) OVER winr IS NULL AS is_current,
+                 coalesce(lead(rn) OVER winr, total_n + 1) - rn AS n_events
+          FROM starts
+          WINDOW winr AS (PARTITION BY user_id ORDER BY run_id))"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- tumbling window aggregate (O10 with period == size) -------------
@@ -461,55 +521,48 @@ object Events {
     // aggregate, which would force a SortAggregate pair where a window
     // over the existing sort is free.
     Q("ev_scd2",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val byTime = Window.partitionBy(col("user_id"))
-          .orderBy(col("ems"), col("event_id"))
-        val flagged = e
-          .withColumn("chg",
-            when(lag(col("event_type"), 1).over(byTime).isNull ||
-              lag(col("event_type"), 1).over(byTime) =!= col("event_type"),
-              1L).otherwise(0L))
-          .withColumn("run_id", sum(col("chg")).over(
-            byTime.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("rn", row_number().over(byTime).cast("long"))
-          .withColumn("total_n", count(lit(1)).over(
-            Window.partitionBy(col("user_id"))))
-        val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-        flagged.filter(col("chg") === 1)
-          .withColumn("valid_to", lead(col("ems"), 1).over(byRun))
-          .withColumn("next_rn", lead(col("rn"), 1).over(byRun))
-          .select(col("user_id"), col("run_id"),
-            col("event_type").as("state"),
-            col("ems").as("valid_from"), col("valid_to"),
-            col("valid_to").isNull.as("is_current"),
-            (coalesce(col("next_rn"), col("total_n") + 1) - col("rn"))
-              .as("n_events"))
-      },
-      Some("""
-        WITH o AS (
-          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ems,
-                 CASE WHEN lag(event_type) OVER win IS NULL
-                        OR lag(event_type) OVER win <> event_type
-                      THEN 1 ELSE 0 END AS chg
-          FROM events
-          WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id)),
-        r AS (
-          SELECT user_id, event_type, ems, chg,
-                 CAST(sum(chg) OVER win AS BIGINT) AS run_id,
-                 CAST(row_number() OVER win2 AS BIGINT) AS rn,
-                 count(*) OVER (PARTITION BY user_id) AS total_n
-          FROM o
-          WINDOW win AS (PARTITION BY user_id ORDER BY ems, event_id
-                         ROWS UNBOUNDED PRECEDING),
-                 win2 AS (PARTITION BY user_id ORDER BY ems, event_id)),
-        starts AS (SELECT * FROM r WHERE chg = 1)
-        SELECT user_id, run_id, event_type AS state, ems AS valid_from,
-               lead(ems) OVER winr AS valid_to,
-               lead(ems) OVER winr IS NULL AS is_current,
-               coalesce(lead(rn) OVER winr, total_n + 1) - rn AS n_events
-        FROM starts
-        WINDOW winr AS (PARTITION BY user_id ORDER BY run_id)""")),
+      (s, dir) => scd2Intervals(Tables.events(s, dir)),
+      Some(s"""
+        WITH $scd2IvSql
+        SELECT user_id, run_id, state, valid_from, valid_to, is_current,
+               n_events
+        FROM iv""")),
+
+    // ---- state occupancy (dwell-time report over the SCD2 intervals) -------
+    // The report CDC consumers actually read: per state, how many
+    // intervals exist, how many are still open, and the total/mean
+    // CLOSED dwell time — composed off the exact scd2Intervals
+    // definition, so the ledger can never disagree with the interval
+    // table it summarizes. One combinable aggregate over the interval
+    // rows (model-sized output: |states| rows); mean is integer-exact
+    // `div`.
+    Q("ev_dwell",
+      (s, dir) => scd2Intervals(Tables.events(s, dir))
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("is_current").cast("long")).as("n_open"),
+          sum(when(col("valid_to").isNotNull,
+            col("valid_to") - col("valid_from")).otherwise(lit(0L)))
+            .as("total_dwell_ms"),
+          sum(col("n_events")).as("n_events"))
+        .withColumn("mean_dwell_ms",
+          call_function("div", col("total_dwell_ms"),
+            greatest(col("n_intervals") - col("n_open"), lit(1L)))),
+      Some(s"""
+        WITH $scd2IvSql
+        SELECT state, count(*) AS n_intervals,
+               CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_open,
+               CAST(sum(CASE WHEN valid_to IS NOT NULL
+                             THEN valid_to - valid_from ELSE 0 END)
+                 AS BIGINT) AS total_dwell_ms,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN valid_to IS NOT NULL
+                             THEN valid_to - valid_from ELSE 0 END)
+                 // greatest(count(*) - sum(CASE WHEN is_current THEN 1
+                                           ELSE 0 END), 1)
+                 AS BIGINT) AS mean_dwell_ms
+        FROM iv GROUP BY state""")),
 
     // ---- windowed distinct-user estimation (HLL × event-time windows) ------
     // "Unique visitors per window" at stream scale: per (30 s tumbling
