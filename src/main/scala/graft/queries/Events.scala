@@ -25,7 +25,7 @@ object Events {
     * and ev_dwell (the occupancy report over it), so the two cannot
     * drift. Two window passes over one user_id exchange.
     */
-  private def scd2Intervals(e: DataFrame): DataFrame = {
+  private[graft] def scd2Intervals(e: DataFrame): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ems"), col("event_id"))
     val flagged = e
