@@ -44,6 +44,21 @@ class DhashExprSpec extends SparkSpec {
     }
   }
 
+  test("property sweep: native ≡ portable on 1000 generated strings") {
+    assume(spark.catalog.functionExists("dhash60"))
+    // ScalaCheck's arbitrary strings lean heavily on exotic code points —
+    // exactly the inputs that caught the code-point-vs-lead-byte
+    // semantics difference during development
+    val gen = org.scalacheck.Gen.listOfN(1000,
+      org.scalacheck.Arbitrary.arbitrary[String])
+    val samples = Iterator.continually(gen.sample).flatten.next()
+    val diff = samples.toDF("payload")
+      .select(call_function("dhash60", col("payload")).as("n"),
+        MultimodalQ.dhashColumnForm(col("payload")).as("p"))
+      .filter(col("n") =!= col("p")).count()
+    assert(diff == 0L)
+  }
+
   test("native form agrees with the Column form on the whole fixture") {
     assume(spark.catalog.functionExists("dhash60"))
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
