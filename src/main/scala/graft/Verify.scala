@@ -72,10 +72,11 @@ object Verify {
         errors(name) = msg
         val d = Paths.get(s"$outDir/$name")
         Files.createDirectories(d)
-        Files.list(d).forEach { p =>
+        val ls = Files.list(d)
+        try ls.forEach { p =>
           if (p.getFileName.toString.endsWith(".parquet") ||
               p.getFileName.toString == "_SUCCESS") Files.delete(p)
-        }
+        } finally ls.close()
         Files.writeString(d.resolve("_ERROR.txt"), msg)
       }
     }

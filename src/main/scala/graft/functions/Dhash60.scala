@@ -77,6 +77,8 @@ object Dhash60 {
     * comparisons. Inline UTF-8 decode per char; width comes from the
     * lead byte (`UTF8String.numBytesForFirstByte`).
     */
+  private final val Replacement = 0xfffd // U+FFFD, 65533
+
   def compute(s: UTF8String): Long = {
     val nBytes = s.numBytes()
     val cp = new Array[Int](Thumb) // zero-initialized = past-end default
@@ -86,16 +88,29 @@ object Dhash60 {
       val b0 = s.getByte(off)
       val w = UTF8String.numBytesForFirstByte(b0)
       cp(c) =
-        if (w == 1 || off + w > nBytes) b0.toInt // ASCII (or malformed tail)
+        if (b0 >= 0) b0.toInt // ASCII fast path
+        else if (w == 1 || off + w > nBytes) Replacement // bad lead/truncated
         else {
+          // decode + strict validation, matching the Column form's
+          // substring→toString path (java.nio strict decode, REPLACE on
+          // malformed: bad continuations, overlongs, surrogates, >U+10FFFF)
           var v = w match {
             case 2 => b0 & 0x1f
             case 3 => b0 & 0x0f
             case _ => b0 & 0x07
           }
+          var ok = true
           var k = 1
-          while (k < w) { v = (v << 6) | (s.getByte(off + k) & 0x3f); k += 1 }
-          v
+          while (k < w) {
+            val bk = s.getByte(off + k)
+            if ((bk & 0xc0) != 0x80) ok = false
+            v = (v << 6) | (bk & 0x3f)
+            k += 1
+          }
+          val overlong = (w == 2 && v < 0x80) || (w == 3 && v < 0x800) ||
+            (w == 4 && v < 0x10000)
+          val invalid = (v >= 0xd800 && v <= 0xdfff) || v > 0x10ffff
+          if (ok && !overlong && !invalid) v else Replacement
         }
       off += w
       c += 1

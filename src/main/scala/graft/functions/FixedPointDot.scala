@@ -94,6 +94,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FixedPointDot(args.head, args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("fixedpoint_quantize"),
+      new ExpressionInfo(classOf[FixedPointQuantize].getName,
+        "fixedpoint_quantize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "fixedpoint_quantize takes exactly 1 argument")
+        FixedPointQuantize(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("dhash60"),
       new ExpressionInfo(classOf[Dhash60].getName, "dhash60"),
       (args: Seq[Expression]) => {

@@ -37,13 +37,15 @@ object MultimodalQ {
     * everything downstream — banding, bucket join, hamming check — is
     * payload-agnostic and unchanged.
     */
-  private[graft] def dhash(payload: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    // native one-byte-walk form (functions.Dhash60) when the session
-    // registered GraftExtensions — the fixedpoint_dot seam discipline;
-    // DhashExprSpec pins bit-equality of the two forms
-    if (SparkSession.active.catalog.functionExists("dhash60"))
-      call_function("dhash60", payload)
+  /** Session-aware dhash (the [[graft.similarity.VectorOps.dotFn]]
+    * discipline: dispatch on the session that will RUN the plan, not the
+    * thread-active one): native one-byte-walk form (functions.Dhash60)
+    * when that session registered GraftExtensions, the portable Column
+    * form otherwise. DhashExprSpec pins bit-equality of the two forms.
+    */
+  private[graft] def dhash(s: SparkSession,
+      payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (s.catalog.functionExists("dhash60")) call_function("dhash60", payload)
     else dhashColumnForm(payload)
 
   /** Portable built-in-only form of [[dhash]] (works on any session):
@@ -83,7 +85,7 @@ object MultimodalQ {
   private def dhashPairs(s: SparkSession, dir: String): DataFrame = {
     val dh = Tables.sharded(s, dir, "documents")
       .select(col("doc_id").as("asset_id"),
-        dhash(substring(col("text"), 1, DhashThumb)).as("dhash"))
+        dhash(s, substring(col("text"), 1, DhashThumb)).as("dhash"))
       .materialize() // both sides of the bucket join — hash pass once
     val blocked = dh.select(col("asset_id"), col("dhash"),
         explode(dhashBlockStructs(col("dhash"))).as("e"))

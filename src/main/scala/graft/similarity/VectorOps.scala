@@ -62,10 +62,22 @@ object VectorOps {
     when(na === 0 || nb === 0, lit(Double.NegativeInfinity))
       .otherwise(cosine(dotCol, na, nb))
 
+  /** Session-aware quantize (the [[dotFn]] discipline): the native
+    * codegen'd [[graft.functions.FixedPointQuantize]] when the session
+    * registered GraftExtensions — the HOF form's LambdaFunction makes
+    * its whole Project fall out of whole-stage codegen — else the
+    * portable [[quantize]].
+    */
+  def quantizeFn(df: DataFrame): Column => Column =
+    if (df.sparkSession.catalog.functionExists("fixedpoint_quantize"))
+      c => call_function("fixedpoint_quantize", c)
+    else quantize
+
   /** embeddings → (vec_id, q ARRAY<BIGINT>, n2 BIGINT), the working form. */
   def quantized(embeddings: DataFrame): DataFrame = {
     val d = dotFn(embeddings)
-    embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val qz = quantizeFn(embeddings)
+    embeddings.select(col("vec_id"), qz(col("embedding")).as("q"))
       .withColumn("n2", d(col("q"), col("q")))
   }
 

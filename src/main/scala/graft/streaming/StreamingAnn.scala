@@ -67,7 +67,7 @@ object StreamingAnn {
     // cosine) so a zero-norm probe or centroid scores -∞ in BOTH paths
     // instead of a NaN that batch and streaming order differently.
     val quantized = probes.select(col("probe_id"),
-      VectorOps.quantize(col("embedding")).as("pq"))
+      VectorOps.quantizeFn(probes)(col("embedding")).as("pq"))
       .withColumn("pn2", d(col("pq"), col("pq")))
     val assigned = quantized.withColumn("centroid_id",
       array_min(array(centroids.map { case (cid, cq, cn2) =>

@@ -108,15 +108,20 @@ class PlanAuditSpec extends SparkSpec {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
       }
       assert(spans.nonEmpty, s"$name: no WholeStageCodegen span at all")
-      // every ProjectExec must be inside a span, not interpreted
-      def insideCodegen(
-          p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        spans.exists(_.collect {
-          case q if q eq p => q
-        }.nonEmpty)
+      // a span's CODEGEN REGION stops at InputAdapter — that is exactly
+      // where generated code ends and child stages begin; a naive
+      // subtree `collect` would see straight through the boundary and
+      // bless interpreted nodes below it (vacuous guard)
+      def region(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case _: org.apache.spark.sql.execution.InputAdapter => Nil
+        case other => other +: other.children.flatMap(region)
+      }
+      val inRegion = spans.flatMap(s => region(s.child))
+      // every ProjectExec must be inside some span's region
       val bareProjects = exec.collect {
         case pr: org.apache.spark.sql.execution.ProjectExec
-            if !insideCodegen(pr) => pr
+            if !inRegion.exists(_ eq pr) => pr
       }
       assert(bareProjects.isEmpty,
         s"$name: ${bareProjects.size} ProjectExec outside codegen:\n" +

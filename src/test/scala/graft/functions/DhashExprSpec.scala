@@ -59,6 +59,30 @@ class DhashExprSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("malformed UTF-8 payloads: native ≡ portable (replacement-char rule)") {
+    assume(spark.catalog.functionExists("dhash60"))
+    // cast(binary as string) reinterprets bytes as UTF-8 WITHOUT
+    // validation — the one way malformed payloads reach a StringType
+    // column (binary-as-string parquet, corrupt upstream). Lone leads,
+    // bad continuations, truncated tails, overlongs, surrogates, >10FFFF.
+    val hexes = Seq(
+      "C3",           // truncated 2-byte lead
+      "80",           // lone continuation byte
+      "C341",         // 2-byte lead + non-continuation
+      "C080",         // overlong encoding of NUL
+      "EDA080",       // UTF-8-encoded surrogate D800
+      "F7BFBFBF",     // > U+10FFFF
+      "61C3A962",     // valid mixed (a é b) as control
+      ("41" * 50) + "C3" + ("42" * 50)) // malformed mid-string
+    import spark.implicits._
+    val diff = hexes.toDF("hex")
+      .select(expr("cast(unhex(hex) as string)").as("payload"))
+      .select(call_function("dhash60", col("payload")).as("n"),
+        MultimodalQ.dhashColumnForm(col("payload")).as("p"))
+      .filter(col("n") =!= col("p")).count()
+    assert(diff == 0L)
+  }
+
   test("native form agrees with the Column form on the whole fixture") {
     assume(spark.catalog.functionExists("dhash60"))
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -46,7 +46,7 @@ class MmDhashScaleSpec extends SparkSpec {
 
   test("100k assets: exactly the two planted cliques, bounded buckets") {
     val dh = corpus.select(col("asset_id"),
-      MultimodalQ.dhash(col("payload")).as("dhash")).localCheckpoint()
+      MultimodalQ.dhash(spark, col("payload")).as("dhash")).localCheckpoint()
     val blocked = dh.select(col("asset_id"), col("dhash"),
         explode(MultimodalQ.dhashBlockStructs(col("dhash"))).as("e"))
       .select(col("asset_id"), col("dhash"),

@@ -13,10 +13,13 @@ class MmDhashSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def refDhash(text: String): Long = {
-    val t = text.take(MultimodalQ.DhashThumb)
+    // CODE POINTS, not UTF-16 units: the engine (both forms) and the
+    // DuckDB oracle sample by code point, so a supplementary char in a
+    // future fixture must not split into surrogates here
+    val t = text.codePoints().toArray.take(MultimodalQ.DhashThumb)
     def at(i: Int): Int = {
       val pos = 1 + i * (MultimodalQ.DhashThumb - 1) / MultimodalQ.DhashBits
-      if (pos <= t.length) t.charAt(pos - 1).toInt else 0
+      if (pos <= t.length) t(pos - 1) else 0
     }
     (0 until MultimodalQ.DhashBits).map { i =>
       if (at(i) > at(i + 1)) 1L << i else 0L
@@ -31,7 +34,7 @@ class MmDhashSpec extends SparkSpec {
   test("engine dhash matches the driver-side recompute on every doc") {
     val got = graft.Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
-        MultimodalQ.dhash(substring(col("text"), 1,
+        MultimodalQ.dhash(spark, substring(col("text"), 1,
           MultimodalQ.DhashThumb)).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == hashes)

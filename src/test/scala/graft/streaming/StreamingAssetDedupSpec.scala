@@ -25,13 +25,18 @@ class StreamingAssetDedupSpec extends SparkSpec {
     val fresh = ("abcdefghij" * 10).take(96)
     val indexedClone = assets.filter(col("asset_id") === 4) // %10<8 → indexed
       .select((col("asset_id") + 1000000).as("asset_id"), col("payload"))
+    val fresh2 = ("zyxwvutsrq" * 10).take(96)
     val batch0 = assets.filter(col("asset_id") % 10 >= 8)
       .filter(col("asset_id") % 20 >= 10) // half
       .unionByName(indexedClone)
       .unionByName(Seq((3000000L, fresh)).toDF("asset_id", "payload"))
     val batch1 = assets.filter(col("asset_id") % 10 >= 8)
       .filter(col("asset_id") % 20 < 10) // other half
-      .unionByName(Seq((3000001L, fresh)).toDF("asset_id", "payload"))
+      .unionByName(Seq((3000001L, fresh),
+        // INTRA-batch clone pair: admission must not depend on the two
+        // landing in one micro-batch — lower id wins, higher rejected
+        (4000000L, fresh2), (4000001L, fresh2))
+        .toDF("asset_id", "payload"))
 
     val dir = Files.createTempDirectory("sad_in").toString
     val out = Files.createTempDirectory("sad_out").toString + "/admitted"
@@ -66,5 +71,7 @@ class StreamingAssetDedupSpec extends SparkSpec {
     assert(got.contains(3000000L), "fresh payload should be novel")
     assert(!got.contains(3000001L),
       "clone of a stream-admitted asset must be rejected by index growth")
+    assert(got.contains(4000000L) && !got.contains(4000001L),
+      "intra-batch clone pair: lower id admitted, higher rejected")
   }
 }
