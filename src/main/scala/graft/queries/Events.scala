@@ -779,6 +779,76 @@ object Events {
         SELECT window_start, event_type, n, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY window_start
                       ORDER BY n DESC, event_type ASC) AS rank
-          FROM c) WHERE rank <= 3"""))
+          FROM c) WHERE rank <= 3""")),
+
+    // ---- watermark-delay sizing: out-of-order lateness distribution --------
+    // The third sizing table (after ev_gap_stats / txt_len_stats): the
+    // number a streaming operator reads to CHOOSE its withWatermark delay.
+    // The fixture has no arrival column (events are perfectly event-time
+    // ordered), so arrival is synthesized deterministically — event time
+    // plus an md5-derived transport delay uniform in [0, 30 min), the
+    // dd_url_dedup synthesis discipline, mirrored exactly in the oracle.
+    // Lateness is then measured the way Structured Streaming actually
+    // advances watermarks — per micro-batch, not per row: arrivals bucket
+    // into 1-minute batches, the watermark before bucket b is the max
+    // event time over all strictly earlier buckets, and an event's
+    // lateness is how far it trails that watermark. Plan shape: one
+    // combinable per-bucket max (the only corpus-sized exchange), a
+    // running max over the bucket table (|span|/1min rows — grows with
+    // wall-clock span, not data; the txt_source_mix model-size exemption),
+    // broadcast back, then a combinable per-type aggregate. The exact
+    // quartiles follow the q17 binary-exact parity discipline (q17b's
+    // sketch is the scale swap).
+    Q("ev_lateness",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val jitter = pmod(conv(substring(md5(concat(lit("arr|"),
+          col("event_id")).cast("binary")), 1, 15), 16, 10).cast("long"),
+          lit(1800000L))
+        val a = e.select(col("event_type"), col("ems"),
+            (col("ems") + jitter).as("arr_ms"))
+          .withColumn("bucket", expr("arr_ms div 60000"))
+        val bw = a.groupBy(col("bucket")).agg(max(col("ems")).as("bmax"))
+        val wmW = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wm = bw.select(col("bucket"),
+          max(col("bmax")).over(wmW).as("wm_ems"))
+        a.join(broadcast(wm), Seq("bucket"))
+          .withColumn("late_ms",
+            greatest(lit(0L), coalesce(col("wm_ems") - col("ems"), lit(0L))))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_late"),
+            expr("percentile(late_ms, 0.25)").as("p25_ms"),
+            expr("percentile(late_ms, 0.5)").as("p50_ms"),
+            expr("percentile(late_ms, 0.75)").as("p75_ms"),
+            max(col("late_ms")).as("max_ms"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT event_type, epoch_ms(ts) AS ems,
+                 (epoch_ms(ts) +
+                  CAST(('0x' || substr(md5('arr|' || event_id), 1, 15))
+                    AS BIGINT) % 1800000) // 60000 AS bucket
+          FROM events),
+        bw AS (SELECT bucket, max(ems) AS bmax FROM a GROUP BY bucket),
+        wm AS (
+          SELECT bucket,
+                 max(bmax) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS wm_ems
+          FROM bw),
+        l AS (
+          SELECT a.event_type,
+                 greatest(0, coalesce(wm.wm_ems - a.ems, 0)) AS late_ms
+          FROM a JOIN wm USING (bucket))
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               quantile_cont(late_ms, 0.25) AS p25_ms,
+               quantile_cont(late_ms, 0.5) AS p50_ms,
+               quantile_cont(late_ms, 0.75) AS p75_ms,
+               max(late_ms) AS max_ms
+        FROM l GROUP BY event_type"""))
   )
 }

@@ -725,6 +725,80 @@ object Relational {
                least($f2s) AS est_selfjoin,
                ex.exact_selfjoin
         FROM ex"""
-      })
+      }),
+
+    // ---- q25: one-pass column profiling (the lake-onboarding operator) ---
+    // What an engineer runs FIRST against an unknown 100 TB table: per
+    // column — null count, exact distinct count, numeric/temporal min and
+    // max — computed in ONE scan. The multi-column distinct agg rewrites
+    // to a single Expand(×cols+1) + two-phase HashAggregate, so the input
+    // is read once regardless of how many columns are profiled; the final
+    // stack() unpivot to one-row-per-column is a projection over the
+    // single aggregate row. Strings profile null/distinct only (numeric
+    // bounds are NULL); timestamps profile as epoch ms. Scale swap:
+    // approx_count_distinct replaces the exact distinct (and the Expand
+    // collapses away) when ±2% is acceptable — same plan otherwise.
+    Q("q25_profile",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+        def mnmx(c: Column) = Seq(min(c).cast("double"), max(c).cast("double"))
+        val ems = unix_millis(col("l_shipdate").cast("timestamp"))
+        val aggs = Seq(
+          nn("l_orderkey").as("nn1"),
+          countDistinct(col("l_orderkey")).as("nd1")) ++
+          mnmx(col("l_orderkey")).zip(Seq("mn1", "mx1")).map(t => t._1.as(t._2)) ++
+          Seq(nn("l_quantity").as("nn2"),
+            countDistinct(col("l_quantity")).as("nd2")) ++
+          mnmx(col("l_quantity")).zip(Seq("mn2", "mx2")).map(t => t._1.as(t._2)) ++
+          Seq(nn("l_extendedprice").as("nn3"),
+            countDistinct(col("l_extendedprice")).as("nd3")) ++
+          mnmx(col("l_extendedprice")).zip(Seq("mn3", "mx3")).map(t => t._1.as(t._2)) ++
+          Seq(nn("l_returnflag").as("nn4"),
+            countDistinct(col("l_returnflag")).as("nd4"),
+            nn("l_linestatus").as("nn5"),
+            countDistinct(col("l_linestatus")).as("nd5"),
+            nn("l_shipdate").as("nn6"),
+            countDistinct(col("l_shipdate")).as("nd6")) ++
+          mnmx(ems).zip(Seq("mn6", "mx6")).map(t => t._1.as(t._2))
+        li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .selectExpr("n_rows", """stack(6,
+            'l_orderkey',      nn1, nd1, mn1, mx1,
+            'l_quantity',      nn2, nd2, mn2, mx2,
+            'l_extendedprice', nn3, nd3, mn3, mx3,
+            'l_returnflag',    nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'l_linestatus',    nn5, nd5, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'l_shipdate',      nn6, nd6, mn6, mx6)
+            AS (col_name, n_nulls, n_distinct, min_num, max_num)""")
+      },
+      Some("""
+        WITH s AS (SELECT
+          count(*) AS n_rows,
+          CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+          count(DISTINCT l_orderkey) AS nd1,
+          CAST(min(l_orderkey) AS DOUBLE) AS mn1, CAST(max(l_orderkey) AS DOUBLE) AS mx1,
+          CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+          count(DISTINCT l_quantity) AS nd2,
+          CAST(min(l_quantity) AS DOUBLE) AS mn2, CAST(max(l_quantity) AS DOUBLE) AS mx2,
+          CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+          count(DISTINCT l_extendedprice) AS nd3,
+          CAST(min(l_extendedprice) AS DOUBLE) AS mn3, CAST(max(l_extendedprice) AS DOUBLE) AS mx3,
+          CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+          count(DISTINCT l_returnflag) AS nd4,
+          CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
+          count(DISTINCT l_linestatus) AS nd5,
+          CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn6,
+          count(DISTINCT l_shipdate) AS nd6,
+          CAST(min(epoch_ms(l_shipdate)) AS DOUBLE) AS mn6,
+          CAST(max(epoch_ms(l_shipdate)) AS DOUBLE) AS mx6
+          FROM lineitem)
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS col_name, n_rows, nn1 AS n_nulls, nd1 AS n_distinct,
+                 mn1 AS min_num, mx1 AS max_num FROM s
+          UNION ALL SELECT 'l_quantity', n_rows, nn2, nd2, mn2, mx2 FROM s
+          UNION ALL SELECT 'l_extendedprice', n_rows, nn3, nd3, mn3, mx3 FROM s
+          UNION ALL SELECT 'l_returnflag', n_rows, nn4, nd4, NULL, NULL FROM s
+          UNION ALL SELECT 'l_linestatus', n_rows, nn5, nd5, NULL, NULL FROM s
+          UNION ALL SELECT 'l_shipdate', n_rows, nn6, nd6, mn6, mx6 FROM s)"""))
   )
 }

@@ -19,6 +19,9 @@ object Similarity {
   // centroids = vec_id % 25 == 0; package-visible so specs check against
   // THIS constant instead of re-hardcoding it
   private[graft] val CentroidModulo = 25
+  // sim_range_search: cosine radius; 0.2 yields a healthy nonempty match
+  // set on the fixture (46 pairs at sf0.01) without flooding
+  private[graft] val RangeTau = 0.2
 
   /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
   private val qnSql = s"""
@@ -384,6 +387,29 @@ object Similarity {
     // never shuffles for it), and the search join is keyed on centroid_id,
     // so cost scales with bucket size. The centroid cross join is bounded:
     // |corpus| × |centroids|, centroids broadcast.
+    // ---- IVF radius (threshold) search -------------------------------------
+    // "All neighbors with cosine ≥ τ", not a fixed k — the missing third
+    // retrieval mode next to top-k and bucket-LSH: candidate generation
+    // for near-dup review queues and recall-first retrieval, where the
+    // caller bounds MATCH QUALITY and accepts variable result counts.
+    // Plan is strictly lighter than sim_knn_ivf: same centroid-keyed
+    // bucket join, but the per-probe rank window is replaced by a narrow
+    // cosine filter — no window, no sort; τ is the only output-size knob.
+    // The fixed-point cosine makes the τ comparison bit-identical across
+    // engines, so the oracle can hash-match an inequality boundary.
+    Q("sim_range_search",
+      (s, dir) => VectorOps.rangeSearch(Tables.sharded(s, dir, "embeddings"),
+        col("vec_id") < ProbeLimit, CentroidModulo, tau = RangeTau),
+      Some(s"""
+        WITH $assignSql,
+        probes AS (SELECT vec_id AS probe_id, centroid_id, qv, n2 FROM asg
+                   WHERE vec_id < $ProbeLimit)
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ${cosSql("p", "c")} AS cosine
+        FROM probes p JOIN asg c ON c.centroid_id = p.centroid_id
+                                AND c.vec_id <> p.probe_id
+        WHERE ${cosSql("p", "c")} >= $RangeTau""")),
+
     Q("sim_knn_ivf",
       (s, dir) => VectorOps.knnIvf(Tables.sharded(s, dir, "embeddings"),
         col("vec_id") < ProbeLimit, CentroidModulo, k = 5),

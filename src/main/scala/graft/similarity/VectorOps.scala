@@ -229,6 +229,34 @@ object VectorOps {
       col("n2"))
   }
 
+  /** Radius (threshold) search within the probe's IVF bucket: every
+    * candidate with cosine ≥ `tau`, not a fixed k — the dedup/recall
+    * companion to [[knnIvf]] ("give me ALL near-matches", e.g. candidate
+    * generation for a human-review queue). Same bucket-join body as
+    * [[bucketTopK]] — cost tracks bucket size — but the per-probe window
+    * is replaced by a narrow filter, so this is pure
+    * scan→join→filter: no window, no sort, fully combinable, and the
+    * output size is governed by `tau` alone. Approximation contract is
+    * IVF's: a qualifying neighbor assigned to a different centroid is
+    * missed (the oracle mirrors bucketing exactly, so the gate measures
+    * the operator, not the recall).
+    */
+  def rangeSearch(corpus: DataFrame, probeFilter: Column,
+      centroidModulo: Int, tau: Double): DataFrame = {
+    val d = dotFn(corpus)
+    val assigned = assignIvf(corpus, centroidModulo)
+    val probes = assigned.filter(probeFilter).select(
+      col("vec_id").as("probe_id"), col("centroid_id"),
+      col("q").as("pq"), col("n2").as("pn2"))
+    assigned.join(probes, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        cosine(d(col("pq"), col("q")), col("pn2"), col("n2")))
+      .filter(col("cosine") >= tau)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
   private def topK(scored: DataFrame, k: Int,
       carry: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed =
     Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall",
       "dd_bloom_decontam", "sim_ivfpq", "sim_filtered_knn", "sim_ivf_stats",
-      "sim_recall_pq", "txt_surprisal")
+      "sim_recall_pq", "txt_surprisal", "sim_range_search")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -68,8 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     // partition — fatal when the input is corpus-sized (the txt_surprisal
     // bug class: a window over the vocabulary). Allowed only where the
     // window input is a model-sized aggregate: txt_source_mix (|sources|
-    // rows) and sim_ivf_stats (|centroids| rows).
-    val allowed = Set("txt_source_mix", "sim_ivf_stats")
+    // rows), sim_ivf_stats (|centroids| rows), and ev_lateness (the
+    // running watermark over |time-span|/1min micro-batch buckets — grows
+    // with wall-clock span, never with row count).
+    val allowed = Set("txt_source_mix", "sim_ivf_stats", "ev_lateness")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =
