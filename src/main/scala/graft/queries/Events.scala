@@ -79,6 +79,17 @@ object Events {
           FROM starts
           WINDOW winr AS (PARTITION BY user_id ORDER BY run_id))"""
 
+  /** ev_lateness's synthesized arrival time: event time (`ems`) plus an
+    * md5-derived transport delay uniform in [0, 30 min) — the fixture has
+    * no arrival column. Package-visible so the streaming twin's spec
+    * (StreamingLatenessSpec) scores the SAME arrivals instead of
+    * re-hardcoding the synthesis; mirrored literally in the oracle SQL.
+    */
+  private[graft] def arrivalMs: org.apache.spark.sql.Column =
+    col("ems") + pmod(conv(substring(md5(concat(lit("arr|"),
+      col("event_id")).cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(1800000L))
+
   val qs: Seq[Q] = Seq(
 
     // ---- tumbling window aggregate (O10 with period == size) -------------
@@ -801,28 +812,16 @@ object Events {
     // sketch is the scale swap).
     Q("ev_lateness",
       (s, dir) => {
-        val e = Tables.events(s, dir)
-        val jitter = pmod(conv(substring(md5(concat(lit("arr|"),
-          col("event_id")).cast("binary")), 1, 15), 16, 10).cast("long"),
-          lit(1800000L))
-        val a = e.select(col("event_type"), col("ems"),
-            (col("ems") + jitter).as("arr_ms"))
-          .withColumn("bucket", expr("arr_ms div 60000"))
-        val bw = a.groupBy(col("bucket")).agg(max(col("ems")).as("bmax"))
-        val wmW = Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wm = bw.select(col("bucket"),
-          max(col("bmax")).over(wmW).as("wm_ems"))
-        a.join(broadcast(wm), Seq("bucket"))
-          .withColumn("late_ms",
-            greatest(lit(0L), coalesce(col("wm_ems") - col("ems"), lit(0L))))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_late"),
-            expr("percentile(late_ms, 0.25)").as("p25_ms"),
-            expr("percentile(late_ms, 0.5)").as("p50_ms"),
-            expr("percentile(late_ms, 0.75)").as("p75_ms"),
-            max(col("late_ms")).as("max_ms"))
+        // composed off the SHARED bucketed-watermark definition (the
+        // ev_dwell discipline): graft.streaming.StreamingLateness holds
+        // the scorer + sizing aggregate, its foreachBatch twin reproduces
+        // batchReference row-for-row (StreamingLatenessSpec), and this
+        // query is the 1-minute-bucket instantiation the oracle pins.
+        import graft.streaming.StreamingLateness
+        val a = Tables.events(s, dir).select(col("event_type"),
+          col("ems"), arrivalMs.as("arr_ms"))
+        StreamingLateness.sizingTable(
+          StreamingLateness.batchReference(a, bucketMs = 60000L))
       },
       Some("""
         WITH a AS (
