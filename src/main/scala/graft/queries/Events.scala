@@ -792,6 +792,45 @@ object Events {
                       ORDER BY n DESC, event_type ASC) AS rank
           FROM c) WHERE rank <= 3""")),
 
+    // ---- hot-key salted join: the cohort-revenue report, skew-safe ---------
+    // ev_salted_agg covers aggregation skew; this covers JOIN skew — the
+    // viral-user case where one key's shuffle write serializes on a single
+    // reducer and AQE can't help (its skew split is post-shuffle, and
+    // unavailable to streaming joins). Salt.saltedJoinHot spreads ONLY the
+    // pre-identified heavy keys (here: users with ≥ HotN events — in
+    // production, a heavy-hitters sketch pass) across 8 salted reducers,
+    // replicating just those keys' dimension rows; cold keys pay nothing.
+    // The report itself is the classic cohort shape: events join each
+    // user's signup time, revenue bucketed by weeks-since-signup. The
+    // oracle is the PLAIN join — salting must be invisible in the result
+    // (multiplicity preserved bit-for-bit); SaltSpec asserts the salted
+    // shuffle key and the hot/cold replication factors directly.
+    Q("ev_salted_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val perUser = e.groupBy(col("user_id"))
+          .agg(min(col("ems")).as("signup_ms"), count(lit(1)).as("n_ev"))
+        val signup = perUser.select(col("user_id"), col("signup_ms"))
+        val hot = perUser.filter(col("n_ev") >= 80).select("user_id")
+        graft.ops.Salt.saltedJoinHot(
+            e.select(col("user_id"), col("ems"), col("event_id"),
+              col("value")),
+            signup, Seq("user_id"), col("event_id"), 8, hot)
+          .withColumn("week", expr("(ems - signup_ms) div 604800000"))
+          .groupBy(col("week"))
+          .agg(count(lit(1)).as("n_events"),
+            fxsum(col("value"), 2).as("sum_value"))
+      },
+      Some(s"""
+        WITH signup AS (
+          SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+          FROM events GROUP BY user_id)
+        SELECT (epoch_ms(e.ts) - s.signup_ms) // 604800000 AS week,
+               count(*) AS n_events,
+               ${fxsumSql("e.value", 2)} AS sum_value
+        FROM events e JOIN signup s USING (user_id)
+        GROUP BY 1""")),
+
     // ---- watermark-delay sizing: out-of-order lateness distribution --------
     // The third sizing table (after ev_gap_stats / txt_len_stats): the
     // number a streaming operator reads to CHOOSE its withWatermark delay.
