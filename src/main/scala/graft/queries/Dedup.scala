@@ -851,6 +851,59 @@ object Dedup {
         FROM e JOIN t ON t.shingle = e.shingle
         GROUP BY 1""")),
 
+    // ---- containment-scored decontamination verdicts -----------------------
+    // dd_contamination measures overlap; this DECIDES: per eval doc, the
+    // fraction of its distinct 5-grams that appear anywhere in training
+    // (containment, not Jaccard — the right asymmetry for "is this eval
+    // doc leaked", where a short eval doc swallowed by a long train doc
+    // must still score 1.0), as an exact integer per-mille plus the
+    // ≥ 80% contaminated flag (the GPT-3/Dolma-style n-gram overlap
+    // rule). EVERY eval doc reports a row — zero-overlap docs included
+    // (left join), since "clean" is the decision that needs an audit
+    // trail. Plan shape: distinct eval (doc, shingle) pairs semi-joined
+    // against the distinct train shingle set — the shuffle carries
+    // shingle keys, never text; per-doc totals and shared counts are
+    // combinable aggregates merged by one doc-keyed broadcast-back join.
+    Q("dd_containment",
+      (s, dir) => {
+        val withSrc = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+        val evalSh = withSrc.filter(col("source") === "src0")
+          .select(col("doc_id").as("eval_doc"), col("shingle")).distinct()
+        val trainSh = withSrc.filter(col("source") =!= "src0")
+          .select(col("shingle")).distinct()
+        val tot = evalSh.groupBy(col("eval_doc"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val shared = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+          .groupBy(col("eval_doc")).agg(count(lit(1)).as("n_shared"))
+        tot.join(shared, Seq("eval_doc"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .withColumn("containment_permille",
+            expr("(1000 * n_shared) div n_shingles"))
+          .withColumn("contaminated", col("containment_permille") >= 800)
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT d.doc_id, d.source, s.shingle
+          FROM documents d JOIN (${DocSql.shinglesSql(5)}) s
+            ON s.doc_id = d.doc_id),
+        e AS (SELECT DISTINCT doc_id AS eval_doc, shingle
+              FROM sh WHERE source = 'src0'),
+        t AS (SELECT DISTINCT shingle FROM sh WHERE source <> 'src0'),
+        tot AS (SELECT eval_doc, count(*) AS n_shingles FROM e GROUP BY 1),
+        shr AS (SELECT e.eval_doc, count(*) AS n_shared
+                FROM e JOIN t USING (shingle) GROUP BY 1)
+        SELECT tot.eval_doc, tot.n_shingles,
+               coalesce(shr.n_shared, 0) AS n_shared,
+               (1000 * coalesce(shr.n_shared, 0)) // tot.n_shingles
+                 AS containment_permille,
+               (1000 * coalesce(shr.n_shared, 0)) // tot.n_shingles >= 800
+                 AS contaminated
+        FROM tot LEFT JOIN shr USING (eval_doc)""")),
+
     // ---- bloom-filter decontamination (Dolma/CCNet-style) ------------------
     // The membership-sketch variant of dd_contamination: build ONE fixed
     // 2^20-bit Bloom filter over the training corpus' distinct 5-grams

@@ -70,6 +70,34 @@ class Round9bOpsInvariantsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_late")).sum > 0)
   }
 
+  test("dd_containment: verdicts cohere with dd_contamination's overlap") {
+    val cont = run("dd_containment").collect()
+      .map(r => r.getAs[Long]("eval_doc") -> r).toMap
+    // per-mille and flag are pure functions of the counts
+    cont.values.foreach { r =>
+      val (n, shared) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"))
+      assert(shared >= 0 && shared <= n)
+      assert(r.getAs[Long]("containment_permille") === 1000 * shared / n)
+      assert(r.getAs[Boolean]("contaminated") ===
+        (r.getAs[Long]("containment_permille") >= 800))
+    }
+    // the planted cross-source duplicates must be flagged, and clean rows
+    // must still be present (the audit-trail contract)
+    assert(cont.values.count(_.getAs[Boolean]("contaminated")) > 0)
+    assert(cont.values.count(!_.getAs[Boolean]("contaminated")) > 0)
+    // shared-shingle counts must agree with dd_contamination wherever
+    // overlap exists (that query omits zero-overlap docs)
+    val overlap = run("dd_contamination").collect()
+      .map(r => r.getAs[Long]("eval_doc") ->
+        r.getAs[Long]("n_shared_shingles")).toMap
+    overlap.foreach { case (doc, nsh) =>
+      assert(cont(doc).getAs[Long]("n_shared") === nsh, s"doc $doc")
+    }
+    cont.foreach { case (doc, r) =>
+      if (!overlap.contains(doc)) assert(r.getAs[Long]("n_shared") === 0L)
+    }
+  }
+
   test("sim_range_search ≡ the ≥τ slice of the unbounded IVF ranking") {
     import graft.queries.{Similarity => S}
     val corpus = Tables(spark, sfDir, "embeddings")
