@@ -831,6 +831,59 @@ object Events {
         FROM events e JOIN signup s USING (user_id)
         GROUP BY 1""")),
 
+    // ---- bitmap cohort retention: set algebra instead of re-joins ----------
+    // ev_retention answers ONE cohort question with a per-user join; this
+    // is the form that answers MANY: build one exact user bitmap per
+    // signup cohort and one per active week — a single combinable
+    // aggregation each, bitwise-OR merge, so duplicate events cost
+    // nothing and NO distinct pass or per-user join ever runs — then
+    // every (cohort, week) retention cell is a popcount over bitwise AND
+    // on the model-sized bitmap tables (the Druid/ClickHouse groupBitmap
+    // pattern; functions.BitmapSketch documents the RoaringBitmap swap
+    // for sparse production id spaces). The non-equi grid join is
+    // |cohort-weeks| × |active-weeks| — time-span-sized, never
+    // data-sized (the txt_source_mix bound, as a BNLJ). Zero-retained
+    // cells report too: a fully-churned cohort is the finding.
+    Q("ev_bitmap_retention",
+      (s, dir) => {
+        import graft.functions.BitmapSketch
+        val bm = udaf(new BitmapSketch(64)) // 4096-id space ⊇ fixture users
+        val e = Tables.events(s, dir)
+        val su = e.groupBy(col("user_id"))
+          .agg(min(col("ems")).as("s_ems"))
+          .select(col("user_id"),
+            expr("s_ems div 604800000").as("cohort_week"))
+        val cohorts = su.groupBy(col("cohort_week"))
+          .agg(bm(col("user_id")).as("cbm"), count(lit(1)).as("n_signup"))
+        val active = e
+          .select(col("user_id"), expr("ems div 604800000").as("week"))
+          .groupBy(col("week")).agg(bm(col("user_id")).as("abm"))
+        cohorts.join(active, col("week") >= col("cohort_week"))
+          .select(col("cohort_week"), col("week"), col("n_signup"),
+            BitmapSketch.cardinality(
+              BitmapSketch.and(col("cbm"), col("abm"))).as("n_retained"))
+      },
+      Some("""
+        WITH su AS (
+          SELECT user_id, min(epoch_ms(ts)) // 604800000 AS cohort_week
+          FROM events GROUP BY user_id),
+        coh AS (SELECT cohort_week, count(*) AS n_signup
+                FROM su GROUP BY 1),
+        wk AS (SELECT DISTINCT epoch_ms(ts) // 604800000 AS week
+               FROM events),
+        act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+                FROM events),
+        ret AS (
+          SELECT su.cohort_week, act.week, count(*) AS n_retained
+          FROM su JOIN act ON act.user_id = su.user_id
+                          AND act.week >= su.cohort_week
+          GROUP BY 1, 2)
+        SELECT c.cohort_week, w.week, c.n_signup,
+               coalesce(r.n_retained, 0) AS n_retained
+        FROM coh c JOIN wk w ON w.week >= c.cohort_week
+        LEFT JOIN ret r ON r.cohort_week = c.cohort_week
+                       AND r.week = w.week""")),
+
     // ---- watermark-delay sizing: out-of-order lateness distribution --------
     // The third sizing table (after ev_gap_stats / txt_len_stats): the
     // number a streaming operator reads to CHOOSE its withWatermark delay.

@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed =
     Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall",
       "dd_bloom_decontam", "sim_ivfpq", "sim_filtered_knn", "sim_ivf_stats",
-      "sim_recall_pq", "txt_surprisal", "sim_range_search")
+      "sim_recall_pq", "txt_surprisal", "sim_range_search",
+      // the (cohort-week ≥ active-week) grid join over two bitmap
+      // aggregate tables — time-span-sized sides, never data-sized
+      "ev_bitmap_retention")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
