@@ -27,7 +27,8 @@ object Catalog {
     * consistent across partial merges).
     */
   def registerSketches(spark: SparkSession, bottomK: Int = 16,
-      cmDepth: Int = 4, cmWidth: Int = 64, bloomWords: Int = 256): Unit = {
+      cmDepth: Int = 4, cmWidth: Int = 64, bloomWords: Int = 256,
+      bitmapWords: Int = 64): Unit = {
     import org.apache.spark.sql.functions.udaf
     spark.udf.register("bottom_k",
       udaf(new functions.BottomKSketch(bottomK)))
@@ -35,5 +36,7 @@ object Catalog {
       udaf(new functions.CountMinSketch(cmDepth, cmWidth)))
     spark.udf.register("bloom",
       udaf(new functions.BloomSketch(bloomWords)))
+    spark.udf.register("bitmap",
+      udaf(new functions.BitmapSketch(bitmapWords)))
   }
 }

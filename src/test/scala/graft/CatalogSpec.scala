@@ -82,5 +82,12 @@ class CatalogSpec extends SparkSpec {
       SELECT bottom_k(CAST(CONV(substr(md5(CAST(o_orderstatus AS BINARY)), 1, 15), 16, 10) AS BIGINT))
       FROM orders""").as[Seq[Long]].head()
     assert(bk.nonEmpty && bk.length <= 16)
+    // bitmap popcount from SQL ≡ exact count distinct
+    val (bmCard, exact) = spark.sql("""
+      SELECT aggregate(transform(bitmap(o_custkey), w -> CAST(bit_count(w) AS BIGINT)),
+                       CAST(0 AS BIGINT), (a, c) -> a + c),
+             count(DISTINCT o_custkey)
+      FROM orders""").as[(Long, Long)].head()
+    assert(bmCard === exact && exact > 0)
   }
 }
