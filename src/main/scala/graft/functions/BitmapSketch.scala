@@ -34,7 +34,7 @@ final class BitmapSketch(words: Int)
     if (id == null) return buf // SQL aggregate null-skip semantics
     val i = id.longValue
     require(i >= 0 && i < words.toLong * 64,
-      s"id $i outside the bitmap's [0, ${words * 64}) id space — " +
+      s"id $i outside the bitmap's [0, ${words.toLong * 64}) id space — " +
         "dictionary-encode or widen the sketch")
     buf((i >>> 6).toInt) |= 1L << (i & 63)
     buf

@@ -57,6 +57,9 @@ object Salt {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       tiebreaker: Column, buckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // fail loudly: buckets <= 0 would make saltCol NULL (pmod by zero) and
+    // explode(array()) drop every small row — silently empty results
+    require(buckets > 0, s"bad salt bucket count: $buckets")
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin preserves multiplicity for inner/left only: $joinType")
     val bigS = big.withColumn("__salt", saltCol(tiebreaker, buckets))
@@ -79,6 +82,7 @@ object Salt {
   def saltedJoinHot(big: DataFrame, small: DataFrame, keys: Seq[String],
       tiebreaker: Column, buckets: Int, hot: DataFrame,
       joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, s"bad salt bucket count: $buckets")
     require(joinType == "inner" || joinType == "left",
       s"saltedJoinHot preserves multiplicity for inner/left only: $joinType")
     val hotB = broadcast(

@@ -858,9 +858,13 @@ object Dedup {
     // doc leaked", where a short eval doc swallowed by a long train doc
     // must still score 1.0), as an exact integer per-mille plus the
     // ≥ 80% contaminated flag (the GPT-3/Dolma-style n-gram overlap
-    // rule). EVERY eval doc reports a row — zero-overlap docs included
-    // (left join), since "clean" is the decision that needs an audit
-    // trail. Plan shape: distinct eval (doc, shingle) pairs semi-joined
+    // rule). Every eval doc WITH at least one 5-gram reports a row —
+    // zero-overlap docs included (left join), since "clean" is the
+    // decision that needs an audit trail. Docs too short to shingle
+    // (< 5 tokens) have no n-grams, so n-gram containment is undefined
+    // for them and they carry no row — route them through exact-match
+    // dedup (dd_exact) instead; the fixture has none.
+    // Plan shape: distinct eval (doc, shingle) pairs semi-joined
     // against the distinct train shingle set — the shuffle carries
     // shingle keys, never text; per-doc totals and shared counts are
     // combinable aggregates merged by one doc-keyed broadcast-back join.

@@ -85,6 +85,12 @@ object Events {
     * (StreamingLatenessSpec) scores the SAME arrivals instead of
     * re-hardcoding the synthesis; mirrored literally in the oracle SQL.
     */
+  /** ev_salted_join's hot-user threshold: users with ≥ this many events
+    * get salted/replicated. Package-visible (the CentroidModulo
+    * discipline) so specs and comments reference THE constant.
+    */
+  private[graft] val HotN = 80
+
   private[graft] def arrivalMs: org.apache.spark.sql.Column =
     col("ems") + pmod(conv(substring(md5(concat(lit("arr|"),
       col("event_id")).cast("binary")), 1, 15), 16, 10).cast("long"),
@@ -811,7 +817,7 @@ object Events {
         val perUser = e.groupBy(col("user_id"))
           .agg(min(col("ems")).as("signup_ms"), count(lit(1)).as("n_ev"))
         val signup = perUser.select(col("user_id"), col("signup_ms"))
-        val hot = perUser.filter(col("n_ev") >= 80).select("user_id")
+        val hot = perUser.filter(col("n_ev") >= HotN).select("user_id")
         graft.ops.Salt.saltedJoinHot(
             e.select(col("user_id"), col("ems"), col("event_id"),
               col("value")),

@@ -741,34 +741,33 @@ object Relational {
     Q("q25_profile",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
-        def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-        def mnmx(c: Column) = Seq(min(c).cast("double"), max(c).cast("double"))
-        val ems = unix_millis(col("l_shipdate").cast("timestamp"))
-        val aggs = Seq(
-          nn("l_orderkey").as("nn1"),
-          countDistinct(col("l_orderkey")).as("nd1")) ++
-          mnmx(col("l_orderkey")).zip(Seq("mn1", "mx1")).map(t => t._1.as(t._2)) ++
-          Seq(nn("l_quantity").as("nn2"),
-            countDistinct(col("l_quantity")).as("nd2")) ++
-          mnmx(col("l_quantity")).zip(Seq("mn2", "mx2")).map(t => t._1.as(t._2)) ++
-          Seq(nn("l_extendedprice").as("nn3"),
-            countDistinct(col("l_extendedprice")).as("nd3")) ++
-          mnmx(col("l_extendedprice")).zip(Seq("mn3", "mx3")).map(t => t._1.as(t._2)) ++
-          Seq(nn("l_returnflag").as("nn4"),
-            countDistinct(col("l_returnflag")).as("nd4"),
-            nn("l_linestatus").as("nn5"),
-            countDistinct(col("l_linestatus")).as("nd5"),
-            nn("l_shipdate").as("nn6"),
-            countDistinct(col("l_shipdate")).as("nd6")) ++
-          mnmx(ems).zip(Seq("mn6", "mx6")).map(t => t._1.as(t._2))
+        // one spec row per profiled column — (name, numeric-bound expr or
+        // None for strings) — drives BOTH the aggregate list and the
+        // stack() unpivot, so a label can never transpose onto another
+        // column's stats
+        val specs: Seq[(String, Option[Column])] = Seq(
+          "l_orderkey" -> Some(col("l_orderkey")),
+          "l_quantity" -> Some(col("l_quantity")),
+          "l_extendedprice" -> Some(col("l_extendedprice")),
+          "l_returnflag" -> None,
+          "l_linestatus" -> None,
+          "l_shipdate" ->
+            Some(unix_millis(col("l_shipdate").cast("timestamp"))))
+        val aggs = specs.zipWithIndex.flatMap { case ((c, num), i) =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn$i"),
+            countDistinct(col(c)).as(s"nd$i")) ++
+            num.toSeq.flatMap(b => Seq(min(b).cast("double").as(s"mn$i"),
+              max(b).cast("double").as(s"mx$i")))
+        }
+        val stackRows = specs.zipWithIndex.map { case ((c, num), i) =>
+          val bounds =
+            if (num.isDefined) s"mn$i, mx$i"
+            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+          s"'$c', nn$i, nd$i, $bounds"
+        }.mkString(",\n            ")
         li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-          .selectExpr("n_rows", """stack(6,
-            'l_orderkey',      nn1, nd1, mn1, mx1,
-            'l_quantity',      nn2, nd2, mn2, mx2,
-            'l_extendedprice', nn3, nd3, mn3, mx3,
-            'l_returnflag',    nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-            'l_linestatus',    nn5, nd5, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-            'l_shipdate',      nn6, nd6, mn6, mx6)
+          .selectExpr("n_rows", s"""stack(${specs.size},
+            $stackRows)
             AS (col_name, n_nulls, n_distinct, min_num, max_num)""")
       },
       Some("""

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val ProbeLimit = 8 // probes = vec_id < 8
+  // probes = vec_id < 8; package-visible so specs reference THE constant
+  private[graft] val ProbeLimit = 8
   // centroids = vec_id % 25 == 0; package-visible so specs check against
   // THIS constant instead of re-hardcoding it
   private[graft] val CentroidModulo = 25
@@ -381,12 +382,6 @@ object Similarity {
                       ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored) WHERE rank <= 10""")),
 
-    // ---- IVF-bucketed approximate top-k ------------------------------------
-    // The 100 TB path: centroids are a deterministic corpus subset,
-    // assignment is one broadcast pass over the corpus (narrow — the corpus
-    // never shuffles for it), and the search join is keyed on centroid_id,
-    // so cost scales with bucket size. The centroid cross join is bounded:
-    // |corpus| × |centroids|, centroids broadcast.
     // ---- IVF radius (threshold) search -------------------------------------
     // "All neighbors with cosine ≥ τ", not a fixed k — the missing third
     // retrieval mode next to top-k and bucket-LSH: candidate generation
@@ -410,6 +405,12 @@ object Similarity {
                                 AND c.vec_id <> p.probe_id
         WHERE ${cosSql("p", "c")} >= $RangeTau""")),
 
+    // ---- IVF-bucketed approximate top-k ------------------------------------
+    // The 100 TB path: centroids are a deterministic corpus subset,
+    // assignment is one broadcast pass over the corpus (narrow — the corpus
+    // never shuffles for it), and the search join is keyed on centroid_id,
+    // so cost scales with bucket size. The centroid cross join is bounded:
+    // |corpus| × |centroids|, centroids broadcast.
     Q("sim_knn_ivf",
       (s, dir) => VectorOps.knnIvf(Tables.sharded(s, dir, "embeddings"),
         col("vec_id") < ProbeLimit, CentroidModulo, k = 5),

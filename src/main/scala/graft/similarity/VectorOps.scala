@@ -152,7 +152,19 @@ object VectorOps {
     * the filtered and unfiltered searches cannot drift.
     */
   private def bucketTopK(assigned: DataFrame, d: (Column, Column) => Column,
-      probeFilter: Column, k: Int, sameOn: Option[String]): DataFrame = {
+      probeFilter: Column, k: Int, sameOn: Option[String]): DataFrame =
+    topK(bucketScored(assigned, d, probeFilter, sameOn), k,
+      carry = sameOn.toSeq.map(col))
+
+  /** Shared scored-candidate stage: probe projection, centroid-keyed
+    * candidate join (plus the optional same-`sameOn` conjunct),
+    * self-exclusion, cosine scoring — ONE definition composed by both
+    * [[bucketTopK]] (rank window) and [[rangeSearch]] (τ filter), so the
+    * k-bounded and radius-bounded searches cannot drift.
+    */
+  private def bucketScored(assigned: DataFrame,
+      d: (Column, Column) => Column, probeFilter: Column,
+      sameOn: Option[String]): DataFrame = {
     val probeCols = Seq(col("vec_id").as("probe_id"), col("centroid_id"),
       col("q").as("pq"), col("n2").as("pn2")) ++
       sameOn.map(c => col(c).as(s"p_$c"))
@@ -161,9 +173,8 @@ object VectorOps {
       .filter(col("vec_id") =!= col("probe_id"))
     val filtered = sameOn.fold(joined)(c =>
       joined.filter(col(c) === col(s"p_$c")))
-    val scored = filtered.withColumn("cosine",
+    filtered.withColumn("cosine",
       cosine(d(col("pq"), col("q")), col("pn2"), col("n2")))
-    topK(scored, k, carry = sameOn.toSeq.map(col))
   }
 
   /** Deterministic ±1 hyperplane matrix for sign-LSH: entry (plane j, dim
@@ -242,20 +253,12 @@ object VectorOps {
     * the operator, not the recall).
     */
   def rangeSearch(corpus: DataFrame, probeFilter: Column,
-      centroidModulo: Int, tau: Double): DataFrame = {
-    val d = dotFn(corpus)
-    val assigned = assignIvf(corpus, centroidModulo)
-    val probes = assigned.filter(probeFilter).select(
-      col("vec_id").as("probe_id"), col("centroid_id"),
-      col("q").as("pq"), col("n2").as("pn2"))
-    assigned.join(probes, Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine",
-        cosine(d(col("pq"), col("q")), col("pn2"), col("n2")))
+      centroidModulo: Int, tau: Double): DataFrame =
+    bucketScored(assignIvf(corpus, centroidModulo), dotFn(corpus),
+        probeFilter, sameOn = None)
       .filter(col("cosine") >= tau)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("cosine"))
-  }
 
   private def topK(scored: DataFrame, k: Int,
       carry: Seq[Column] = Nil): DataFrame = {

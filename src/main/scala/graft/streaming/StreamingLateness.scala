@@ -28,22 +28,30 @@ object StreamingLateness {
     */
   val NoWatermark: Long = Long.MinValue
 
-  /** Score one arrival micro-batch against the watermark held BEFORE it,
-    * then advance the watermark to include this batch. For use inside
-    * `foreachBatch`; the pre-batch value is frozen into the plan as a
-    * literal, so the caller may write the returned frame at any point.
-    * The advance costs one single-row aggregate over the batch — the
-    * same per-batch max the engine's own watermark bookkeeping computes.
+  /** Score one arrival micro-batch against the watermark held BEFORE it.
+    * Pure: the pre-batch value is frozen into the plan as a literal and
+    * the held watermark is NOT advanced — call [[advance]] only after the
+    * sink write commits, so an at-least-once `foreachBatch` RETRY of the
+    * same batch re-scores against the same pre-batch watermark instead of
+    * scoring rows late against themselves (the StreamingAssetDedup
+    * persist-then-commit idempotence discipline).
     */
   def scoreBatch(batch: DataFrame, wm: AtomicLong): DataFrame = {
     val before = wm.get()
     val late =
       if (before == NoWatermark) lit(0L)
       else greatest(lit(0L), lit(before) - col("ems"))
-    val scored = batch.withColumn("late_ms", late)
+    batch.withColumn("late_ms", late)
+  }
+
+  /** Advance the watermark past a successfully-written batch. One
+    * single-row aggregate — the same per-batch max the engine's own
+    * `withWatermark` bookkeeping computes. Monotone (max), so replaying
+    * an already-advanced batch is a no-op.
+    */
+  def advance(batch: DataFrame, wm: AtomicLong): Unit = {
     val mx = batch.agg(max(col("ems"))).head
-    if (!mx.isNullAt(0)) wm.set(math.max(before, mx.getLong(0)))
-    scored
+    if (!mx.isNullAt(0)) wm.set(math.max(wm.get(), mx.getLong(0)))
   }
 
   /** The batch bucketed-watermark lineage at width `bucketMs`:

@@ -105,7 +105,7 @@ class Round9bOpsInvariantsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // unbounded-k IVF search over the same probes = the full bucket
     // ranking; its ≥τ slice must be exactly the radius result
-    val all = VectorOps.knnIvf(corpus, col("vec_id") < 8,
+    val all = VectorOps.knnIvf(corpus, col("vec_id") < S.ProbeLimit,
         S.CentroidModulo, k = Int.MaxValue).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Double]("cosine")))

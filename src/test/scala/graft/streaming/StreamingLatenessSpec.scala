@@ -69,6 +69,9 @@ class StreamingLatenessSpec extends SparkSpec {
             .foreach(r => got.synchronized {
               got(r.getLong(0)) = r.getLong(1)
             })
+          // advance only after the "write" (the collect above) succeeded —
+          // the retry-idempotence contract
+          StreamingLateness.advance(batch, wm)
         }.start()
       try q.processAllAvailable() finally q.stop()
 
@@ -81,6 +84,31 @@ class StreamingLatenessSpec extends SparkSpec {
       // nothing (first-batch rows score 0 by definition)
       assert(got.valuesIterator.count(_ > 0) > 0)
     } finally a.unpersist()
+  }
+
+  test("retry-safe: score is pure until advance; advance is idempotent") {
+    import spark.implicits._
+    val wm = new AtomicLong(StreamingLateness.NoWatermark)
+    val b1 = Seq((1L, "a", 100L), (2L, "a", 50L))
+      .toDF("event_id", "event_type", "ems")
+    def score(b: org.apache.spark.sql.DataFrame) =
+      StreamingLateness.scoreBatch(b, wm)
+        .select(col("event_id"), col("late_ms"))
+        .as[(Long, Long)].collect().toMap
+    // first batch: no prior watermark, all rows score 0
+    assert(score(b1) === Map(1L -> 0L, 2L -> 0L))
+    // a failed-write RETRY re-scores identically (nothing advanced)
+    assert(score(b1) === Map(1L -> 0L, 2L -> 0L))
+    StreamingLateness.advance(b1, wm)
+    val w1 = wm.get()
+    assert(w1 === 100L)
+    // replaying an already-advanced batch is a no-op (monotone max)
+    StreamingLateness.advance(b1, wm)
+    assert(wm.get() === w1)
+    // the next batch scores against the committed watermark
+    val b2 = Seq((3L, "a", 60L), (4L, "a", 300L))
+      .toDF("event_id", "event_type", "ems")
+    assert(score(b2) === Map(3L -> 40L, 4L -> 0L))
   }
 
   test("ev_lateness ≡ sizingTable ∘ batchReference at 1-minute buckets") {
