@@ -76,4 +76,15 @@ object BitmapSketch {
   /** Set difference a \ b. */
   def andNot(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.bitwiseAND(y.bitwiseXOR(lit(-1L))))
+
+  /** Membership test of `id` against a finished bitmap column — pure bit
+    * arithmetic per row (the BloomSketch.mightContain shape, but exact).
+    * Lets a bitmap ship as a broadcast/literal column and filter
+    * executor-side, e.g. the streaming first-seen check.
+    */
+  def contains(bitmap: Column, id: Column): Column = {
+    val word = element_at(bitmap, shiftright(id, 6).cast("int") + lit(1))
+    call_function("shiftright", word, id.bitwiseAND(lit(63L)).cast("int"))
+      .bitwiseAND(lit(1L)) === lit(1L)
+  }
 }

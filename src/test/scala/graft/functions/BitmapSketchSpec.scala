@@ -52,6 +52,17 @@ class BitmapSketchSpec extends SparkSpec {
     assert(row.getLong(2) === (a -- b).size.toLong)
   }
 
+  test("contains ≡ set membership across word boundaries") {
+    val members = Set(0L, 1L, 63L, 64L, 65L, 127L)
+    val agg = new BitmapSketch(2)
+    val bm = members.foldLeft(agg.zero)((b, id) => agg.reduce(b, id))
+    val got = (0L until 128L).toDF("id")
+      .select(col("id"), BitmapSketch.contains(lit(bm), col("id")).as("in"))
+      .as[(Long, Boolean)].collect().toMap
+    (0L until 128L).foreach(id =>
+      assert(got(id) === members.contains(id), s"id $id"))
+  }
+
   test("ev_bitmap_retention: diagonal full, monotone bounds, join parity") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("ev_bitmap_retention")(spark, sfDir)
