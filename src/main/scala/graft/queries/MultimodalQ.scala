@@ -23,6 +23,9 @@ object MultimodalQ {
   private[graft] val DhashBlocks = 4
   private[graft] val DhashMaxHamming = 3
   private[graft] val DhashThumb = 96
+  // mm_hybrid_neardup's semantic-evidence threshold (dd_semantic's edge
+  // τ — the two queries flag the same embedding-space duplicates)
+  private[graft] val HybridTau = 0.35
   private val DhashBlockBits = DhashBits / DhashBlocks // 15
   private val DhashBlockMask = (1L << DhashBlockBits) - 1
 
@@ -308,6 +311,64 @@ object MultimodalQ {
                a.total_bytes, a.min_content_hash,
                CAST((a.total_bytes * 1000) // greatest(t.n_tokens, 1)
                  AS BIGINT) AS milli_bytes_per_token
-        FROM tf t JOIN af a USING (doc_id)"""))
+        FROM tf t JOIN af a USING (doc_id)""")),
+
+    // ---- hybrid near-dup: perceptual ∪ semantic evidence -------------------
+    // Production media dedup stacks two independent detectors, because
+    // each has blind spots the other covers: a perceptual hash (dHash
+    // blocks) catches byte-level retouches but misses re-renders; an
+    // embedding cosine (IVF-bucketed, the dd_embed_cos shape over the
+    // asset's vector — vec_id ≡ doc_id in the fixture lake) catches
+    // semantic re-renders but misses payloads the encoder never saw.
+    // This is their evidence UNION: one row per candidate pair with a
+    // flag per detector — the "both" rows are the high-precision
+    // auto-remove set, single-evidence rows go to review. Plan: the two
+    // parent lineages unchanged (their audited shapes), merged by one
+    // full-outer join on the pair key; evidence flags are narrow
+    // coalesces. Both parents bucket their candidates (dhash blocks /
+    // IVF centroids) — nothing here is all-pairs.
+    Q("mm_hybrid_neardup",
+      (s, dir) => {
+        import graft.similarity.VectorOps
+        val ph = dhashPairs(s, dir)
+          .select(col("asset_a"), col("asset_b"))
+          .withColumn("ev_dhash", lit(true))
+        val assigned = VectorOps.assignIvf(
+          Tables.sharded(s, dir, "embeddings"), Similarity.CentroidModulo)
+          .materialize() // both sides of the bucket self-join
+        val d = VectorOps.dotFn(assigned)
+        val a = assigned.select(col("centroid_id"),
+          col("vec_id").as("asset_a"), col("q").as("qa"),
+          col("n2").as("na"))
+        val b = assigned.select(col("centroid_id"),
+          col("vec_id").as("asset_b"), col("q").as("qb"),
+          col("n2").as("nb"))
+        val sem = a.join(b, Seq("centroid_id"))
+          .filter(col("asset_a") < col("asset_b"))
+          .filter(VectorOps.cosine(d(col("qa"), col("qb")),
+            col("na"), col("nb")) >= HybridTau)
+          .select(col("asset_a"), col("asset_b"))
+          .withColumn("ev_cosine", lit(true))
+        ph.join(sem, Seq("asset_a", "asset_b"), "full_outer")
+          .select(col("asset_a"), col("asset_b"),
+            coalesce(col("ev_dhash"), lit(false)).as("ev_dhash"),
+            coalesce(col("ev_cosine"), lit(false)).as("ev_cosine"))
+      },
+      Some(s"""
+        WITH $dhashPairsSql,
+        ph AS (
+          SELECT asset_a, asset_b, true AS ev_dhash FROM pairs
+          WHERE bit_count(xor(h_a, h_b)) <= $DhashMaxHamming),
+        ${Similarity.assignSql},
+        sem AS (
+          SELECT a.vec_id AS asset_a, b.vec_id AS asset_b,
+                 true AS ev_cosine
+          FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                               AND a.vec_id < b.vec_id
+          WHERE ${Similarity.cosSql("a", "b")} >= $HybridTau)
+        SELECT asset_a, asset_b,
+               coalesce(ev_dhash, false) AS ev_dhash,
+               coalesce(ev_cosine, false) AS ev_cosine
+        FROM ph FULL JOIN sem USING (asset_a, asset_b)"""))
   )
 }

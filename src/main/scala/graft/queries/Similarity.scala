@@ -25,7 +25,7 @@ object Similarity {
   private[graft] val RangeTau = 0.2
 
   /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
-  private val qnSql = s"""
+  private[queries] val qnSql = s"""
     SELECT vec_id,
            [CAST(round(CAST(x AS DOUBLE) * ${VectorOps.Scale}) AS BIGINT)
             for x in embedding] AS qv,
@@ -37,11 +37,11 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum([$a.qv[i] * $b.qv[i] for i in generate_series(1, len($a.qv))]) AS BIGINT)"
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"CAST(${dotSql(a, b)} AS DOUBLE) / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))"
 
   /** Oracle CTE assigning every vector to its nearest centroid (IVF). */
-  private val assignSql = s"""
+  private[queries] val assignSql = s"""
     qn AS ($qnSql),
     cents AS (SELECT vec_id AS centroid_id, qv, n2 FROM qn
               WHERE vec_id % $CentroidModulo = 0),

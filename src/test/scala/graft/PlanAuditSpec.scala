@@ -24,6 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("sim_knn_brute", "sim_knn_ivf", "dd_embed_cos", "sim_recall",
       "dd_bloom_decontam", "sim_ivfpq", "sim_filtered_knn", "sim_ivf_stats",
       "sim_recall_pq", "txt_surprisal", "sim_range_search",
+      // inherits dd_embed_cos's bounded corpus × broadcast-centroid BNLJ
+      "mm_hybrid_neardup",
       // the (cohort-week ≥ active-week) grid join over two bitmap
       // aggregate tables — time-span-sized sides, never data-sized
       "ev_bitmap_retention")

@@ -98,6 +98,36 @@ class Round9bOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("mm_hybrid_neardup ≡ union of its two parent detectors") {
+    import graft.similarity.VectorOps
+    import graft.queries.{MultimodalQ => M, Similarity => S}
+    val rows = run("mm_hybrid_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getBoolean(3))).toMap
+    // a row exists only because SOME detector fired
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (dh, cos) => assert(dh || cos) }
+    // dhash slice ≡ the perceptual parent's pair set
+    val dhashPairs = run("mm_dhash_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.filter(_._2._1).keySet === dhashPairs)
+    // cosine slice ≡ an independent recomputation of the semantic edges
+    val assigned = VectorOps.assignIvf(
+      Tables(spark, sfDir, "embeddings"), S.CentroidModulo)
+      .select(col("centroid_id"), col("vec_id"), col("q"), col("n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getLong(3)))
+    val semExpected = (for {
+      (ca, ia, qa, na) <- assigned; (cb, ib, qb, nb) <- assigned
+      if ca == cb && ia < ib
+      dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      if dot / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble) >=
+        M.HybridTau
+    } yield (ia, ib)).toSet
+    assert(rows.filter(_._2._2).keySet === semExpected)
+  }
+
   test("sim_range_search ≡ the ≥τ slice of the unbounded IVF ranking") {
     import graft.queries.{Similarity => S}
     val corpus = Tables(spark, sfDir, "embeddings")
