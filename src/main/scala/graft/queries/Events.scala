@@ -946,6 +946,143 @@ object Events {
                quantile_cont(late_ms, 0.5) AS p50_ms,
                quantile_cont(late_ms, 0.75) AS p75_ms,
                max(late_ms) AS max_ms
-        FROM l GROUP BY event_type"""))
+        FROM l GROUP BY event_type""")),
+
+    // ---- moments sketch: mergeable quantile estimation ---------------------
+    // The moments sketch (Gan et al., VLDB 2018): per group keep only
+    // {n, power sums s1..s4} — a CONSTANT-size, exactly-mergeable state,
+    // vs the O(n·log n) sort (or the non-mergeable exact rank pass) a
+    // true percentile needs. Quantiles are then estimated from the
+    // standardized central moments via the Cornish–Fisher expansion.
+    // Determinism discipline: values are pre-scaled by 2^9 (an exact
+    // binary scale, so the division is one lossless IEEE op), every power
+    // sum is a fixed-point fxsum (integer addition is order-independent —
+    // a plain sum(double^4) over a shuffled 100 TB input is run-order-
+    // dependent), and the CF constants are computed ONCE in Scala and
+    // interpolated as the same shortest-repr literal into both engines.
+    // The exact rank-based quantiles (the expensive truth this sketch
+    // replaces: one full per-group sort) run alongside as the accuracy
+    // check, with pure-integer rank thresholds (rn·20 ≥ 19·n) so both
+    // engines pick the identical order statistic. Plan shape: one
+    // combinable aggregate for the sketch (shuffle carries 5 longs per
+    // group), one sort-window pass for the truth, and a |groups|-row
+    // broadcast join to lay them side by side.
+    Q("ev_moments_quantile",
+      (s, dir) => {
+        val z = 1.6448536269514722 // Φ⁻¹(0.95)
+        val c1 = (z * z - 1.0) / 6.0
+        val c2 = (z * z * z - 3.0 * z) / 24.0
+        val c3 = -(2.0 * z * z * z - 5.0 * z) / 36.0
+        val c150 = -1.0 / 6.0 // CF p50 coefficient (z = 0)
+        val e = Tables.events(s, dir)
+        val w = col("value") / lit(512.0)
+        val sk = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          fxsum(w, 12).as("s1"),
+          fxsum(w * w, 12).as("s2"),
+          fxsum((w * w) * w, 12).as("s3"),
+          fxsum(((w * w) * w) * w, 12).as("s4"))
+        val m = sk
+          .withColumn("m1", col("s1") / col("n"))
+          .withColumn("m2", col("s2") / col("n"))
+          .withColumn("m3", col("s3") / col("n"))
+          .withColumn("m4", col("s4") / col("n"))
+          .withColumn("varc",
+            greatest(col("m2") - (col("m1") * col("m1")), lit(0.0)))
+          .withColumn("stdw", sqrt(col("varc")))
+          .withColumn("m3c",
+            (col("m3") - ((lit(3.0) * col("m2")) * col("m1"))) +
+              ((lit(2.0) * (col("m1") * col("m1"))) * col("m1")))
+          .withColumn("m4c",
+            ((col("m4") - ((lit(4.0) * col("m3")) * col("m1"))) +
+              ((lit(6.0) * col("m2")) * (col("m1") * col("m1")))) -
+              ((lit(3.0) * (col("m1") * col("m1"))) *
+                (col("m1") * col("m1"))))
+          .withColumn("skew",
+            col("m3c") / ((col("stdw") * col("stdw")) * col("stdw")))
+          .withColumn("kurt",
+            (col("m4c") / (col("varc") * col("varc"))) - lit(3.0))
+          .withColumn("q50w",
+            col("m1") + (col("stdw") * (lit(c150) * col("skew"))))
+          .withColumn("q95w",
+            col("m1") + (col("stdw") *
+              (((lit(z) + (lit(c1) * col("skew"))) +
+                (lit(c2) * col("kurt"))) +
+                (lit(c3) * (col("skew") * col("skew"))))))
+        // exact truth: one per-group sort, integer rank thresholds
+        val byV = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val ranked = e
+          .withColumn("rn", row_number().over(byV).cast("long"))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        val q50e = ranked.filter(col("rn") * 2 >= col("cnt"))
+          .groupBy(col("event_type")).agg(min(col("value")).as("q50_exact"))
+        val q95e = ranked.filter(col("rn") * 20 >= col("cnt") * 19)
+          .groupBy(col("event_type")).agg(min(col("value")).as("q95_exact"))
+        m.join(broadcast(q50e), "event_type")
+          .join(broadcast(q95e), "event_type")
+          .select(col("event_type"), col("n"),
+            (col("m1") * lit(512.0)).as("mean"),
+            (col("stdw") * lit(512.0)).as("std"),
+            col("skew"), col("kurt"),
+            (col("q50w") * lit(512.0)).as("q50_est"),
+            (col("q95w") * lit(512.0)).as("q95_est"),
+            col("q50_exact"), col("q95_exact"))
+      },
+      Some({
+        val z = 1.6448536269514722
+        val c1 = (z * z - 1.0) / 6.0
+        val c2 = (z * z * z - 3.0 * z) / 24.0
+        val c3 = -(2.0 * z * z * z - 5.0 * z) / 36.0
+        val c150 = -1.0 / 6.0
+        val wS = "(value / 512.0)"
+        s"""
+        WITH sk AS (
+          SELECT event_type, count(*) AS n,
+                 ${fxsumSql(wS, 12)} AS s1,
+                 ${fxsumSql(s"$wS * $wS", 12)} AS s2,
+                 ${fxsumSql(s"($wS * $wS) * $wS", 12)} AS s3,
+                 ${fxsumSql(s"(($wS * $wS) * $wS) * $wS", 12)} AS s4
+          FROM events GROUP BY event_type),
+        mm AS (
+          SELECT event_type, n,
+                 s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+          FROM sk),
+        ct AS (
+          SELECT *, greatest(m2 - (m1 * m1), 0.0) AS varc,
+                 sqrt(greatest(m2 - (m1 * m1), 0.0)) AS stdw,
+                 (m3 - ((3.0 * m2) * m1)) + ((2.0 * (m1 * m1)) * m1) AS m3c,
+                 ((m4 - ((4.0 * m3) * m1)) + ((6.0 * m2) * (m1 * m1)))
+                   - ((3.0 * (m1 * m1)) * (m1 * m1)) AS m4c
+          FROM mm),
+        sh AS (
+          SELECT *, m3c / ((stdw * stdw) * stdw) AS skew,
+                 (m4c / (varc * varc)) - 3.0 AS kurt
+          FROM ct),
+        qq AS (
+          SELECT *,
+                 m1 + (stdw * ($c150 * skew)) AS q50w,
+                 m1 + (stdw * ((($z + ($c1 * skew)) + ($c2 * kurt))
+                   + ($c3 * (skew * skew)))) AS q95w
+          FROM sh),
+        r AS (
+          SELECT event_type, value,
+                 CAST(row_number() OVER
+                   (PARTITION BY event_type ORDER BY value, event_id)
+                   AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events),
+        q50 AS (SELECT event_type, min(value) AS q50_exact
+                FROM r WHERE rn * 2 >= cnt GROUP BY 1),
+        q95 AS (SELECT event_type, min(value) AS q95_exact
+                FROM r WHERE rn * 20 >= cnt * 19 GROUP BY 1)
+        SELECT qq.event_type, n, m1 * 512.0 AS mean, stdw * 512.0 AS std,
+               skew, kurt, q50w * 512.0 AS q50_est, q95w * 512.0 AS q95_est,
+               q50_exact, q95_exact
+        FROM qq
+        JOIN q50 ON q50.event_type = qq.event_type
+        JOIN q95 ON q95.event_type = qq.event_type"""
+      }))
   )
 }

@@ -6,5 +6,6 @@ import graft.Q
 object Groups {
   def all: Seq[Q] =
     Relational.qs ++ Events.qs ++ Reference.qs ++
-      Dedup.qs ++ Text.qs ++ Similarity.qs ++ MultimodalQ.qs
+      Dedup.qs ++ Text.qs ++ Similarity.qs ++ MultimodalQ.qs ++
+      Retrieval.qs
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Retrieval-preparation operators over `documents`: the RAG-side of a
+  * training-data pipeline — fixed-stride token-window chunking (what a
+  * retrieval corpus actually indexes) and inverted-index construction
+  * (term → bounded posting list + collection statistics, the BM25
+  * precursor). Tokenization is single-sourced from TextOps.TokenRegex so
+  * these cannot drift from the text-analysis family.
+  */
+object Retrieval {
+
+  /** Chunk geometry: 64-token windows advancing 48 tokens (16-token
+    * overlap) — the standard overlapping-window RAG chunker. Shared by
+    * the query, its oracle (interpolated), and the spec.
+    */
+  private[graft] val ChunkTokens = 64
+  private[graft] val ChunkStride = 48
+
+  /** Posting-list cap: the index keeps the P smallest doc ids per term
+    * (plus EXACT df/cf over all docs) — bounded output per term no
+    * matter how common the term, the way a production index shards or
+    * tiers its long posting lists.
+    */
+  private[graft] val PostingsCap = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.sharded(s, dir, "documents")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- overlapping token-window chunking (RAG corpus preparation) --------
+    // Every document becomes ceil((n-C)/S)+1 chunks of ≤ C tokens whose
+    // starts advance by S — pure integer geometry, so both engines
+    // enumerate identical chunks. Plan shape: one narrow projection
+    // (tokenize → sequence → explode) with NO shuffle at all — chunking
+    // is embarrassingly parallel, and at 100 TB stays a map-only stage
+    // whose output feeds the embed/index stages directly. The oracle
+    // enumerates chunk ids with the constant-bound generate_series trick
+    // (512-token fixture invariant, asserted by Verify) and DuckDB's
+    // inclusive 1-based list slice mirrors Spark's slice(start, length).
+    Q("txt_chunks",
+      (s, dir) => {
+        val (c, st) = (ChunkTokens, ChunkStride)
+        docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .withColumn("n_chunks",
+            when(col("n_toks") <= c, lit(1L))
+              .otherwise(expr(s"1 + (n_toks - $c + ${st - 1}) div $st")))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * st + 1).as("start_tok"),
+            size(slice(col("toks"), (col("chunk_id") * st + 1).cast("int"), lit(c)))
+              .cast("long").as("chunk_len"),
+            concat_ws(" ",
+              slice(col("toks"), (col("chunk_id") * st + 1).cast("int"), lit(c)))
+              .as("chunk_text"))
+      },
+      Some {
+        val (c, st) = (ChunkTokens, ChunkStride)
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '${TextOps.TokenRegex}')
+                   AS toks
+          FROM documents),
+        n AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+                 CASE WHEN len(toks) <= $c THEN 1
+                      ELSE 1 + (len(toks) - $c + ${st - 1}) // $st
+                 END AS n_chunks
+          FROM t),
+        ch AS (
+          SELECT doc_id, toks, CAST(g.i AS BIGINT) AS chunk_id
+          FROM n CROSS JOIN generate_series(0, 511) AS g(i)
+          WHERE g.i < n_chunks)
+        SELECT doc_id, chunk_id,
+               chunk_id * $st + 1 AS start_tok,
+               CAST(len(toks[chunk_id * $st + 1 : chunk_id * $st + $c])
+                 AS BIGINT) AS chunk_len,
+               array_to_string(
+                 toks[chunk_id * $st + 1 : chunk_id * $st + $c], ' ')
+                 AS chunk_text
+        FROM ch"""
+      }),
+
+    // ---- inverted index construction (term → postings + df/cf) ------------
+    // The two-level aggregation shape: per-(term, doc) counts first (a
+    // combinable aggregate — the shuffle carries (term, doc) keys, never
+    // positions), then a per-term rank window caps the posting list to
+    // the P smallest doc ids BEFORE any collect, so no unbounded
+    // collect_list ever materializes a stopword's full posting list —
+    // that's what makes this the 100 TB shape (df/cf stay EXACT over all
+    // docs; only the stored list is tiered). The window and the final
+    // group share the term key, so the whole index build is one data
+    // exchange after the (term, doc) aggregate.
+    Q("txt_inverted_index",
+      (s, dir) => {
+        val p = PostingsCap
+        val td = docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("token"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        val byDoc = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+        td.withColumn("rn", row_number().over(byDoc))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+            concat_ws(",",
+              transform(
+                sort_array(collect_list(when(col("rn") <= p, col("doc_id")))),
+                _.cast("string"))).as("postings"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                   '${TextOps.TokenRegex}')) AS token
+          FROM documents),
+        td AS (
+          SELECT token, doc_id, count(*) AS c
+          FROM tok GROUP BY 1, 2),
+        rk AS (
+          SELECT *, row_number() OVER
+                   (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM td)
+        SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
+               array_to_string(
+                 list_sort(list(doc_id) FILTER (WHERE rn <= $PostingsCap)),
+                 ',') AS postings
+        FROM rk GROUP BY token"""))
+  )
+}

@@ -525,6 +525,101 @@ object Text {
                     ELSE CAST(len(sk) AS DOUBLE) END AS est_kmv
         FROM s""")),
 
+    // ---- KMV set algebra (theta-sketch-style union/intersection) ------------
+    // Distinct-set OPERATIONS from the same bottom-k sketches: for every
+    // language pair, the union estimate comes from merging the two
+    // sketches (the k smallest of A∪B are all contained in A's k ∪ B's k,
+    // so the merge is exact), and the intersection estimate is the
+    // classic KMV combinator — the fraction of the union sketch's minima
+    // present in BOTH input sketches, scaled by the union estimate
+    // (Beyer et al. 2007, "On Synopses for Distinct-Value Estimation").
+    // This is the unbounded-id-space counterpart to the exact
+    // ev_bitmap_retention algebra: sketches stay ≤ k longs per segment
+    // no matter the cardinality, the per-segment aggregation is map-side
+    // combinable, and the pairwise stage runs on |segments| rows — at
+    // production scale segments are domains/sources, so the pair frame
+    // is model-sized and broadcast. The exact truth (a distinct self-join
+    // on the hash — THE expensive path this sketch replaces at 100 TB)
+    // runs alongside as the accuracy check.
+    Q("txt_kmv_setops",
+      (s, dir) => {
+        val k = 64
+        val bk = udaf(new graft.functions.BottomKSketch(k))
+        val toks = docs(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+          .select(col("lang"),
+            conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val sk = toks.groupBy(col("lang"))
+          .agg(countDistinct(col("h")).as("n_exact"), bk(col("h")).as("sk"))
+        val pairs = sk.select(col("lang").as("lang_a"),
+            col("n_exact").as("n_a"), col("sk").as("ska"))
+          .join(broadcast(sk.select(col("lang").as("lang_b"),
+            col("n_exact").as("n_b"), col("sk").as("skb"))),
+            col("lang_a") < col("lang_b"))
+          .withColumn("u",
+            slice(array_sort(array_distinct(concat(col("ska"), col("skb")))),
+              1, k))
+        // exact truth: distinct (lang, h) equi-join — one shuffle on h
+        val dt = toks.distinct()
+        val ex = dt.as("x").join(dt.as("y"),
+            col("x.h") === col("y.h") && col("x.lang") < col("y.lang"))
+          .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+          .agg(count(lit(1)).as("n_inter_exact"))
+        val estUnion = when(size(col("u")) >= k,
+          lit((k - 1).toDouble * (1L << 60).toDouble) /
+            element_at(col("u"), k).cast("double"))
+          .otherwise(size(col("u")).cast("double"))
+        val shared = size(filter(col("u"), x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+        pairs.join(broadcast(ex), Seq("lang_a", "lang_b"), "left")
+          .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+          .withColumn("est_union", estUnion)
+          .withColumn("est_jaccard",
+            shared.cast("double") / size(col("u")).cast("double"))
+          .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+            col("n_inter_exact"),
+            (col("n_a") + col("n_b") - col("n_inter_exact")).as("n_union_exact"),
+            col("est_union"), col("est_jaccard"),
+            (col("est_jaccard") * col("est_union")).as("est_inter"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT lang,
+                 CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT lang, unnest(tokens) AS token FROM (${DocSql.toksSql}))),
+        s AS (
+          SELECT lang, count(DISTINCT h) AS n_exact,
+                 (list_sort(list(DISTINCT h)))[1:64] AS sk
+          FROM h GROUP BY lang),
+        d AS (SELECT DISTINCT lang, h FROM h),
+        ex AS (
+          SELECT x.lang AS lang_a, y.lang AS lang_b,
+                 count(*) AS n_inter_exact
+          FROM d x JOIN d y ON y.h = x.h AND x.lang < y.lang
+          GROUP BY 1, 2),
+        p AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b,
+                 a.n_exact AS n_a, b.n_exact AS n_b, a.sk AS ska, b.sk AS skb,
+                 (list_sort(list_distinct(list_concat(a.sk, b.sk))))[1:64] AS u
+          FROM s a JOIN s b ON a.lang < b.lang),
+        e AS (
+          SELECT lang_a, lang_b, n_a, n_b, ska, skb, u,
+                 CASE WHEN len(u) >= 64
+                      THEN 63.0 * 1152921504606846976.0
+                           / CAST(u[64] AS DOUBLE)
+                      ELSE CAST(len(u) AS DOUBLE) END AS est_union,
+                 CAST(len(list_filter(u, x -> list_contains(ska, x)
+                          AND list_contains(skb, x))) AS DOUBLE)
+                   / CAST(len(u) AS DOUBLE) AS est_jaccard
+          FROM p)
+        SELECT e.lang_a, e.lang_b, n_a, n_b,
+               coalesce(ex.n_inter_exact, 0) AS n_inter_exact,
+               n_a + n_b - coalesce(ex.n_inter_exact, 0) AS n_union_exact,
+               est_union, est_jaccard, est_jaccard * est_union AS est_inter
+        FROM e LEFT JOIN ex
+          ON ex.lang_a = e.lang_a AND ex.lang_b = e.lang_b""")),
+
     // ---- HyperLogLog cardinality sketch -------------------------------------
     // The fourth bounded-memory sketch family (KMV=cardinality-by-order-
     // statistic, count-min=frequency, Bloom=membership, HLL=cardinality-

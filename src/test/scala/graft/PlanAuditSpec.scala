@@ -28,7 +28,12 @@ class PlanAuditSpec extends SparkSpec {
       "mm_hybrid_neardup",
       // the (cohort-week ≥ active-week) grid join over two bitmap
       // aggregate tables — time-span-sized sides, never data-sized
-      "ev_bitmap_retention")
+      "ev_bitmap_retention",
+      // the pairwise (lang_a < lang_b) join over the per-segment KMV
+      // sketch table — |segments| rows a side (sketches are ≤ k longs),
+      // never data-sized; the corpus-sized work ends at the combinable
+      // sketch aggregate
+      "txt_kmv_setops")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

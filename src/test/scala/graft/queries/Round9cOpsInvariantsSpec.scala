@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-9c additions (KMV set algebra, the
+  * moments-sketch quantiles, RAG chunking, inverted-index build) —
+  * properties the DuckDB hash compare can't express: sketch estimates
+  * must track their exact counterparts within the sketch's accuracy
+  * class, chunk geometry must tile the token stream, and the index's
+  * statistics must agree with independent recomputation.
+  */
+class Round9cOpsInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("txt_kmv_setops: set identities hold, estimates track exact truth") {
+    val rows = run("txt_kmv_setops").collect()
+    assert(rows.length === 10) // C(5 langs, 2)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val inter = r.getAs[Long]("n_inter_exact")
+      val union = r.getAs[Long]("n_union_exact")
+      assert(inter >= 0 && inter <= math.min(na, nb))
+      assert(union === na + nb - inter) // inclusion–exclusion
+      assert(union >= math.max(na, nb))
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      // KMV with k=64 has ~1/sqrt(64) relative error; 3 sigma bound
+      val eu = r.getAs[Double]("est_union")
+      assert(math.abs(eu - union) / union < 0.4,
+        s"union estimate $eu too far from exact $union")
+      val ei = r.getAs[Double]("est_inter")
+      assert(ei >= 0.0)
+      assert(ei === j * eu)
+    }
+  }
+
+  test("ev_moments_quantile: moments match direct stats, estimates bracket") {
+    val rows = run("ev_moments_quantile").collect()
+    val e = Tables.events(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n")).sum === e.count())
+    // direct mean/std for one group, independent of the fixed-point path
+    val direct = e.filter(col("event_type") === "click")
+      .agg(avg(col("value")), stddev_pop(col("value"))).head
+    val click = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(math.abs(click.getAs[Double]("mean") - direct.getDouble(0)) < 1e-5)
+    assert(math.abs(click.getAs[Double]("std") - direct.getDouble(1)) < 1e-4)
+    rows.foreach { r =>
+      val (q50x, q95x) = (r.getAs[Double]("q50_exact"),
+        r.getAs[Double]("q95_exact"))
+      assert(q50x <= q95x)
+      // CF expansion over 4 moments is an approximation — hold it to the
+      // sketch's accuracy class (a few percent of the value range), not
+      // to exactness; the oracle hash already pins bit-identity.
+      val range = 500.0
+      assert(math.abs(r.getAs[Double]("q50_est") - q50x) / range < 0.15)
+      assert(math.abs(r.getAs[Double]("q95_est") - q95x) / range < 0.15)
+    }
+  }
+
+  test("txt_chunks: geometry tiles every document's token stream") {
+    val (c, st) = (Retrieval.ChunkTokens, Retrieval.ChunkStride)
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = run("txt_chunks").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === toks.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val n = toks(doc)
+      val expected = if (n <= c) 1 else 1 + ((n - c) + st - 1) / st
+      assert(rows.length === expected, s"doc $doc chunk count")
+      val byId = rows.sortBy(_.getAs[Long]("chunk_id"))
+      byId.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") === i.toLong)
+        val start = r.getAs[Long]("start_tok")
+        assert(start === i.toLong * st + 1)
+        val len = r.getAs[Long]("chunk_len")
+        assert(len === math.min(c.toLong, math.max(0L, n - start + 1)))
+        // the text really holds chunk_len tokens
+        val txt = r.getAs[String]("chunk_text")
+        assert((if (txt.isEmpty) 0 else txt.split(" ").length).toLong === len)
+      }
+      // the last chunk reaches the end of the stream: full coverage
+      val last = byId.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("chunk_len") - 1
+        === n.toLong)
+    }
+  }
+
+  test("txt_inverted_index: stats agree with direct recomputation") {
+    val p = Retrieval.PostingsCap
+    val idx = run("txt_inverted_index").collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    val tok = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    // global conservation: Σcf = token count, Σdf = |(term, doc) pairs|
+    assert(idx.values.map(_.getAs[Long]("cf")).sum === tok.count())
+    assert(idx.values.map(_.getAs[Long]("df")).sum ===
+      tok.distinct().count())
+    // spot-check one term end-to-end against a direct pass
+    val term = idx.keys.min
+    val docsWith = tok.filter(col("token") === term)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val r = idx(term)
+    assert(r.getAs[Long]("df") === docsWith.length.toLong)
+    val postings = r.getAs[String]("postings")
+    val ids = if (postings.isEmpty) Array.empty[Long]
+      else postings.split(",").map(_.toLong)
+    assert(ids.toSeq === docsWith.take(p).toSeq) // P smallest, sorted
+    idx.values.foreach { r =>
+      val np = if (r.getAs[String]("postings").isEmpty) 0
+        else r.getAs[String]("postings").split(",").length
+      assert(np.toLong === math.min(r.getAs[Long]("df"), p.toLong))
+    }
+  }
+}
