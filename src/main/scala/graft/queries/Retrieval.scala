@@ -135,6 +135,96 @@ object Retrieval {
                array_to_string(
                  list_sort(list(doc_id) FILTER (WHERE rn <= $PostingsCap)),
                  ',') AS postings
-        FROM rk GROUP BY token"""))
+        FROM rk GROUP BY token""")),
+
+    // ---- BM25 scoring (the index's ranking function) -----------------------
+    // Full Okapi BM25 (k1 = 1.2, b = 0.75) of every document against a
+    // fixed query-term set: idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)).
+    // Determinism discipline: idf's transcendental ln is quantized to
+    // an integer MICRO-idf immediately (round(ln·10⁶) — the only
+    // libm-sensitive op, and a micro-grid absorbs any sub-ulp
+    // cross-engine disagreement by 10 orders of magnitude); every other
+    // factor is rational with mirrored association, and the ≤|terms|
+    // per-doc sum is a fixed-point fxsum, so shuffle order can't flip a
+    // bit. Plan shape: the query-term filter lands ON THE SCAN side
+    // before any shuffle, so the tf table carries |hits| not |corpus|;
+    // df/idf and the (n_docs, avgdl) scalar are model-sized broadcasts;
+    // the only corpus-wide exchange is the per-doc length aggregate that
+    // BM25's normalization genuinely needs.
+    Q("txt_bm25",
+      (s, dir) => {
+        val (k1, b) = (1.2, 0.75)
+        val terms = Seq("the", "of", "and")
+        val tok = docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("token"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("total"))
+          .select(col("n_docs"),
+            (col("total").cast("double") / col("n_docs").cast("double"))
+              .as("avgdl"))
+        val tf = tok
+          .filter(col("token").isin(terms.map(_.asInstanceOf[Any]): _*))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_micro",
+            round(log((((col("n_docs").cast("double") -
+              col("df").cast("double")) + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))) + lit(1.0)) *
+              lit(1000000.0)).cast("long"))
+          .select(col("token"), col("df"), col("idf_micro"), col("avgdl"))
+        val scored = tf.join(broadcast(idf), "token")
+          .join(dl, "doc_id")
+          .withColumn("term_score",
+            (col("idf_micro").cast("double") / lit(1000000.0)) *
+              ((col("tf").cast("double") * lit(k1 + 1.0)) /
+                (col("tf").cast("double") + (lit(k1) * (lit(1.0 - b) +
+                  (lit(b) * (col("dl").cast("double") / col("avgdl"))))))))
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), max(col("dl")).as("dl"),
+            graft.Q.fxsum(col("term_score"), 9).as("score"))
+      },
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val termsSql = "('the', 'of', 'and')"
+        s"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                   '${TextOps.TokenRegex}')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dl),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM tok WHERE token IN $termsSql GROUP BY 1, 2),
+        idf AS (
+          SELECT token, count(*) AS df,
+                 CAST(round(ln((((CAST(s.n_docs AS DOUBLE) -
+                     CAST(count(*) AS DOUBLE)) + 0.5) /
+                     (CAST(count(*) AS DOUBLE) + 0.5)) + 1.0) * 1000000.0)
+                   AS BIGINT) AS idf_micro,
+                 s.avgdl AS avgdl
+          FROM tf CROSS JOIN stats s GROUP BY token, s.n_docs, s.avgdl),
+        scored AS (
+          SELECT t.doc_id, d.dl,
+                 (CAST(i.idf_micro AS DOUBLE) / 1000000.0) *
+                   ((CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+                     (CAST(t.tf AS DOUBLE) + ($k1 * (${1.0 - b} +
+                       ($b * (CAST(d.dl AS DOUBLE) / i.avgdl))))))
+                   AS term_score
+          FROM tf t
+          JOIN idf i ON i.token = t.token
+          JOIN dl d ON d.doc_id = t.doc_id)
+        SELECT doc_id, count(*) AS n_terms, max(dl) AS dl,
+               ${graft.Q.fxsumSql("term_score", 9)} AS score
+        FROM scored GROUP BY doc_id"""
+      })
   )
 }

@@ -91,6 +91,36 @@ class Round9cOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("txt_bm25: scores match a first-principles Scala recompute") {
+    val (k1, b) = (1.2, 0.75)
+    val terms = Set("the", "of", "and")
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t =>
+      t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def idf(t: String) =
+      math.round(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * 1e6) / 1e6
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val hits = toks.filter(terms)
+      if (hits.isEmpty) None
+      else Some(id -> hits.groupBy(identity).map { case (t, o) =>
+        val tf = o.length.toDouble
+        idf(t) * (tf * (k1 + 1.0)) /
+          (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+      }.sum)
+    }.toMap
+    val got = run("txt_bm25").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-6, s"doc $id") }
+  }
+
   test("txt_inverted_index: stats agree with direct recomputation") {
     val p = Retrieval.PostingsCap
     val idx = run("txt_inverted_index").collect()
