@@ -969,46 +969,15 @@ object Events {
     // broadcast join to lay them side by side.
     Q("ev_moments_quantile",
       (s, dir) => {
-        val z = 1.6448536269514722 // Φ⁻¹(0.95)
-        val c1 = (z * z - 1.0) / 6.0
-        val c2 = (z * z * z - 3.0 * z) / 24.0
-        val c3 = -(2.0 * z * z * z - 5.0 * z) / 36.0
-        val c150 = -1.0 / 6.0 // CF p50 coefficient (z = 0)
+        // sketch + CF fold are graft.streaming.StreamingMoments — ONE
+        // definition shared with the windowed streaming variant; the
+        // mergeability law (window-merged sums fold to THESE bits) is
+        // proven in StreamingMomentsSpec.
+        import graft.streaming.StreamingMoments
         val e = Tables.events(s, dir)
-        val w = col("value") / lit(512.0)
-        val sk = e.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n"),
-          fxsum(w, 12).as("s1"),
-          fxsum(w * w, 12).as("s2"),
-          fxsum((w * w) * w, 12).as("s3"),
-          fxsum(((w * w) * w) * w, 12).as("s4"))
-        val m = sk
-          .withColumn("m1", col("s1") / col("n"))
-          .withColumn("m2", col("s2") / col("n"))
-          .withColumn("m3", col("s3") / col("n"))
-          .withColumn("m4", col("s4") / col("n"))
-          .withColumn("varc",
-            greatest(col("m2") - (col("m1") * col("m1")), lit(0.0)))
-          .withColumn("stdw", sqrt(col("varc")))
-          .withColumn("m3c",
-            (col("m3") - ((lit(3.0) * col("m2")) * col("m1"))) +
-              ((lit(2.0) * (col("m1") * col("m1"))) * col("m1")))
-          .withColumn("m4c",
-            ((col("m4") - ((lit(4.0) * col("m3")) * col("m1"))) +
-              ((lit(6.0) * col("m2")) * (col("m1") * col("m1")))) -
-              ((lit(3.0) * (col("m1") * col("m1"))) *
-                (col("m1") * col("m1"))))
-          .withColumn("skew",
-            col("m3c") / ((col("stdw") * col("stdw")) * col("stdw")))
-          .withColumn("kurt",
-            (col("m4c") / (col("varc") * col("varc"))) - lit(3.0))
-          .withColumn("q50w",
-            col("m1") + (col("stdw") * (lit(c150) * col("skew"))))
-          .withColumn("q95w",
-            col("m1") + (col("stdw") *
-              (((lit(z) + (lit(c1) * col("skew"))) +
-                (lit(c2) * col("kurt"))) +
-                (lit(c3) * (col("skew") * col("skew"))))))
+        val aggs = StreamingMoments.sketchAggs(col("value"))
+        val m = StreamingMoments.quantiles(
+          e.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*))
         // exact truth: one per-group sort, integer rank thresholds
         val byV = Window.partitionBy(col("event_type"))
           .orderBy(col("value"), col("event_id"))
@@ -1022,20 +991,19 @@ object Events {
           .groupBy(col("event_type")).agg(min(col("value")).as("q95_exact"))
         m.join(broadcast(q50e), "event_type")
           .join(broadcast(q95e), "event_type")
-          .select(col("event_type"), col("n"),
-            (col("m1") * lit(512.0)).as("mean"),
-            (col("stdw") * lit(512.0)).as("std"),
-            col("skew"), col("kurt"),
-            (col("q50w") * lit(512.0)).as("q50_est"),
-            (col("q95w") * lit(512.0)).as("q95_est"),
+          .select(col("event_type"), col("n"), col("mean"), col("std"),
+            col("skew"), col("kurt"), col("q50_est"), col("q95_est"),
             col("q50_exact"), col("q95_exact"))
       },
       Some({
-        val z = 1.6448536269514722
-        val c1 = (z * z - 1.0) / 6.0
-        val c2 = (z * z * z - 3.0 * z) / 24.0
-        val c3 = -(2.0 * z * z * z - 5.0 * z) / 36.0
-        val c150 = -1.0 / 6.0
+        // constants single-sourced from the shared kernel so the oracle
+        // cannot drift from what the engine folds
+        import graft.streaming.StreamingMoments._
+        val z = Z95
+        val c1 = C1
+        val c2 = C2
+        val c3 = C3
+        val c150 = C150
         val wS = "(value / 512.0)"
         s"""
         WITH sk AS (
