@@ -1051,6 +1051,49 @@ object Events {
         FROM qq
         JOIN q50 ON q50.event_type = qq.event_type
         JOIN q95 ON q95.event_type = qq.event_type"""
-      }))
+      })),
+
+    // ---- temporal train/eval split (leakage-safe sequential holdout) -------
+    // The split a SEQUENTIAL model needs: per user, the LAST 20% of
+    // events (by event time) become eval, the rest train — unlike the
+    // reference's random 70/15/15 (O6), no future event can leak into a
+    // training prefix, by construction: eval iff rn > (n·4) div 5 over
+    // the (ems, event_id)-ordered stream, pure integer arithmetic both
+    // engines share. Plan shape: one user_id exchange for the ordering
+    // window, then a combinable accounting aggregate; the per-user
+    // boundary invariant (max train time ≤ min eval time) is asserted in
+    // the spec, not recomputed here.
+    Q("ev_temporal_split",
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(byTime).cast("long"))
+          .withColumn("n_user", count(lit(1)).over(
+            Window.partitionBy(col("user_id"))))
+          .withColumn("dataset",
+            when(col("rn") > call_function("div",
+              col("n_user") * 4, lit(5L)), "eval").otherwise("train"))
+          .groupBy(col("dataset"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("ems")).as("min_ems"), max(col("ems")).as("max_ems"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, user_id, epoch_ms(ts) AS ems,
+                 CAST(row_number() OVER
+                   (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                   AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_user
+          FROM events),
+        d AS (
+          SELECT *, CASE WHEN rn > (n_user * 4) // 5
+                         THEN 'eval' ELSE 'train' END AS dataset
+          FROM r)
+        SELECT dataset, event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               min(ems) AS min_ems, max(ems) AS max_ems
+        FROM d GROUP BY 1, 2"""))
   )
 }

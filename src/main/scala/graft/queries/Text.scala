@@ -1481,6 +1481,59 @@ object Text {
                  AS precision_milli,
                CAST((tp * 1000) // greatest(tp + fn, 1) AS BIGINT)
                  AS recall_milli
-        FROM conf"""))
+        FROM conf""")),
+
+    // ---- collocation mining (PMI-ranked bigram association) ----------------
+    // Top-20 bigrams by association LIFT = P(ab)/(P(a)P(b)) — kept as
+    // exact integer milli-lift ((c_ab·T·1000) div (c_a·c_b)); PMI is
+    // log2(lift), a monotone transform, so the RANKING is exactly the
+    // PMI ranking while every score stays engine-portable integer
+    // arithmetic (the txt_surprisal discipline). Plan shape: the two
+    // count tables (unigram + bigram) are combinable aggregates; the
+    // bigram total is a 1-row broadcast cross-join; the marginal joins
+    // key on the word — at corpus scale both sides arrive hash-
+    // partitioned on their join keys from the aggregates. min-count ≥ 5
+    // is the standard noise floor, applied BEFORE the joins so rare
+    // pairs never shuffle.
+    Q("txt_collocations",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val uni = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        val bi = TextOps.explodedShingles(d, 2)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+          .crossJoin(broadcast(TextOps.explodedShingles(d, 2)
+            .agg(count(lit(1)).as("t_pairs"))))
+          .withColumn("w1", substring_index(col("shingle"), " ", 1))
+          .withColumn("w2", substring_index(col("shingle"), " ", -1))
+        bi.join(uni.select(col("token").as("w1"), col("c").as("c_a")), "w1")
+          .join(uni.select(col("token").as("w2"), col("c").as("c_b")), "w2")
+          .withColumn("lift_milli", call_function("div",
+            (col("c_ab") * col("t_pairs")) * 1000,
+            col("c_a") * col("c_b")))
+          .select(col("shingle").as("bigram"), col("c_ab"), col("c_a"),
+            col("c_b"), col("lift_milli"))
+          .orderBy(col("lift_milli").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some(s"""
+        WITH uni AS (
+          SELECT token, count(*) AS c
+          FROM (SELECT unnest(tokens) AS token FROM (${DocSql.toksSql}))
+          GROUP BY token),
+        bi AS (
+          SELECT shingle, count(*) AS c_ab,
+                 CAST(sum(count(*)) OVER () AS BIGINT) AS t_pairs
+          FROM (${DocSql.shinglesSql(2)})
+          GROUP BY shingle)
+        SELECT b.shingle AS bigram, b.c_ab, a1.c AS c_a, a2.c AS c_b,
+               CAST(((b.c_ab * b.t_pairs) * 1000) // (a1.c * a2.c)
+                 AS BIGINT) AS lift_milli
+        FROM bi b
+        JOIN uni a1 ON a1.token = split_part(b.shingle, ' ', 1)
+        JOIN uni a2 ON a2.token = split_part(b.shingle, ' ', 2)
+        WHERE b.c_ab >= 5
+        ORDER BY lift_milli DESC, bigram ASC LIMIT 20"""))
   )
 }

@@ -91,6 +91,54 @@ class Round9cOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("txt_collocations: lift matches first-principles recompute, PMI order") {
+    val rows = run("txt_collocations").collect()
+    assert(rows.length <= 20)
+    // integer recompute from raw token streams
+    val toks = Tables(spark, sfDir, "documents")
+      .select(TextOps.tokens(col("text")).as("t")).collect()
+      .map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val bis = toks.flatMap(t => t.zip(t.drop(1)).map(p => s"${p._1} ${p._2}"))
+    val biC = bis.groupBy(identity).view.mapValues(_.size.toLong)
+    val t = bis.length.toLong
+    val lifts = rows.map(_.getAs[Long]("lift_milli"))
+    assert(lifts.sorted.reverse.toSeq === lifts.toSeq) // ranked desc
+    rows.foreach { r =>
+      val bg = r.getAs[String]("bigram")
+      val Array(a, b) = bg.split(" ")
+      assert(r.getAs[Long]("c_ab") === biC(bg))
+      assert(r.getAs[Long]("c_ab") >= 5)
+      assert(r.getAs[Long]("c_a") === uni(a))
+      assert(r.getAs[Long]("c_b") === uni(b))
+      assert(r.getAs[Long]("lift_milli") ===
+        (biC(bg) * t * 1000) / (uni(a) * uni(b)))
+    }
+  }
+
+  test("ev_temporal_split: no future leaks into train, 20% holdout") {
+    val rows = run("ev_temporal_split").collect()
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ems"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_.getAs[Long]("n_events")).sum === e.length.toLong)
+    // recompute the split per user; the boundary law must hold exactly
+    val byUser = e.groupBy(_._1)
+    var evalTotal = 0L
+    byUser.foreach { case (_, evs) =>
+      val ordered = evs.sortBy(x => (x._2, x._3))
+      val n = ordered.length.toLong
+      val nTrain = n * 4 / 5
+      val (train, eval) = ordered.splitAt(nTrain.toInt)
+      evalTotal += eval.length
+      if (train.nonEmpty && eval.nonEmpty)
+        assert(train.map(_._2).max <= eval.map(_._2).min) // leakage-free
+      assert(eval.length.toLong === n - nTrain) // ≈20%, ceil side
+    }
+    assert(rows.filter(_.getAs[String]("dataset") == "eval")
+      .map(_.getAs[Long]("n_events")).sum === evalTotal)
+  }
+
   test("txt_bm25: scores match a first-principles Scala recompute") {
     val (k1, b) = (1.2, 0.75)
     val terms = Set("the", "of", "and")
