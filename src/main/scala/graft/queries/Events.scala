@@ -978,19 +978,22 @@ object Events {
         val aggs = StreamingMoments.sketchAggs(col("value"))
         val m = StreamingMoments.quantiles(
           e.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*))
-        // exact truth: one per-group sort, integer rank thresholds
+        // exact truth: ONE per-group sort-window pass, both order
+        // statistics pulled out as conditional mins in a single
+        // combinable aggregate (integer rank thresholds) — not one
+        // window + filter + join per quantile
         val byV = Window.partitionBy(col("event_type"))
           .orderBy(col("value"), col("event_id"))
-        val ranked = e
+        val exact = e
           .withColumn("rn", row_number().over(byV).cast("long"))
           .withColumn("cnt",
             count(lit(1)).over(Window.partitionBy(col("event_type"))))
-        val q50e = ranked.filter(col("rn") * 2 >= col("cnt"))
-          .groupBy(col("event_type")).agg(min(col("value")).as("q50_exact"))
-        val q95e = ranked.filter(col("rn") * 20 >= col("cnt") * 19)
-          .groupBy(col("event_type")).agg(min(col("value")).as("q95_exact"))
-        m.join(broadcast(q50e), "event_type")
-          .join(broadcast(q95e), "event_type")
+          .groupBy(col("event_type"))
+          .agg(min(when(col("rn") * 2 >= col("cnt"), col("value")))
+            .as("q50_exact"),
+            min(when(col("rn") * 20 >= col("cnt") * 19, col("value")))
+              .as("q95_exact"))
+        m.join(broadcast(exact), "event_type")
           .select(col("event_type"), col("n"), col("mean"), col("std"),
             col("skew"), col("kurt"), col("q50_est"), col("q95_est"),
             col("q50_exact"), col("q95_exact"))
@@ -1041,16 +1044,17 @@ object Events {
                    AS BIGINT) AS rn,
                  count(*) OVER (PARTITION BY event_type) AS cnt
           FROM events),
-        q50 AS (SELECT event_type, min(value) AS q50_exact
-                FROM r WHERE rn * 2 >= cnt GROUP BY 1),
-        q95 AS (SELECT event_type, min(value) AS q95_exact
-                FROM r WHERE rn * 20 >= cnt * 19 GROUP BY 1)
+        ex AS (
+          SELECT event_type,
+                 min(CASE WHEN rn * 2 >= cnt THEN value END) AS q50_exact,
+                 min(CASE WHEN rn * 20 >= cnt * 19 THEN value END)
+                   AS q95_exact
+          FROM r GROUP BY 1)
         SELECT qq.event_type, n, m1 * 512.0 AS mean, stdw * 512.0 AS std,
                skew, kurt, q50w * 512.0 AS q50_est, q95w * 512.0 AS q95_est,
                q50_exact, q95_exact
         FROM qq
-        JOIN q50 ON q50.event_type = qq.event_type
-        JOIN q95 ON q95.event_type = qq.event_type"""
+        JOIN ex ON ex.event_type = qq.event_type"""
       })),
 
     // ---- temporal train/eval split (leakage-safe sequential holdout) -------
