@@ -153,39 +153,62 @@ object Retrieval {
     // BM25's normalization genuinely needs.
     Q("txt_bm25",
       (s, dir) => {
+        import graft.ops.Materialize._
         val (k1, b) = (1.2, 0.75)
         val terms = Seq("the", "of", "and")
-        val tok = docs(s, dir)
+        // ONE corpus tokenize pass: the fixed query-term set pivots into
+        // per-doc tf columns alongside dl in a single combinable
+        // aggregate (the naive per-table formulation costs FOUR corpus
+        // scans — dl, avgdl, tf, df — Spark does not dedupe repeated
+        // lineage without materialization). perDoc is |docs| rows, so
+        // materializing it to feed both the stats fold and the scoring
+        // projection is the cheap side of the trade at any scale.
+        val perDoc = docs(s, dir)
           .select(col("doc_id"),
             explode(TextOps.tokens(col("text"))).as("token"))
-        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-            sum(col("dl")).as("total"))
-          .select(col("n_docs"),
-            (col("total").cast("double") / col("n_docs").cast("double"))
-              .as("avgdl"))
-        val tf = tok
-          .filter(col("token").isin(terms.map(_.asInstanceOf[Any]): _*))
-          .groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("tf"))
-        val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(stats))
-          .withColumn("idf_micro",
-            round(log((((col("n_docs").cast("double") -
-              col("df").cast("double")) + lit(0.5)) /
-              (col("df").cast("double") + lit(0.5))) + lit(1.0)) *
-              lit(1000000.0)).cast("long"))
-          .select(col("token"), col("df"), col("idf_micro"), col("avgdl"))
-        val scored = tf.join(broadcast(idf), "token")
-          .join(dl, "doc_id")
-          .withColumn("term_score",
-            (col("idf_micro").cast("double") / lit(1000000.0)) *
-              ((col("tf").cast("double") * lit(k1 + 1.0)) /
-                (col("tf").cast("double") + (lit(k1) * (lit(1.0 - b) +
-                  (lit(b) * (col("dl").cast("double") / col("avgdl"))))))))
-        scored.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"), max(col("dl")).as("dl"),
-            graft.Q.fxsum(col("term_score"), 9).as("score"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dl"),
+            terms.map(t =>
+              sum(when(col("token") === t, 1L).otherwise(0L))
+                .as(s"tf_$t")): _*)
+          .materialize()
+        // model-sized fold (1 row: corpus size, total length, per-term
+        // document frequencies) — the lrTrain collect discipline
+        val gAggs = Seq(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total")) ++
+          terms.map(t => sum((col(s"tf_$t") > 0).cast("long"))
+            .as(s"df_$t"))
+        val g = perDoc.agg(gAggs.head, gAggs.tail: _*).head
+        val nDocs = g.getAs[Long]("n_docs")
+        val avgdl = g.getAs[Long]("total").toDouble / nDocs.toDouble
+        // idf on the same micro-grid the oracle uses; Scala's ln and one
+        // IEEE division reproduce the SQL tree exactly
+        val idfW = terms.map { t =>
+          val df = g.getAs[Long](s"df_$t")
+          val micro = math.round(math.log(
+            ((nDocs.toDouble - df.toDouble) + 0.5) /
+              (df.toDouble + 0.5) + 1.0) * 1000000.0)
+          t -> micro.toDouble / 1000000.0
+        }.toMap
+        // per-term scores as narrow columns; the ≤|terms| "sum" is a
+        // fixed-point integer addition in column space (order-free by
+        // construction), matching the oracle's fxsum over term rows
+        def quant(t: String) = {
+          val tfd = col(s"tf_$t").cast("double")
+          round((lit(idfW(t)) *
+            ((tfd * lit(k1 + 1.0)) /
+              (tfd + (lit(k1) * (lit(1.0 - b) +
+                (lit(b) * (col("dl").cast("double") / lit(avgdl)))))))) *
+            lit(1e9)).cast("long")
+        }
+        perDoc
+          .withColumn("n_terms",
+            terms.map(t => (col(s"tf_$t") > 0).cast("long"))
+              .reduce(_ + _))
+          .filter(col("n_terms") > 0)
+          .withColumn("score",
+            terms.map(quant).reduce(_ + _) / lit(1e9))
+          .select(col("doc_id"), col("n_terms"), col("dl"), col("score"))
       },
       Some {
         val (k1, b) = (1.2, 0.75)

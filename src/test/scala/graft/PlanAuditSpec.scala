@@ -35,9 +35,8 @@ class PlanAuditSpec extends SparkSpec {
       // sketch aggregate
       "txt_kmv_setops",
       // txt_surprisal's 1-row broadcast corpus-total shape: the bigram
-      // total (txt_collocations) / the (n_docs, avgdl) scalar (txt_bm25)
-      // cross the aggregate tables as single-row broadcasts
-      "txt_collocations", "txt_bm25")
+      // total crosses the bigram-count table as a single-row broadcast
+      "txt_collocations")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
