@@ -111,5 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // HOF dot product → FixedPointDot (see DotProductRewrite scaladoc)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // whole-operator extension: plans plans.AsOfJoinNode → AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
