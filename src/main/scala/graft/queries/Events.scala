@@ -280,6 +280,41 @@ object Events {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND c.c_ems <= p.ems""")),
 
+    // ---- the SAME as-of lookup through the native physical operator --------
+    // ev_asof's exact query, executed by plans.AsOfJoinExec (the custom
+    // LogicalPlan → SparkStrategy → SparkPlan whole-operator extension:
+    // one hash exchange + sort per side, then a single-pass per-partition
+    // merge) instead of the union-and-fill window. Identical oracle:
+    // DuckDB's own ASOF LEFT JOIN is the judge for BOTH forms, which
+    // puts the custom operator's runtime under the correctness gate, not
+    // just its spec.
+    Q("ev_asof_native",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ems"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ems").as("c_ems"), col("event_id"))
+          .groupBy(col("user_id"), col("c_ems"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.plans.NativeAsOf
+          .asOf(purchases, clicks, "user_id", "ems", "c_ems")
+          .select(col("user_id"), col("event_id"), col("ems"),
+            col("r_c_ems").as("click_ms"), col("r_click_id").as("click_id"),
+            (col("ems") - col("r_c_ems")).as("gap_ms"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS c_ems, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.user_id, p.event_id, p.ems, c.c_ems AS click_ms,
+               c.click_id, p.ems - c.c_ems AS gap_ms
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.c_ems <= p.ems""")),
+
     // ---- range join: purchases within ±1h of each error --------------------
     // ops.RangeJoin — bin-bucketed equi-join, not BNLJ: intervals explode
     // to 2h bins, points map to one bin, exact predicate after. The
