@@ -96,6 +96,59 @@ object Events {
       col("event_id")).cast("binary")), 1, 15), 16, 10).cast("long"),
       lit(1800000L))
 
+  /** DuckDB mirror of `StreamingMoments.sketchAggs` + `quantiles` over a
+    * `src` relation grouped by `keys` — the sk→mm→ct→sh→qq CTE chain
+    * (ends in `qq`: keys, n, m1.., stdw, skew, kurt, q50w, q95w).
+    * Shared by the ev_moments_quantile and ev_moments_window oracles so
+    * the fold cannot drift between grains; CF constants single-sourced
+    * from the kernel object.
+    */
+  /** A Scala double as a DuckDB DOUBLE literal. A bare 17-digit decimal
+    * literal parses as DECIMAL(17,16) and its decimal→double CONVERSION
+    * can double-round one ulp away from the correctly-rounded string
+    * parse (bit C3 of the CF constants: flipped exactly 1 of 150 rows
+    * in ev_moments_window before this). An exponent suffix makes the
+    * literal DOUBLE-typed at parse time — bit-identical to Scala's.
+    */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  private def momentsCfSql(src: String, keys: String): String = {
+    import graft.streaming.StreamingMoments._
+    val wS = "(value / 512.0)"
+    s"""sk AS (
+          SELECT $keys, count(*) AS n,
+                 ${fxsumSql(wS, 12)} AS s1,
+                 ${fxsumSql(s"$wS * $wS", 12)} AS s2,
+                 ${fxsumSql(s"($wS * $wS) * $wS", 12)} AS s3,
+                 ${fxsumSql(s"(($wS * $wS) * $wS) * $wS", 12)} AS s4
+          FROM $src GROUP BY $keys),
+        mm AS (
+          SELECT $keys, n,
+                 s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+          FROM sk),
+        ct AS (
+          SELECT *, greatest(m2 - (m1 * m1), 0.0) AS varc,
+                 sqrt(greatest(m2 - (m1 * m1), 0.0)) AS stdw,
+                 (m3 - ((3.0 * m2) * m1)) + ((2.0 * (m1 * m1)) * m1) AS m3c,
+                 ((m4 - ((4.0 * m3) * m1)) + ((6.0 * m2) * (m1 * m1)))
+                   - ((3.0 * (m1 * m1)) * (m1 * m1)) AS m4c
+          FROM mm),
+        sh AS (
+          SELECT *, m3c / ((stdw * stdw) * stdw) AS skew,
+                 (m4c / (varc * varc)) - 3.0 AS kurt
+          FROM ct),
+        qq AS (
+          SELECT *,
+                 m1 + (stdw * (${dlit(C150)} * skew)) AS q50w,
+                 m1 + (stdw * (((${dlit(Z95)} + (${dlit(C1)} * skew))
+                   + (${dlit(C2)} * kurt))
+                   + (${dlit(C3)} * (skew * skew)))) AS q95w
+          FROM sh)"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- tumbling window aggregate (O10 with period == size) -------------
@@ -1034,44 +1087,8 @@ object Events {
             col("q50_exact"), col("q95_exact"))
       },
       Some({
-        // constants single-sourced from the shared kernel so the oracle
-        // cannot drift from what the engine folds
-        import graft.streaming.StreamingMoments._
-        val z = Z95
-        val c1 = C1
-        val c2 = C2
-        val c3 = C3
-        val c150 = C150
-        val wS = "(value / 512.0)"
         s"""
-        WITH sk AS (
-          SELECT event_type, count(*) AS n,
-                 ${fxsumSql(wS, 12)} AS s1,
-                 ${fxsumSql(s"$wS * $wS", 12)} AS s2,
-                 ${fxsumSql(s"($wS * $wS) * $wS", 12)} AS s3,
-                 ${fxsumSql(s"(($wS * $wS) * $wS) * $wS", 12)} AS s4
-          FROM events GROUP BY event_type),
-        mm AS (
-          SELECT event_type, n,
-                 s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
-          FROM sk),
-        ct AS (
-          SELECT *, greatest(m2 - (m1 * m1), 0.0) AS varc,
-                 sqrt(greatest(m2 - (m1 * m1), 0.0)) AS stdw,
-                 (m3 - ((3.0 * m2) * m1)) + ((2.0 * (m1 * m1)) * m1) AS m3c,
-                 ((m4 - ((4.0 * m3) * m1)) + ((6.0 * m2) * (m1 * m1)))
-                   - ((3.0 * (m1 * m1)) * (m1 * m1)) AS m4c
-          FROM mm),
-        sh AS (
-          SELECT *, m3c / ((stdw * stdw) * stdw) AS skew,
-                 (m4c / (varc * varc)) - 3.0 AS kurt
-          FROM ct),
-        qq AS (
-          SELECT *,
-                 m1 + (stdw * ($c150 * skew)) AS q50w,
-                 m1 + (stdw * ((($z + ($c1 * skew)) + ($c2 * kurt))
-                   + ($c3 * (skew * skew)))) AS q95w
-          FROM sh),
+        WITH ${momentsCfSql("events", "event_type")},
         r AS (
           SELECT event_type, value,
                  CAST(row_number() OVER
@@ -1091,6 +1108,36 @@ object Events {
         FROM qq
         JOIN ex ON ex.event_type = qq.event_type"""
       })),
+
+    // ---- the per-day moments grid (the streaming sketch's batch form) ------
+    // StreamingMoments.windowedSketch's exact batch shape under the
+    // oracle: one combinable (day, type) sketch aggregate + the shared
+    // CF fold — the daily quantile-tracking table an ops dashboard
+    // maintains online (StreamingMomentsSpec proves the streamed rows
+    // match this aggregation bit-for-bit, and that these per-day
+    // sketches MERGE by addition into ev_moments_quantile's global
+    // bits). One shuffle carrying 5 longs per (day, type); no truth
+    // pass here — the global query carries the accuracy check.
+    Q("ev_moments_window",
+      (s, dir) => {
+        import graft.streaming.StreamingMoments
+        val aggs = StreamingMoments.sketchAggs(col("value"))
+        StreamingMoments.quantiles(
+          Tables.events(s, dir)
+            .withColumn("day", expr("ems div 86400000"))
+            .groupBy(col("day"), col("event_type"))
+            .agg(aggs.head, aggs.tail: _*))
+          .select(col("day"), col("event_type"), col("n"), col("mean"),
+            col("std"), col("q50_est"), col("q95_est"))
+      },
+      Some(s"""
+        WITH ${momentsCfSql(
+          "(SELECT *, epoch_ms(ts) // 86400000 AS day FROM events)",
+          "day, event_type")}
+        SELECT day, event_type, n, m1 * 512.0 AS mean,
+               stdw * 512.0 AS std, q50w * 512.0 AS q50_est,
+               q95w * 512.0 AS q95_est
+        FROM qq""")),
 
     // ---- temporal train/eval split (leakage-safe sequential holdout) -------
     // The split a SEQUENTIAL model needs: per user, the LAST 20% of
