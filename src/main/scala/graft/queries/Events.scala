@@ -137,8 +137,12 @@ object Events {
                    - ((3.0 * (m1 * m1)) * (m1 * m1)) AS m4c
           FROM mm),
         sh AS (
-          SELECT *, m3c / ((stdw * stdw) * stdw) AS skew,
-                 (m4c / (varc * varc)) - 3.0 AS kurt
+          SELECT *, CASE WHEN stdw > 0.0
+                         THEN m3c / ((stdw * stdw) * stdw)
+                         ELSE 0.0 END AS skew,
+                 CASE WHEN varc > 0.0
+                      THEN (m4c / (varc * varc)) - 3.0
+                      ELSE 0.0 END AS kurt
           FROM ct),
         qq AS (
           SELECT *,
@@ -1138,6 +1142,141 @@ object Events {
                stdw * 512.0 AS std, q50w * 512.0 AS q50_est,
                q95w * 512.0 AS q95_est
         FROM qq""")),
+
+    // ---- funnel latency: time-to-convert by signup cohort ------------------
+    // Per signup-cohort-week, the signup→purchase latency distribution:
+    // the moments-sketch p50/p95 (the shared StreamingMoments kernel on
+    // a third grain — global, per-day, now per-cohort — one kernel,
+    // three grains) next to the exact rank quantiles. Latency is carried
+    // in DAYS so the kernel's 2⁹ pre-scale keeps every power ≪ 1 and
+    // the fixed-point sums far from overflow at any cohort size. Plan
+    // shape: two per-user first-event aggregates (combinable) joined on
+    // user_id, then one combinable (week) sketch aggregate + one
+    // sort-window truth pass over conversion-sized (not event-sized)
+    // rows.
+    Q("ev_funnel_latency",
+      (s, dir) => {
+        import graft.streaming.StreamingMoments
+        val e = Tables.events(s, dir)
+        def first(t: String, as: String) =
+          e.filter(col("event_type") === t)
+            .groupBy(col("user_id")).agg(min(col("ems")).as(as))
+        val lat = first("signup", "s_ems")
+          .join(first("purchase", "p_ems"), "user_id")
+          .filter(col("p_ems") >= col("s_ems"))
+          .withColumn("week", expr("s_ems div 604800000"))
+          .withColumn("lat_days",
+            (col("p_ems") - col("s_ems")).cast("double") / lit(86400000.0))
+        val aggs = StreamingMoments.sketchAggs(col("lat_days"))
+        val sk = StreamingMoments.quantiles(
+          lat.groupBy(col("week")).agg(aggs.head, aggs.tail: _*))
+        val byV = Window.partitionBy(col("week"))
+          .orderBy(col("lat_days"), col("user_id"))
+        val exact = lat
+          .withColumn("rn", row_number().over(byV).cast("long"))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("week"))))
+          .groupBy(col("week"))
+          .agg(min(when(col("rn") * 2 >= col("cnt"), col("lat_days")))
+            .as("q50_exact"),
+            min(when(col("rn") * 20 >= col("cnt") * 19, col("lat_days")))
+              .as("q95_exact"))
+        sk.join(broadcast(exact), "week")
+          .select(col("week"), col("n"), col("mean"), col("std"),
+            col("q50_est"), col("q95_est"),
+            col("q50_exact"), col("q95_exact"))
+      },
+      Some {
+        val src = """
+          (SELECT s.user_id, s.s_ems // 604800000 AS week,
+                  CAST(p.p_ems - s.s_ems AS DOUBLE) / 86400000.0 AS value
+           FROM (SELECT user_id, min(epoch_ms(ts)) AS s_ems FROM events
+                 WHERE event_type = 'signup' GROUP BY 1) s
+           JOIN (SELECT user_id, min(epoch_ms(ts)) AS p_ems FROM events
+                 WHERE event_type = 'purchase' GROUP BY 1) p
+             ON p.user_id = s.user_id
+           WHERE p.p_ems >= s.s_ems)"""
+        s"""
+        WITH ${momentsCfSql(src, "week")},
+        r AS (
+          SELECT week, value,
+                 CAST(row_number() OVER
+                   (PARTITION BY week ORDER BY value, user_id)
+                   AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY week) AS cnt
+          FROM $src),
+        ex AS (
+          SELECT week,
+                 min(CASE WHEN rn * 2 >= cnt THEN value END) AS q50_exact,
+                 min(CASE WHEN rn * 20 >= cnt * 19 THEN value END)
+                   AS q95_exact
+          FROM r GROUP BY 1)
+        SELECT qq.week, n, m1 * 512.0 AS mean, stdw * 512.0 AS std,
+               q50w * 512.0 AS q50_est, q95w * 512.0 AS q95_est,
+               q50_exact, q95_exact
+        FROM qq JOIN ex ON ex.week = qq.week"""
+      }),
+
+    // ---- seasonality: hour-of-day uniformity (integer chi-square) ----------
+    // Per event type, the 24-bin hour-of-day profile reduced to a
+    // chi-square uniformity statistic — kept ENTIRELY in integers:
+    // χ² = Σ(obs − n/24)²/(n/24) = Σ(24·obs − n)² / (24·n), so
+    // chi2_milli = (1000·Σ(24·obs − n)²) div (24·n) is exact where a
+    // float expectation would drift. The verdict flag compares against
+    // the χ²₀.₉₉₉(23 dof) ≈ 49.728 critical value as an integer
+    // millis literal. Two combinable aggregates ((type, hour) counts,
+    // then per-type fold) — the peak hour is the min hour among max
+    // bins, a deterministic argmax.
+    Q("ev_seasonality",
+      (s, dir) => {
+        val bins = Tables.events(s, dir)
+          .withColumn("hour", expr("(ems div 3600000) % 24"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("obs"))
+        // windows run over the |types|×24 aggregate table (model-sized,
+        // the ev_transitions exemption), never the event stream
+        val wT = Window.partitionBy(col("event_type"))
+        val en = bins
+          .withColumn("n", sum(col("obs")).over(wT))
+          .withColumn("mx", max(col("obs")).over(wT))
+        en.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            count(lit(1)).as("n_hours"),
+            sum((col("obs") * 24 - col("n")) * (col("obs") * 24 - col("n")))
+              .as("chi2_num"),
+            max(col("obs")).as("peak_obs"),
+            min(when(col("obs") === col("mx"), col("hour"))).as("peak_hour"))
+          // empty bins contribute (24·0 − n)² = n² each
+          .withColumn("chi2_milli", expr(
+            "((chi2_num + (24 - n_hours) * (n * n)) * 1000) div (24 * n)"))
+          .select(col("event_type"), col("n"), col("chi2_milli"),
+            col("peak_hour"), col("peak_obs"),
+            (col("chi2_milli") > 49728L).as("nonuniform"))
+      },
+      Some("""
+        WITH bins AS (
+          SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour,
+                 count(*) AS obs
+          FROM events GROUP BY 1, 2),
+        en AS (
+          SELECT *, CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n,
+                 max(obs) OVER (PARTITION BY event_type) AS mx
+          FROM bins),
+        f AS (
+          SELECT event_type, max(n) AS n, count(*) AS n_hours,
+                 CAST(sum((obs * 24 - n) * (obs * 24 - n)) AS BIGINT)
+                   AS chi2_num,
+                 max(obs) AS peak_obs,
+                 min(CASE WHEN obs = mx THEN hour END) AS peak_hour
+          FROM en GROUP BY 1)
+        SELECT event_type, n,
+               CAST(((chi2_num + (24 - n_hours) * (n * n)) * 1000)
+                 // (24 * n) AS BIGINT) AS chi2_milli,
+               peak_hour, CAST(peak_obs AS BIGINT) AS peak_obs,
+               ((chi2_num + (24 - n_hours) * (n * n)) * 1000)
+                 // (24 * n) > 49728 AS nonuniform
+        FROM f""")),
 
     // ---- temporal train/eval split (leakage-safe sequential holdout) -------
     // The split a SEQUENTIAL model needs: per user, the LAST 20% of

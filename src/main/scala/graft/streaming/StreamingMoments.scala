@@ -102,10 +102,18 @@ object StreamingMoments {
           ((lit(6.0) * col("m2")) * (col("m1") * col("m1")))) -
           ((lit(3.0) * (col("m1") * col("m1"))) *
             (col("m1") * col("m1"))))
+      // a degenerate (constant-valued, e.g. n = 1) group has stdw = 0:
+      // skew/kurt are undefined there and ANSI division raises — define
+      // them 0 so the CF estimates collapse to the mean, which IS every
+      // quantile of a constant distribution
       .withColumn("skew",
-        col("m3c") / ((col("stdw") * col("stdw")) * col("stdw")))
+        when(col("stdw") > 0.0,
+          col("m3c") / ((col("stdw") * col("stdw")) * col("stdw")))
+          .otherwise(lit(0.0)))
       .withColumn("kurt",
-        (col("m4c") / (col("varc") * col("varc"))) - lit(3.0))
+        when(col("varc") > 0.0,
+          (col("m4c") / (col("varc") * col("varc"))) - lit(3.0))
+          .otherwise(lit(0.0)))
       .withColumn("q50w",
         col("m1") + (col("stdw") * (lit(C150) * col("skew"))))
       .withColumn("q95w",

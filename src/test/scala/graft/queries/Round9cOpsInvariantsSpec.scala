@@ -139,6 +139,56 @@ class Round9cOpsInvariantsSpec extends SparkSpec {
       .map(_.getAs[Long]("n_events")).sum === evalTotal)
   }
 
+  test("ev_funnel_latency: cohorts conserve conversions, estimates bracket") {
+    val rows = run("ev_funnel_latency").collect()
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ems")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val su = e.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min)
+    val pu = e.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.map(_._3).min)
+    val lat = su.keySet.intersect(pu.keySet).toSeq
+      .map(u => (su(u), pu(u))).filter { case (s, p) => p >= s }
+    assert(rows.map(_.getAs[Long]("n")).sum === lat.length.toLong)
+    rows.foreach { r =>
+      val (q50x, q95x) = (r.getAs[Double]("q50_exact"),
+        r.getAs[Double]("q95_exact"))
+      assert(q50x <= q95x)
+      assert(q50x >= 0.0) // p_ems >= s_ems by the filter
+      // degenerate (n = 1) cohorts: every statistic collapses to the value
+      if (r.getAs[Long]("n") == 1L) {
+        assert(r.getAs[Double]("std") === 0.0)
+        assert(r.getAs[Double]("q50_est") === r.getAs[Double]("mean"))
+        assert(r.getAs[Double]("q95_est") === r.getAs[Double]("mean"))
+      }
+    }
+  }
+
+  test("ev_seasonality: chi-square matches a direct integer recompute") {
+    val rows = run("ev_seasonality").collect()
+    val hours = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("(ems div 3600000) % 24").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val obs = hours.filter(_._1 == et).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val n = obs.values.sum
+      assert(r.getAs[Long]("n") === n)
+      val chi2num = (0L until 24L).map { h =>
+        val o = obs.getOrElse(h, 0L); (o * 24 - n) * (o * 24 - n)
+      }.sum
+      assert(r.getAs[Long]("chi2_milli") === chi2num * 1000 / (24 * n))
+      val mx = obs.values.max
+      assert(r.getAs[Long]("peak_obs") === mx)
+      assert(r.getAs[Long]("peak_hour") ===
+        obs.filter(_._2 == mx).keys.min)
+      assert(r.getAs[Boolean]("nonuniform") ===
+        (chi2num * 1000 / (24 * n) > 49728L))
+    }
+  }
+
   test("txt_bm25: scores match a first-principles Scala recompute") {
     val (k1, b) = (1.2, 0.75)
     val terms = Set("the", "of", "and")
