@@ -32,6 +32,71 @@ object Retrieval {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.sharded(s, dir, "documents")
 
+  /** The chunking lineage as a reusable transform over any frame with
+    * (doc_id, text) — a NARROW projection (tokenize → integer chunk
+    * count → sequence explode → slice), so the SAME definition runs
+    * under Structured Streaming unchanged (streaming/StreamingChunks;
+    * StreamingChunksSpec proves stream ≡ batch row-for-row). Consumed
+    * by txt_chunks with its DuckDB oracle.
+    */
+  private[graft] def chunkRows(d: DataFrame): DataFrame = {
+    val (c, st) = (ChunkTokens, ChunkStride)
+    d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_toks") <= c, lit(1L))
+          .otherwise(expr(s"1 + (n_toks - $c + ${st - 1}) div $st")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * st + 1).as("start_tok"),
+        size(slice(col("toks"), (col("chunk_id") * st + 1).cast("int"),
+          lit(c))).cast("long").as("chunk_len"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * st + 1).cast("int"),
+            lit(c))).as("chunk_text"))
+  }
+
+  /** One side of the inverted index (token → df, cf, ≤P-smallest doc-id
+    * posting ARRAY) — the txt_inverted_index shape, reused by the
+    * incremental-refresh query on both its base and delta sides.
+    */
+  private def indexSide(d: DataFrame): DataFrame = {
+    val p = PostingsCap
+    val byDoc = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byDoc))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sort_array(collect_list(when(col("rn") <= p, col("doc_id"))))
+          .as("post"))
+  }
+
+  /** Shared full-rebuild oracle: txt_inverted_index's SQL — ALSO the
+    * oracle of txt_index_delta, whose incremental merge must reproduce
+    * the from-scratch index exactly.
+    */
+  private def invertedIndexSql: String = s"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                   '${TextOps.TokenRegex}')) AS token
+          FROM documents),
+        td AS (
+          SELECT token, doc_id, count(*) AS c
+          FROM tok GROUP BY 1, 2),
+        rk AS (
+          SELECT *, row_number() OVER
+                   (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM td)
+        SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
+               array_to_string(
+                 list_sort(list(doc_id) FILTER (WHERE rn <= $PostingsCap)),
+                 ',') AS postings
+        FROM rk GROUP BY token"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- overlapping token-window chunking (RAG corpus preparation) --------
@@ -45,24 +110,7 @@ object Retrieval {
     // (512-token fixture invariant, asserted by Verify) and DuckDB's
     // inclusive 1-based list slice mirrors Spark's slice(start, length).
     Q("txt_chunks",
-      (s, dir) => {
-        val (c, st) = (ChunkTokens, ChunkStride)
-        docs(s, dir)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-          .withColumn("n_toks", size(col("toks")).cast("long"))
-          .withColumn("n_chunks",
-            when(col("n_toks") <= c, lit(1L))
-              .otherwise(expr(s"1 + (n_toks - $c + ${st - 1}) div $st")))
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
-          .select(col("doc_id"), col("chunk_id"),
-            (col("chunk_id") * st + 1).as("start_tok"),
-            size(slice(col("toks"), (col("chunk_id") * st + 1).cast("int"), lit(c)))
-              .cast("long").as("chunk_len"),
-            concat_ws(" ",
-              slice(col("toks"), (col("chunk_id") * st + 1).cast("int"), lit(c)))
-              .as("chunk_text"))
-      },
+      (s, dir) => chunkRows(docs(s, dir)),
       Some {
         val (c, st) = (ChunkTokens, ChunkStride)
         s"""
@@ -102,40 +150,47 @@ object Retrieval {
     // group share the term key, so the whole index build is one data
     // exchange after the (term, doc) aggregate.
     Q("txt_inverted_index",
+      (s, dir) => indexSide(docs(s, dir))
+        .select(col("token"), col("df"), col("cf"),
+          concat_ws(",", transform(col("post"), _.cast("string")))
+            .as("postings")),
+      Some(invertedIndexSql)),
+
+    // ---- incremental index refresh (delta merge ≡ full rebuild) ------------
+    // The index-maintenance operator: 80% of the corpus is the standing
+    // index, 20% arrives as a delta; the refreshed index is computed by
+    // MERGING the per-side aggregates — df/cf add (the doc sets are
+    // disjoint), and the ≤P-smallest posting merge is exact because the
+    // union's P smallest ids are contained in (base's P) ∪ (delta's P),
+    // the bottom-k argument. Refresh cost tracks |delta| + |index|,
+    // never a re-tokenize of the standing corpus (here both sides
+    // derive from the fixture because no index is persisted between
+    // queries — the SHAPE is the operator). The oracle is the
+    // FROM-SCRATCH full index: equality IS the correctness statement —
+    // incremental maintenance provably loses nothing (the dd_delta /
+    // dd_incremental_lsh discipline applied to retrieval).
+    Q("txt_index_delta",
       (s, dir) => {
         val p = PostingsCap
-        val td = docs(s, dir)
-          .select(col("doc_id"),
-            explode(TextOps.tokens(col("text"))).as("token"))
-          .groupBy(col("token"), col("doc_id"))
-          .agg(count(lit(1)).as("c"))
-        val byDoc = Window.partitionBy(col("token")).orderBy(col("doc_id"))
-        td.withColumn("rn", row_number().over(byDoc))
-          .groupBy(col("token"))
-          .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
-            concat_ws(",",
-              transform(
-                sort_array(collect_list(when(col("rn") <= p, col("doc_id")))),
-                _.cast("string"))).as("postings"))
+        val d = docs(s, dir)
+        val base = indexSide(d.filter(col("doc_id") % 10 < 8))
+        val delta = indexSide(d.filter(col("doc_id") % 10 >= 8))
+          .select(col("token"), col("df").as("df_d"),
+            col("cf").as("cf_d"), col("post").as("post_d"))
+        val emptyPost = array().cast("array<long>")
+        base.join(delta, Seq("token"), "full_outer")
+          .select(col("token"),
+            (coalesce(col("df"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
+              .as("df"),
+            (coalesce(col("cf"), lit(0L)) + coalesce(col("cf_d"), lit(0L)))
+              .as("cf"),
+            concat_ws(",", transform(
+              slice(array_sort(concat(
+                coalesce(col("post"), emptyPost),
+                coalesce(col("post_d"), emptyPost))), 1, p),
+              _.cast("string"))).as("postings"))
       },
-      Some(s"""
-        WITH tok AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text),
-                   '${TextOps.TokenRegex}')) AS token
-          FROM documents),
-        td AS (
-          SELECT token, doc_id, count(*) AS c
-          FROM tok GROUP BY 1, 2),
-        rk AS (
-          SELECT *, row_number() OVER
-                   (PARTITION BY token ORDER BY doc_id) AS rn
-          FROM td)
-        SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
-               array_to_string(
-                 list_sort(list(doc_id) FILTER (WHERE rn <= $PostingsCap)),
-                 ',') AS postings
-        FROM rk GROUP BY token""")),
+      Some(invertedIndexSql)),
 
     // ---- BM25 scoring (the index's ranking function) -----------------------
     // Full Okapi BM25 (k1 = 1.2, b = 0.75) of every document against a

@@ -219,6 +219,15 @@ class Round9cOpsInvariantsSpec extends SparkSpec {
       assert(math.abs(s - expected(id)) < 1e-6, s"doc $id") }
   }
 
+  test("txt_index_delta: incremental merge equals the from-scratch index") {
+    def rows(name: String) = run(name).collect().map(r =>
+      (r.getAs[String]("token"), r.getAs[Long]("df"),
+        r.getAs[Long]("cf"), r.getAs[String]("postings"))).toSet
+    val merged = rows("txt_index_delta")
+    assert(merged.nonEmpty)
+    assert(merged === rows("txt_inverted_index"))
+  }
+
   test("txt_inverted_index: stats agree with direct recomputation") {
     val p = Retrieval.PostingsCap
     val idx = run("txt_inverted_index").collect()
