@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
+import graft.queries.Similarity.{cosSql, qnSql}
 
 /** Retrieval-preparation operators over `documents`: the RAG-side of a
   * training-data pipeline — fixed-stride token-window chunking (what a
@@ -96,6 +97,113 @@ object Retrieval {
                  list_sort(list(doc_id) FILTER (WHERE rn <= $PostingsCap)),
                  ',') AS postings
         FROM rk GROUP BY token"""
+
+  /** The BM25 scoring kernel (one corpus tokenize pass) — consumed by
+    * txt_bm25 and the RRF fusion's lexical side. See txt_bm25's header
+    * comment for the plan-shape rationale.
+    */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+        import graft.ops.Materialize._
+        val (k1, b) = (1.2, 0.75)
+        val terms = Seq("the", "of", "and")
+        // ONE corpus tokenize pass: the fixed query-term set pivots into
+        // per-doc tf columns alongside dl in a single combinable
+        // aggregate (the naive per-table formulation costs FOUR corpus
+        // scans — dl, avgdl, tf, df — Spark does not dedupe repeated
+        // lineage without materialization). perDoc is |docs| rows, so
+        // materializing it to feed both the stats fold and the scoring
+        // projection is the cheap side of the trade at any scale.
+        val perDoc = docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dl"),
+            terms.map(t =>
+              sum(when(col("token") === t, 1L).otherwise(0L))
+                .as(s"tf_$t")): _*)
+          .materialize()
+        // model-sized fold (1 row: corpus size, total length, per-term
+        // document frequencies) — the lrTrain collect discipline
+        val gAggs = Seq(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total")) ++
+          terms.map(t => sum((col(s"tf_$t") > 0).cast("long"))
+            .as(s"df_$t"))
+        val g = perDoc.agg(gAggs.head, gAggs.tail: _*).head
+        val nDocs = g.getAs[Long]("n_docs")
+        val avgdl = g.getAs[Long]("total").toDouble / nDocs.toDouble
+        // idf on the same micro-grid the oracle uses; Scala's ln and one
+        // IEEE division reproduce the SQL tree exactly
+        val idfW = terms.map { t =>
+          val df = g.getAs[Long](s"df_$t")
+          val micro = math.round(math.log(
+            ((nDocs.toDouble - df.toDouble) + 0.5) /
+              (df.toDouble + 0.5) + 1.0) * 1000000.0)
+          t -> micro.toDouble / 1000000.0
+        }.toMap
+        // per-term scores as narrow columns; the ≤|terms| "sum" is a
+        // fixed-point integer addition in column space (order-free by
+        // construction), matching the oracle's fxsum over term rows
+        def quant(t: String) = {
+          val tfd = col(s"tf_$t").cast("double")
+          round((lit(idfW(t)) *
+            ((tfd * lit(k1 + 1.0)) /
+              (tfd + (lit(k1) * (lit(1.0 - b) +
+                (lit(b) * (col("dl").cast("double") / lit(avgdl)))))))) *
+            lit(1e9)).cast("long")
+        }
+        perDoc
+          .withColumn("n_terms",
+            terms.map(t => (col(s"tf_$t") > 0).cast("long"))
+              .reduce(_ + _))
+          .filter(col("n_terms") > 0)
+          .withColumn("score",
+            terms.map(quant).reduce(_ + _) / lit(1e9))
+          .select(col("doc_id"), col("n_terms"), col("dl"), col("score"))
+  }
+
+  /** DuckDB mirror of [[bm25Scored]] — txt_bm25's oracle and the `bm`
+    * CTE of the fusion oracle.
+    */
+  private val bm25Sql: String = {
+        val (k1, b) = (1.2, 0.75)
+        val termsSql = "('the', 'of', 'and')"
+        s"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                   '${TextOps.TokenRegex}')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dl),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM tok WHERE token IN $termsSql GROUP BY 1, 2),
+        idf AS (
+          SELECT token, count(*) AS df,
+                 CAST(round(ln((((CAST(s.n_docs AS DOUBLE) -
+                     CAST(count(*) AS DOUBLE)) + 0.5) /
+                     (CAST(count(*) AS DOUBLE) + 0.5)) + 1.0) * 1000000.0)
+                   AS BIGINT) AS idf_micro,
+                 s.avgdl AS avgdl
+          FROM tf CROSS JOIN stats s GROUP BY token, s.n_docs, s.avgdl),
+        scored AS (
+          SELECT t.doc_id, d.dl,
+                 (CAST(i.idf_micro AS DOUBLE) / 1000000.0) *
+                   ((CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+                     (CAST(t.tf AS DOUBLE) + ($k1 * (${1.0 - b} +
+                       ($b * (CAST(d.dl AS DOUBLE) / i.avgdl))))))
+                   AS term_score
+          FROM tf t
+          JOIN idf i ON i.token = t.token
+          JOIN dl d ON d.doc_id = t.doc_id)
+        SELECT doc_id, count(*) AS n_terms, max(dl) AS dl,
+               ${graft.Q.fxsumSql("term_score", 9)} AS score
+        FROM scored GROUP BY doc_id"""
+  }
+
 
   val qs: Seq[Q] = Seq(
 
@@ -207,102 +315,77 @@ object Retrieval {
     // the only corpus-wide exchange is the per-doc length aggregate that
     // BM25's normalization genuinely needs.
     Q("txt_bm25",
+      (s, dir) => bm25Scored(s, dir),
+      Some(bm25Sql)),
+
+    // ---- reciprocal-rank fusion (lexical × semantic retrieval) -------------
+    // The hybrid-retrieval combinator: BM25's shortlist and the
+    // embedding-cosine shortlist (corpus vector of doc i is vec i, the
+    // mm_crossmodal linkage convention; probe = vector 0) fuse by RRF —
+    // score(d) = Σ_systems 1/(60 + rank_d) — kept as exact integers
+    // (10⁶ div (60 + rank)) so the fusion is bit-portable. Rank windows
+    // run ONLY over the two ≤50-row shortlists (TakeOrderedAndProject
+    // cuts first — no global sort, no data-sized single-partition
+    // window; shortlist-then-fuse is also how production RRF actually
+    // runs). Full-outer on doc_id: a doc ranked by one system only
+    // still fuses (the other term contributes 0).
+    Q("txt_rrf_fusion",
       (s, dir) => {
-        import graft.ops.Materialize._
-        val (k1, b) = (1.2, 0.75)
-        val terms = Seq("the", "of", "and")
-        // ONE corpus tokenize pass: the fixed query-term set pivots into
-        // per-doc tf columns alongside dl in a single combinable
-        // aggregate (the naive per-table formulation costs FOUR corpus
-        // scans — dl, avgdl, tf, df — Spark does not dedupe repeated
-        // lineage without materialization). perDoc is |docs| rows, so
-        // materializing it to feed both the stats fold and the scoring
-        // projection is the cheap side of the trade at any scale.
-        val perDoc = docs(s, dir)
-          .select(col("doc_id"),
-            explode(TextOps.tokens(col("text"))).as("token"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("dl"),
-            terms.map(t =>
-              sum(when(col("token") === t, 1L).otherwise(0L))
-                .as(s"tf_$t")): _*)
-          .materialize()
-        // model-sized fold (1 row: corpus size, total length, per-term
-        // document frequencies) — the lrTrain collect discipline
-        val gAggs = Seq(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("total")) ++
-          terms.map(t => sum((col(s"tf_$t") > 0).cast("long"))
-            .as(s"df_$t"))
-        val g = perDoc.agg(gAggs.head, gAggs.tail: _*).head
-        val nDocs = g.getAs[Long]("n_docs")
-        val avgdl = g.getAs[Long]("total").toDouble / nDocs.toDouble
-        // idf on the same micro-grid the oracle uses; Scala's ln and one
-        // IEEE division reproduce the SQL tree exactly
-        val idfW = terms.map { t =>
-          val df = g.getAs[Long](s"df_$t")
-          val micro = math.round(math.log(
-            ((nDocs.toDouble - df.toDouble) + 0.5) /
-              (df.toDouble + 0.5) + 1.0) * 1000000.0)
-          t -> micro.toDouble / 1000000.0
-        }.toMap
-        // per-term scores as narrow columns; the ≤|terms| "sum" is a
-        // fixed-point integer addition in column space (order-free by
-        // construction), matching the oracle's fxsum over term rows
-        def quant(t: String) = {
-          val tfd = col(s"tf_$t").cast("double")
-          round((lit(idfW(t)) *
-            ((tfd * lit(k1 + 1.0)) /
-              (tfd + (lit(k1) * (lit(1.0 - b) +
-                (lit(b) * (col("dl").cast("double") / lit(avgdl)))))))) *
-            lit(1e9)).cast("long")
-        }
-        perDoc
-          .withColumn("n_terms",
-            terms.map(t => (col(s"tf_$t") > 0).cast("long"))
-              .reduce(_ + _))
-          .filter(col("n_terms") > 0)
-          .withColumn("score",
-            terms.map(quant).reduce(_ + _) / lit(1e9))
-          .select(col("doc_id"), col("n_terms"), col("dl"), col("score"))
+        val kShort = 50
+        val lex = bm25Scored(s, dir)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(kShort)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc))
+            .cast("long"))
+          .select(col("doc_id"), col("lex_rank"))
+        val e = Tables.sharded(s, dir, "embeddings")
+        import graft.similarity.VectorOps
+        val qn = e.select(col("vec_id"),
+          VectorOps.quantizeFn(e)(col("embedding")).as("qv"))
+          .withColumn("n2", VectorOps.norm2(col("qv")))
+        val probe = broadcast(qn.filter(col("vec_id") === 0)
+          .select(col("qv").as("pqv"), col("n2").as("pn2")))
+        val sem = qn.filter(col("vec_id") =!= 0).crossJoin(probe)
+          .select(col("vec_id").as("doc_id"),
+            VectorOps.cosine(VectorOps.dotFn(e)(col("qv"), col("pqv")),
+              col("pn2"), col("n2")).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id").asc).limit(kShort)
+          .withColumn("sem_rank", row_number().over(
+            Window.orderBy(col("cosine").desc, col("doc_id").asc))
+            .cast("long"))
+          .select(col("doc_id"), col("sem_rank"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+          .orderBy(col("rrf_micro").desc, col("doc_id").asc).limit(20)
+          .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+            col("rrf_micro"))
       },
-      Some {
-        val (k1, b) = (1.2, 0.75)
-        val termsSql = "('the', 'of', 'and')"
-        s"""
-        WITH tok AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text),
-                   '${TextOps.TokenRegex}')) AS token
-          FROM documents),
-        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        stats AS (
-          SELECT count(*) AS n_docs,
-                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-          FROM dl),
-        tf AS (
-          SELECT doc_id, token, count(*) AS tf
-          FROM tok WHERE token IN $termsSql GROUP BY 1, 2),
-        idf AS (
-          SELECT token, count(*) AS df,
-                 CAST(round(ln((((CAST(s.n_docs AS DOUBLE) -
-                     CAST(count(*) AS DOUBLE)) + 0.5) /
-                     (CAST(count(*) AS DOUBLE) + 0.5)) + 1.0) * 1000000.0)
-                   AS BIGINT) AS idf_micro,
-                 s.avgdl AS avgdl
-          FROM tf CROSS JOIN stats s GROUP BY token, s.n_docs, s.avgdl),
-        scored AS (
-          SELECT t.doc_id, d.dl,
-                 (CAST(i.idf_micro AS DOUBLE) / 1000000.0) *
-                   ((CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
-                     (CAST(t.tf AS DOUBLE) + ($k1 * (${1.0 - b} +
-                       ($b * (CAST(d.dl AS DOUBLE) / i.avgdl))))))
-                   AS term_score
-          FROM tf t
-          JOIN idf i ON i.token = t.token
-          JOIN dl d ON d.doc_id = t.doc_id)
-        SELECT doc_id, count(*) AS n_terms, max(dl) AS dl,
-               ${graft.Q.fxsumSql("term_score", 9)} AS score
-        FROM scored GROUP BY doc_id"""
-      })
+      Some(s"""
+        WITH bm AS ($bm25Sql),
+        lexs AS (SELECT doc_id, score FROM bm
+                 ORDER BY score DESC, doc_id ASC LIMIT 50),
+        lex AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+                FROM lexs),
+        qn AS ($qnSql),
+        p AS (SELECT qv, n2 FROM qn WHERE vec_id = 0),
+        sems AS (SELECT c.vec_id AS doc_id, ${cosSql("p", "c")} AS cosine
+                 FROM qn c CROSS JOIN p
+                 WHERE c.vec_id <> 0
+                 ORDER BY cosine DESC, doc_id ASC LIMIT 50),
+        sem AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS sem_rank
+                FROM sems),
+        fused AS (
+          SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                 lex.lex_rank, sem.sem_rank,
+                 coalesce(1000000 // (60 + lex.lex_rank), 0) +
+                   coalesce(1000000 // (60 + sem.sem_rank), 0) AS rrf_micro
+          FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id)
+        SELECT doc_id, lex_rank, sem_rank, rrf_micro
+        FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 20"""))
   )
+
 }

@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSpec {
       "txt_kmv_setops",
       // txt_surprisal's 1-row broadcast corpus-total shape: the bigram
       // total crosses the bigram-count table as a single-row broadcast
-      "txt_collocations")
+      // (txt_collocations) / the 1-row probe vector crosses the
+      // embedding table (txt_rrf_fusion's semantic shortlist)
+      "txt_collocations", "txt_rrf_fusion")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -84,7 +86,10 @@ class PlanAuditSpec extends SparkSpec {
     // rows), sim_ivf_stats (|centroids| rows), and ev_lateness (the
     // running watermark over |time-span|/1min micro-batch buckets — grows
     // with wall-clock span, never with row count).
-    val allowed = Set("txt_source_mix", "sim_ivf_stats", "ev_lateness")
+    // txt_rrf_fusion: rank windows run AFTER TakeOrderedAndProject cut
+    // both shortlists to ≤50 rows — model-sized by construction
+    val allowed = Set("txt_source_mix", "sim_ivf_stats", "ev_lateness",
+      "txt_rrf_fusion")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =

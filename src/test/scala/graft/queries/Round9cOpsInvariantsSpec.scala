@@ -219,6 +219,27 @@ class Round9cOpsInvariantsSpec extends SparkSpec {
       assert(math.abs(s - expected(id)) < 1e-6, s"doc $id") }
   }
 
+  test("txt_rrf_fusion: fused scores are pure functions of the two ranks") {
+    val rows = run("txt_rrf_fusion").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      def rank(c: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+      val (lx, sm) = (rank("lex_rank"), rank("sem_rank"))
+      assert(lx.nonEmpty || sm.nonEmpty)
+      lx.foreach(v => assert(v >= 1 && v <= 50))
+      sm.foreach(v => assert(v >= 1 && v <= 50))
+      val want = lx.map(v => 1000000L / (60 + v)).getOrElse(0L) +
+        sm.map(v => 1000000L / (60 + v)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_micro") === want)
+    }
+    // ranked output is ordered desc (ties broken by doc_id upstream)
+    val scores = rows.map(_.getAs[Long]("rrf_micro"))
+    assert(scores.sorted.reverse.toSeq === scores.toSeq)
+    // a doc in BOTH shortlists must outrank one in a single tail slot
+    assert(scores.head >= scores.last)
+  }
+
   test("txt_index_delta: incremental merge equals the from-scratch index") {
     def rows(name: String) = run(name).collect().map(r =>
       (r.getAs[String]("token"), r.getAs[Long]("df"),
