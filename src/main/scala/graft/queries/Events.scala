@@ -1278,6 +1278,75 @@ object Events {
                  // (24 * n) > 49728 AS nonuniform
         FROM f""")),
 
+    // ---- A/B comparison: Welch z-test between two event populations --------
+    // The experiment-analysis primitive: compare mean `value` between
+    // two event types with a Welch (unequal-variance) z statistic —
+    // ONE combinable single-row aggregate (conditional fxsums, the
+    // txt_classifier_eval confusion-matrix shape), then the z arithmetic
+    // as a constant projection: sample variances from exact fixed-point
+    // power sums, z = Δmean / sqrt(v_a/n_a + v_b/n_b), verdict |z| >
+    // 1.96 (two-sided 5%). Every division/sqrt is one correctly-rounded
+    // IEEE op over fxsum-exact inputs with mirrored association, so the
+    // statistic — not just the counts — is under the hash gate.
+    Q("ev_ab_test",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "view"))
+        def side(t: String, sfx: String) = Seq(
+          sum(when(col("event_type") === t, 1L).otherwise(0L))
+            .as(s"n$sfx"),
+          fxsum(when(col("event_type") === t, col("value"))
+            .otherwise(lit(0.0)), 6).as(s"s1$sfx"),
+          fxsum(when(col("event_type") === t, col("value") * col("value"))
+            .otherwise(lit(0.0)), 6).as(s"s2$sfx"))
+        val aggs = side("click", "_a") ++ side("view", "_b")
+        val g = e.agg(aggs.head, aggs.tail: _*)
+        def mean(sfx: String) = col(s"s1$sfx") / col(s"n$sfx")
+        g.withColumn("mean_a", mean("_a")).withColumn("mean_b", mean("_b"))
+          .withColumn("var_a",
+            ((col("s2_a") / col("n_a")) - (col("mean_a") * col("mean_a"))) *
+              (col("n_a") / (col("n_a") - 1)))
+          .withColumn("var_b",
+            ((col("s2_b") / col("n_b")) - (col("mean_b") * col("mean_b"))) *
+              (col("n_b") / (col("n_b") - 1)))
+          .withColumn("z", (col("mean_a") - col("mean_b")) /
+            sqrt((col("var_a") / col("n_a")) + (col("var_b") / col("n_b"))))
+          .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+            col("var_a"), col("var_b"), col("z"),
+            (abs(col("z")) > lit(1.96)).as("significant"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            ${fxsumSql(
+              "CASE WHEN event_type = 'click' THEN value ELSE 0.0 END", 6)}
+              AS s1_a,
+            ${fxsumSql("CASE WHEN event_type = 'click' " +
+              "THEN value * value ELSE 0.0 END", 6)} AS s2_a,
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+            ${fxsumSql(
+              "CASE WHEN event_type = 'view' THEN value ELSE 0.0 END", 6)}
+              AS s1_b,
+            ${fxsumSql("CASE WHEN event_type = 'view' " +
+              "THEN value * value ELSE 0.0 END", 6)} AS s2_b
+          FROM events WHERE event_type IN ('click', 'view')),
+        m AS (
+          SELECT *, s1_a / n_a AS mean_a, s1_b / n_b AS mean_b FROM g),
+        v AS (
+          SELECT *,
+            ((s2_a / n_a) - (mean_a * mean_a)) * (n_a / (n_a - 1)) AS var_a,
+            ((s2_b / n_b) - (mean_b * mean_b)) * (n_b / (n_b - 1)) AS var_b
+          FROM m)
+        SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+               (mean_a - mean_b) /
+                 sqrt((var_a / n_a) + (var_b / n_b)) AS z,
+               abs((mean_a - mean_b) /
+                 sqrt((var_a / n_a) + (var_b / n_b))) > 1.96 AS significant
+        FROM v""")),
+
     // ---- temporal train/eval split (leakage-safe sequential holdout) -------
     // The split a SEQUENTIAL model needs: per user, the LAST 20% of
     // events (by event time) become eval, the rest train — unlike the

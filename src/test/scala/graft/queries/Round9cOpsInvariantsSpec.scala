@@ -165,6 +165,29 @@ class Round9cOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ev_ab_test: Welch statistic matches a direct Scala recompute") {
+    val r = run("ev_ab_test").collect() match { case Array(x) => x }
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    def side(t: String) = {
+      val v = vals.filter(_._1 == t).map(_._2)
+      val n = v.length.toLong
+      val s1 = v.map(x => math.round(x * 1e6)).sum / 1e6
+      val s2 = v.map(x => math.round(x * x * 1e6)).sum / 1e6
+      val m = s1 / n
+      (n, m, ((s2 / n) - (m * m)) * (n.toDouble / (n - 1).toDouble))
+    }
+    val (na, ma, va) = side("click")
+    val (nb, mb, vb) = side("view")
+    assert(r.getAs[Long]("n_a") === na && r.getAs[Long]("n_b") === nb)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_a") - va) < 1e-6)
+    val z = (ma - mb) / math.sqrt((va / na) + (vb / nb))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
+    assert(r.getAs[Boolean]("significant") === (math.abs(z) > 1.96))
+  }
+
   test("ev_seasonality: chi-square matches a direct integer recompute") {
     val rows = run("ev_seasonality").collect()
     val hours = Tables.events(spark, sfDir)
