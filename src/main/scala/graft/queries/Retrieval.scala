@@ -98,6 +98,48 @@ object Retrieval {
                  ',') AS postings
         FROM rk GROUP BY token"""
 
+  /** Retrieval data card: the one-row corpus/index summary a released
+    * retrieval corpus ships with, composed from the SAME tokenizer and
+    * index definitions the detail queries use (the dd_report card
+    * discipline). One exploded pass yields the corpus stats; the df
+    * table yields the index stats; single-row sides combine by
+    * union+max (a constant-key join would fold to the forbidden BNLJ —
+    * the q24 lesson). Mixed output types, so the pad/union carries each
+    * column at its own type.
+    */
+  private def retrievalReport(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val corpus = tok.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("vocab_size"))
+      .withColumn("avgdl",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+    val dfT = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val maxDf = dfT.agg(max(col("df")).as("max_df"))
+    val topTerm = dfT
+      .join(broadcast(dfT.agg(max(col("df")).as("mx"))),
+        col("df") === col("mx"))
+      .agg(min(col("token")).as("top_term"))
+    val longs = Seq("n_docs", "n_tokens", "vocab_size", "max_df")
+    def pad(d: DataFrame): DataFrame = d.select(
+      longs.map(c => (if (d.columns.contains(c)) col(c)
+        else lit(null).cast("long")).as(c)) ++ Seq(
+        (if (d.columns.contains("avgdl")) col("avgdl")
+         else lit(null).cast("double")).as("avgdl"),
+        (if (d.columns.contains("top_term")) col("top_term")
+         else lit(null).cast("string")).as("top_term")): _*)
+    Seq(corpus, maxDf, topTerm).map(pad).reduce(_.unionByName(_))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("vocab_size")).as("vocab_size"),
+        max(col("max_df")).as("max_df"),
+        max(col("avgdl")).as("avgdl"),
+        max(col("top_term")).as("top_term"))
+  }
+
   /** The BM25 scoring kernel (one corpus tokenize pass) — consumed by
     * txt_bm25 and the RRF fusion's lexical side. See txt_bm25's header
     * comment for the plan-shape rationale.
@@ -385,7 +427,33 @@ object Retrieval {
                    coalesce(1000000 // (60 + sem.sem_rank), 0) AS rrf_micro
           FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id)
         SELECT doc_id, lex_rank, sem_rank, rrf_micro
-        FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 20"""))
+        FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- retrieval data card (one-row corpus/index summary) ----------------
+    Q("txt_retrieval_report",
+      (s, dir) => retrievalReport(s, dir),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                   '${TextOps.TokenRegex}')) AS token
+          FROM documents),
+        corpus AS (
+          SELECT count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_tokens,
+                 count(DISTINCT token) AS vocab_size,
+                 CAST(count(*) AS DOUBLE) /
+                   CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+          FROM tok),
+        dft AS (
+          SELECT token, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        mx AS (SELECT max(df) AS max_df FROM dft),
+        tt AS (SELECT min(token) AS top_term FROM dft
+               WHERE df = (SELECT max(df) FROM dft))
+        SELECT corpus.n_docs, corpus.n_tokens, corpus.vocab_size,
+               mx.max_df, corpus.avgdl, tt.top_term
+        FROM corpus, mx, tt"""))
   )
 
 }
