@@ -1388,6 +1388,141 @@ object Events {
         SELECT dataset, event_type, count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
                min(ems) AS min_ems, max(ems) AS max_ems
-        FROM d GROUP BY 1, 2"""))
+        FROM d GROUP BY 1, 2""")),
+
+    // ---- robust daily anomaly detection (median/MAD, not mean/stddev) ------
+    // The monitoring primitive ev_zscore's mean/variance form can't give:
+    // median absolute deviation flags outlier DAYS per event type without
+    // the outliers themselves dragging the threshold (a traffic spike
+    // inflates a stddev but not a MAD). Everything stays integer-exact:
+    // daily counts are integers, so med2 = percentile(2n, .5) is an
+    // integer-valued double (midpoint of even integers), dev2 = |2n−med2|
+    // likewise, and mad4 = 2·median(dev2) is integer-valued again — the
+    // flag |n−med| > 3·MAD compares longs (2·dev2 vs 3·mad4 after a
+    // round-trip cast), so the inequality boundary is bit-identical
+    // across engines. Plan shape: one combinable (type, day) count, a
+    // 5-group exact-percentile pass (model-sized — the q17 trade), and
+    // two broadcast joins back; nothing wide touches the raw events
+    // twice.
+    Q("ev_anomaly_mad",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ems div 86400000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val med = daily.groupBy(col("event_type"))
+          .agg(expr("percentile(n * 2, 0.5D)").as("med2"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg((expr("percentile(dev2, 0.5D)") * 2).as("mad4"))
+        dev.join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("day"), col("n"), col("med2"),
+            col("dev2"), col("mad4"),
+            (round(col("dev2") * 2).cast("long") >
+              round(col("mad4")).cast("long") * 3).as("is_anomaly"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        s1 AS (
+          SELECT event_type, quantile_cont(n * 2, 0.5) AS med2
+          FROM d GROUP BY 1),
+        j1 AS (
+          SELECT d.event_type, d.day, d.n, s1.med2,
+                 abs(2 * d.n - s1.med2) AS dev2
+          FROM d JOIN s1 USING (event_type)),
+        s2 AS (
+          SELECT event_type, 2 * quantile_cont(dev2, 0.5) AS mad4
+          FROM j1 GROUP BY 1)
+        SELECT j1.event_type, j1.day, j1.n, j1.med2, j1.dev2, s2.mad4,
+               CAST(round(2 * j1.dev2) AS BIGINT) >
+                 3 * CAST(round(s2.mad4) AS BIGINT) AS is_anomaly
+        FROM j1 JOIN s2 USING (event_type)""")),
+
+    // ---- session co-occurrence lift (the "also did" recommender table) -----
+    // Market-basket association over sessions: which event-type pairs
+    // co-occur in one session more often than independence predicts.
+    // Sessionization is ev_sessionize's exact lineage (30-min gap); the
+    // pair join is SELF-keyed on (user_id, session_id), so its output is
+    // bounded by (types-per-session choose 2) ≤ 10 rows per session —
+    // never |sessions|², and the only exchanges are the user_id window
+    // plus the (user, session) join key both sides already share after
+    // it (AQE sees co-partitioned inputs). Lift is pure integer:
+    // (1000·n_ab·S) div (n_a·n_b) — milli-lift, monotone with the real
+    // ratio (the txt_collocations discipline), no float division under
+    // the hash. n_ab ≤ min(n_a, n_b) and symmetry are spec-asserted.
+    Q("ev_cooccurrence",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+        val sess = Tables.events(s, dir)
+          .withColumn("prev_ems", lag(col("ems"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ems").isNull ||
+              col("ems") - col("prev_ems") > 1800000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("user_id"), col("session_id"), col("event_type"))
+          .distinct()
+        val pairs = sess.select(col("user_id"), col("session_id"),
+            col("event_type").as("type_a"))
+          .join(sess.select(col("user_id"), col("session_id"),
+            col("event_type").as("type_b")), Seq("user_id", "session_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        val types = sess.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_t"))
+        val total = sess.select(col("user_id"), col("session_id")).distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        pairs
+          .join(broadcast(types.select(col("event_type").as("type_a"),
+            col("n_t").as("n_a"))), "type_a")
+          .join(broadcast(types.select(col("event_type").as("type_b"),
+            col("n_t").as("n_b"))), "type_b")
+          .crossJoin(broadcast(total))
+          .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+            col("n_b"), col("n_sessions"),
+            call_function("div", lit(1000L) * col("n_ab") * col("n_sessions"),
+              col("n_a") * col("n_b")).as("lift_milli"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems, event_type
+          FROM events),
+        marked AS (
+          SELECT *, CASE WHEN lag(ems) OVER w IS NULL
+                          OR ems - lag(ems) OVER w > 1800000
+                     THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id)),
+        sess AS (
+          SELECT DISTINCT user_id, session_id, event_type FROM (
+            SELECT user_id, event_type,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id
+                     ORDER BY ems, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
+            FROM marked)),
+        pairs AS (
+          SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 count(*) AS n_ab
+          FROM sess x JOIN sess y
+            ON x.user_id = y.user_id AND x.session_id = y.session_id
+           AND x.event_type < y.event_type
+          GROUP BY 1, 2),
+        types AS (
+          SELECT event_type, count(*) AS n_t FROM sess GROUP BY 1),
+        total AS (
+          SELECT count(*) AS n_sessions FROM
+            (SELECT DISTINCT user_id, session_id FROM sess))
+        SELECT p.type_a, p.type_b, p.n_ab, a.n_t AS n_a, b.n_t AS n_b,
+               t.n_sessions,
+               (1000 * p.n_ab * t.n_sessions) // (a.n_t * b.n_t)
+                 AS lift_milli
+        FROM pairs p
+        JOIN types a ON a.event_type = p.type_a
+        JOIN types b ON b.event_type = p.type_b
+        CROSS JOIN total t"""))
   )
 }

@@ -23,6 +23,8 @@ object Similarity {
   // sim_range_search: cosine radius; 0.2 yields a healthy nonempty match
   // set on the fixture (46 pairs at sf0.01) without flooding
   private[graft] val RangeTau = 0.2
+  // sim_bitext: bucket-local kNN depth normalizing the margin score
+  private[graft] val BitextK = 4
 
   /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
   private[queries] val qnSql = s"""
@@ -887,6 +889,124 @@ object Similarity {
                CAST((n_members * 1000 * (SELECT count(*) FROM sizes))
                  // (SELECT sum(n_members) FROM sizes) AS BIGINT)
                  AS load_milli
-        FROM sizes"""))
+        FROM sizes""")),
+
+    // ---- margin-based bitext mining (cross-"language" pair alignment) ------
+    // The parallel-corpus miner (Artetxe & Schwenk 2019): align items of
+    // two disjoint populations (labels 0-4 = source side, 5-9 = target
+    // side — standing in for two languages under one multilingual
+    // encoder) by MARGIN, cosine normalized by each side's local kNN
+    // density, so a promiscuous hub that's near everything doesn't win
+    // every pair; mined pairs must be MUTUAL margin-argmaxes. Candidate
+    // generation is the shared-IVF discipline: both sides assign to the
+    // SAME full-corpus centroids (one broadcast pass each), the cross
+    // join is keyed on centroid_id (bucket-local, never |A|×|B|), and
+    // kNN means are bucket-restricted exactly like sim_knn_ivf. All
+    // ranking quantities are integers — cos_fx = round(cos·10⁶), margin
+    // = (2000·cos_fx·ka·kb) div (sa·kb + sb·ka) (milli-margin, exact
+    // integer arithmetic over positive-cosine candidates) — so argmax
+    // tie-breaks and the mutuality filter are bit-identical across
+    // engines.
+    Q("sim_bitext",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings")
+        val d = VectorOps.dotFn(e)
+        val asg = VectorOps.assignIvf(e, CentroidModulo, keep = Seq("label"))
+        val src = asg.filter(col("label") < 5).select(col("centroid_id"),
+          col("vec_id").as("src_id"), col("q").as("aq"), col("n2").as("an2"))
+        val tgt = asg.filter(col("label") >= 5).select(col("centroid_id"),
+          col("vec_id").as("tgt_id"), col("q").as("bq"), col("n2").as("bn2"))
+        // materialized: the scored candidate table feeds the two kNN-mean
+        // denominators AND the margin join — without truncation the
+        // IVF-assign + bucket join would replan and re-execute three
+        // times (the dd_lsh_sweep multiplexing discipline)
+        val sc = src.join(tgt, "centroid_id")
+          .withColumn("cos_fx",
+            round(VectorOps.cosine(d(col("aq"), col("bq")), col("an2"),
+              col("bn2")) * 1000000).cast("long"))
+          .filter(col("cos_fx") > 0)
+          .select(col("src_id"), col("tgt_id"), col("cos_fx"))
+          .materialize()
+        val wA = Window.partitionBy(col("src_id"))
+          .orderBy(col("cos_fx").desc, col("tgt_id").asc)
+        val wB = Window.partitionBy(col("tgt_id"))
+          .orderBy(col("cos_fx").desc, col("src_id").asc)
+        val ranked = sc.withColumn("ra", row_number().over(wA))
+          .withColumn("rb", row_number().over(wB))
+        val denA = ranked.filter(col("ra") <= BitextK).groupBy(col("src_id"))
+          .agg(sum(col("cos_fx")).as("sa"), count(lit(1)).as("ka"))
+        val denB = ranked.filter(col("rb") <= BitextK).groupBy(col("tgt_id"))
+          .agg(sum(col("cos_fx")).as("sb"), count(lit(1)).as("kb"))
+        val margin = sc.join(denA, "src_id").join(denB, "tgt_id")
+          .withColumn("margin_milli", call_function("div",
+            lit(2000L) * col("cos_fx") * col("ka") * col("kb"),
+            col("sa") * col("kb") + col("sb") * col("ka")))
+        val wAm = Window.partitionBy(col("src_id"))
+          .orderBy(col("margin_milli").desc, col("tgt_id").asc)
+        val wBm = Window.partitionBy(col("tgt_id"))
+          .orderBy(col("margin_milli").desc, col("src_id").asc)
+        margin.withColumn("ba", row_number().over(wAm))
+          .withColumn("bb", row_number().over(wBm))
+          .filter(col("ba") === 1 && col("bb") === 1)
+          .select(col("src_id"), col("tgt_id"), col("cos_fx"),
+            col("margin_milli"))
+      },
+      Some(s"""
+        WITH qn AS (
+          SELECT vec_id, label,
+                 [CAST(round(CAST(x AS DOUBLE) * ${VectorOps.Scale}) AS BIGINT)
+                  for x in embedding] AS qv,
+                 CAST(list_sum([q * q for q in
+                   [CAST(round(CAST(x AS DOUBLE) * ${VectorOps.Scale}) AS BIGINT)
+                    for x in embedding]]) AS BIGINT) AS n2
+          FROM embeddings),
+        cents AS (SELECT vec_id AS centroid_id, qv, n2 FROM qn
+                  WHERE vec_id % $CentroidModulo = 0),
+        scored_c AS (
+          SELECT v.vec_id, v.label, c.centroid_id, v.qv, v.n2,
+                 ${cosSql("v", "c")} AS ccos
+          FROM qn v CROSS JOIN cents c),
+        asg AS (
+          SELECT vec_id, label, centroid_id, qv, n2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, centroid_id ASC) AS rn
+            FROM scored_c) WHERE rn = 1),
+        src AS (SELECT centroid_id, vec_id AS src_id, qv, n2 FROM asg
+                WHERE label < 5),
+        tgt AS (SELECT centroid_id, vec_id AS tgt_id, qv, n2 FROM asg
+                WHERE label >= 5),
+        sc AS (
+          SELECT src_id, tgt_id,
+                 CAST(round(${cosSql("s", "t")} * 1000000) AS BIGINT)
+                   AS cos_fx
+          FROM src s JOIN tgt t USING (centroid_id)
+          WHERE CAST(round(${cosSql("s", "t")} * 1000000) AS BIGINT) > 0),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cos_fx DESC, tgt_id ASC) AS ra,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cos_fx DESC, src_id ASC) AS rb
+          FROM sc),
+        dena AS (SELECT src_id, CAST(sum(cos_fx) AS BIGINT) AS sa,
+                        count(*) AS ka
+                 FROM ranked WHERE ra <= $BitextK GROUP BY 1),
+        denb AS (SELECT tgt_id, CAST(sum(cos_fx) AS BIGINT) AS sb,
+                        count(*) AS kb
+                 FROM ranked WHERE rb <= $BitextK GROUP BY 1),
+        m AS (
+          SELECT sc.src_id, sc.tgt_id, sc.cos_fx,
+                 (2000 * sc.cos_fx * a.ka * b.kb)
+                   // (a.sa * b.kb + b.sb * a.ka) AS margin_milli
+          FROM sc JOIN dena a USING (src_id) JOIN denb b USING (tgt_id)),
+        best AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY margin_milli DESC, tgt_id ASC) AS ba,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY margin_milli DESC, src_id ASC) AS bb
+          FROM m)
+        SELECT src_id, tgt_id, cos_fx, margin_milli FROM best
+        WHERE ba = 1 AND bb = 1"""))
   )
 }

@@ -73,11 +73,17 @@ object VectorOps {
       c => call_function("fixedpoint_quantize", c)
     else quantize
 
-  /** embeddings → (vec_id, q ARRAY<BIGINT>, n2 BIGINT), the working form. */
-  def quantized(embeddings: DataFrame): DataFrame = {
+  /** embeddings → (vec_id[, keep…], q ARRAY<BIGINT>, n2 BIGINT), the
+    * working form. `keep` names extra corpus columns to carry through
+    * (e.g. the language/label a bitext-mining split keys on) — threading
+    * them here keeps ONE quantization definition instead of a re-join
+    * of the corpus against itself just to recover a dropped column.
+    */
+  def quantized(embeddings: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val d = dotFn(embeddings)
     val qz = quantizeFn(embeddings)
-    embeddings.select(col("vec_id"), qz(col("embedding")).as("q"))
+    embeddings.select(col("vec_id") +: keep.map(col) :+
+        qz(col("embedding")).as("q"): _*)
       .withColumn("n2", d(col("q"), col("q")))
   }
 
@@ -102,16 +108,20 @@ object VectorOps {
     * own centroid's bucket. The candidate join is keyed on centroid_id, so
     * work scales with bucket size, not corpus size.
     */
-  def assignIvf(corpus: DataFrame, centroidModulo: Int): DataFrame =
-    assignIvfScored(corpus, centroidModulo).drop("ccos")
+  def assignIvf(corpus: DataFrame, centroidModulo: Int,
+      keep: Seq[String] = Nil): DataFrame =
+    assignIvfScored(corpus, centroidModulo, keep).drop("ccos")
 
   /** [[assignIvf]] keeping the winning centroid cosine (`ccos`) — the
     * per-member "typicality" score SemDeDup-style semantic dedup ranks
     * on when choosing which member of a duplicate group to keep.
+    * `keep` passes extra corpus columns through (see [[quantized]]);
+    * centroids are still drawn from the FULL corpus regardless.
     */
-  def assignIvfScored(corpus: DataFrame, centroidModulo: Int): DataFrame = {
+  def assignIvfScored(corpus: DataFrame, centroidModulo: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val d = dotFn(corpus)
-    val q = quantized(corpus)
+    val q = quantized(corpus, keep)
     val cents = q.filter(col("vec_id") % centroidModulo === 0)
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("n2").as("cn2"))
@@ -122,8 +132,8 @@ object VectorOps {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("q"), col("n2"),
-        col("ccos"))
+      .select(col("vec_id") +: keep.map(col) :+ col("centroid_id") :+
+        col("q") :+ col("n2") :+ col("ccos"): _*)
   }
 
   /** Top-k per probe within the probe's IVF bucket. */

@@ -38,7 +38,14 @@ class PlanAuditSpec extends SparkSpec {
       // total crosses the bigram-count table as a single-row broadcast
       // (txt_collocations) / the 1-row probe vector crosses the
       // embedding table (txt_rrf_fusion's semantic shortlist)
-      "txt_collocations", "txt_rrf_fusion")
+      "txt_collocations", "txt_rrf_fusion",
+      // the 1-row broadcast session-total crossing the pair-count table
+      // (txt_collocations' corpus-total shape on the events domain)
+      "ev_cooccurrence",
+      // three 1-row aggregate verdict sides crossing into one report row
+      "dq_expectations",
+      // inherits assignIvf's bounded corpus × broadcast-centroid BNLJ
+      "sim_bitext")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -89,7 +96,10 @@ class PlanAuditSpec extends SparkSpec {
     // txt_rrf_fusion: rank windows run AFTER TakeOrderedAndProject cut
     // both shortlists to ≤50 rows — model-sized by construction
     val allowed = Set("txt_source_mix", "sim_ivf_stats", "ev_lateness",
-      "txt_rrf_fusion")
+      "txt_rrf_fusion",
+      // the cross-bucket carry runs over |price-domain / 10| per-bucket
+      // maxima — bounded by the value domain, never by row count
+      "q26_skyline")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =

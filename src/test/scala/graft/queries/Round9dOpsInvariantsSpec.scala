@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-9d additions (skyline, MAD anomaly
+  * detection, session co-occurrence, the data-quality gate, bitext
+  * mining) — properties the DuckDB hash compare can't express: the
+  * skyline must equal its quadratic definition, MAD flags must match an
+  * independent recomputation, the DQ gate must actually fail on doctored
+  * data, and mined bitext pairs must form a mutual one-to-one matching.
+  */
+class Round9dOpsInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q26_skyline equals the quadratic NOT-EXISTS definition") {
+    val parts = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(x: (Long, Double, Int)) = parts.exists { o =>
+      o._2 <= x._2 && o._3 >= x._3 && (o._2 < x._2 || o._3 > x._3)
+    }
+    val expect = parts.filterNot(dominated).map(_._1).toSet
+    val got = run("q26_skyline").collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("ev_anomaly_mad flags match driver-side median/MAD recomputation") {
+    val rows = run("ev_anomaly_mad").collect()
+    val e = Tables.events(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n")).sum === e.count())
+    val daily = e.groupBy(col("event_type"), expr("ems div 86400000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === daily.length)
+    // interpolated median, the percentile/quantile_cont definition
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    daily.groupBy(_._1).foreach { case (tpe, ds) =>
+      val med2 = median(ds.map(d => 2.0 * d._3))
+      val devs = ds.map(d => math.abs(2.0 * d._3 - med2))
+      val mad4 = 2 * median(devs)
+      ds.foreach { case (_, day, n) =>
+        val r = rows.find(x => x.getAs[String]("event_type") == tpe &&
+          x.getAs[Long]("day") == day).get
+        assert(r.getAs[Double]("med2") === med2)
+        assert(r.getAs[Double]("mad4") === mad4)
+        val expectFlag =
+          math.round(2 * math.abs(2.0 * n - med2)) > 3 * math.round(mad4)
+        assert(r.getAs[Boolean]("is_anomaly") === expectFlag)
+      }
+    }
+  }
+
+  test("ev_cooccurrence: pair counts bounded, lift formula exact") {
+    val rows = run("ev_cooccurrence").collect()
+    assert(rows.nonEmpty)
+    val nSessions = rows.head.getAs[Long]("n_sessions")
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nab >= 1 && nab <= math.min(na, nb))
+      assert(na <= nSessions && nb <= nSessions)
+      assert(r.getAs[Long]("n_sessions") === nSessions)
+      assert(r.getAs[Long]("lift_milli") ===
+        (1000L * nab * nSessions) / (na * nb))
+    }
+    // session universe agrees with ev_sessionize's session count
+    assert(nSessions ===
+      SparkEntry.queries("ev_sessionize")(spark, sfDir).count())
+  }
+
+  test("dq_expectations passes on the fixture and fails on doctored data") {
+    val clean = run("dq_expectations").collect()
+    assert(clean.length === 1)
+    val c = clean.head
+    Seq("n_null_quantity", "n_range_quantity", "n_range_discount",
+      "n_range_shipdate", "n_bad_returnflag", "n_dup_keys", "n_orphans")
+      .foreach(f => assert(c.getAs[Long](f) === 0L, f))
+    assert(c.getAs[Boolean]("passed"))
+
+    // doctored lake: duplicate one order key, orphan one lineitem, break
+    // one range — the gate must count each violation class
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    val li = Tables(spark, sfDir, "lineitem")
+    val bad = li.limit(1)
+      .withColumn("l_orderkey", lit(-999L)) // orphan key
+      .withColumn("l_quantity", lit(999.0)) // out of range
+    li.unionByName(bad).write.parquet(s"$dir/lineitem.parquet")
+    val ord = Tables(spark, sfDir, "orders")
+    ord.unionByName(ord.limit(1)) // duplicate PK
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("dq_expectations")(spark, dir).collect().head
+    assert(!r.getAs[Boolean]("passed"))
+    assert(r.getAs[Long]("n_dup_keys") === 1L)
+    assert(r.getAs[Long]("n_orphans") === 1L)
+    assert(r.getAs[Long]("n_range_quantity") === 1L)
+  }
+
+  test("sim_bitext: mined pairs are a mutual one-to-one cross-side matching") {
+    val rows = run("sim_bitext").collect()
+    assert(rows.nonEmpty)
+    val srcs = rows.map(_.getAs[Long]("src_id"))
+    val tgts = rows.map(_.getAs[Long]("tgt_id"))
+    // mutual argmax ⇒ each vector appears in at most one mined pair
+    assert(srcs.distinct.length === srcs.length)
+    assert(tgts.distinct.length === tgts.length)
+    val labels = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("src_id")) < 5)
+      assert(labels(r.getAs[Long]("tgt_id")) >= 5)
+      assert(r.getAs[Long]("cos_fx") > 0)
+      assert(r.getAs[Long]("margin_milli") > 0)
+    }
+  }
+}
