@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Materialize._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1523,6 +1524,73 @@ object Events {
         FROM pairs p
         JOIN types a ON a.event_type = p.type_a
         JOIN types b ON b.event_type = p.type_b
-        CROSS JOIN total t"""))
+        CROSS JOIN total t""")),
+
+    // ---- 2-step Markov reachability (the transition matrix, squared) -------
+    // Where does a user land TWO events from now? ev_transitions' 1-step
+    // milli-probabilities composed through every mid state — the matrix
+    // square P², computed as a keyed self-join on the mid state over the
+    // |types|² transition table (model-sized — the event stream is
+    // touched exactly once, by the shared lag-window count). p2_micro =
+    // Σ_mid pa_milli·pb_milli is a pure-integer micro-probability
+    // (compounded floor matches the oracle bit-for-bit); `is_top` marks
+    // each origin's most likely 2-step destination — the
+    // next-next-event prediction a prefetching/funnel-forecast consumer
+    // reads. Row sums stay ≤ 10⁶ by construction (flooring only loses
+    // mass), spec-asserted.
+    Q("ev_markov2",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ems"), col("event_id"))
+        val counts = e
+          .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+        val byPrev = Window.partitionBy(col("prev"))
+        // materialized: the |types|² probability table feeds BOTH sides
+        // of the matrix-square join — without truncation the full event
+        // scan + lag window would execute twice
+        val p1 = counts
+          .withColumn("p_milli", call_function("div",
+            col("n") * 1000, sum(col("n")).over(byPrev)))
+          .select(col("prev"), col("next"), col("p_milli"))
+          .materialize()
+        val p2 = p1.select(col("prev"), col("next").as("mid"),
+            col("p_milli").as("pa"))
+          .join(p1.select(col("prev").as("mid"), col("next"),
+            col("p_milli").as("pb")), "mid")
+          .groupBy(col("prev"), col("next"))
+          .agg(sum(col("pa") * col("pb")).as("p2_micro"))
+        val byOrigin = Window.partitionBy(col("prev"))
+          .orderBy(col("p2_micro").desc, col("next").asc)
+        p2.withColumn("is_top", row_number().over(byOrigin) === 1)
+          .select(col("prev"), col("next"), col("p2_micro"), col("is_top"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS prev
+          FROM events),
+        c AS (
+          SELECT prev, event_type AS next, count(*) AS n
+          FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+        p1 AS (
+          SELECT prev, next,
+                 CAST((n * 1000) //
+                   CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT)
+                   AS BIGINT) AS p_milli
+          FROM c),
+        p2 AS (
+          SELECT a.prev, b.next,
+                 CAST(sum(a.p_milli * b.p_milli) AS BIGINT) AS p2_micro
+          FROM p1 a JOIN p1 b ON b.prev = a.next
+          GROUP BY 1, 2)
+        SELECT prev, next, p2_micro,
+               row_number() OVER (PARTITION BY prev
+                 ORDER BY p2_micro DESC, next ASC) = 1 AS is_top
+        FROM p2"""))
   )
 }

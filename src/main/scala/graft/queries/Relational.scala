@@ -890,20 +890,10 @@ object Relational {
         val dups = ord.groupBy(col("o_orderkey"))
           .agg(count(lit(1)).as("c")).filter(col("c") > 1)
           .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_keys"))
-        val checks = li.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
-            .as("n_null_quantity"),
-          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-            .otherwise(0L)).as("n_range_quantity"),
-          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
-            .otherwise(0L)).as("n_range_discount"),
-          sum(when(year(col("l_shipdate")) < 1995 ||
-            year(col("l_shipdate")) > 2001, 1L).otherwise(0L))
-            .as("n_range_shipdate"),
-          sum(when(col("l_returnflag").isNull ||
-            !col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-            .as("n_bad_returnflag"))
+        // the scan-aggregate checks are ops.Dq.checkAggs — ONE kernel
+        // shared with streaming.StreamingDq's continuous monitor
+        val checkAggs = graft.ops.Dq.checkAggs
+        val checks = li.agg(checkAggs.head, checkAggs.tail: _*)
         checks.crossJoin(broadcast(dups)).crossJoin(broadcast(orphans))
           .withColumn("passed",
             col("n_null_quantity") === 0 && col("n_range_quantity") === 0 &&

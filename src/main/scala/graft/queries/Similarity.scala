@@ -25,6 +25,11 @@ object Similarity {
   private[graft] val RangeTau = 0.2
   // sim_bitext: bucket-local kNN depth normalizing the margin score
   private[graft] val BitextK = 4
+  // sim_mmr: shortlist size, selected-set size, and λ (in milli) of the
+  // maximal-marginal-relevance rerank
+  private[graft] val MmrCand = 20
+  private[graft] val MmrK = 5
+  private[graft] val MmrLambdaMilli = 700L
 
   /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
   private[queries] val qnSql = s"""
@@ -318,6 +323,74 @@ object Similarity {
         col("pa.adc_dist").as("adc_dist"))
       .filter(col("vec_id") =!= col("probe_id"))
     pqTopK(adc, 5)
+  }
+
+  /** sim_mmr's oracle: the SAME MmrK-step greedy unroll as the Spark
+    * lineage, generated by one loop so the two cannot drift — stage i's
+    * CTE pair (msᵢ: max-sim-to-selected over the not-yet-picked
+    * shortlist; selᵢ: the per-probe integer-MMR argmax) mirrors the
+    * builder's joins clause for clause.
+    */
+  private val mmrSql: String = {
+    val lam = MmrLambdaMilli
+    val steps = (2 to MmrK).map { i =>
+      s"""
+        ms$i AS (
+          SELECT r.probe_id, r.cand_id, r.rel_fx, max(s.sim_fx) AS msim
+          FROM candv r
+          JOIN sims s ON s.probe_id = r.probe_id AND s.a = r.cand_id
+          JOIN selall${i - 1} t ON t.probe_id = s.probe_id
+                               AND t.cand_id = s.b
+          WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} x
+                            WHERE x.probe_id = r.probe_id
+                              AND x.cand_id = r.cand_id)
+          GROUP BY 1, 2, 3),
+        sel$i AS (
+          SELECT probe_id, cand_id, rel_fx,
+                 $lam * rel_fx - ${1000 - lam} * greatest(msim, 0) AS mmr_fx,
+                 CAST($i AS BIGINT) AS step
+          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY $lam * rel_fx
+                           - ${1000 - lam} * greatest(msim, 0) DESC,
+                           cand_id ASC) AS rn
+                FROM ms$i) WHERE rn = 1),
+        selall$i AS (SELECT * FROM selall${i - 1}
+                     UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",")
+    s"""
+        WITH $assignSql,
+        probes AS (SELECT vec_id AS probe_id, centroid_id, qv, n2 FROM asg
+                   WHERE vec_id < $ProbeLimit),
+        scored AS (
+          SELECT p.probe_id, c.vec_id AS cand_id, ${cosSql("p", "c")} AS cosine
+          FROM probes p JOIN asg c ON c.centroid_id = p.centroid_id
+                                  AND c.vec_id <> p.probe_id),
+        cand AS (
+          SELECT probe_id, cand_id,
+                 CAST(round(cosine * 1000000) AS BIGINT) AS rel_fx
+          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, cand_id ASC) AS rank
+                FROM scored) WHERE rank <= $MmrCand),
+        candv AS (
+          SELECT c.probe_id, c.cand_id, c.rel_fx, q.qv, q.n2
+          FROM cand c JOIN qn q ON q.vec_id = c.cand_id),
+        sims AS (
+          SELECT c1.probe_id, c1.cand_id AS a, c2.cand_id AS b,
+                 CAST(round(${cosSql("c1", "c2")} * 1000000) AS BIGINT)
+                   AS sim_fx
+          FROM candv c1 JOIN candv c2 ON c2.probe_id = c1.probe_id
+                                     AND c2.cand_id <> c1.cand_id),
+        sel1 AS (
+          SELECT probe_id, cand_id, rel_fx, $lam * rel_fx AS mmr_fx,
+                 CAST(1 AS BIGINT) AS step
+          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY rel_fx DESC, cand_id ASC) AS rn
+                FROM candv) WHERE rn = 1),
+        selall1 AS (SELECT probe_id, cand_id, rel_fx, mmr_fx, step
+                    FROM sel1),
+        $steps
+        SELECT probe_id, cand_id AS neighbor_id, step, rel_fx, mmr_fx
+        FROM selall$MmrK"""
   }
 
   val qs: Seq[Q] = Seq(
@@ -1007,6 +1080,96 @@ object Similarity {
                    ORDER BY margin_milli DESC, src_id ASC) AS bb
           FROM m)
         SELECT src_id, tgt_id, cos_fx, margin_milli FROM best
-        WHERE ba = 1 AND bb = 1"""))
+        WHERE ba = 1 AND bb = 1""")),
+
+    // ---- MMR: diversified top-k rerank (relevance − redundancy) ------------
+    // The retrieval-quality operator plain top-k can't give: of a probe's
+    // 20-candidate shortlist, pick 5 that are RELEVANT but not
+    // NEAR-DUPLICATES of each other — maximal marginal relevance
+    // (Carbonell & Goldstein 1998), score = λ·rel − (1−λ)·max sim to the
+    // already-picked set. The greedy is inherently sequential in k, so
+    // it UNROLLS into MmrK fixed stages (k is a serving constant, never
+    // data-sized); each stage is a keyed join of the shortlist against
+    // the ≤k-row selected set plus one per-probe argmax window. The
+    // expensive parts — IVF candidate generation and the ≤MmrCand²
+    // per-probe pairwise sim table — are computed ONCE and materialized;
+    // stages touch only shortlist-sized rows. All scoring is integer
+    // (rel_fx, sim_fx, milli-λ — negative redundancy clamps at 0, and
+    // there is NO division anywhere, so truncation semantics can't
+    // diverge), making every greedy tie-break bit-identical in DuckDB's
+    // identically-unrolled CTE chain.
+    Q("sim_mmr",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings")
+        val d = VectorOps.dotFn(e)
+        val q = VectorOps.quantized(e)
+        val cand = VectorOps.knnIvf(e, col("vec_id") < ProbeLimit,
+            CentroidModulo, MmrCand)
+          .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+            round(col("cosine") * 1000000).cast("long").as("rel_fx"))
+        val candv = q.join(broadcast(cand), col("vec_id") === col("cand_id"))
+          .select(col("probe_id"), col("cand_id"), col("rel_fx"),
+            col("q"), col("n2"))
+          .materialize()
+        val c1 = candv.select(col("probe_id"), col("cand_id").as("a"),
+          col("q").as("qa"), col("n2").as("na"))
+        val c2 = candv.select(col("probe_id"), col("cand_id").as("b"),
+          col("q").as("qb"), col("n2").as("nb"))
+        val sims = c1.join(c2, Seq("probe_id"))
+          .filter(col("a") =!= col("b"))
+          .withColumn("sim_fx", round(VectorOps.cosine(
+            d(col("qa"), col("qb")), col("na"), col("nb")) * 1000000)
+            .cast("long"))
+          .select(col("probe_id"), col("a"), col("b"), col("sim_fx"))
+          .materialize()
+        val lam = MmrLambdaMilli
+        // The selected set is SERVING-sized (≤ probes × MmrK = 40 rows),
+        // so each greedy step collects its pick and re-injects it as a
+        // broadcast literal (the sim_kmeans/PQ-codebook discipline):
+        // every stage's plan references only the two materialized leaves
+        // plus the literal, staying constant-depth — a lineage-nested or
+        // per-step-checkpointed unroll measured 1.4-2× slower.
+        import s.implicits._
+        val byProbeRel = Window.partitionBy(col("probe_id"))
+          .orderBy(col("rel_fx").desc, col("cand_id").asc)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[
+          (Long, Long, Long, Long, Long)]
+        acc ++= candv
+          .withColumn("rn", row_number().over(byProbeRel))
+          .filter(col("rn") === 1)
+          .select(col("probe_id"), col("cand_id"), col("rel_fx"),
+            (lit(lam) * col("rel_fx")).as("mmr_fx"), lit(1L).as("step"))
+          .as[(Long, Long, Long, Long, Long)].collect()
+        (2 to MmrK).foreach { i =>
+          val selKeys = broadcast(acc.toSeq
+            .toDF("probe_id", "sel_id", "r", "m", "st")
+            .select(col("probe_id"), col("sel_id")))
+          val rem = candv.select(col("probe_id"), col("cand_id"),
+              col("rel_fx"))
+            .join(selKeys.withColumnRenamed("sel_id", "cand_id"),
+              Seq("probe_id", "cand_id"), "left_anti")
+          val ms = rem
+            .join(sims.withColumnRenamed("a", "cand_id"),
+              Seq("probe_id", "cand_id"))
+            .join(selKeys.withColumnRenamed("sel_id", "b"),
+              Seq("probe_id", "b"))
+            .groupBy(col("probe_id"), col("cand_id"), col("rel_fx"))
+            .agg(max(col("sim_fx")).as("msim"))
+          val byMmr = Window.partitionBy(col("probe_id"))
+            .orderBy(col("mmr_fx").desc, col("cand_id").asc)
+          acc ++= ms
+            .withColumn("mmr_fx", lit(lam) * col("rel_fx") -
+              lit(1000L - lam) * greatest(col("msim"), lit(0L)))
+            .withColumn("rn", row_number().over(byMmr))
+            .filter(col("rn") === 1)
+            .select(col("probe_id"), col("cand_id"), col("rel_fx"),
+              col("mmr_fx"), lit(i.toLong).as("step"))
+            .as[(Long, Long, Long, Long, Long)].collect()
+        }
+        acc.toSeq.toDF("probe_id", "neighbor_id", "rel_fx", "mmr_fx", "step")
+          .select(col("probe_id"), col("neighbor_id"), col("step"),
+            col("rel_fx"), col("mmr_fx"))
+      },
+      Some(mmrSql))
   )
 }

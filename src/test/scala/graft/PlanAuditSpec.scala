@@ -44,8 +44,8 @@ class PlanAuditSpec extends SparkSpec {
       "ev_cooccurrence",
       // three 1-row aggregate verdict sides crossing into one report row
       "dq_expectations",
-      // inherits assignIvf's bounded corpus × broadcast-centroid BNLJ
-      "sim_bitext")
+      // inherit assignIvf's bounded corpus × broadcast-centroid BNLJ
+      "sim_bitext", "sim_mmr")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

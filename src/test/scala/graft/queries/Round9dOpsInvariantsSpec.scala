@@ -106,6 +106,48 @@ class Round9dOpsInvariantsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_range_quantity") === 1L)
   }
 
+  test("ev_markov2 composes ev_transitions' 1-step milli-probabilities") {
+    val p1 = SparkEntry.queries("ev_transitions")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("prev"), r.getAs[String]("next")) ->
+        r.getAs[Long]("p_milli")).toMap
+    val rows = run("ev_markov2").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[String]("prev"), r.getAs[String]("next"))
+      val expect = p1.keys.map(_._1).toSet.toSeq.flatMap { mid: String =>
+        for (pa <- p1.get((a, mid)); pb <- p1.get((mid, c))) yield pa * pb
+      }.sum
+      assert(r.getAs[Long]("p2_micro") === expect, s"$a->$c")
+    }
+    // one predicted destination per origin; row mass ≤ 1 (floor only loses)
+    rows.groupBy(_.getAs[String]("prev")).foreach { case (prev, g) =>
+      assert(g.count(_.getAs[Boolean]("is_top")) === 1, prev)
+      assert(g.map(_.getAs[Long]("p2_micro")).sum <= 1000000L, prev)
+    }
+  }
+
+  test("sim_mmr: k contiguous steps per probe, step1 is the relevance argmax") {
+    val rows = run("sim_mmr").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, g) =>
+      val steps = g.map(_.getAs[Long]("step")).sorted
+      assert(steps === (1L to steps.length).toSeq, s"probe $p")
+      val ids = g.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length, s"probe $p")
+      val byStep = g.map(r => r.getAs[Long]("step") -> r).toMap
+      val s1 = byStep(1L)
+      assert(s1.getAs[Long]("mmr_fx") ===
+        graft.queries.Similarity.MmrLambdaMilli * s1.getAs[Long]("rel_fx"))
+      // step1 is the pure-relevance argmax of everything ever selected
+      g.foreach(r =>
+        assert(r.getAs[Long]("rel_fx") <= s1.getAs[Long]("rel_fx")))
+      // later steps pay a redundancy penalty: mmr ≤ λ·rel
+      g.filter(_.getAs[Long]("step") > 1L).foreach(r =>
+        assert(r.getAs[Long]("mmr_fx") <=
+          graft.queries.Similarity.MmrLambdaMilli * r.getAs[Long]("rel_fx")))
+    }
+  }
+
   test("sim_bitext: mined pairs are a mutual one-to-one cross-side matching") {
     val rows = run("sim_bitext").collect()
     assert(rows.nonEmpty)
