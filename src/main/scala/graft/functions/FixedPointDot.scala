@@ -111,7 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // HOF dot product → FixedPointDot (see DotProductRewrite scaladoc)
     ext.injectOptimizerRule(_ => DotProductRewrite)
-    // whole-operator extension: plans plans.AsOfJoinNode → AsOfJoinExec
+    // whole-operator extensions: plans plans.AsOfJoinNode → AsOfJoinExec
+    // and plans.IntervalJoinNode → IntervalJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

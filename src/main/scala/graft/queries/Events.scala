@@ -405,6 +405,42 @@ object Events {
                       AND p.ems BETWEEN er.lo AND er.hi
         GROUP BY 1, 2""")),
 
+    // ---- range join via the native interval-sweep operator -----------------
+    // The SAME query as ev_range_join, run through the second
+    // whole-operator Catalyst extension (plans.IntervalJoinNode →
+    // IntervalJoinExec): one exchange + sort per side, then a
+    // per-partition interval sweep with memory bounded by concurrent
+    // overlap — no bin-width knob, no candidate duplication, no
+    // post-join re-filter. Same DuckDB inequality-join oracle;
+    // NativeIntervalSpec proves row-parity with the bin-bucketed form.
+    Q("ev_range_native",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"),
+            (col("ems") - 3600000L).as("lo"),
+            (col("ems") + 3600000L).as("hi"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ems"))
+        graft.plans.NativeIntervalJoin
+          .intervalJoin(errs, purch, "user_id", "lo", "hi", "ems")
+          .groupBy(col("user_id"), col("event_id"))
+          .agg(count(lit(1)).as("n_near"),
+            min(col("p_ems")).as("first_near_ms"))
+      },
+      Some("""
+        WITH er AS (
+          SELECT user_id, event_id, epoch_ms(ts) - 3600000 AS lo,
+                 epoch_ms(ts) + 3600000 AS hi
+          FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, epoch_ms(ts) AS ems
+              FROM events WHERE event_type = 'purchase')
+        SELECT er.user_id, er.event_id, count(*) AS n_near,
+               min(p.ems) AS first_near_ms
+        FROM er JOIN p ON p.user_id = er.user_id
+                      AND p.ems BETWEEN er.lo AND er.hi
+        GROUP BY 1, 2""")),
+
     // ---- session_window: Spark's native gap-session operator ----------------
     // The built-in alternative to the lag+running-sum sessionization above;
     // merge semantics verified empirically: a gap of exactly the duration
@@ -1591,6 +1627,56 @@ object Events {
         SELECT prev, next, p2_micro,
                row_number() OVER (PARTITION BY prev
                  ORDER BY p2_micro DESC, next ASC) = 1 AS is_top
-        FROM p2"""))
+        FROM p2""")),
+
+    // ---- leakage-safe K-fold target encoding (the feature-store op) --------
+    // Mean-target encoding is the classic high-cardinality categorical
+    // feature — and the classic LEAK when a row's own target joins its
+    // encoding. The fix every feature store implements: GROUP-aware
+    // folds (all of a user's events share a fold — the md5-bucket O6
+    // discipline, so recomputation and train/serve agree) and
+    // out-of-fold means, (Σ_total − Σ_fold)/(n_total − n_fold) per
+    // (category, fold). Plan: one combinable (type, fold) aggregate
+    // carrying exact micro-scaled integer sums, then the totals as a
+    // window over the |types|×K aggregate table (model-sized) — the raw
+    // stream is touched once; the mean is two mirrored IEEE divisions
+    // over exact integers.
+    Q("ev_target_encode",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("fold", pmod(conv(substring(md5(concat(lit("fold|"),
+            col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+            .cast("long"), lit(5L)))
+        val pf = e.groupBy(col("event_type"), col("fold"))
+          .agg(count(lit(1)).as("n_f"),
+            sum(round(col("value") * 1000000).cast("long")).as("s_f"))
+        val wT = Window.partitionBy(col("event_type"))
+        pf.withColumn("n_tot", sum(col("n_f")).over(wT))
+          .withColumn("s_tot", sum(col("s_f")).over(wT))
+          .select(col("event_type"), col("fold"), col("n_f"),
+            (col("n_tot") - col("n_f")).as("n_oof"),
+            ((col("s_tot") - col("s_f")).cast("double") /
+              (col("n_tot") - col("n_f")) / 1000000.0).as("oof_mean"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT event_type,
+                 CAST(('0x' || substr(md5('fold|' ||
+                   CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+                   AS fold,
+                 CAST(round(value * 1000000) AS BIGINT) AS v
+          FROM events),
+        pf AS (
+          SELECT event_type, fold, count(*) AS n_f,
+                 CAST(sum(v) AS BIGINT) AS s_f
+          FROM f GROUP BY 1, 2),
+        t AS (
+          SELECT *, CAST(sum(n_f) OVER w AS BIGINT) AS n_tot,
+                 CAST(sum(s_f) OVER w AS BIGINT) AS s_tot
+          FROM pf WINDOW w AS (PARTITION BY event_type))
+        SELECT event_type, fold, n_f, n_tot - n_f AS n_oof,
+               CAST(s_tot - s_f AS DOUBLE) / (n_tot - n_f) / 1000000.0
+                 AS oof_mean
+        FROM t"""))
   )
 }

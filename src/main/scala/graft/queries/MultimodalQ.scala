@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.ops.Materialize._
 import graft.pipeline.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal metadata surface under the correctness gate. Binary decode /
@@ -85,7 +86,7 @@ object MultimodalQ {
     * by mm_dhash_neardup and mm_dhash_clusters so the ledger cannot
     * drift from the pair query it composes.
     */
-  private def dhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def dhashScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val dh = Tables.sharded(s, dir, "documents")
       .select(col("doc_id").as("asset_id"),
         dhash(s, substring(col("text"), 1, DhashThumb)).as("dhash"))
@@ -103,9 +104,14 @@ object MultimodalQ {
       .select(col("asset_a"), col("asset_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
           .as("hamming"))
-      .filter(col("hamming") <= DhashMaxHamming)
       .distinct()
   }
+
+  /** [[dhashScoredPairs]] cut at the production threshold — the form the
+    * near-dup and cluster queries consume.
+    */
+  private def dhashPairs(s: SparkSession, dir: String): DataFrame =
+    dhashScoredPairs(s, dir).filter(col("hamming") <= DhashMaxHamming)
 
   /** Oracle CTEs base/ch/dh/blocked/pairs mirroring [[dhashPairs]] —
     * shared by both dhash oracles for the same no-drift reason.
@@ -369,6 +375,35 @@ object MultimodalQ {
         SELECT asset_a, asset_b,
                coalesce(ev_dhash, false) AS ev_dhash,
                coalesce(ev_cosine, false) AS ev_cosine
-        FROM ph FULL JOIN sem USING (asset_a, asset_b)"""))
+        FROM ph FULL JOIN sem USING (asset_a, asset_b)""")),
+
+    // ---- hamming operating curve (threshold sweep for the dedup knob) ------
+    // The table an operator reads to CHOOSE DhashMaxHamming (the
+    // ev_gap_stats discipline: measure before hardcoding): per hamming
+    // distance, how many block-bucket candidate pairs exist and the
+    // running total a threshold τ would admit. ONE scored-pair pass (the
+    // dhashScoredPairs lineage shared with mm_dhash_neardup, threshold
+    // removed), a combinable ≤61-bin histogram, and the cumulative
+    // window over the model-sized bin table (allowlisted global). The
+    // curve covers block-bucket CANDIDATES — exactly the population the
+    // production threshold filters.
+    Q("mm_hamming_curve",
+      (s, dir) => {
+        val hist = dhashScoredPairs(s, dir)
+          .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        val w = Window.orderBy(col("hamming"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      },
+      Some(s"""
+        WITH $dhashPairsSql,
+        hist AS (
+          SELECT CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming,
+                 count(*) AS n_pairs
+          FROM pairs GROUP BY 1)
+        SELECT hamming, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY hamming
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+        FROM hist"""))
   )
 }

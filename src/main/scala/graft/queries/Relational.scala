@@ -18,6 +18,39 @@ import org.apache.spark.sql.expressions.Window
 object Relational {
   import Q.{fxsum, fxsumSql}
 
+  /** The 2D Pareto skyline (minimize `p_retailprice`, maximize `p_size`)
+    * of any frame carrying those columns, decomposed for distribution
+    * via skyline(S) = skyline(∪ skyline(Sᵢ)) on a price-domain bucket:
+    * per-price combinable max → per-bucket running-max window →
+    * |price-domain / bucketWidth|-row cross-bucket carry → output-sized
+    * frontier broadcast back. The base frame never shuffles and no step
+    * is quadratic. Package-visible so the 1M-row scale smoke
+    * (SkylineScaleSpec) drives the SAME lineage the q26 oracle gates.
+    */
+  private[graft] def paretoSkyline(part: org.apache.spark.sql.DataFrame,
+      bucketWidth: Int): org.apache.spark.sql.DataFrame = {
+    val pp = part
+      .groupBy(col("p_retailprice").as("price"),
+        floor(col("p_retailprice") / bucketWidth).as("bucket"))
+      .agg(max(col("p_size")).as("best_size"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val loc = pp.withColumn("prev_local", max(col("best_size")).over(wLocal))
+    val wCarry = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = pp.groupBy(col("bucket")).agg(max(col("best_size")).as("bmax"))
+      .withColumn("carry_in", max(col("bmax")).over(wCarry))
+      .select(col("bucket"), col("carry_in"))
+    val sky = loc.join(broadcast(carry), "bucket")
+      .filter(col("best_size") > greatest(
+        coalesce(col("prev_local"), lit(-1)),
+        coalesce(col("carry_in"), lit(-1))))
+      .select(col("price"), col("best_size"))
+    part.join(broadcast(sky),
+      col("p_retailprice") === col("price") &&
+        col("p_size") === col("best_size"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- q1: scan + filter + hash aggregate (TPC-H Q1 shape) -------------
@@ -815,31 +848,9 @@ object Relational {
     // frontier — output-sized — broadcasts back against the base table.
     // No self-join, no corpus-sized single-partition sort at any step.
     Q("q26_skyline",
-      (s, dir) => {
-        val part = Tables(s, dir, "part")
-        val pp = part
-          .groupBy(col("p_retailprice").as("price"),
-            floor(col("p_retailprice") / 10).as("bucket"))
-          .agg(max(col("p_size")).as("best_size"))
-        val wLocal = Window.partitionBy(col("bucket")).orderBy(col("price"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val loc = pp.withColumn("prev_local", max(col("best_size")).over(wLocal))
-        val wCarry = Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carry = pp.groupBy(col("bucket")).agg(max(col("best_size")).as("bmax"))
-          .withColumn("carry_in", max(col("bmax")).over(wCarry))
-          .select(col("bucket"), col("carry_in"))
-        val sky = loc.join(broadcast(carry), "bucket")
-          .filter(col("best_size") > greatest(
-            coalesce(col("prev_local"), lit(-1)),
-            coalesce(col("carry_in"), lit(-1))))
-          .select(col("price"), col("best_size"))
-        part.join(broadcast(sky),
-            col("p_retailprice") === col("price") &&
-              col("p_size") === col("best_size"))
-          .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
-            col("p_size"))
-      },
+      (s, dir) => paretoSkyline(Tables(s, dir, "part"), bucketWidth = 10)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("p_size")),
       Some("""
         WITH pp AS (
           SELECT p_retailprice AS price,

@@ -30,6 +30,9 @@ object Similarity {
   private[graft] val MmrCand = 20
   private[graft] val MmrK = 5
   private[graft] val MmrLambdaMilli = 700L
+  // sim_negatives: hash-sampled pool size and hard-negative cut
+  private[graft] val NegPoolN = 50
+  private[graft] val NegK = 10
 
   /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
   private[queries] val qnSql = s"""
@@ -1170,6 +1173,119 @@ object Similarity {
           .select(col("probe_id"), col("neighbor_id"), col("step"),
             col("rel_fx"), col("mmr_fx"))
       },
-      Some(mmrSql))
+      Some(mmrSql)),
+
+    // ---- cosine operating curve (threshold sweep for the τ knob) -----------
+    // The table an operator reads to CHOOSE RangeTau / HybridTau (the
+    // mm_hamming_curve twin in embedding space): per 0.1-wide cosine
+    // band, how many within-bucket pairs exist, and the running total a
+    // radius τ would admit (cumulative from the most-similar band down).
+    // ONE bucket-keyed pair pass — the sim_range_search candidate
+    // population with the τ filter removed — a combinable ≤21-bin
+    // histogram, and the cumulative window over the model-sized bin
+    // table (allowlisted global). Band edges are floor(cos·10) over the
+    // bit-identical fixed-point cosine, so bin membership cannot differ
+    // between engines.
+    Q("sim_tau_curve",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings")
+        val d = VectorOps.dotFn(e)
+        val asg = VectorOps.assignIvf(e, CentroidModulo)
+        val a = asg.select(col("centroid_id"), col("vec_id").as("va"),
+          col("q").as("qa"), col("n2").as("na"))
+        val b = asg.select(col("centroid_id"), col("vec_id").as("vb"),
+          col("q").as("qb"), col("n2").as("nb"))
+        val hist = a.join(b, Seq("centroid_id"))
+          .filter(col("va") < col("vb"))
+          .withColumn("band", floor(VectorOps.cosine(
+            d(col("qa"), col("qb")), col("na"), col("nb")) * 10)
+            .cast("long"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        val w = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      },
+      Some(s"""
+        WITH $assignSql,
+        sp AS (
+          SELECT CAST(floor(${cosSql("a", "b")} * 10) AS BIGINT) AS band
+          FROM asg a JOIN asg b ON b.centroid_id = a.centroid_id
+                               AND a.vec_id < b.vec_id),
+        hist AS (SELECT band, count(*) AS n_pairs FROM sp GROUP BY 1)
+        SELECT band, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY band DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+        FROM hist""")),
+
+    // ---- contrastive negative mining (hash pool → hard-negative cut) -------
+    // The training-pair prep contrastive/embedding fine-tuning needs:
+    // per probe, NegK negatives that are (a) guaranteed non-neighbors —
+    // drawn from OUTSIDE the probe's IVF bucket, so the positive
+    // candidates sim_knn_ivf would return are excluded by construction —
+    // and (b) HARD: a salted-md5-ranked pool of NegPoolN is cut to the
+    // NegK highest-cosine members, the "hard negatives" that actually
+    // move a contrastive loss. Sampling is recomputation-stable (hash
+    // order, no rand()), the expensive cosine runs only on the
+    // pool (NegPoolN per probe), and the probe×corpus candidate join is
+    // the bounded knnBrute broadcast shape. Everything is oracle-exact:
+    // pool membership (integer hash ranks) and the final cut
+    // (bit-identical cosine, id tie-break).
+    Q("sim_negatives",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings")
+        val d = VectorOps.dotFn(e)
+        val asg = VectorOps.assignIvf(e, CentroidModulo)
+        val probes = asg.filter(col("vec_id") < ProbeLimit)
+          .select(col("vec_id").as("probe_id"),
+            col("centroid_id").as("pcent"), col("q").as("pq"),
+            col("n2").as("pn2"))
+        val cand = asg.join(broadcast(probes),
+            col("centroid_id") =!= col("pcent"))
+          .withColumn("h", conv(substring(md5(concat(lit("neg|"),
+            col("probe_id").cast("string"), lit("|"),
+            col("vec_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
+        val wPool = Window.partitionBy(col("probe_id"))
+          .orderBy(col("h").asc, col("vec_id").asc)
+        val pool = cand
+          .withColumn("pr", row_number().over(wPool))
+          .filter(col("pr") <= NegPoolN)
+          .withColumn("cosine", VectorOps.cosine(d(col("pq"), col("q")),
+            col("pn2"), col("n2")))
+        val wHard = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        pool.withColumn("rank", row_number().over(wHard))
+          .filter(col("rank") <= NegK)
+          .select(col("probe_id"), col("vec_id").as("neg_id"),
+            col("cosine"), col("rank"))
+      },
+      Some(s"""
+        WITH $assignSql,
+        probes AS (SELECT vec_id AS probe_id, centroid_id AS pcent,
+                          qv AS pqv, n2 AS pn2
+                   FROM asg WHERE vec_id < $ProbeLimit),
+        cand AS (
+          SELECT p.probe_id, c.vec_id, c.qv, c.n2, p.pqv, p.pn2,
+                 CAST(('0x' || substr(md5('neg|' ||
+                   CAST(p.probe_id AS VARCHAR) || '|' ||
+                   CAST(c.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM asg c JOIN probes p ON c.centroid_id <> p.pcent),
+        pool AS (
+          SELECT probe_id, vec_id, qv, n2, pqv, pn2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY h ASC, vec_id ASC) AS pr
+            FROM cand) WHERE pr <= $NegPoolN),
+        scored AS (
+          SELECT probe_id, vec_id,
+                 CAST(CAST(list_sum([pqv[i] * qv[i]
+                   for i in generate_series(1, len(pqv))]) AS BIGINT)
+                   AS DOUBLE) / sqrt(CAST(pn2 AS DOUBLE))
+                   / sqrt(CAST(n2 AS DOUBLE)) AS cosine
+          FROM pool)
+        SELECT probe_id, vec_id AS neg_id, cosine, rank FROM (
+          SELECT probe_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= $NegK"""))
   )
 }

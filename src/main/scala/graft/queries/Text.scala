@@ -39,6 +39,8 @@ object Text {
     */
   private[graft] val LrIters = 3
   private[graft] val LrRate = 0.5
+  // txt_zipf: rank depth of the log-log least-squares fit
+  private[graft] val ZipfTopN = 100
 
   /** The classifier's feature projection: weak label y = [lang = 'en']
     * plus three char-statistic features (scaled length, whitespace
@@ -1534,6 +1536,69 @@ object Text {
         JOIN uni a1 ON a1.token = split_part(b.shingle, ' ', 1)
         JOIN uni a2 ON a2.token = split_part(b.shingle, ' ', 2)
         WHERE b.c_ab >= 5
-        ORDER BY lift_milli DESC, bigram ASC LIMIT 20"""))
+        ORDER BY lift_milli DESC, bigram ASC LIMIT 20""")),
+
+    // ---- Zipf rank-frequency fit (the corpus-naturalness data card) --------
+    // Natural language follows freq ∝ rank^s with s ≈ −1; machine-
+    // generated or template-heavy corpora bend the curve, so the fitted
+    // slope is a one-number corpus-health indicator next to txt_stats.
+    // One combinable term-frequency aggregate, a TakeOrderedAndProject
+    // cut to the top-ZipfTopN terms (the rank window then runs over the
+    // model-sized shortlist — allowlisted global, the txt_rrf
+    // discipline), and an exact-integer least-squares fold: ln(rank)
+    // and ln(freq) are micro-quantized at source (round(ln·10⁶) — the
+    // txt_bm25 rule: the only transcendentals in the lineage, quantized
+    // immediately so libm last-ulp differences cannot surface), every
+    // Σx/Σy/Σxx/Σxy is an exact long, and the slope is ONE mirrored
+    // IEEE division over those exact integers.
+    Q("txt_zipf",
+      (s, dir) => {
+        val tf = Tables.sharded(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val top = tf.orderBy(col("freq").desc, col("term").asc)
+          .limit(ZipfTopN)
+        val w = Window.orderBy(col("freq").desc, col("term").asc)
+        val xy = top
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(
+            round(log(col("rank").cast("double")) * 1000000).cast("long")
+              .as("x"),
+            round(log(col("freq").cast("double")) * 1000000).cast("long")
+              .as("y"))
+        xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("slope_e6",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      },
+      Some(s"""
+        WITH tf AS (
+          SELECT token AS term, count(*) AS freq
+          FROM (SELECT unnest(tokens) AS token FROM (${DocSql.toksSql}))
+          GROUP BY 1),
+        top AS (
+          SELECT term, freq FROM tf
+          ORDER BY freq DESC, term ASC LIMIT $ZipfTopN),
+        xy AS (
+          SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS x,
+                 CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS y
+          FROM (SELECT freq, row_number() OVER
+                  (ORDER BY freq DESC, term ASC) AS rank
+                FROM top)),
+        g AS (
+          SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM xy)
+        SELECT n, sx, sy, sxx, sxy,
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS slope_e6
+        FROM g"""))
   )
 }

@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
       // three 1-row aggregate verdict sides crossing into one report row
       "dq_expectations",
       // inherit assignIvf's bounded corpus × broadcast-centroid BNLJ
-      "sim_bitext", "sim_mmr")
+      // (sim_negatives adds the knnBrute probe-broadcast × corpus shape)
+      "sim_bitext", "sim_mmr", "sim_tau_curve", "sim_negatives")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -99,7 +100,11 @@ class PlanAuditSpec extends SparkSpec {
       "txt_rrf_fusion",
       // the cross-bucket carry runs over |price-domain / 10| per-bucket
       // maxima — bounded by the value domain, never by row count
-      "q26_skyline")
+      "q26_skyline",
+      // cumulative operating curves over ≤61-bin / ≤21-bin histograms
+      // (value-domain-bounded), and the Zipf rank window over the
+      // ZipfTopN TakeOrderedAndProject shortlist
+      "mm_hamming_curve", "sim_tau_curve", "txt_zipf")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =

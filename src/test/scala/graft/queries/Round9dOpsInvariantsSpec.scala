@@ -148,6 +148,101 @@ class Round9dOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("operating curves: cumulative sums exact, production cut consistent") {
+    val mm = run("mm_hamming_curve").collect()
+      .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cum_pairs"))).sortBy(_._1)
+    assert(mm.nonEmpty)
+    var acc = 0L
+    mm.foreach { case (h, np, cp) =>
+      acc += np
+      assert(cp === acc, s"hamming $h")
+      assert(h >= 0 && h <= 60)
+    }
+    // the curve at the production threshold equals the near-dup query
+    val cut = mm.filter(_._1 <= MultimodalQ.DhashMaxHamming).map(_._2).sum
+    assert(cut === run("mm_dhash_neardup").count())
+
+    val st = run("sim_tau_curve").collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cum_pairs"))).sortBy(-_._1)
+    assert(st.nonEmpty)
+    var acc2 = 0L
+    st.foreach { case (b, np, cp) =>
+      acc2 += np
+      assert(cp === acc2, s"band $b")
+      assert(b >= -10 && b <= 10)
+    }
+  }
+
+  test("txt_zipf: integer sums self-consistent, slope in the natural range") {
+    val r = run("txt_zipf").collect().head
+    val distinctTerms = Tables(spark, sfDir, "documents")
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .select(col("t")).distinct().count()
+    assert(r.getAs[Long]("n") ===
+      math.min(graft.queries.Text.ZipfTopN.toLong, distinctTerms))
+    val slope = r.getAs[Double]("slope_e6")
+    // natural-language Zipf slope is around −1; the synthetic sf0.001
+    // corpus (31 distinct terms) is much flatter, but the fit must
+    // still be decreasing and sane
+    assert(slope < -0.05 && slope > -3.0, s"slope $slope")
+    // denominator positive (ranks are distinct)
+    assert(r.getAs[Long]("n") * r.getAs[Long]("sxx") >
+      r.getAs[Long]("sx") * r.getAs[Long]("sx"))
+  }
+
+  test("ev_target_encode: out-of-fold means exclude the fold, counts add up") {
+    val rows = run("ev_target_encode").collect()
+    val e = Tables.events(spark, sfDir)
+    // fold partition is exhaustive: per-type n_f sums to the type's count
+    val typeCounts = e.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, g) =>
+      assert(g.map(_.getAs[Long]("n_f")).sum === typeCounts(t), t)
+      g.foreach(r => assert(r.getAs[Long]("n_f") + r.getAs[Long]("n_oof") ===
+        typeCounts(t)))
+    }
+    // leakage check, recomputed independently for one cell: the oof mean
+    // of (type, fold) must equal the mean over all OTHER folds' rows
+    val probe = rows.head
+    val (t0, f0) = (probe.getAs[String]("event_type"),
+      probe.getAs[Long]("fold"))
+    val others = e
+      .withColumn("fold", pmod(conv(substring(md5(concat(lit("fold|"),
+        col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(5L)))
+      .filter(col("event_type") === t0 && col("fold") =!= f0)
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("s"),
+        count(lit(1)).as("n")).head
+    val expect = others.getLong(0).toDouble / others.getLong(1) / 1000000.0
+    assert(probe.getAs[Double]("oof_mean") === expect)
+  }
+
+  test("sim_negatives: outside the probe's bucket, hard-cut ordering holds") {
+    val rows = run("sim_negatives").collect()
+    val asg = graft.similarity.VectorOps.assignIvf(
+      Tables(spark, sfDir, "embeddings"), 25)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, g) =>
+      // never a positive candidate: negatives live in OTHER buckets
+      g.foreach(r =>
+        assert(asg(r.getAs[Long]("neg_id")) !== asg(p), s"probe $p"))
+      // contiguous ranks, cosine non-increasing along them
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Double]("cosine") >=
+          b.getAs[Double]("cosine"))
+        case _ => ()
+      }
+      assert(g.length === graft.queries.Similarity.NegK)
+    }
+  }
+
   test("sim_bitext: mined pairs are a mutual one-to-one cross-side matching") {
     val rows = run("sim_bitext").collect()
     assert(rows.nonEmpty)
