@@ -111,6 +111,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // HOF dot product → FixedPointDot (see DotProductRewrite scaladoc)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // plain INNER equi+range joins → the native interval sweep
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     // whole-operator extensions: plans plans.AsOfJoinNode → AsOfJoinExec
     // and plans.IntervalJoinNode → IntervalJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
