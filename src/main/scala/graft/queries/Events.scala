@@ -1384,6 +1384,79 @@ object Events {
                  sqrt((var_a / n_a) + (var_b / n_b))) > 1.96 AS significant
         FROM v""")),
 
+    // ---- experiment power analysis (the ev_ab_test companion) --------------
+    // The question every A/B consumer asks next: is the sample big
+    // enough? Two-sample power analysis at α=0.05 (two-sided), power
+    // 0.8, for a minimal detectable effect of 5% of the control mean:
+    // n_required per arm = ⌈(z_α/2 + z_β)²·(σ²_a + σ²_b)/δ²⌉. Same
+    // ONE-row conditional-fxsum aggregate as ev_ab_test (the stream is
+    // scanned once); variances are exact integer power sums, and the
+    // power arithmetic is a constant projection of mirrored IEEE ops, so
+    // the verdict BOOLEAN — not just the counts — sits under the hash.
+    Q("ev_power",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "view"))
+        def side(t: String, sfx: String) = Seq(
+          sum(when(col("event_type") === t, 1L).otherwise(0L))
+            .as(s"n$sfx"),
+          fxsum(when(col("event_type") === t, col("value"))
+            .otherwise(lit(0.0)), 6).as(s"s1$sfx"),
+          fxsum(when(col("event_type") === t, col("value") * col("value"))
+            .otherwise(lit(0.0)), 6).as(s"s2$sfx"))
+        val aggs = side("click", "_a") ++ side("view", "_b")
+        val g = e.agg(aggs.head, aggs.tail: _*)
+        def mean(sfx: String) = col(s"s1$sfx") / col(s"n$sfx")
+        def variance(sfx: String) =
+          ((col(s"s2$sfx") / col(s"n$sfx")) -
+            (col(s"mean$sfx") * col(s"mean$sfx"))) *
+            (col(s"n$sfx") / (col(s"n$sfx") - 1))
+        g.withColumn("mean_a", mean("_a")).withColumn("mean_b", mean("_b"))
+          .withColumn("var_a", variance("_a"))
+          .withColumn("var_b", variance("_b"))
+          .withColumn("delta", col("mean_a") * 0.05)
+          .withColumn("n_required",
+            ceil(lit(7.848855622911983) * (col("var_a") + col("var_b")) /
+              (col("delta") * col("delta"))).cast("long"))
+          .select(col("n_a"), col("n_b"), col("var_a"), col("var_b"),
+            col("delta"), col("n_required"),
+            (least(col("n_a"), col("n_b")) >= col("n_required"))
+              .as("adequately_powered"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            ${fxsumSql(
+              "CASE WHEN event_type = 'click' THEN value ELSE 0.0 END", 6)}
+              AS s1_a,
+            ${fxsumSql("CASE WHEN event_type = 'click' " +
+              "THEN value * value ELSE 0.0 END", 6)} AS s2_a,
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+            ${fxsumSql(
+              "CASE WHEN event_type = 'view' THEN value ELSE 0.0 END", 6)}
+              AS s1_b,
+            ${fxsumSql("CASE WHEN event_type = 'view' " +
+              "THEN value * value ELSE 0.0 END", 6)} AS s2_b
+          FROM events WHERE event_type IN ('click', 'view')),
+        m AS (
+          SELECT *, s1_a / n_a AS mean_a, s1_b / n_b AS mean_b FROM g),
+        v AS (
+          SELECT *,
+            ((s2_a / n_a) - (mean_a * mean_a)) * (n_a / (n_a - 1)) AS var_a,
+            ((s2_b / n_b) - (mean_b * mean_b)) * (n_b / (n_b - 1)) AS var_b,
+            mean_a * 0.05e0 AS delta
+          FROM m)
+        SELECT n_a, n_b, var_a, var_b, delta,
+               CAST(ceil(7.848855622911983e0 * (var_a + var_b) /
+                 (delta * delta)) AS BIGINT) AS n_required,
+               least(n_a, n_b) >= CAST(ceil(7.848855622911983e0 *
+                 (var_a + var_b) / (delta * delta)) AS BIGINT)
+                 AS adequately_powered
+        FROM v""")),
+
     // ---- temporal train/eval split (leakage-safe sequential holdout) -------
     // The split a SEQUENTIAL model needs: per user, the LAST 20% of
     // events (by event time) become eval, the rest train — unlike the

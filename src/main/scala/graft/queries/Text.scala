@@ -41,6 +41,11 @@ object Text {
   private[graft] val LrRate = 0.5
   // txt_zipf: rank depth of the log-log least-squares fit
   private[graft] val ZipfTopN = 100
+  // txt_keyphrase: the phrase-boundary stopword set (all language
+  // profiles merged — the corpus is multilingual) and the report depth
+  private[graft] lazy val KeyphraseStop: Seq[String] =
+    profiles.flatMap(_._2)
+  private[graft] val KeyphraseTopN = 20
 
   /** The classifier's feature projection: weak label y = [lang = 'en']
     * plus three char-statistic features (scaled length, whitespace
@@ -1599,6 +1604,93 @@ object Text {
         SELECT n, sx, sy, sxx, sxy,
                CAST(n * sxy - sx * sy AS DOUBLE) /
                  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_e6
-        FROM g"""))
+        FROM g""")),
+
+    // ---- RAKE keyphrase extraction (stopword-delimited phrase mining) ------
+    // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+    // phrases are maximal stopword-free token runs (the merged
+    // lang-profile stopword set marks boundaries), scored by the sum of
+    // their members' degree/frequency ratios — multi-word technical
+    // phrases outrank common single words because degree rewards
+    // co-occurrence inside long phrases. Plan shape: ONE positional
+    // explode (bounded by the 512-token fixture invariant Verify
+    // asserts), per-doc running-sum window for phrase ids, a per-phrase
+    // length window (no join), one global word-stat aggregate, and a
+    // TakeOrderedAndProject cut. All scoring is integer — score(w) =
+    // (1000·deg) div freq summed per phrase — so the ranking and its
+    // tie-breaks are bit-identical.
+    Q("txt_keyphrase",
+      (s, dir) => {
+        val toks = Tables.sharded(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("i", "token")))
+        val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val members = toks
+          .withColumn("stop", col("token").isin(KeyphraseStop: _*))
+          .withColumn("phrase_id",
+            sum(when(col("stop"), 1L).otherwise(0L)).over(byPos))
+          .filter(!col("stop"))
+        val wp = Window.partitionBy(col("doc_id"), col("phrase_id"))
+        val withLen = members.withColumn("len", count(lit(1)).over(wp))
+        val wordScore = withLen.groupBy(col("token"))
+          .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+          .withColumn("score_w",
+            call_function("div", lit(1000L) * col("deg"), col("freq")))
+          .select(col("token"), col("score_w"))
+        val phraseText = members.groupBy(col("doc_id"), col("phrase_id"))
+          .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("i"), col("token")))),
+            x => x.getField("token"))).as("phrase"))
+        val phraseScore = members.join(wordScore, "token")
+          .groupBy(col("doc_id"), col("phrase_id"))
+          .agg(sum(col("score_w")).as("score_milli"))
+        phraseText.join(phraseScore, Seq("doc_id", "phrase_id"))
+          .groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occur"), max(col("score_milli"))
+            .as("score_milli"))
+          .orderBy(col("score_milli").desc, col("phrase").asc)
+          .limit(KeyphraseTopN)
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, g.i AS i, tokens[g.i] AS token
+          FROM (${DocSql.toksSql}) t
+          CROSS JOIN generate_series(1, 512) AS g(i)
+          WHERE g.i <= len(tokens)),
+        marked AS (
+          SELECT doc_id, i, token,
+                 token IN (${KeyphraseStop.map("'" + _ + "'").mkString(", ")})
+                   AS stop
+          FROM pos),
+        members AS (
+          SELECT doc_id, i, token, phrase_id FROM (
+            SELECT doc_id, i, token, stop,
+                   CAST(sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+            FROM marked) WHERE NOT stop),
+        withlen AS (
+          SELECT *, count(*) OVER (PARTITION BY doc_id, phrase_id) AS len
+          FROM members),
+        ws AS (
+          SELECT token,
+                 (1000 * CAST(sum(len) AS BIGINT)) // count(*) AS score_w
+          FROM withlen GROUP BY token),
+        ptext AS (
+          SELECT doc_id, phrase_id,
+                 string_agg(token, ' ' ORDER BY i) AS phrase
+          FROM members GROUP BY 1, 2),
+        pscore AS (
+          SELECT m.doc_id, m.phrase_id,
+                 CAST(sum(ws.score_w) AS BIGINT) AS score_milli
+          FROM members m JOIN ws ON ws.token = m.token
+          GROUP BY 1, 2)
+        SELECT t.phrase, count(*) AS n_occur,
+               max(s.score_milli) AS score_milli
+        FROM ptext t JOIN pscore s
+          ON s.doc_id = t.doc_id AND s.phrase_id = t.phrase_id
+        GROUP BY t.phrase
+        ORDER BY score_milli DESC, phrase ASC LIMIT $KeyphraseTopN"""))
   )
 }

@@ -243,6 +243,27 @@ class Round9dOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("txt_keyphrase: no stopword inside a phrase, scores positive") {
+    val rows = run("txt_keyphrase").collect()
+    assert(rows.nonEmpty && rows.length <= graft.queries.Text.KeyphraseTopN)
+    val stop = graft.queries.Text.KeyphraseStop.toSet
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.nonEmpty && words.forall(w => !stop(w)),
+        r.getAs[String]("phrase"))
+      assert(r.getAs[Long]("score_milli") > 0)
+      assert(r.getAs[Long]("n_occur") >= 1)
+    }
+    // ranking is by score desc then phrase asc
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("score_milli"), b.getAs[Long]("score_milli"))
+        assert(sa > sb || (sa == sb &&
+          a.getAs[String]("phrase") < b.getAs[String]("phrase")))
+      case _ => ()
+    }
+  }
+
   test("sim_bitext: mined pairs are a mutual one-to-one cross-side matching") {
     val rows = run("sim_bitext").collect()
     assert(rows.nonEmpty)
