@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** Loaders for the driver-generated parquet fixture tables (TESTDATA.md).
   *
@@ -16,31 +17,79 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Temporal columns the engine's queries rely on, with their canonical
-    * engine-side type (TIMESTAMP_NTZ — what the current fixtures scan as
-    * and what every date filter/extract compares against). The round-8
-    * events outage showed fixture timestamp encodings DO drift between
-    * generations; these coercions make the relational loaders
-    * drift-proof the same way [[events]] is: DATE and TIMESTAMP (under
-    * the UTC session timezone every entry point pins) both cast
-    * losslessly to NTZ, and the current NTZ encoding passes through
-    * unchanged (coercion skipped — plans identical today).
+  /** Canonical engine-side column types per table — the generalized form
+    * of the round-8 lesson (fixture encodings DO drift between
+    * generations; a real lake's writers drift the same way). On load,
+    * each declared column is checked against the scan:
+    *   - same type (ignoring nullability) → passes through untouched, so
+    *     TODAY's plans are byte-identical to a plain `spark.read`;
+    *   - losslessly widenable (`Cast.canUpCast` — e.g. INT32 ids from a
+    *     writer that narrowed, DECIMAL→DOUBLE measures) or a temporal
+    *     re-encoding (DATE/TIMESTAMP → TIMESTAMP_NTZ under the pinned
+    *     UTC session timezone) → cast to canonical, so every downstream
+    *     filter/extract/join keeps analyzing;
+    *   - anything else, or a MISSING column → fail loudly with the
+    *     table.column and both types, instead of 19 queries dying at
+    *     analysis like round 8's events outage.
+    * `events.ts` stays with its dedicated loader ([[events]]);
+    * `embeddings.embedding` is left undeclared on purpose — VectorOps
+    * casts coordinates to double itself, so any numeric array works.
+    * The DuckDB oracle reads the same raw parquet; coercion keeps the
+    * ENGINE alive under drift, and FixtureSchemaSpec pins the current
+    * encodings so a drift is a loud one-line message either way.
     */
-  private val temporalNtz: Map[String, Seq[String]] = Map(
-    "lineitem" -> Seq("l_shipdate"),
-    "orders" -> Seq("o_orderdate"))
+  private val canonical: Map[String, Seq[(String, DataType)]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType, "label" -> IntegerType))
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{
+      DateType, DataType => DT, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-    temporalNtz.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+    def temporalOk(actual: DT, want: DT): Boolean = want == TimestampNTZType &&
+      (actual == DateType || actual == TimestampType)
+    canonical.getOrElse(name, Nil).foldLeft(raw) { case (df, (c, want)) =>
       df.schema.find(_.name == c).map(_.dataType) match {
-        case Some(TimestampNTZType) | None => df // canonical (or absent)
-        case Some(DateType) | Some(TimestampType) =>
-          df.withColumn(c, col(c).cast(TimestampNTZType))
-        case Some(other) => throw new IllegalArgumentException(
-          s"$name.$c: unsupported fixture encoding $other — expected " +
-            "DATE, TIMESTAMP, or TIMESTAMP_NTZ; see Tables.temporalNtz")
+        case None => throw new IllegalArgumentException(
+          s"$name.$c: column missing from the fixture scan " +
+            s"(have: ${df.schema.fieldNames.mkString(", ")})")
+        // catalogString comparison = type equality ignoring nullability
+        // flags (the only public stand-in for the private sameType)
+        case Some(actual)
+            if actual == want ||
+              actual.catalogString == want.catalogString => df
+        case Some(actual)
+            if org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(actual, want) || temporalOk(actual, want) =>
+          df.withColumn(c, col(c).cast(want))
+        case Some(actual) => throw new IllegalArgumentException(
+          s"$name.$c: fixture encoding drifted to $actual, which cannot " +
+            s"coerce losslessly to the canonical $want; see Tables.canonical")
       }
     }
   }

@@ -40,6 +40,41 @@ object Dedup {
   // (the uncapped row is the lost-pair baseline).
   private val ShingleDfCaps: Seq[Long] = Seq(2L, 5L, 1000000L)
 
+  /** Exact shingle-Jaccard over LSH candidate pairs — ONE definition
+    * consumed by dd_jaccard (the scored pairs) and dd_jaccard_curve
+    * (the threshold-selection histogram over the same scores), so the
+    * knob table cannot drift from the rerank it tunes. Scale shape as
+    * documented at dd_jaccard: candidates materialized once, shingles
+    * SEMI-FILTERED to candidate docs before the distinct + pair joins.
+    */
+  private def jaccardScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = docs(s, dir)
+    val cand =
+      TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).materialize()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = TextOps.explodedShingles(d, ShingleN)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.sharded(s, dir, "documents")
 
@@ -373,32 +408,7 @@ object Dedup {
     // survived LSH — at 100 TB the rerank cost tracks |candidates|, not
     // |corpus|. (The only full-corpus pass left is signature generation.)
     Q("dd_jaccard",
-      (s, dir) => {
-        val d = docs(s, dir)
-        val cand =
-          TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).materialize()
-        val candDocs = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val sh = TextOps.explodedShingles(d, ShingleN)
-          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-          .distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val inter = cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-            Seq("doc_b", "shingle"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-            "doc_b")
-          .select(col("doc_a"), col("doc_b"), col("n_inter"),
-            (col("n_inter").cast("double") /
-              (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
-              .as("jaccard"))
-      },
+      (s, dir) => jaccardScored(s, dir),
       Some(s"""
         WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
         cand AS (
@@ -419,6 +429,52 @@ object Dedup {
         FROM inter i
         JOIN sz sa ON sa.doc_id = i.doc_a
         JOIN sz sb ON sb.doc_id = i.doc_b""")),
+
+    // ---- Jaccard operating curve (threshold sweep for the rerank knob) -----
+    // Completes the knob-selection trilogy (mm_hamming_curve /
+    // sim_tau_curve): per 0.1-wide Jaccard band over the SAME scored
+    // candidate pairs dd_jaccard emits, how many pairs a verification
+    // threshold τ would confirm (cumulative from the most-similar band
+    // down). Shares jaccardScored — the curve literally cannot drift
+    // from the rerank it tunes; bands are floor(j·10) over the
+    // integer-count-derived jaccard double, identical in both engines.
+    // Covers pairs with ≥1 shared shingle (zero-overlap candidates have
+    // no Jaccard row in the parent either).
+    Q("dd_jaccard_curve",
+      (s, dir) => {
+        val hist = jaccardScored(s, dir)
+          .withColumn("band", floor(col("jaccard") * 10).cast("long"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        val w = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      },
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM (${DocSql.shinglesSql(ShingleN)})),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        jac AS (
+          SELECT CAST(floor((CAST(i.n_inter AS DOUBLE) /
+                   CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)) * 10)
+                   AS BIGINT) AS band
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.doc_a
+          JOIN sz sb ON sb.doc_id = i.doc_b),
+        hist AS (SELECT band, count(*) AS n_pairs FROM jac GROUP BY 1)
+        SELECT band, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY band DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+        FROM hist""")),
 
     // ---- candidate verification: edit distance ------------------------------
     // The character-level rerank (complements dd_jaccard's set-level one):

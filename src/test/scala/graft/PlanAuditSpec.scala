@@ -101,10 +101,10 @@ class PlanAuditSpec extends SparkSpec {
       // the cross-bucket carry runs over |price-domain / 10| per-bucket
       // maxima — bounded by the value domain, never by row count
       "q26_skyline",
-      // cumulative operating curves over ≤61-bin / ≤21-bin histograms
-      // (value-domain-bounded), and the Zipf rank window over the
-      // ZipfTopN TakeOrderedAndProject shortlist
-      "mm_hamming_curve", "sim_tau_curve", "txt_zipf")
+      // cumulative operating curves over ≤61-bin / ≤21-bin / ≤11-bin
+      // histograms (value-domain-bounded), and the Zipf rank window over
+      // the ZipfTopN TakeOrderedAndProject shortlist
+      "mm_hamming_curve", "sim_tau_curve", "dd_jaccard_curve", "txt_zipf")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =

@@ -173,6 +173,19 @@ class Round9dOpsInvariantsSpec extends SparkSpec {
       assert(cp === acc2, s"band $b")
       assert(b >= -10 && b <= 10)
     }
+
+    val jc = run("dd_jaccard_curve").collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cum_pairs"))).sortBy(-_._1)
+    assert(jc.nonEmpty)
+    var acc3 = 0L
+    jc.foreach { case (b, np, cp) =>
+      acc3 += np
+      assert(cp === acc3, s"band $b")
+      assert(b >= 0 && b <= 10)
+    }
+    // the curve's total equals the parent rerank's pair count
+    assert(acc3 === run("dd_jaccard").count())
   }
 
   test("txt_zipf: integer sums self-consistent, slope in the natural range") {
