@@ -404,6 +404,73 @@ object MultimodalQ {
         SELECT hamming, n_pairs,
                CAST(sum(n_pairs) OVER (ORDER BY hamming
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
-        FROM hist"""))
+        FROM hist""")),
+
+    // ---- perceptual-hash robustness under a synthetic retouch --------------
+    // The eval a perceptual dedup needs before trusting its threshold:
+    // perturb every asset IN PLACE (one character of the thumb swapped —
+    // the text analog of a small retouch; dHash is alignment-sensitive
+    // by design, so an in-place edit, not a crop, is the right probe),
+    // hash both versions, and report how many perturbed copies stay
+    // within DhashMaxHamming of their originals — recall-under-retouch,
+    // plus mean/max hamming drift. ONE narrow double-hash projection
+    // (payload bytes die in the scan) and a single-row combinable
+    // aggregate; recall and mean are integer per-mille.
+    Q("mm_dhash_robustness",
+      (s, dir) => {
+        val hashed = Tables.sharded(s, dir, "documents")
+          .select(col("doc_id"),
+            dhash(s, substring(col("text"), 1, DhashThumb)).as("h0"),
+            dhash(s, concat(substring(col("text"), 1, 9), lit("z"),
+              substring(col("text"), 11, DhashThumb - 10))).as("h1"))
+          .withColumn("hamming",
+            bit_count(col("h0").bitwiseXOR(col("h1"))).cast("long"))
+        hashed.agg(count(lit(1)).as("n_assets"),
+            sum(when(col("hamming") <= DhashMaxHamming, 1L).otherwise(0L))
+              .as("n_within_tau"),
+            sum(col("hamming")).as("total_hamming"),
+            max(col("hamming")).as("max_hamming"))
+          .withColumn("recall_milli", call_function("div",
+            lit(1000L) * col("n_within_tau"), col("n_assets")))
+          .withColumn("mean_hamming_milli", call_function("div",
+            lit(1000L) * col("total_hamming"), col("n_assets")))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, substr(text, 1, $DhashThumb) AS t0,
+                 substr(text, 1, 9) || 'z' ||
+                   substr(text, 11, ${DhashThumb - 10}) AS t1
+          FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 [ascii(substr(t0, 1 + (i * ${DhashThumb - 1}) // $DhashBits,
+                    1)) for i in generate_series(0, $DhashBits)] AS c0,
+                 [ascii(substr(t1, 1 + (i * ${DhashThumb - 1}) // $DhashBits,
+                    1)) for i in generate_series(0, $DhashBits)] AS c1
+          FROM base),
+        dh AS (
+          SELECT doc_id,
+                 CAST(list_sum([CASE WHEN c0[i+1] > c0[i+2]
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                   for i in generate_series(0, ${DhashBits - 1})]) AS BIGINT)
+                   AS h0,
+                 CAST(list_sum([CASE WHEN c1[i+1] > c1[i+2]
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                   for i in generate_series(0, ${DhashBits - 1})]) AS BIGINT)
+                   AS h1
+          FROM ch),
+        hm AS (SELECT CAST(bit_count(xor(h0, h1)) AS BIGINT) AS hamming
+               FROM dh),
+        g AS (
+          SELECT count(*) AS n_assets,
+                 CAST(sum(CASE WHEN hamming <= $DhashMaxHamming
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tau,
+                 CAST(sum(hamming) AS BIGINT) AS total_hamming,
+                 max(hamming) AS max_hamming
+          FROM hm)
+        SELECT n_assets, n_within_tau, total_hamming, max_hamming,
+               (1000 * n_within_tau) // n_assets AS recall_milli,
+               (1000 * total_hamming) // n_assets AS mean_hamming_milli
+        FROM g"""))
   )
 }

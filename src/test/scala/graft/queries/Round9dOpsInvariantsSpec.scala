@@ -256,6 +256,17 @@ class Round9dOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("mm_dhash_robustness: one-char retouch flips at most two bits") {
+    val r = run("mm_dhash_robustness").collect().head
+    // exactly one sampled thumb position (index 10 = position i=6 on the
+    // 96/60 grid) changes, so only its two neighboring compare-bits can
+    // flip — a closed-form ceiling on the drift
+    assert(r.getAs[Long]("max_hamming") <= 2L)
+    assert(r.getAs[Long]("recall_milli") === 1000L)
+    assert(r.getAs[Long]("n_assets") > 0)
+    assert(r.getAs[Long]("n_within_tau") === r.getAs[Long]("n_assets"))
+  }
+
   test("txt_keyphrase: no stopword inside a phrase, scores positive") {
     val rows = run("txt_keyphrase").collect()
     assert(rows.nonEmpty && rows.length <= graft.queries.Text.KeyphraseTopN)
