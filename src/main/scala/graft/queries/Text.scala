@@ -46,6 +46,8 @@ object Text {
   private[graft] lazy val KeyphraseStop: Seq[String] =
     profiles.flatMap(_._2)
   private[graft] val KeyphraseTopN = 20
+  // txt_token_budget: the fixed training-token budget being allocated
+  private[graft] val TokenBudget = 100000L
 
   /** The classifier's feature projection: weak label y = [lang = 'en']
     * plus three char-statistic features (scaled length, whitespace
@@ -1605,6 +1607,62 @@ object Text {
                CAST(n * sxy - sx * sy AS DOUBLE) /
                  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_e6
         FROM g""")),
+
+    // ---- token-budget planning under temperature weights -------------------
+    // The question a pretraining-data plan answers before any job runs:
+    // at these mixture weights, how many tokens does each source
+    // contribute to a fixed training budget, and how many EPOCHS of the
+    // source is that (epochs > 1 ⇒ the source repeats — the
+    // repetition-vs-dilution knob)? Weights are the sqrt-temperature
+    // mixture (txt_source_mix's discipline) computed on TOKEN counts;
+    // one combinable per-source aggregate, the |sources|-row normalizing
+    // window (model-sized global, allowlisted), and integer allocation:
+    // allocated = floor(weight · budget), epochs_milli = (1000·allocated)
+    // div n_tokens — the verdict table is bit-exact.
+    Q("txt_token_budget",
+      (s, dir) => {
+        val budget = TokenBudget
+        val w = Window.partitionBy()
+        Tables.sharded(s, dir, "documents")
+          .select(col("source"), size(TextOps.tokens(col("text")))
+            .cast("long").as("n_toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+          .withColumn("sq",
+            round(sqrt(col("n_tokens").cast("double") /
+                sum(col("n_tokens")).over(w).cast("double")) *
+              lit(1000000000L)).cast("long"))
+          .withColumn("weight",
+            col("sq").cast("double") / sum(col("sq")).over(w).cast("double"))
+          .withColumn("allocated_tokens",
+            floor(col("weight") * budget).cast("long"))
+          .withColumn("epochs_milli", call_function("div",
+            lit(1000L) * col("allocated_tokens"), col("n_tokens")))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("weight"), col("allocated_tokens"), col("epochs_milli"))
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(regexp_extract_all(lower(text),
+                   '${graft.text.TextOps.TokenRegex}'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        q AS (
+          SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE) /
+                      CAST(sum(n_tokens) OVER () AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS sq
+          FROM a),
+        wts AS (
+          SELECT *, CAST(sq AS DOUBLE) / CAST(sum(sq) OVER () AS DOUBLE)
+                    AS weight
+          FROM q)
+        SELECT source, n_docs, n_tokens, weight,
+               CAST(floor(weight * $TokenBudget) AS BIGINT)
+                 AS allocated_tokens,
+               (1000 * CAST(floor(weight * $TokenBudget) AS BIGINT))
+                 // n_tokens AS epochs_milli
+        FROM wts""")),
 
     // ---- RAKE keyphrase extraction (stopword-delimited phrase mining) ------
     // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate

@@ -104,7 +104,9 @@ class PlanAuditSpec extends SparkSpec {
       // cumulative operating curves over ≤61-bin / ≤21-bin / ≤11-bin
       // histograms (value-domain-bounded), and the Zipf rank window over
       // the ZipfTopN TakeOrderedAndProject shortlist
-      "mm_hamming_curve", "sim_tau_curve", "dd_jaccard_curve", "txt_zipf")
+      "mm_hamming_curve", "sim_tau_curve", "dd_jaccard_curve", "txt_zipf",
+      // txt_source_mix's |sources|-row normalizing window on token counts
+      "txt_token_budget")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =

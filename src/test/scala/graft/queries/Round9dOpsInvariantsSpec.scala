@@ -256,6 +256,23 @@ class Round9dOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("txt_token_budget: allocation conserves the budget, epochs exact") {
+    val rows = run("txt_token_budget").collect()
+    assert(rows.nonEmpty)
+    val weights = rows.map(_.getAs[Double]("weight"))
+    assert(math.abs(weights.sum - 1.0) < 1e-9)
+    val alloc = rows.map(_.getAs[Long]("allocated_tokens"))
+    // floor per source: never over budget, within |sources| of it
+    assert(alloc.sum <= graft.queries.Text.TokenBudget)
+    assert(alloc.sum > graft.queries.Text.TokenBudget - rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("epochs_milli") ===
+        1000L * r.getAs[Long]("allocated_tokens") /
+          r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("mm_dhash_robustness: one-char retouch flips at most two bits") {
     val r = run("mm_dhash_robustness").collect().head
     // exactly one sampled thumb position (index 10 = position i=6 on the
