@@ -1457,6 +1457,110 @@ object Events {
                  AS adequately_powered
         FROM v""")),
 
+    // ---- RFM segmentation (the lifecycle-marketing scoring table) ----------
+    // Classic recency/frequency/monetary scoring, built scale-first:
+    // scores do NOT come from a global ntile (a |users|-sized
+    // single-partition sort); instead exact quartile THRESHOLDS are one
+    // model-sized aggregate over the per-user metric table, broadcast
+    // back as a 1-row side, and every score is a threshold comparison —
+    // the q14 broadcast-back shape. Metrics are deterministic (integer
+    // day recency, integer purchase counts, fixed-point monetary) and
+    // quartile boundaries interpolate identically in both engines, so
+    // the segment LABELS are hash-gated. Recency scores invert (fewer
+    // days since last event = better).
+    Q("ev_rfm",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val nowRow = e.agg(max(col("ems")).as("now_ms"))
+        val per = e.groupBy(col("user_id")).agg(
+          max(col("ems")).as("last_ms"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("f_n"),
+          fxsum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)), 3).as("m_val"))
+        val withR = per.crossJoin(broadcast(nowRow))
+          .withColumn("r_days", call_function("div",
+            col("now_ms") - col("last_ms"), lit(86400000L)))
+          .select(col("user_id"), col("r_days"), col("f_n"), col("m_val"))
+        val th = withR.agg(
+          expr("percentile(r_days, 0.25D)").as("r1"),
+          expr("percentile(r_days, 0.5D)").as("r2"),
+          expr("percentile(r_days, 0.75D)").as("r3"),
+          expr("percentile(f_n, 0.25D)").as("f1"),
+          expr("percentile(f_n, 0.5D)").as("f2"),
+          expr("percentile(f_n, 0.75D)").as("f3"),
+          expr("percentile(m_val, 0.25D)").as("m1"),
+          expr("percentile(m_val, 0.5D)").as("m2"),
+          expr("percentile(m_val, 0.75D)").as("m3"))
+        def sc(c: Column, q1: Column, q2: Column, q3: Column): Column =
+          lit(1L) + when(c > q1, 1L).otherwise(0L) +
+            when(c > q2, 1L).otherwise(0L) + when(c > q3, 1L).otherwise(0L)
+        withR.crossJoin(broadcast(th))
+          .withColumn("r_score", lit(5L) -
+            sc(col("r_days"), col("r1"), col("r2"), col("r3")))
+          .withColumn("f_score",
+            sc(col("f_n"), col("f1"), col("f2"), col("f3")))
+          .withColumn("m_score",
+            sc(col("m_val"), col("m1"), col("m2"), col("m3")))
+          .withColumn("segment",
+            when(col("r_score") >= 3 && col("f_score") >= 3, "champion")
+              .when(col("r_score") >= 3, "recent")
+              .when(col("f_score") >= 3, "loyal_lapsed")
+              .otherwise("hibernating"))
+          .select(col("user_id"), col("r_days"), col("f_n"), col("m_val"),
+            col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ems, event_type, value
+          FROM events),
+        per AS (
+          SELECT user_id, max(ems) AS last_ms,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS f_n,
+                 ${fxsumSql(
+                   "CASE WHEN event_type = 'purchase' THEN value " +
+                     "ELSE 0.0 END", 3)} AS m_val
+          FROM e GROUP BY 1),
+        nw AS (SELECT max(ems) AS now_ms FROM e),
+        withr AS (
+          SELECT user_id, (nw.now_ms - per.last_ms) // 86400000 AS r_days,
+                 f_n, m_val
+          FROM per CROSS JOIN nw),
+        th AS (
+          SELECT quantile_cont(r_days, 0.25) AS r1,
+                 quantile_cont(r_days, 0.5) AS r2,
+                 quantile_cont(r_days, 0.75) AS r3,
+                 quantile_cont(f_n, 0.25) AS f1,
+                 quantile_cont(f_n, 0.5) AS f2,
+                 quantile_cont(f_n, 0.75) AS f3,
+                 quantile_cont(m_val, 0.25) AS m1,
+                 quantile_cont(m_val, 0.5) AS m2,
+                 quantile_cont(m_val, 0.75) AS m3
+          FROM withr),
+        scored AS (
+          SELECT user_id, r_days, f_n, m_val,
+                 5 - (1 + CASE WHEN r_days > r1 THEN 1 ELSE 0 END
+                        + CASE WHEN r_days > r2 THEN 1 ELSE 0 END
+                        + CASE WHEN r_days > r3 THEN 1 ELSE 0 END)
+                   AS r_score,
+                 1 + CASE WHEN f_n > f1 THEN 1 ELSE 0 END
+                   + CASE WHEN f_n > f2 THEN 1 ELSE 0 END
+                   + CASE WHEN f_n > f3 THEN 1 ELSE 0 END AS f_score,
+                 1 + CASE WHEN m_val > m1 THEN 1 ELSE 0 END
+                   + CASE WHEN m_val > m2 THEN 1 ELSE 0 END
+                   + CASE WHEN m_val > m3 THEN 1 ELSE 0 END AS m_score
+          FROM withr CROSS JOIN th)
+        SELECT user_id, r_days, f_n, m_val,
+               CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+                    WHEN r_score >= 3 THEN 'recent'
+                    WHEN f_score >= 3 THEN 'loyal_lapsed'
+                    ELSE 'hibernating' END AS segment
+        FROM scored""")),
+
     // ---- temporal train/eval split (leakage-safe sequential holdout) -------
     // The split a SEQUENTIAL model needs: per user, the LAST 20% of
     // events (by event time) become eval, the rest train — unlike the

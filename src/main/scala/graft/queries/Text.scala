@@ -1608,6 +1608,63 @@ object Text {
                  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_e6
         FROM g""")),
 
+    // ---- readability scoring (Flesch reading ease per language) ------------
+    // The classic quality-filter feature txt_quality_filter's ratios
+    // don't capture: sentence and word LENGTH structure. Flesch = 206.835
+    // − 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    // standard text-side proxies — sentences = non-empty [.!?]+ segments
+    // (txt_sentences' exact definition), syllables = vowel runs. One
+    // narrow per-doc projection (sentence counting stays in column space
+    // — no explode), then a per-language fxsum aggregate; the constants
+    // mirror as e-suffixed DOUBLE literals (the dlit rule), so the mean
+    // score itself is hash-gated.
+    Q("txt_readability",
+      (s, dir) => {
+        val per = Tables.sharded(s, dir, "documents")
+          .select(col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+            size(filter(transform(split(col("text"), "[.!?]+"),
+              seg => size(TextOps.tokens(seg))), n => n > 0))
+              .cast("long").as("n_sentences"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[aeiouy]+"), lit(0))).cast("long").as("n_syll"))
+          .filter(col("n_words") > 0)
+          .withColumn("flesch", lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              greatest(col("n_sentences"), lit(1L)).cast("double")) -
+            lit(84.6) * (col("n_syll").cast("double") /
+              col("n_words").cast("double")))
+        per.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            (Q.fxsum(col("flesch"), 6) / count(lit(1))).as("mean_flesch"),
+            min(col("flesch")).as("min_flesch"),
+            max(col("flesch")).as("max_flesch"))
+      },
+      Some(s"""
+        WITH per AS (
+          SELECT lang,
+                 CAST(len(regexp_extract_all(lower(text),
+                   '${TextOps.TokenRegex}')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(
+                   [CAST(len(regexp_extract_all(lower(seg),
+                      '${TextOps.TokenRegex}')) AS BIGINT)
+                    for seg in regexp_split_to_array(text, '[.!?]+')],
+                   n -> n > 0)) AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syll
+          FROM documents),
+        f AS (
+          SELECT lang,
+                 206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) /
+                   CAST(greatest(n_sentences, 1) AS DOUBLE))
+                 - 84.6e0 * (CAST(n_syll AS DOUBLE) /
+                   CAST(n_words AS DOUBLE)) AS flesch
+          FROM per WHERE n_words > 0)
+        SELECT lang, count(*) AS n_docs,
+               ${Q.fxsumSql("flesch", 6)} / count(*) AS mean_flesch,
+               min(flesch) AS min_flesch, max(flesch) AS max_flesch
+        FROM f GROUP BY 1""")),
+
     // ---- token-budget planning under temperature weights -------------------
     // The question a pretraining-data plan answers before any job runs:
     // at these mixture weights, how many tokens does each source

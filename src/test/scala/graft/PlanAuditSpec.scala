@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
       "ev_cooccurrence",
       // three 1-row aggregate verdict sides crossing into one report row
       "dq_expectations",
+      // 1-row now-timestamp and quartile-threshold sides broadcast-cross
+      // the per-user metric table (the q14 broadcast-back shape)
+      "ev_rfm",
       // inherit assignIvf's bounded corpus × broadcast-centroid BNLJ
       // (sim_negatives adds the knnBrute probe-broadcast × corpus shape)
       "sim_bitext", "sim_mmr", "sim_tau_curve", "sim_negatives")

@@ -256,6 +256,38 @@ class Round9dOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ev_rfm: every user scored 1-4 per axis, labels consistent") {
+    val rows = run("ev_rfm").collect()
+    val e = Tables.events(spark, sfDir)
+    assert(rows.length === e.select(col("user_id")).distinct().count())
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { f =>
+        val v = r.getAs[Long](f)
+        assert(v >= 1 && v <= 4, s"$f=$v")
+      }
+      val (rs, fs) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"))
+      val want =
+        if (rs >= 3 && fs >= 3) "champion"
+        else if (rs >= 3) "recent"
+        else if (fs >= 3) "loyal_lapsed"
+        else "hibernating"
+      assert(r.getAs[String]("segment") === want)
+    }
+    // quartile thresholds split roughly evenly: every score value occurs
+    assert(rows.map(_.getAs[Long]("r_score")).distinct.length >= 2)
+  }
+
+  test("txt_readability: per-lang bounds bracket the mean") {
+    val rows = run("txt_readability").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Double]("min_flesch"),
+        r.getAs[Double]("mean_flesch"), r.getAs[Double]("max_flesch"))
+      assert(mn <= mean + 1e-6 && mean <= mx + 1e-6, s"$mn $mean $mx")
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
+
   test("txt_token_budget: allocation conserves the budget, epochs exact") {
     val rows = run("txt_token_budget").collect()
     assert(rows.nonEmpty)
