@@ -1131,7 +1131,8 @@ object Similarity {
         // broadcast literal (the sim_kmeans/PQ-codebook discipline):
         // every stage's plan references only the two materialized leaves
         // plus the literal, staying constant-depth — a lineage-nested or
-        // per-step-checkpointed unroll measured 1.4-2× slower.
+        // per-step-checkpointed unroll measured 1.8-2.6× slower
+        // (4.4s / 6.3s vs 2.4s at sf0.1).
         import s.implicits._
         val byProbeRel = Window.partitionBy(col("probe_id"))
           .orderBy(col("rel_fx").desc, col("cand_id").asc)
