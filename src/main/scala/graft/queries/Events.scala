@@ -1854,6 +1854,169 @@ object Events {
         SELECT event_type, fold, n_f, n_tot - n_f AS n_oof,
                CAST(s_tot - s_f AS DOUBLE) / (n_tot - n_f) / 1000000.0
                  AS oof_mean
-        FROM t"""))
+        FROM t""")),
+
+    // ---- CUSUM changepoint detection (sustained-shift monitoring) ----------
+    // ev_anomaly_mad flags single outlier DAYS; CUSUM (Page 1954) flags
+    // sustained LEVEL SHIFTS a per-day threshold never sees — ten days
+    // each 2σ high trip a cumulative statistic long before any one day
+    // trips a MAD gate. The sequential recursion S_t = max(0, S_{t-1} +
+    // x_t) looks order-dependent, but the closed form S_t = R_t −
+    // min_{k≤t} R_k (R = running sum of deviations) makes it TWO window
+    // passes over the same (type, day) sort — no sequential fold, no
+    // UDAF (the min folds in the empty prefix R_0 = 0, without which
+    // an immediately-elevated series would subtract its own first
+    // deviation). Everything integer: deviations are milli-scaled longs
+    // against the per-type mean daily rate, so the shift flag's
+    // boundary (cusum > 5·mean) is bit-identical across engines. Plan:
+    // one combinable daily count (materialized — it feeds the ref
+    // aggregate AND the window pass), a broadcast ref join, one window
+    // exchange on event_type over the model-sized daily table.
+    Q("ev_cusum",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ems div 86400000").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .materialize()
+        val ref = daily.groupBy(col("event_type"))
+          .agg(call_function("div", sum(col("n")) * 1000, count(lit(1)))
+            .as("mean_milli"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.join(broadcast(ref), "event_type")
+          .withColumn("r",
+            sum(col("n") * 1000 - col("mean_milli")).over(w))
+          .withColumn("cusum",
+            col("r") - least(min(col("r")).over(w), lit(0L)))
+          .select(col("event_type"), col("day"), col("n"),
+            col("mean_milli"), col("cusum"),
+            (col("cusum") > col("mean_milli") * 5).as("is_shift"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        ref AS (
+          SELECT event_type,
+                 CAST((CAST(sum(n) AS BIGINT) * 1000) // count(*)
+                   AS BIGINT) AS mean_milli
+          FROM d GROUP BY 1),
+        r AS (
+          SELECT d.event_type, d.day, d.n, ref.mean_milli,
+                 CAST(sum(d.n * 1000 - ref.mean_milli) OVER w AS BIGINT)
+                   AS r
+          FROM d JOIN ref USING (event_type)
+          WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                       ROWS UNBOUNDED PRECEDING))
+        SELECT event_type, day, n, mean_milli,
+               r - least(min(r) OVER w2, 0) AS cusum,
+               (r - least(min(r) OVER w2, 0)) > mean_milli * 5 AS is_shift
+        FROM r
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)""")),
+
+    // ---- DAU/WAU stickiness (the engagement-ratio KPI) ---------------------
+    // Stickiness = daily actives / trailing-7-day actives — the ratio
+    // product teams watch. The naive WAU is a count-distinct over a
+    // RANGE window, which neither engine can window directly and which
+    // degenerates to a per-day self-join at scale. The scalable shape:
+    // each distinct (day, user) row CONTRIBUTES to the 7 grid days it
+    // falls inside — explode the bounded 7-element day sequence and the
+    // sliding distinct becomes a plain (grid_day, user) distinct count,
+    // one equi-shuffle, explode factor bounded by the window length
+    // regardless of data size. The (day, user) distinct frame is
+    // materialized: it feeds DAU and the exploded WAU.
+    Q("ev_stickiness",
+      (s, dir) => {
+        val du = Tables.events(s, dir)
+          .select(expr("ems div 86400000").as("day"), col("user_id"))
+          .distinct()
+          .materialize()
+        val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"), col("day") + 6))
+            .as("day"), col("user_id"))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            call_function("div", col("dau") * 1000, col("wau"))
+              .as("stickiness_milli"))
+      },
+      Some("""
+        WITH du AS (
+          SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+          FROM events),
+        dau AS (SELECT day, count(*) AS n_dau FROM du GROUP BY 1),
+        wau AS (
+          SELECT gday, count(DISTINCT user_id) AS n_wau FROM (
+            SELECT user_id,
+                   unnest(generate_series(day, day + 6)) AS gday
+            FROM du)
+          GROUP BY 1)
+        SELECT d.day, d.n_dau AS dau, w.n_wau AS wau,
+               CAST((d.n_dau * 1000) // w.n_wau AS BIGINT)
+                 AS stickiness_milli
+        FROM dau d JOIN wau w ON w.gday = d.day""")),
+
+    // ---- seasonal-naive forecast backtest (the monitoring yardstick) -------
+    // Before any model earns a place in a pipeline it must beat
+    // seasonal-naive (forecast = the value one weekly period ago) — this
+    // query IS that yardstick: per event type, MAE/bias/MAPE of the
+    // lag-7 forecast over every scoreable day. The forecast joins on
+    // (type, day−7) rather than a 7-ROW lag so missing days cannot
+    // silently misalign the season. Integer-exact metrics: MAE and MAPE
+    // are divs over non-negative longs; bias (whose numerator is
+    // signed, where Spark div truncates but DuckDB // floors) is ONE
+    // mirrored IEEE division over exact longs. The daily table is
+    // materialized — it is both sides of the self-join.
+    Q("ev_forecast",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ems div 86400000").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .materialize()
+        val scored = daily
+          .join(daily.select(col("event_type"), (col("day") + 7).as("day"),
+            col("n").as("fc")), Seq("event_type", "day"))
+          .withColumn("abs_err", abs(col("n") - col("fc")))
+          .withColumn("ape_pm", call_function("div", col("abs_err") * 1000,
+            greatest(col("n"), lit(1L))))
+        scored.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("abs_err")).as("sae"),
+            sum(col("n") - col("fc")).as("serr"),
+            sum(col("ape_pm")).as("sape"))
+          .select(col("event_type"), col("n_days"),
+            call_function("div", col("sae") * 1000, col("n_days"))
+              .as("mae_milli"),
+            (col("serr").cast("double") * 1000.0 / col("n_days"))
+              .as("bias_milli"),
+            call_function("div", col("sape"), col("n_days")).as("mape_pm"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT a.event_type, a.n, f.n AS fc,
+                 abs(a.n - f.n) AS abs_err,
+                 CAST((abs(a.n - f.n) * 1000) // greatest(a.n, 1)
+                   AS BIGINT) AS ape_pm
+          FROM d a JOIN d f
+            ON f.event_type = a.event_type AND f.day = a.day - 7),
+        g AS (
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(abs_err) AS BIGINT) AS sae,
+                 CAST(sum(n - fc) AS BIGINT) AS serr,
+                 CAST(sum(ape_pm) AS BIGINT) AS sape
+          FROM j GROUP BY 1)
+        SELECT event_type, n_days,
+               CAST((sae * 1000) // n_days AS BIGINT) AS mae_milli,
+               CAST(serr AS DOUBLE) * 1000.0 / n_days AS bias_milli,
+               CAST(sape // n_days AS BIGINT) AS mape_pm
+        FROM g"""))
   )
 }
