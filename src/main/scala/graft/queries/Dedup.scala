@@ -1665,6 +1665,44 @@ object Dedup {
                       WHEN o.h_old <> n.h_new THEN 'changed'
                       ELSE 'unchanged' END AS status
           FROM old o FULL OUTER JOIN neu n ON n.doc_id = o.doc_id)
-        SELECT status, count(*) AS n FROM j GROUP BY status"""))
+        SELECT status, count(*) AS n FROM j GROUP BY status""")),
+
+    // ---- winnowing collision pairs (the MOSS overlap search) ---------------
+    // The pair search over Text.winnowedFps's selected fingerprints —
+    // MOSS's second stage: docs sharing any window-min fingerprint,
+    // scored by how many they share. Winnowing's guarantee makes this a
+    // RECALL-carrying candidate set (any shared run of ≥ k+w−1 tokens
+    // MUST collide — spec-proven), while its ≈ 2/(w+1) selectivity
+    // keeps the inverted index a fraction of the raw gram stream. The
+    // df cap (the posting-cap discipline) drops boilerplate
+    // fingerprints shared corpus-wide, bounding the equi-join fan-out
+    // at df²/2 per fingerprint regardless of corpus size. The
+    // fingerprint frame is materialized — it feeds the df pass and
+    // both join sides.
+    Q("dd_winnowing_pairs",
+      (s, dir) => {
+        import Text.{winnowedFps, WinnowDfCap}
+        val fps = winnowedFps(docs(s, dir)).materialize()
+        val rare = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
+          .select(col("fp"))
+        val hit = fps.join(rare, "fp")
+        hit.select(col("fp"), col("doc_id").as("doc_a"))
+          .join(hit.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(s"""
+        WITH ${Text.winnowedFpsSql},
+        df AS (
+          SELECT fp FROM (
+            SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+          WHERE df BETWEEN 2 AND ${Text.WinnowDfCap}),
+        h AS (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM h a JOIN h b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2"""))
   )
 }

@@ -205,6 +205,66 @@ object Text {
         FROM ($tokenRowsSql) GROUP BY $keys"""
   }
 
+  // ---- winnowing fingerprints (Schleimer et al. 2003 — the MOSS scheme) ---
+  /** Gram width k and window width w: any shared token run of length ≥
+    * k + w − 1 is GUARANTEED to share at least one selected fingerprint
+    * (the winnowing pigeonhole — every w consecutive grams contribute
+    * their min, and a shared run contains a full window). df cap bounds
+    * the pair fan-out the way the inverted-index posting cap does.
+    * Shared by txt_winnowing and dd_winnowing_pairs (Dedup.scala) so
+    * the selection scheme cannot drift between the per-doc report and
+    * the pair search.
+    */
+  private[queries] val WinnowK = 4
+  private[queries] val WinnowW = 4
+  private[queries] val WinnowDfCap = 8
+
+  /** Distinct window-min fingerprints per doc: positional k-gram hashes
+    * as 60-bit NUMERIC md5 prefixes (a string min would plan
+    * SortAggregate — the PLAN_AUDIT rule), then ONE per-doc window pass
+    * takes each w-window's min; only positions with a full window
+    * select. The whole scheme is one doc_id exchange — winnowing's
+    * selectivity (≈ 2/(w+1) of grams) is what makes the downstream
+    * pair search cheaper than raw gram joining at corpus scale.
+    */
+  private[queries] def winnowedFps(d: DataFrame): DataFrame = {
+    val grams = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        explode(TextOps.posGramHashes(col("toks"), WinnowK)).as("g"))
+      .select(col("doc_id"), col("n_tokens"), col("g.start").as("start"),
+        conv(substring(col("g.h"), 1, 15), 16, 10).cast("long").as("hv"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(0, WinnowW - 1)
+    grams
+      .withColumn("fp", min(col("hv")).over(w))
+      .filter(col("start") <=
+        col("n_tokens") - ((WinnowK - 1) + (WinnowW - 1)))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** DuckDB mirror of [[winnowedFps]] as CTEs ending in `fps`. */
+  private[queries] def winnowedFpsSql: String = {
+    val parts = (0 until WinnowK).map(k => s"tokens[g.i + $k]")
+      .mkString(" || ' ' || ")
+    s"""g AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+                 CAST(g.i AS BIGINT) AS start,
+                 CAST(('0x' || substr(md5($parts), 1, 15)) AS BIGINT) AS hv
+          FROM (${DocSql.toksSql}) t
+          CROSS JOIN generate_series(1, 512) AS g(i)
+          WHERE g.i <= len(tokens) - ${WinnowK - 1}),
+        wm AS (
+          SELECT doc_id, n_tokens, start,
+                 min(hv) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+                   AS fp
+          FROM g),
+        fps AS (
+          SELECT DISTINCT doc_id, fp FROM wm
+          WHERE start <= n_tokens - ${WinnowK + WinnowW - 2})"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- per-document statistics + quality signals --------------------------
@@ -1806,6 +1866,128 @@ object Text {
         FROM ptext t JOIN pscore s
           ON s.doc_id = t.doc_id AND s.phrase_id = t.phrase_id
         GROUP BY t.phrase
-        ORDER BY score_milli DESC, phrase ASC LIMIT $KeyphraseTopN"""))
+        ORDER BY score_milli DESC, phrase ASC LIMIT $KeyphraseTopN""")),
+
+    // ---- winnowing fingerprint report (per-doc selection density) ----------
+    // The per-doc card of the [[winnowedFps]] scheme: how many
+    // fingerprints winnowing selected out of how many windows. The
+    // density (per-mille of windows) is the operational number — it
+    // predicts index size at corpus scale (expected ≈ 2/(w+1)) and a
+    // doc whose density collapses is internally repetitive (few
+    // distinct window mins), making this a quality signal too. Docs too
+    // short for one full window appear with zeros — the dd_report
+    // completeness rule — via a left join from the token ledger.
+    Q("txt_winnowing",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val toks = d.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val counts = winnowedFps(d).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp"))
+        toks.join(counts, Seq("doc_id"), "left")
+          .withColumn("n_windows",
+            greatest(col("n_tokens") - (WinnowK + WinnowW - 2), lit(0L)))
+          .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+            coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+            call_function("div", coalesce(col("n_fp"), lit(0L)) * 1000,
+              greatest(col("n_windows"), lit(1L))).as("fp_pm"))
+      },
+      Some(s"""
+        WITH $winnowedFpsSql,
+        tk AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
+          FROM (${DocSql.toksSql})),
+        c AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1)
+        SELECT tk.doc_id, tk.n_tokens,
+               greatest(tk.n_tokens - ${WinnowK + WinnowW - 2}, 0)
+                 AS n_windows,
+               coalesce(c.n_fp, 0) AS n_fp,
+               CAST((coalesce(c.n_fp, 0) * 1000) //
+                 greatest(greatest(tk.n_tokens - ${WinnowK + WinnowW - 2},
+                   0), 1) AS BIGINT) AS fp_pm
+        FROM tk LEFT JOIN c USING (doc_id)""")),
+
+    // ---- Jensen–Shannon divergence between language populations ------------
+    // The corpus-comparison card: how far apart are two languages'
+    // unigram distributions (0 = identical, ln 2 = disjoint)? JS needs
+    // Σ p·ln(2p/(p+q)) over the vocabulary UNION, but the p=0 terms
+    // collapse to (missing mass)·ln 2 — so only the SHARED tokens ever
+    // join, and the union handling is two integer subtractions off the
+    // per-language totals. Determinism: 2p/(p+q) = 2·n_a·N_b /
+    // (n_a·N_b + n_b·N_a) is an exact integer ratio, its ln is
+    // micro-quantized AT SOURCE (the txt_bm25 rule — qln2 = 693147
+    // included), every sum is over exact longs, and only the final
+    // per-pair normalization is two mirrored IEEE divisions. Plan: one
+    // (lang, term) aggregate with a per-lang total window (materialized
+    // — it is BOTH sides of the pair join), one term equi-join, one
+    // pair aggregate over |langs|² rows.
+    Q("txt_js_divergence",
+      (s, dir) => {
+        val dist = docs(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text")))
+            .as("term"))
+          .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+          .withColumn("tot",
+            sum(col("n")).over(Window.partitionBy(col("lang"))))
+          .materialize()
+        val joined = dist.select(col("lang").as("lang_a"), col("term"),
+            col("n").as("na"), col("tot").as("ta"))
+          .join(dist.select(col("lang").as("lang_b"), col("term"),
+            col("n").as("nb"), col("tot").as("tb")), "term")
+          .filter(col("lang_a") < col("lang_b"))
+          .withColumn("den", col("na") * col("tb") + col("nb") * col("ta"))
+          .withColumn("qa", round(log((col("na") * col("tb") * 2)
+            .cast("double") / col("den")) * 1000000).cast("long"))
+          .withColumn("qb", round(log((col("nb") * col("ta") * 2)
+            .cast("double") / col("den")) * 1000000).cast("long"))
+        joined.groupBy(col("lang_a"), col("lang_b"))
+          .agg(count(lit(1)).as("n_shared"),
+            max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+            sum(col("na")).as("ma"), sum(col("nb")).as("mb"),
+            sum(col("na") * col("qa")).as("sa"),
+            sum(col("nb") * col("qb")).as("sb"))
+          .select(col("lang_a"), col("lang_b"), col("n_shared"),
+            col("ta"), col("tb"), col("ma"), col("mb"),
+            (((col("sa") + (col("ta") - col("ma")) * 693147L)
+              .cast("double") / col("ta") +
+              (col("sb") + (col("tb") - col("mb")) * 693147L)
+                .cast("double") / col("tb")) / 2.0).as("js_micro"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT lang, unnest(regexp_extract_all(lower(text),
+            '${TextOps.TokenRegex}')) AS term
+          FROM documents),
+        dist AS (
+          SELECT lang, term, count(*) AS n,
+                 CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+                   AS tot
+          FROM tok GROUP BY lang, term),
+        j AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b,
+                 a.n AS na, b.n AS nb, a.tot AS ta, b.tot AS tb,
+                 a.n * b.tot + b.n * a.tot AS den
+          FROM dist a JOIN dist b
+            ON b.term = a.term AND a.lang < b.lang),
+        q AS (
+          SELECT *,
+                 CAST(round(ln(CAST(na * tb * 2 AS DOUBLE) / den)
+                   * 1000000) AS BIGINT) AS qa,
+                 CAST(round(ln(CAST(nb * ta * 2 AS DOUBLE) / den)
+                   * 1000000) AS BIGINT) AS qb
+          FROM j),
+        g AS (
+          SELECT lang_a, lang_b, count(*) AS n_shared,
+                 max(ta) AS ta, max(tb) AS tb,
+                 CAST(sum(na) AS BIGINT) AS ma,
+                 CAST(sum(nb) AS BIGINT) AS mb,
+                 CAST(sum(na * qa) AS BIGINT) AS sa,
+                 CAST(sum(nb * qb) AS BIGINT) AS sb
+          FROM q GROUP BY 1, 2)
+        SELECT lang_a, lang_b, n_shared, ta, tb, ma, mb,
+               (CAST(sa + (ta - ma) * 693147 AS DOUBLE) / ta +
+                CAST(sb + (tb - mb) * 693147 AS DOUBLE) / tb) / 2.0
+                 AS js_micro
+        FROM g"""))
   )
 }

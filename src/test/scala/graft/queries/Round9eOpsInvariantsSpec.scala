@@ -72,4 +72,58 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
         scorable(r.getAs[String]("event_type")))
     }
   }
+
+  test("winnowing: a shared run of k+w-1 tokens GUARANTEES a shared fingerprint") {
+    import spark.implicits._
+    // k+w-1 = 7 shared tokens embedded in otherwise-disjoint docs
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven twelve"),
+      (3L, "totally disjoint content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = Text.winnowedFps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty) // the pigeonhole guarantee
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+    // identical docs select identical fingerprint sets
+    val clone = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val cf = Text.winnowedFps(clone).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cf.filter(_._1 == 1L).map(_._2).toSet ===
+      cf.filter(_._1 == 2L).map(_._2).toSet)
+  }
+
+  test("txt_winnowing / dd_winnowing_pairs: density and pair-count coherence") {
+    val rep = run("txt_winnowing").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_fp"))).toMap
+    assert(rep.nonEmpty)
+    rep.values.foreach { case (nw, nfp) =>
+      assert(nfp <= math.max(nw, 0L)) // can't select more mins than windows
+      assert((nw == 0L) == (nfp == 0L) || nfp > 0L)
+    }
+    // a pair can't share more fingerprints than either member selected
+    run("dd_winnowing_pairs").collect().foreach { r =>
+      val n = r.getAs[Long]("n_shared")
+      assert(n <= rep(r.getAs[Long]("doc_a"))._2)
+      assert(n <= rep(r.getAs[Long]("doc_b"))._2)
+    }
+  }
+
+  test("txt_js_divergence: bounded by [0, ln 2] and defined for every lang pair") {
+    val out = run("txt_js_divergence").collect()
+    assert(out.length === 10) // C(5 langs, 2) ordered pairs
+    out.foreach { r =>
+      val js = r.getAs[Double]("js_micro")
+      assert(js >= -1.0)           // micro-quantization slack below 0
+      assert(js <= 693148.0)       // ln 2 in micro units (+1 slack)
+      assert(r.getAs[Long]("ma") <= r.getAs[Long]("ta"))
+      assert(r.getAs[Long]("mb") <= r.getAs[Long]("tb"))
+    }
+  }
 }
