@@ -1287,6 +1287,129 @@ object Similarity {
           SELECT probe_id, vec_id, cosine,
                  row_number() OVER (PARTITION BY probe_id
                    ORDER BY cosine DESC, vec_id ASC) AS rank
-          FROM scored) WHERE rank <= $NegK"""))
+          FROM scored) WHERE rank <= $NegK""")),
+
+    // ---- k-means elbow curve (the k-selection operating table) -------------
+    // The table an operator reads to CHOOSE IVF's k (the
+    // hamming/cosine/jaccard-curve discipline applied to the clustering
+    // knob): inertia — Σ min-distance² — for k ∈ {2,4,8,16} nested
+    // seed prefixes, all four from ONE corpus pass. Seeds are the 16
+    // salted-hash-smallest vectors ("elbow|" salt — independent of
+    // other seeded ops), so each k's centroid set is a PREFIX of the
+    // next: the per-k min-distances become 4 least() columns over the
+    // same literal distance expressions, folded by a single combinable
+    // aggregate and unpivoted with stack(). Distances are the exact
+    // integer expansion n2 − 2·q·c + ‖c‖² (the sim_kmeans identity),
+    // so inertia is an exact long and the whole curve sits under the
+    // hash gate. Monotone nonincrease in k is spec-asserted.
+    Q("sim_kmeans_elbow",
+      (s, dir) => {
+        val ks = Seq(2, 4, 8, 16)
+        val emb = Tables.sharded(s, dir, "embeddings")
+        val d = VectorOps.dotFn(emb)
+        val q = VectorOps.quantized(emb)
+        def litVec(v: Array[Long]) = array(v.map(lit).toSeq: _*)
+        val seeds = q
+          .orderBy(md5(concat(lit("elbow|"), col("vec_id").cast("string"))
+            .cast("binary")).asc, col("vec_id").asc)
+          .limit(ks.max).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        val dists = seeds.map { case (_, c) =>
+          val cc = c.map(x => x * x).sum
+          col("n2") - lit(2L) * d(col("q"), litVec(c)) + lit(cc)
+        }
+        val minCols = ks.map(k => least(dists.take(k): _*).as(s"d$k"))
+        val folded = q.select(minCols: _*)
+          .agg(count(lit(1)).as("n_vectors"),
+            ks.map(k => sum(col(s"d$k")).as(s"i$k")): _*)
+        folded.select(col("n_vectors"),
+            expr(s"stack(${ks.length}, " +
+              ks.map(k => s"CAST($k AS BIGINT), i$k").mkString(", ") +
+              ") AS (k, inertia)"))
+          .select(col("k"), col("n_vectors"), col("inertia"),
+            call_function("div", col("inertia"), col("n_vectors"))
+              .as("inertia_per_vec"))
+      },
+      Some(s"""
+        WITH qn AS ($qnSql),
+        rk AS (
+          SELECT vec_id, row_number() OVER (
+            ORDER BY md5('elbow|' || CAST(vec_id AS VARCHAR)), vec_id)
+            AS rk
+          FROM qn),
+        cents AS (
+          SELECT r.rk, q.qv,
+                 CAST(list_sum([x * x for x in q.qv]) AS BIGINT) AS cc
+          FROM rk r JOIN qn q USING (vec_id) WHERE r.rk <= 16),
+        dist AS (
+          SELECT v.vec_id, c.rk,
+                 v.n2 - 2 * CAST(list_sum([v.qv[i] * c.qv[i]
+                   for i in generate_series(1, len(v.qv))]) AS BIGINT)
+                   + c.cc AS d
+          FROM qn v CROSS JOIN cents c),
+        m AS (
+          SELECT vec_id,
+                 min(CASE WHEN rk <= 2 THEN d END) AS d2,
+                 min(CASE WHEN rk <= 4 THEN d END) AS d4,
+                 min(CASE WHEN rk <= 8 THEN d END) AS d8,
+                 min(d) AS d16
+          FROM dist GROUP BY 1),
+        g AS (
+          SELECT count(*) AS n,
+                 CAST(sum(d2) AS BIGINT) AS i2,
+                 CAST(sum(d4) AS BIGINT) AS i4,
+                 CAST(sum(d8) AS BIGINT) AS i8,
+                 CAST(sum(d16) AS BIGINT) AS i16
+          FROM m)
+        SELECT CAST(2 AS BIGINT) AS k, n AS n_vectors, i2 AS inertia,
+               CAST(i2 // n AS BIGINT) AS inertia_per_vec FROM g
+        UNION ALL SELECT 4, n, i4, CAST(i4 // n AS BIGINT) FROM g
+        UNION ALL SELECT 8, n, i8, CAST(i8 // n AS BIGINT) FROM g
+        UNION ALL SELECT 16, n, i16, CAST(i16 // n AS BIGINT) FROM g""")),
+
+    // ---- IVF cluster label purity (external clustering validation) ---------
+    // sim_ivf_stats reports load balance (the operational health);
+    // purity reports SEMANTIC health against the labels the fixture
+    // carries: per bucket, the majority label's share. The eval every
+    // clustering-based pipeline (SemDeDup, IVF routing, stratified
+    // sampling by cluster) runs before trusting its buckets. Plan: the
+    // assignIvf narrow pass (broadcast centroids, corpus never
+    // shuffles), ONE (centroid, label) aggregate, the majority pick as
+    // a rank-1 window over the model-sized aggregate table — purity is
+    // an integer per-mille so the boundary is hash-gated.
+    Q("sim_purity",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings")
+        val lab = VectorOps.assignIvf(emb, CentroidModulo, keep = Seq("label"))
+          .groupBy(col("centroid_id"), col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_l"))
+        val w = Window.partitionBy(col("centroid_id"))
+          .orderBy(col("n_l").desc, col("label").asc)
+        lab
+          .withColumn("n", sum(col("n_l")).over(
+            Window.partitionBy(col("centroid_id"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("centroid_id"), col("n"),
+            col("label").as("top_label"), col("n_l").as("n_top"),
+            call_function("div", col("n_l") * 1000, col("n"))
+              .as("purity_milli"))
+      },
+      Some(s"""
+        WITH $assignSql,
+        lab AS (
+          SELECT a.centroid_id, CAST(e.label AS BIGINT) AS label,
+                 count(*) AS n_l
+          FROM asg a JOIN embeddings e USING (vec_id)
+          GROUP BY 1, 2),
+        t AS (
+          SELECT *, CAST(sum(n_l) OVER (PARTITION BY centroid_id)
+                   AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY centroid_id
+                   ORDER BY n_l DESC, label ASC) AS rn
+          FROM lab)
+        SELECT centroid_id, n, label AS top_label, n_l AS n_top,
+               CAST((n_l * 1000) // n AS BIGINT) AS purity_milli
+        FROM t WHERE rn = 1"""))
   )
 }

@@ -49,7 +49,10 @@ class PlanAuditSpec extends SparkSpec {
       "ev_rfm",
       // inherit assignIvf's bounded corpus × broadcast-centroid BNLJ
       // (sim_negatives adds the knnBrute probe-broadcast × corpus shape)
-      "sim_bitext", "sim_mmr", "sim_tau_curve", "sim_negatives")
+      "sim_bitext", "sim_mmr", "sim_tau_curve", "sim_negatives",
+      // inherits assignIvf's bounded corpus × broadcast-centroid BNLJ
+      // (the purity eval adds only aggregates over the assignment)
+      "sim_purity")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

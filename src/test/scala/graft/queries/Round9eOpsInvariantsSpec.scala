@@ -115,6 +115,34 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sim_kmeans_elbow: nested seed prefixes make inertia monotone in k") {
+    val out = run("sim_kmeans_elbow").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("inertia"), r.getAs[Long]("n_vectors")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(2L, 4L, 8L, 16L))
+    // a larger prefix can only lower every vector's min distance
+    out.sliding(2).foreach { case Array((_, (i1, _)), (_, (i2, _))) =>
+      assert(i2 <= i1)
+    }
+    assert(out.map(_._2._2).distinct.length === 1) // same corpus per row
+    assert(out.forall(_._2._1 > 0L))
+  }
+
+  test("sim_purity: buckets partition the corpus and purity is a valid share") {
+    val out = run("sim_purity").collect()
+    assert(out.nonEmpty)
+    val corpus = Tables.apply(spark, sfDir, "embeddings").count()
+    assert(out.map(_.getAs[Long]("n")).sum === corpus)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n"); val top = r.getAs[Long]("n_top")
+      val p = r.getAs[Long]("purity_milli")
+      assert(top >= 1L && top <= n)
+      assert(p === top * 1000 / n)
+      assert(p <= 1000L)
+    }
+  }
+
   test("txt_js_divergence: bounded by [0, ln 2] and defined for every lang pair") {
     val out = run("txt_js_divergence").collect()
     assert(out.length === 10) // C(5 langs, 2) ordered pairs
