@@ -2017,6 +2017,56 @@ object Events {
                CAST((sae * 1000) // n_days AS BIGINT) AS mae_milli,
                CAST(serr AS DOUBLE) * 1000.0 / n_days AS bias_milli,
                CAST(sape // n_days AS BIGINT) AS mape_pm
+        FROM g""")),
+
+    // ---- per-user behavioral entropy (the diversity feature) ---------------
+    // Shannon entropy of each user's event-type mix — the segmentation
+    // feature that separates single-purpose users (H = 0) from
+    // uniformly-mixed ones (H = ln |types|), orthogonal to ev_rfm's
+    // volume axes. H = Σ (n_t/n)·ln(n/n_t) decomposes into
+    // micro-quantized-at-source integer logs over COUNTS (the txt_zipf
+    // rule — ln only ever applies to an exact integer, differences and
+    // sums stay in longs), one final div over non-negative operands, so
+    // the feature is hash-gated. Plan: ONE combinable (user, type)
+    // count, a per-user total window over that |users|×|types|
+    // aggregate, one per-user fold.
+    Q("ev_user_entropy",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_t"))
+          .withColumn("n", sum(col("n_t")).over(byUser))
+          .withColumn("qt",
+            round(log(col("n_t").cast("double")) * 1000000).cast("long"))
+          .withColumn("qn",
+            round(log(col("n").cast("double")) * 1000000).cast("long"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum(col("n_t") * (col("qn") - col("qt"))).as("s"))
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            call_function("div", col("s"), col("n_events"))
+              .as("entropy_micro"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS n_t
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT *, CAST(sum(n_t) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n,
+                 CAST(round(ln(CAST(n_t AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS qt,
+                 CAST(round(ln(CAST(sum(n_t) OVER (PARTITION BY user_id)
+                   AS DOUBLE)) * 1000000) AS BIGINT) AS qn
+          FROM c),
+        g AS (
+          SELECT user_id, max(n) AS n_events, count(*) AS n_types,
+                 CAST(sum(n_t * (qn - qt)) AS BIGINT) AS s
+          FROM t GROUP BY 1)
+        SELECT user_id, n_events, n_types,
+               CAST(s // n_events AS BIGINT) AS entropy_micro
         FROM g"""))
   )
 }

@@ -115,6 +115,32 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ev_user_entropy: 0 for single-type users, ≤ ln(n_types), exact recompute") {
+    val out = run("ev_user_entropy").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Long]("entropy_micro")
+      val k = r.getAs[Long]("n_types")
+      assert(h >= 0L)
+      if (k == 1L) assert(h === 0L)
+      // H ≤ ln k (micro units, quantization slack)
+      assert(h <= math.round(math.log(k.toDouble) * 1e6) + k)
+    }
+    // independent driver-side recompute of one user's entropy
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_t")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val uid = counts.groupBy(_._1).maxBy(_._2.length)._1
+    val ns = counts.filter(_._1 == uid).map(_._2)
+    val n = ns.sum
+    val qn = math.round(math.log(n.toDouble) * 1e6)
+    val s = ns.map(nt => nt * (qn - math.round(math.log(nt.toDouble) * 1e6))).sum
+    val expect = s / n
+    assert(out.find(_.getAs[Long]("user_id") == uid).get
+      .getAs[Long]("entropy_micro") === expect)
+  }
+
   test("sim_kmeans_elbow: nested seed prefixes make inertia monotone in k") {
     val out = run("sim_kmeans_elbow").collect()
       .map(r => r.getAs[Long]("k") ->
