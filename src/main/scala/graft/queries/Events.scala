@@ -2067,6 +2067,86 @@ object Events {
           FROM t GROUP BY 1)
         SELECT user_id, n_events, n_types,
                CAST(s // n_events AS BIGINT) AS entropy_micro
-        FROM g"""))
+        FROM g""")),
+
+    // ---- Kaplan–Meier survival (churn analysis with censoring) -------------
+    // The retention curve done RIGHT: users whose last event falls in
+    // the final 7 days are CENSORED (still alive — we just stopped
+    // watching), not churned, and the KM estimator is the standard way
+    // to use them without bias: at each lifetime day t, S ×=
+    // (n_risk − d)/n_risk over deaths only, while censored users leave
+    // the risk set silently. Survival is carried in LOG domain —
+    // log S = Σ ln((n−d)/n) — because each factor is an exact integer
+    // ratio whose ln micro-quantizes at source (the txt_zipf rule); the
+    // product form would compound float rounding per step. S hitting
+    // exact 0 (a day where everyone at risk dies) is the one
+    // log-undefined point: flagged as is_zero instead of a −∞ hack.
+    // Plan: one per-user aggregate, a 1-row broadcast horizon cross,
+    // one per-day aggregate, then windows over the model-sized
+    // |lifetime-days| table (allowlisted global — days, never users);
+    // n_risk is the DESCENDING cumulative, so no separate total pass.
+    Q("ev_survival",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val per = e.groupBy(col("user_id"))
+          .agg(min(col("ems")).as("first_ems"),
+            max(col("ems")).as("last_ems"))
+        val horizon = e.agg(max(col("ems")).as("max_ems"))
+        val daily = per.crossJoin(broadcast(horizon))
+          .select(expr("(last_ems - first_ems) div 86400000").as("t"),
+            (col("last_ems") > col("max_ems") - lit(604800000L))
+              .as("censored"))
+          .groupBy(col("t"))
+          .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+            sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+        val wDesc = Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAsc = Window.orderBy(col("t").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+          .withColumn("qln", when(col("d") > 0 && col("n_risk") > col("d"),
+            round(log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk")) * 1000000).cast("long")).otherwise(lit(0L)))
+          .withColumn("zev", when(col("d") > 0 &&
+            col("n_risk") === col("d"), 1L).otherwise(0L))
+          .select(col("t"), col("n_risk"), col("d"), col("c"),
+            sum(col("qln")).over(wAsc).as("log_s_micro"),
+            (sum(col("zev")).over(wAsc) > 0).as("is_zero"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, min(epoch_ms(ts)) AS first_ems,
+                 max(epoch_ms(ts)) AS last_ems
+          FROM events GROUP BY 1),
+        h AS (SELECT max(epoch_ms(ts)) AS max_ems FROM events),
+        f AS (
+          SELECT (last_ems - first_ems) // 86400000 AS t,
+                 last_ems > max_ems - 604800000 AS censored
+          FROM per CROSS JOIN h),
+        daily AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d,
+                 CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+          FROM f GROUP BY 1),
+        r AS (
+          SELECT *, CAST(sum(d + c) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+          FROM daily),
+        q AS (
+          SELECT *,
+                 CASE WHEN d > 0 AND n_risk > d
+                      THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                        / n_risk) * 1000000) AS BIGINT)
+                      ELSE 0 END AS qln,
+                 CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS zev
+          FROM r)
+        SELECT t, n_risk, d, c,
+               CAST(sum(qln) OVER w AS BIGINT) AS log_s_micro,
+               CAST(sum(zev) OVER w AS BIGINT) > 0 AS is_zero
+        FROM q
+        WINDOW w AS (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)"""))
   )
 }

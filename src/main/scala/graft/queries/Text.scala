@@ -1988,6 +1988,78 @@ object Text {
                (CAST(sa + (ta - ma) * 693147 AS DOUBLE) / ta +
                 CAST(sb + (tb - mb) * 693147 AS DOUBLE) / tb) / 2.0
                  AS js_micro
-        FROM g"""))
+        FROM g""")),
+
+    // ---- population stability index (the corpus drift monitor) -------------
+    // The ML-ops drift gate: PSI = Σ (p−q)·ln(p/q) between an old and a
+    // new corpus snapshot (here the deterministic doc_id-parity halves —
+    // swap in real snapshot frames unchanged) over document-length
+    // buckets, with the industry 0.2 alarm threshold. Laplace +1
+    // smoothing keeps one-sided buckets defined WITHOUT dropping them —
+    // a bucket present only in the new snapshot is exactly the drift
+    // PSI must see. Determinism: smoothed counts are integers, p/q =
+    // n_a·T_b / (n_b·T_a) is an exact integer ratio (ln
+    // micro-quantized at source), (p−q) scales to the integer
+    // n_a·T_b − n_b·T_a, so the whole sum is a long and psi_micro is
+    // two mirrored IEEE divisions. Plan: one conditional-count bucket
+    // aggregate, totals as a window over the model-sized bucket table,
+    // one single-row fold.
+    Q("txt_drift_psi",
+      (s, dir) => {
+        val g = docs(s, dir)
+          .select(expr("n_chars div 100").as("bucket"),
+            (col("doc_id") % 2 === 0).as("is_old"))
+          .groupBy(col("bucket"))
+          .agg((sum(when(col("is_old"), 1L).otherwise(0L)) + 1L).as("n_a"),
+            (sum(when(!col("is_old"), 1L).otherwise(0L)) + 1L).as("n_b"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        g.withColumn("ta", sum(col("n_a")).over(wAll))
+          .withColumn("tb", sum(col("n_b")).over(wAll))
+          .withColumn("qln", round(log(
+            (col("n_a") * col("tb")).cast("double") /
+              (col("n_b") * col("ta"))) * 1000000).cast("long"))
+          .withColumn("term",
+            (col("n_a") * col("tb") - col("n_b") * col("ta")) * col("qln"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+            sum(col("term")).as("s"))
+          .select(col("n_buckets"),
+            (col("ta") - col("n_buckets")).as("n_old"),
+            (col("tb") - col("n_buckets")).as("n_new"),
+            (col("s").cast("double") / col("ta") / col("tb"))
+              .as("psi_micro"),
+            (col("s").cast("double") / col("ta") / col("tb") >
+              lit(200000.0)).as("drifted"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT n_chars // 100 AS bucket, doc_id % 2 = 0 AS is_old
+          FROM documents),
+        g AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) + 1
+                   AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) + 1
+                   AS BIGINT) AS n_b
+          FROM b GROUP BY 1),
+        t AS (
+          SELECT *, CAST(sum(n_a) OVER () AS BIGINT) AS ta,
+                 CAST(sum(n_b) OVER () AS BIGINT) AS tb
+          FROM g),
+        q AS (
+          SELECT *,
+                 CAST(round(ln(CAST(n_a * tb AS DOUBLE) / (n_b * ta))
+                   * 1000000) AS BIGINT) AS qln
+          FROM t),
+        f AS (
+          SELECT count(*) AS n_buckets, max(ta) AS ta, max(tb) AS tb,
+                 CAST(sum((n_a * tb - n_b * ta) * qln) AS BIGINT) AS s
+          FROM q)
+        SELECT n_buckets, ta - n_buckets AS n_old, tb - n_buckets AS n_new,
+               CAST(s AS DOUBLE) / ta / tb AS psi_micro,
+               CAST(s AS DOUBLE) / ta / tb > 200000.0 AS drifted
+        FROM f"""))
   )
 }

@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
       "sim_bitext", "sim_mmr", "sim_tau_curve", "sim_negatives",
       // inherits assignIvf's bounded corpus × broadcast-centroid BNLJ
       // (the purity eval adds only aggregates over the assignment)
-      "sim_purity")
+      "sim_purity",
+      // the 1-row broadcast horizon timestamp crossing the per-user
+      // lifetime table (the ev_rfm now-threshold shape)
+      "ev_survival")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -112,7 +115,13 @@ class PlanAuditSpec extends SparkSpec {
       // the ZipfTopN TakeOrderedAndProject shortlist
       "mm_hamming_curve", "sim_tau_curve", "dd_jaccard_curve", "txt_zipf",
       // txt_source_mix's |sources|-row normalizing window on token counts
-      "txt_token_budget")
+      "txt_token_budget",
+      // KM survival: descending/ascending cumulative windows over the
+      // |lifetime-days| table — time-span-sized, never user-sized
+      "ev_survival",
+      // PSI: totals window over the |length-buckets| table — bounded by
+      // the value domain (n_chars/100), never by document count
+      "txt_drift_psi")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =

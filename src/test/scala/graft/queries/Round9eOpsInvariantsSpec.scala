@@ -115,6 +115,36 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ev_survival: KM laws — risk set shrinks, log-survival never rises") {
+    val out = run("ev_survival").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d"), r.getAs[Long]("c"),
+        r.getAs[Long]("log_s_micro")))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(out.head._2 === users)          // everyone at risk at first t
+    assert(out.map(r => r._3 + r._4).sum === users) // exits partition users
+    out.sliding(2).filter(_.length == 2).foreach { w =>
+      val (_, n1, d1, c1, l1) = w(0)
+      val (_, n2, _, _, l2) = w(1)
+      assert(n2 === n1 - d1 - c1)          // the risk-set recurrence
+      assert(l2 <= l1)                     // survival is nonincreasing
+    }
+    assert(out.forall(_._5 <= 0L))
+  }
+
+  test("txt_drift_psi: PSI ≥ 0 and the halves partition the corpus") {
+    val r = run("txt_drift_psi").collect().head
+    val psi = r.getAs[Double]("psi_micro")
+    assert(psi >= -1.0) // each term (p−q)·ln(p/q) ≥ 0 up to quantization
+    val total = Tables.apply(spark, sfDir, "documents").count()
+    assert(r.getAs[Long]("n_old") + r.getAs[Long]("n_new") === total)
+    // parity halves of one corpus must NOT alarm
+    assert(!r.getAs[Boolean]("drifted"))
+  }
+
   test("ev_user_entropy: 0 for single-type users, ≤ ln(n_types), exact recompute") {
     val out = run("ev_user_entropy").collect()
     assert(out.nonEmpty)
