@@ -2147,6 +2147,83 @@ object Events {
                CAST(sum(qln) OVER w AS BIGINT) AS log_s_micro,
                CAST(sum(zev) OVER w AS BIGINT) > 0 AS is_zero
         FROM q
-        WINDOW w AS (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)"""))
+        WINDOW w AS (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)""")),
+
+    // ---- Gini concentration (the 80/20 card, histogram-decomposed) ---------
+    // How concentrated is activity across users? The textbook Gini needs
+    // users SORTED by count with a global rank — the ntile trap ev_rfm
+    // dodges, fatal at users-scale. The scalable identity: ranks within
+    // a block of equal counts are consecutive, so Σ rank·x decomposes
+    // per distinct COUNT VALUE v with multiplicity m and prior
+    // cumulative R: v·(m·R + m(m+1)/2). The global sort collapses to a
+    // window over the VALUE-DOMAIN histogram (bounded by max
+    // events/user, never by user count — the q26_skyline discipline).
+    // The same desc pass yields the top-10%-share. Everything integer:
+    // G = (2W − (n+1)T) / nT emitted as a milli div, boundary
+    // hash-gated. Plan: one per-user count, one histogram aggregate,
+    // two windows over the histogram, one single-row fold.
+    Q("ev_gini",
+      (s, dir) => {
+        val hist = Tables.events(s, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("m"))
+        val wAsc = Window.orderBy(col("x").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wDesc = Window.orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        hist
+          .withColumn("r_prev", coalesce(sum(col("m")).over(wAsc), lit(0L)))
+          .withColumn("rd", sum(col("m")).over(wDesc))
+          .withColumn("n", sum(col("m")).over(wAll))
+          .withColumn("k", expr("n div 10"))
+          .withColumn("in_top", least(col("m"),
+            greatest(col("k") - (col("rd") - col("m")), lit(0L))))
+          .groupBy()
+          .agg(max(col("n")).as("n_users"),
+            sum(col("x") * col("m")).as("total_events"),
+            sum(col("x") * (col("m") * col("r_prev") +
+              expr("(m * (m + 1)) div 2"))).as("w"),
+            sum(col("x") * col("in_top")).as("e_top"),
+            max(col("k")).as("k"))
+          .select(col("n_users"), col("total_events"),
+            call_function("div",
+              (lit(2L) * col("w") - (col("n_users") + 1) *
+                col("total_events")) * 1000,
+              col("n_users") * col("total_events")).as("gini_milli"),
+            call_function("div", col("e_top") * 1000, col("total_events"))
+              .as("top10_share_milli"))
+      },
+      Some("""
+        WITH ux AS (
+          SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        hist AS (SELECT x, count(*) AS m FROM ux GROUP BY 1),
+        t AS (
+          SELECT *,
+                 CAST(coalesce(sum(m) OVER (ORDER BY x ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS r_prev,
+                 CAST(sum(m) OVER (ORDER BY x DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rd,
+                 CAST(sum(m) OVER () AS BIGINT) AS n
+          FROM hist),
+        t2 AS (
+          SELECT *, n // 10 AS k,
+                 least(m, greatest(n // 10 - (rd - m), 0)) AS in_top
+          FROM t),
+        g AS (
+          SELECT max(n) AS n_users,
+                 CAST(sum(x * m) AS BIGINT) AS total_events,
+                 CAST(sum(x * (m * r_prev + (m * (m + 1)) // 2))
+                   AS BIGINT) AS w,
+                 CAST(sum(x * in_top) AS BIGINT) AS e_top
+          FROM t2)
+        SELECT n_users, total_events,
+               CAST(((2 * w - (n_users + 1) * total_events) * 1000) //
+                 (n_users * total_events) AS BIGINT) AS gini_milli,
+               CAST((e_top * 1000) // total_events AS BIGINT)
+                 AS top10_share_milli
+        FROM g"""))
   )
 }

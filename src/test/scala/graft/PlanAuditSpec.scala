@@ -121,7 +121,11 @@ class PlanAuditSpec extends SparkSpec {
       "ev_survival",
       // PSI: totals window over the |length-buckets| table — bounded by
       // the value domain (n_chars/100), never by document count
-      "txt_drift_psi")
+      "txt_drift_psi",
+      // Gini: windows over the |distinct count values| histogram — the
+      // whole point of the block decomposition is that the global sort
+      // never touches user-sized data
+      "ev_gini")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =

@@ -115,6 +115,26 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ev_gini: histogram decomposition ≡ the sorted-rank definition") {
+    val r = run("ev_gini").collect().head
+    val gini = r.getAs[Long]("gini_milli")
+    val top = r.getAs[Long]("top10_share_milli")
+    assert(gini >= 0L && gini < 1000L)
+    // naive driver-side recompute from the textbook sorted-rank formula
+    val xs = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .collect().map(_.getLong(1)).sorted
+    val n = xs.length.toLong
+    val t = xs.sum
+    val w = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    assert(gini === (2 * w - (n + 1) * t) * 1000 / (n * t))
+    val k = (n / 10).toInt
+    val eTop = xs.reverse.take(k).sum
+    assert(top === eTop * 1000 / t)
+    assert(r.getAs[Long]("n_users") === n)
+    assert(r.getAs[Long]("total_events") === t)
+  }
+
   test("ev_survival: KM laws — risk set shrinks, log-survival never rises") {
     val out = run("ev_survival").collect()
       .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
