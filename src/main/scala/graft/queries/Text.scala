@@ -2060,6 +2060,155 @@ object Text {
         SELECT n_buckets, ta - n_buckets AS n_old, tb - n_buckets AS n_new,
                CAST(s AS DOUBLE) / ta / tb AS psi_micro,
                CAST(s AS DOUBLE) / ta / tb > 200000.0 AS drifted
-        FROM f"""))
+        FROM f""")),
+
+    // ---- Heaps'-law vocabulary growth fit (corpus-naturalness card #2) -----
+    // txt_zipf fits the FREQUENCY law; Heaps fits the GROWTH law
+    // V(N) ≈ K·N^β — the number a corpus curator reads to predict
+    // tokenizer vocabulary size at 10× the data, and a naturalness
+    // check (natural text: β ≈ 0.4–0.6; templated/duplicated corpora
+    // collapse toward 0). The growth curve needs prefix vocabularies —
+    // inherently a global order — but NEVER a global sort here: each
+    // term's FIRST document (one vocab-sized min aggregate) makes
+    // V(t) = #{terms: first_doc ≤ t}, and both V and N evaluate at 10
+    // doc_id thresholds as conditional sums in ONE aggregate each (the
+    // thresholds ride a 1-row broadcast max cross — the ev_rfm shape).
+    // The log-log least-squares fold is txt_zipf's exact integer
+    // discipline over the 10 stacked points.
+    Q("txt_heaps",
+      (s, dir) => {
+        val nPts = 10
+        val mx = docs(s, dir).agg(max(col("doc_id")).as("mx"))
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        def thr(i: Int) = expr(s"($i * mx) div $nPts")
+        val nCols = (1 to nPts).map(i =>
+          sum(when(col("doc_id") <= thr(i), 1L).otherwise(0L)).as(s"n$i"))
+        val nRow = tok.crossJoin(broadcast(mx))
+          .groupBy().agg(nCols.head, nCols.tail: _*)
+        val vCols = (1 to nPts).map(i =>
+          sum(when(col("first_doc") <= thr(i), 1L).otherwise(0L))
+            .as(s"v$i"))
+        val vRow = tok.groupBy(col("term"))
+          .agg(min(col("doc_id")).as("first_doc"))
+          .crossJoin(broadcast(mx))
+          .groupBy().agg(vCols.head, vCols.tail: _*)
+        val pts = nRow.crossJoin(vRow)
+          .select(expr(s"stack($nPts, " +
+            (1 to nPts).map(i => s"n$i, v$i").mkString(", ") +
+            ") AS (n_tok, v)"))
+          .filter(col("n_tok") > 0 && col("v") > 0)
+          .select(
+            round(log(col("n_tok").cast("double")) * 1000000).cast("long")
+              .as("x"),
+            round(log(col("v").cast("double")) * 1000000).cast("long")
+              .as("y"))
+        pts.agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n_points"),
+            ((col("n_points") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_points") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("beta_e6"))
+      },
+      Some(s"""
+        WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+            '${TextOps.TokenRegex}')) AS term
+          FROM documents),
+        nrow AS (
+          SELECT g.i AS i,
+                 CAST(sum(CASE WHEN t.doc_id <= (g.i * mx.mx) // 10
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_tok
+          FROM tok t CROSS JOIN mx CROSS JOIN generate_series(1, 10) g(i)
+          GROUP BY 1),
+        tf AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        vrow AS (
+          SELECT g.i AS i,
+                 CAST(sum(CASE WHEN f.first_doc <= (g.i * mx.mx) // 10
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v
+          FROM tf f CROSS JOIN mx CROSS JOIN generate_series(1, 10) g(i)
+          GROUP BY 1),
+        pts AS (
+          SELECT CAST(round(ln(CAST(n.n_tok AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS x,
+                 CAST(round(ln(CAST(v.v AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS y
+          FROM nrow n JOIN vrow v USING (i)
+          WHERE n.n_tok > 0 AND v.v > 0),
+        f AS (
+          SELECT count(*) AS n_points,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pts)
+        SELECT n_points,
+               CAST(n_points * sxy - sx * sy AS DOUBLE) /
+                 CAST(n_points * sxx - sx * sx AS DOUBLE) AS beta_e6
+        FROM f""")),
+
+    // ---- add-1 bigram LM surprisal (the perplexity filter, upgraded) -------
+    // txt_surprisal scores docs under a UNIGRAM model — blind to word
+    // order, so shuffled gibberish scores like prose. The bigram model
+    // with add-1 smoothing is the cheapest order-aware upgrade:
+    // P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). Surprisal terms are
+    // ln((c₁+V)/(c₂+1)) — exact integer ratios, ln micro-quantized at
+    // source, per-doc mean one non-negative div — the CCNet-style
+    // "perplexity bucket" signal fully under the hash gate. Plan: one
+    // bigram-count aggregate and one unigram-count aggregate (both
+    // vocab-sized), the doc bigram stream equi-joined on those keys
+    // (broadcast at this SF, shuffle-keyed at scale), V as a 1-row
+    // broadcast cross.
+    Q("txt_bigram_lm",
+      (s, dir) => {
+        val big = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 2))
+            .as("bg"))
+          .materialize() // feeds the count pass AND the scoring join
+        val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        val c1 = docs(s, dir).select(
+          explode(TextOps.tokens(col("text"))).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val vsize = c1.agg(countDistinct(col("w1")).as("v"))
+        big
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .join(c2, "bg").join(c1, "w1")
+          .crossJoin(broadcast(vsize))
+          .withColumn("q", round(log(
+            (col("c1") + col("v")).cast("double") / (col("c2") + 1)) *
+            1000000).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+          .select(col("doc_id"), col("n_bigrams"),
+            call_function("div", col("sq"), col("n_bigrams"))
+              .as("surprisal_micro"))
+      },
+      Some(s"""
+        WITH big AS (${DocSql.shinglesSql(2)}),
+        c2 AS (SELECT shingle AS bg, count(*) AS c2 FROM big GROUP BY 1),
+        uni AS (
+          SELECT unnest(regexp_extract_all(lower(text),
+            '${TextOps.TokenRegex}')) AS w1
+          FROM documents),
+        c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+        vs AS (SELECT count(DISTINCT w1) AS v FROM uni),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(ln(CAST(c1.c1 + vs.v AS DOUBLE) /
+                   (c2.c2 + 1)) * 1000000) AS BIGINT) AS q
+          FROM big b
+          JOIN c2 ON c2.bg = b.shingle
+          JOIN c1 ON c1.w1 = split_part(b.shingle, ' ', 1)
+          CROSS JOIN vs),
+        g AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(q) AS BIGINT) AS sq
+          FROM scored GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+               CAST(sq // n_bigrams AS BIGINT) AS surprisal_micro
+        FROM g"""))
   )
 }

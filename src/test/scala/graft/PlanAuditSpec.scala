@@ -55,7 +55,11 @@ class PlanAuditSpec extends SparkSpec {
       "sim_purity",
       // the 1-row broadcast horizon timestamp crossing the per-user
       // lifetime table (the ev_rfm now-threshold shape)
-      "ev_survival")
+      "ev_survival",
+      // 1-row broadcast max-doc-id threshold / vocab-size crosses over
+      // the token or bigram stream (txt_collocations' corpus-total
+      // shape), plus txt_heaps' final 1×1 point-row cross
+      "txt_heaps", "txt_bigram_lm")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

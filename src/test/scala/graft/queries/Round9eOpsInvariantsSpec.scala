@@ -115,6 +115,35 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("txt_heaps: the growth exponent is a sane sublinear fit") {
+    val r = run("txt_heaps").collect().head
+    assert(r.getAs[Long]("n_points") >= 5L)
+    val beta = r.getAs[Double]("beta_e6")
+    // vocabulary can't grow faster than tokens (β ≤ 1); the sf0.001
+    // fixture's ~31-token vocabulary saturates at the first checkpoint,
+    // so β = 0 exactly there — the flat-growth verdict IS the signal a
+    // curator reads off a templated corpus (the txt_zipf −0.18 quirk)
+    assert(beta >= 0.0 && beta <= 1.0 + 1e-6)
+  }
+
+  test("txt_bigram_lm: surprisal positive, bounded by the smoothed worst case") {
+    val out = run("txt_bigram_lm").collect()
+    assert(out.nonEmpty)
+    val vocab = Tables.apply(spark, sfDir, "documents")
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .distinct().count()
+    val totTok = Tables.apply(spark, sfDir, "documents")
+      .agg(sum(size(graft.text.TextOps.tokens(col("text")))))
+      .collect().head.getLong(0).toDouble
+    val worst = math.log(totTok + vocab) * 1e6 + 1 // c2=0 never joins ⇒ c2≥1
+    out.foreach { r =>
+      val sp = r.getAs[Long]("surprisal_micro")
+      assert(sp >= 0L)
+      assert(sp <= worst.toLong)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+  }
+
   test("ev_gini: histogram decomposition ≡ the sorted-rank definition") {
     val r = run("ev_gini").collect().head
     val gini = r.getAs[Long]("gini_milli")
