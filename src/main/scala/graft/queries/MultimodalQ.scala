@@ -27,6 +27,12 @@ object MultimodalQ {
   // mm_hybrid_neardup's semantic-evidence threshold (dd_semantic's edge
   // τ — the two queries flag the same embedding-space duplicates)
   private[graft] val HybridTau = 0.35
+  // mm_scene_cuts: frame-sampling stride (overlapping crops — half a
+  // thumb), frame budget per asset, and the cut threshold separating
+  // shot boundaries from within-scene jitter
+  private[graft] val SceneStride = 48
+  private[graft] val SceneMaxFrames = 8
+  private[graft] val SceneCutTau = 12
   private val DhashBlockBits = DhashBits / DhashBlocks // 15
   private val DhashBlockMask = (1L << DhashBlockBits) - 1
 
@@ -471,6 +477,86 @@ object MultimodalQ {
         SELECT n_assets, n_within_tau, total_hamming, max_hamming,
                (1000 * n_within_tau) // n_assets AS recall_milli,
                (1000 * total_hamming) // n_assets AS mean_hamming_milli
-        FROM g"""))
+        FROM g""")),
+
+    // ---- scene-cut detection (temporal frame analysis) ---------------------
+    // The video-side primitive the frame pipeline (O7) feeds: sample
+    // frames along each asset, perceptual-hash each, and flag a CUT
+    // where consecutive frames' hamming jumps past the jitter band —
+    // shot-boundary detection, the thing a frame-sampling stage keys on
+    // to sample per-scene instead of per-second. Frames here are the
+    // stub decode: overlapping fixed-width crops at stride
+    // [[SceneStride]] (the mm_dhash "resize" discipline — fixed-length
+    // alignment is what keeps within-scene hamming small), ≤
+    // [[SceneMaxFrames]] per asset; in production the crop projection
+    // swaps for the DSv2 frame source and NOTHING downstream changes.
+    // Plan: one narrow frame explode (bounded ×MaxFrames), the hash in
+    // the same codegen projection, one per-asset lag window, one
+    // per-asset aggregate — no joins at all.
+    Q("mm_scene_cuts",
+      (s, dir) => {
+        val fr = Tables.sharded(s, dir, "documents")
+          .select(col("doc_id").as("asset_id"), col("text"),
+            least(expr(s"length(text) div $SceneStride"),
+              lit(SceneMaxFrames)).cast("long").as("nf"))
+          .filter(col("nf") >= 2)
+          .select(col("asset_id"),
+            explode(sequence(lit(0L), col("nf") - 1)).as("frame"),
+            col("text"))
+          .select(col("asset_id"), col("frame"),
+            dhash(s, expr(
+              s"substring(text, 1 + frame * $SceneStride, $DhashThumb)"))
+              .as("h"))
+        val w = Window.partitionBy(col("asset_id")).orderBy(col("frame"))
+        fr.withColumn("ph", lag(col("h"), 1).over(w))
+          .filter(col("ph").isNotNull)
+          .withColumn("ham",
+            bit_count(col("h").bitwiseXOR(col("ph"))).cast("long"))
+          .groupBy(col("asset_id"))
+          .agg((count(lit(1)) + 1).as("n_frames"),
+            sum(when(col("ham") > SceneCutTau, 1L).otherwise(0L))
+              .as("n_cuts"),
+            call_function("div", sum(col("ham")) * 1000, count(lit(1)))
+              .as("mean_ham_milli"),
+            max(col("ham")).as("max_hamming"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id AS asset_id, text,
+                 least(length(text) // $SceneStride, $SceneMaxFrames)
+                   AS nf
+          FROM documents),
+        fr AS (
+          SELECT asset_id, CAST(g.i AS BIGINT) AS frame,
+                 substr(text, 1 + g.i * $SceneStride, $DhashThumb) AS t
+          FROM base
+          CROSS JOIN generate_series(0, ${SceneMaxFrames - 1}) AS g(i)
+          WHERE base.nf >= 2 AND g.i < base.nf),
+        ch AS (
+          SELECT asset_id, frame,
+                 [ascii(substr(t, 1 + (i * ${DhashThumb - 1}) // $DhashBits,
+                    1)) for i in generate_series(0, $DhashBits)] AS cs
+          FROM fr),
+        dh AS (
+          SELECT asset_id, frame,
+                 CAST(list_sum([CASE WHEN cs[i+1] > cs[i+2]
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                   for i in generate_series(0, ${DhashBits - 1})]) AS BIGINT)
+                   AS h
+          FROM ch),
+        lg AS (
+          SELECT asset_id, h,
+                 lag(h) OVER (PARTITION BY asset_id ORDER BY frame) AS ph
+          FROM dh),
+        sc AS (
+          SELECT asset_id, CAST(bit_count(xor(h, ph)) AS BIGINT) AS ham
+          FROM lg WHERE ph IS NOT NULL)
+        SELECT asset_id, count(*) + 1 AS n_frames,
+               CAST(sum(CASE WHEN ham > $SceneCutTau THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cuts,
+               CAST((CAST(sum(ham) AS BIGINT) * 1000) // count(*)
+                 AS BIGINT) AS mean_ham_milli,
+               max(ham) AS max_hamming
+        FROM sc GROUP BY 1"""))
   )
 }

@@ -1410,6 +1410,65 @@ object Similarity {
           FROM lab)
         SELECT centroid_id, n, label AS top_label, n_l AS n_top,
                CAST((n_l * 1000) // n AS BIGINT) AS purity_milli
-        FROM t WHERE rn = 1"""))
+        FROM t WHERE rn = 1""")),
+
+    // ---- embedding outlier detection (distance-to-centroid OOD flags) ------
+    // The data-cleaning eval SemDeDup-style pipelines run FIRST: vectors
+    // whose assignment cosine sits in their bucket's bottom decile are
+    // out-of-distribution candidates — mislabeled rows, encoder
+    // failures, noise. The decile threshold is RANK-exact (the member
+    // at rank ⌈n/10⌉ ascending, vec_id tie-break) rather than an
+    // interpolated percentile: interpolation arithmetic over doubles is
+    // the one place two engines' quantile formulas can associate
+    // differently, and the rank pick makes τ a value that EXISTS in the
+    // data — bit-identical by the fixed-point cosine's determinism.
+    // Plan: the assignIvfScored narrow pass, one per-bucket rank
+    // window, one per-bucket aggregate.
+    Q("sim_outliers",
+      (s, dir) => {
+        val asg = VectorOps.assignIvfScored(
+          Tables.sharded(s, dir, "embeddings"), CentroidModulo)
+          .select(col("vec_id"), col("centroid_id"), col("ccos"))
+        val w = Window.partitionBy(col("centroid_id"))
+          .orderBy(col("ccos").asc, col("vec_id").asc)
+        val ranked = asg
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("centroid_id"))))
+          .withColumn("k", expr("(n + 9) div 10"))
+        val tau = ranked.filter(col("rn") === col("k"))
+          .select(col("centroid_id"), col("ccos").as("tau"))
+        ranked.groupBy(col("centroid_id"))
+          .agg(max(col("n")).as("n"), max(col("k")).as("k"))
+          .join(tau, "centroid_id")
+          .join(ranked.join(tau, "centroid_id")
+            .groupBy(col("centroid_id"))
+            .agg(sum(when(col("ccos") < col("tau"), 1L).otherwise(0L))
+              .as("n_below")), "centroid_id")
+          .select(col("centroid_id"), col("n"), col("k"), col("tau"),
+            col("n_below"))
+      },
+      Some(s"""
+        WITH $assignScoredSql,
+        ranked AS (
+          SELECT vec_id, centroid_id, ccos,
+                 CAST(row_number() OVER (PARTITION BY centroid_id
+                   ORDER BY ccos ASC, vec_id ASC) AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY centroid_id) AS n
+          FROM asgs),
+        k AS (SELECT *, (n + 9) // 10 AS k FROM ranked),
+        tau AS (
+          SELECT centroid_id, ccos AS tau FROM k WHERE rn = k),
+        g AS (
+          SELECT centroid_id, max(n) AS n, max(k) AS k FROM k GROUP BY 1),
+        below AS (
+          SELECT r.centroid_id,
+                 CAST(sum(CASE WHEN r.ccos < t.tau THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_below
+          FROM ranked r JOIN tau t USING (centroid_id)
+          GROUP BY 1)
+        SELECT g.centroid_id, g.n, g.k, t.tau, b.n_below
+        FROM g JOIN tau t USING (centroid_id)
+        JOIN below b USING (centroid_id)"""))
   )
 }

@@ -56,6 +56,10 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row broadcast horizon timestamp crossing the per-user
       // lifetime table (the ev_rfm now-threshold shape)
       "ev_survival",
+      // inherits assignIvfScored's bounded corpus × broadcast-centroid
+      // BNLJ (the sim_purity shape; the outlier pass adds only windows
+      // and keyed joins over the assignment)
+      "sim_outliers",
       // 1-row broadcast max-doc-id threshold / vocab-size crosses over
       // the token or bigram stream (txt_collocations' corpus-total
       // shape), plus txt_heaps' final 1×1 point-row cross

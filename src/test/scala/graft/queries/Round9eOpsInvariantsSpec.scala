@@ -115,6 +115,37 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sim_outliers: the rank threshold is a decile, n_below < k ≤ n") {
+    val out = run("sim_outliers").collect()
+    assert(out.nonEmpty)
+    val corpus = Tables.apply(spark, sfDir, "embeddings").count()
+    assert(out.map(_.getAs[Long]("n")).sum === corpus)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n"); val k = r.getAs[Long]("k")
+      val below = r.getAs[Long]("n_below")
+      assert(k === (n + 9) / 10)
+      assert(below < k)   // strictly-below can't reach the rank-k member
+      assert(r.getAs[Double]("tau") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("mm_scene_cuts: frame accounting and hamming bounds hold per asset") {
+    val out = run("mm_scene_cuts").collect()
+    assert(out.nonEmpty)
+    val withFrames = Tables.apply(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 2 * 48).count()
+    assert(out.length === withFrames.toInt) // every ≥2-frame asset reports
+    out.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      val cuts = r.getAs[Long]("n_cuts")
+      val maxH = r.getAs[Long]("max_hamming")
+      assert(nf >= 2L && nf <= 8L)
+      assert(cuts <= nf - 1)                 // a cut sits between frames
+      assert(maxH >= 0L && maxH <= 60L)      // 60-bit hash bound
+      assert(r.getAs[Long]("mean_ham_milli") <= maxH * 1000)
+    }
+  }
+
   test("txt_heaps: the growth exponent is a sane sublinear fit") {
     val r = run("txt_heaps").collect().head
     assert(r.getAs[Long]("n_points") >= 5L)
