@@ -941,6 +941,55 @@ object Relational {
                 AND n_range_discount = 0 AND n_range_shipdate = 0
                 AND n_bad_returnflag = 0 AND n_dup_keys = 0
                 AND n_orphans = 0) AS passed
-        FROM c CROSS JOIN d CROSS JOIN o"""))
+        FROM c CROSS JOIN d CROSS JOIN o""")),
+
+    // ---- Bloom-runtime-filter join (semi-join reduction, explicit) ---------
+    // The shuffle-reduction play behind every engine's "runtime filter"
+    // / sideways information passing, as a first-class operator: a
+    // selective dimension predicate (one order quarter ≈ 1/26 of keys)
+    // builds a Bloom filter of qualifying keys (ONE combinable bitset
+    // aggregate, 2^16 bits), which ships to the fact scan as a 1-row
+    // broadcast and prunes lineitem BEFORE its join exchange — at 100 TB
+    // the exchange this elides is the dominant cost, and Spark's own
+    // InSubquery runtime filters cap out where an explicit Bloom does
+    // not. The ORACLE IS THE PLAIN JOIN: no false negatives means the
+    // exact join after the filter returns identical rows, so the gate
+    // proves the Bloom invisible (the ops/Salt discipline); the spec
+    // measures that the filter actually prunes.
+    Q("q27_bloom_join",
+      (s, dir) => {
+        import graft.functions.BloomSketch
+        val k = 4; val bits = 1 << 16
+        val qual = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+        val bl = udaf(new BloomSketch(bits / 64))
+        val bloom = qual
+          .select(BloomSketch.positions(
+            col("o_orderkey").cast("string"), k, bits).as("pos"))
+          .agg(bl(col("pos")).as("bloom"))
+        val pruned = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+          .crossJoin(broadcast(bloom))
+          .filter(BloomSketch.mightContain(col("bloom"),
+            col("l_orderkey").cast("string"), k, bits))
+          .drop("bloom")
+        pruned.join(qual.select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            fxsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"))
+      },
+      Some(s"""
+        SELECT o.o_orderpriority, count(*) AS n_items,
+               ${fxsumSql("l.l_extendedprice * (1 - l.l_discount)", 4)}
+                 AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1"""))
   )
 }

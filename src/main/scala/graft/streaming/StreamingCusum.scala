@@ -76,4 +76,40 @@ object StreamingCusum {
         StructField("cusum", LongType),
         StructField("is_shift", BooleanType))))
   }
+
+  /** The seasonal-naive backtest over the SAME daily-count state — one
+    * state, two reports (the ops/Dq kernel discipline): matches
+    * ev_forecast's schema (event_type, n_days, mae_milli, bias_milli,
+    * mape_pm) with the batch query's exact arithmetic, including the
+    * join-on-(type, day−7) alignment (a missing day simply contributes
+    * no scored row, never a misaligned one).
+    */
+  def forecastReport(st: State, spark: SparkSession): DataFrame = {
+    val rows = st.counts.groupBy(_._1._1).toSeq.flatMap {
+      case (tpe, entries) =>
+        val byDay = entries.map { case ((_, d), n) => d -> n }.toMap
+        val scored = byDay.toSeq.sortBy(_._1).flatMap { case (d, n) =>
+          byDay.get(d - 7).map { fc =>
+            val absErr = math.abs(n - fc)
+            (absErr, n - fc, absErr * 1000L / math.max(n, 1L))
+          }
+        }
+        if (scored.isEmpty) None
+        else {
+          val nd = scored.length.toLong
+          Some(Row(tpe, nd,
+            scored.map(_._1).sum * 1000L / nd,
+            scored.map(_._2).sum.toDouble * 1000.0 / nd,
+            scored.map(_._3).sum / nd))
+        }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("n_days", LongType),
+        StructField("mae_milli", LongType),
+        StructField("bias_milli",
+          org.apache.spark.sql.types.DoubleType),
+        StructField("mape_pm", LongType))))
+  }
 }

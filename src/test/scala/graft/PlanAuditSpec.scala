@@ -63,7 +63,11 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row broadcast max-doc-id threshold / vocab-size crosses over
       // the token or bigram stream (txt_collocations' corpus-total
       // shape), plus txt_heaps' final 1×1 point-row cross
-      "txt_heaps", "txt_bigram_lm")
+      "txt_heaps", "txt_bigram_lm",
+      // the 1-row broadcast Bloom bitset crossing the fact scan — the
+      // runtime-filter shape (dd_bloom_decontam's precedent); the
+      // bitset prunes BEFORE the join exchange, which is the point
+      "q27_bloom_join")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -115,6 +115,33 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q27_bloom_join: the Bloom filter actually prunes the fact scan") {
+    import graft.functions.BloomSketch
+    val k = 4; val bits = 1 << 16
+    val qual = Tables.apply(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val bl = udaf(new BloomSketch(bits / 64))
+    val bloom = qual.select(BloomSketch.positions(
+        col("o_orderkey").cast("string"), k, bits).as("pos"))
+      .agg(bl(col("pos")).as("bloom"))
+    val li = Tables.apply(spark, sfDir, "lineitem")
+    val total = li.count()
+    val kept = li.select(col("l_orderkey")).crossJoin(broadcast(bloom))
+      .filter(BloomSketch.mightContain(col("bloom"),
+        col("l_orderkey").cast("string"), k, bits)).count()
+    // one quarter of six years qualifies — the filter must cut the scan
+    // to a small fraction (fp rate at this fill is well under 1%)
+    assert(kept < total / 4)
+    // and no false negatives: every truly-matching row survives
+    val trueKeys = qual.select(col("o_orderkey")).distinct()
+    val trueMatches = li.join(trueKeys,
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(kept >= trueMatches)
+    // the query itself returns rows
+    assert(run("q27_bloom_join").count() > 0)
+  }
+
   test("sim_outliers: the rank threshold is a decile, n_below < k ≤ n") {
     val out = run("sim_outliers").collect()
     assert(out.nonEmpty)

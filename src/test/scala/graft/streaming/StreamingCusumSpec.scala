@@ -61,6 +61,17 @@ class StreamingCusumSpec extends SparkSpec {
           .select(col("event_type"), col("ems")),
         st.lastBatch, st)
       assert(asMap(StreamingCusum.report(st, spark)) === expected)
+
+      // one state, two reports: the seasonal-naive backtest off the same
+      // counts must equal ev_forecast row-for-row
+      def fMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toMap
+      val fExpected = fMap(SparkEntry.queries("ev_forecast")(spark, sfDir)
+        .select("event_type", "n_days", "mae_milli", "bias_milli",
+          "mape_pm"))
+      assert(fMap(StreamingCusum.forecastReport(st, spark)) === fExpected)
+      assert(fExpected.nonEmpty)
     } finally e.unpersist()
   }
 }
