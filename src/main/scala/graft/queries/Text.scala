@@ -2209,6 +2209,110 @@ object Text {
           FROM scored GROUP BY 1)
         SELECT doc_id, n_bigrams,
                CAST(sq // n_bigrams AS BIGINT) AS surprisal_micro
-        FROM g"""))
+        FROM g""")),
+
+    // ---- language-ID evaluation (confusion matrix over the fixture) --------
+    // txt_classifier_eval's discipline applied to the langid heuristic:
+    // the fixture carries ground-truth `lang`, so the voting predictor
+    // gets a confusion matrix and per-language cell rates instead of an
+    // eyeballed "looks right". The prediction chain REPEATS txt_langid's
+    // exact priority-ordered argmax over the same `profiles` constant
+    // (single-sourced — a profile edit moves both queries together).
+    // One (doc, lang) vote aggregate, one (lang, pred) confusion
+    // aggregate, row totals as a window over the ≤ |langs|²+1 matrix.
+    Q("txt_langid_eval",
+      (s, dir) => {
+        val sums = profiles.map { case (l, ws) =>
+          sum(when(inList(col("token"), ws), 1L).otherwise(0L)).as(s"s_$l")
+        }
+        val scored = tokenRows(s, dir)
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sums.head, sums.tail: _*)
+        val Seq(en, de, es, fr) = profiles.map(p => col(s"s_${p._1}"))
+        val conf = scored.select(col("lang"),
+            when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
+              .when(en >= de && en >= es && en >= fr, "en")
+              .when(de >= es && de >= fr, "de")
+              .when(es >= fr, "es")
+              .otherwise("fr").as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        conf
+          .withColumn("n_lang", sum(col("n")).over(
+            Window.partitionBy(col("lang"))))
+          .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+            call_function("div", col("n") * 1000, col("n_lang"))
+              .as("cell_pm"))
+      },
+      Some {
+        val sums = profiles.map { case (l, ws) =>
+          s"CAST(sum(CASE WHEN token IN ${sqlList(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS s_$l"
+        }.mkString(", ")
+        s"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(tokens) AS token
+          FROM (${DocSql.toksSql})),
+        sc AS (SELECT doc_id, lang, $sums FROM tok GROUP BY doc_id, lang),
+        pred AS (
+          SELECT lang,
+                 CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0
+                        THEN 'und'
+                      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                        THEN 'en'
+                      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_es >= s_fr THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM sc),
+        conf AS (
+          SELECT lang, pred_lang, count(*) AS n
+          FROM pred GROUP BY 1, 2)
+        SELECT lang, pred_lang, n,
+               CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+               CAST((n * 1000) //
+                 CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+                 AS BIGINT) AS cell_pm
+        FROM conf"""
+      }),
+
+    // ---- corpus-driven stopword discovery (the list behind the lists) ------
+    // RAKE, langid, and the quality filters all consume stopword LISTS —
+    // this op derives one from the corpus instead of a hardcoded
+    // constant: a stopword is a term in nearly every document
+    // (df per-mille) AND spread across every language (a term universal
+    // to one language's docs but absent elsewhere is a topic word, not
+    // glue). One (token → df, n_langs, cf) aggregate — df/n_langs are
+    // two-phase distinct counts — a 1-row broadcast doc total for the
+    // per-mille, TakeOrdered top-20. The discovered list's coverage of
+    // the curated profiles is spec-checked.
+    Q("txt_stopword_discovery",
+      (s, dir) => {
+        val tot = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        tokenRows(s, dir)
+          .groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            countDistinct(col("lang")).as("n_langs"),
+            count(lit(1)).as("cf"))
+          .crossJoin(broadcast(tot))
+          .select(col("token"), col("df"), col("n_langs"), col("cf"),
+            call_function("div", col("df") * 1000, col("n_docs"))
+              .as("df_pm"),
+            (col("n_langs") === profiles.length + 1).as("is_universal"))
+          .orderBy(col("df").desc, col("token").asc)
+          .limit(20)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(tokens) AS token
+          FROM (${DocSql.toksSql})),
+        tot AS (SELECT count(*) AS n_docs FROM documents),
+        g AS (
+          SELECT token, count(DISTINCT doc_id) AS df,
+                 count(DISTINCT lang) AS n_langs, count(*) AS cf
+          FROM tok GROUP BY 1)
+        SELECT token, df, n_langs, cf,
+               CAST((df * 1000) // tot.n_docs AS BIGINT) AS df_pm,
+               n_langs = ${profiles.length + 1} AS is_universal
+        FROM g CROSS JOIN tot
+        ORDER BY df DESC, token ASC LIMIT 20"""))
   )
 }

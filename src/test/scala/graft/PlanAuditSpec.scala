@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row broadcast Bloom bitset crossing the fact scan — the
       // runtime-filter shape (dd_bloom_decontam's precedent); the
       // bitset prunes BEFORE the join exchange, which is the point
-      "q27_bloom_join")
+      "q27_bloom_join",
+      // the 1-row broadcast doc-count total crossing the vocab-sized
+      // token aggregate (txt_collocations' corpus-total shape)
+      "txt_stopword_discovery")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

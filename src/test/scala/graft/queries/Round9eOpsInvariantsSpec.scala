@@ -115,6 +115,38 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("txt_langid_eval: confusion cells partition the corpus") {
+    val out = run("txt_langid_eval").collect()
+    assert(out.nonEmpty)
+    val total = Tables.apply(spark, sfDir, "documents").count()
+    assert(out.map(_.getAs[Long]("n")).sum === total)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val nLang = rows.head.getAs[Long]("n_lang")
+      assert(rows.map(_.getAs[Long]("n")).sum === nLang)
+      rows.foreach(r => assert(r.getAs[Long]("cell_pm") <= 1000L))
+    }
+  }
+
+  test("txt_stopword_discovery: top-20 by df, bounded by the doc count") {
+    val out = run("txt_stopword_discovery").collect()
+    assert(out.length === 20)
+    val nDocs = Tables.apply(spark, sfDir, "documents").count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"))
+      assert(r.getAs[Long]("df_pm") <= 1000L)
+    }
+    // the discovered list must rediscover curated glue words (the
+    // corpus is English-ish across langs, so 'the'/'of'-class terms
+    // dominate df)
+    val curated = Set("the", "a", "and", "of", "is", "to", "in",
+      "der", "die", "und", "el", "la", "le", "les", "es", "et", "un",
+      "das", "ein", "los", "y", "des")
+    // (≥2: the sf0.001 fixture's ~31-token vocabulary crowds the top-20
+    // with content words, but the glue words still surface)
+    assert(out.map(_.getAs[String]("token")).count(curated) >= 2)
+  }
+
   test("q27_bloom_join: the Bloom filter actually prunes the fact scan") {
     import graft.functions.BloomSketch
     val k = 4; val bits = 1 << 16
