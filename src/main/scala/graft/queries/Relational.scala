@@ -965,15 +965,15 @@ object Relational {
             col("o_orderdate") < lit("1996-04-01"))
         val bl = udaf(new BloomSketch(bits / 64))
         val bloom = qual
-          .select(BloomSketch.positions(
-            col("o_orderkey").cast("string"), k, bits).as("pos"))
+          .select(BloomSketch.fastPositions(
+            col("o_orderkey"), k, bits).as("pos"))
           .agg(bl(col("pos")).as("bloom"))
         val pruned = Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"),
             col("l_discount"))
           .crossJoin(broadcast(bloom))
-          .filter(BloomSketch.mightContain(col("bloom"),
-            col("l_orderkey").cast("string"), k, bits))
+          .filter(BloomSketch.fastMightContain(col("bloom"),
+            col("l_orderkey"), k, bits))
           .drop("bloom")
         pruned.join(qual.select(col("o_orderkey"), col("o_orderpriority")),
             col("l_orderkey") === col("o_orderkey"))

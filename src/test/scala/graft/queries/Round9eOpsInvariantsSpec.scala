@@ -154,14 +154,14 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
       .filter(col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1996-04-01"))
     val bl = udaf(new BloomSketch(bits / 64))
-    val bloom = qual.select(BloomSketch.positions(
-        col("o_orderkey").cast("string"), k, bits).as("pos"))
+    val bloom = qual.select(BloomSketch.fastPositions(
+        col("o_orderkey"), k, bits).as("pos"))
       .agg(bl(col("pos")).as("bloom"))
     val li = Tables.apply(spark, sfDir, "lineitem")
     val total = li.count()
     val kept = li.select(col("l_orderkey")).crossJoin(broadcast(bloom))
-      .filter(BloomSketch.mightContain(col("bloom"),
-        col("l_orderkey").cast("string"), k, bits)).count()
+      .filter(BloomSketch.fastMightContain(col("bloom"),
+        col("l_orderkey"), k, bits)).count()
     // one quarter of six years qualifies — the filter must cut the scan
     // to a small fraction (fp rate at this fill is well under 1%)
     assert(kept < total / 4)
