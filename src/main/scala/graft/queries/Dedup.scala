@@ -1703,6 +1703,57 @@ object Dedup {
         h AS (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         FROM h a JOIN h b ON b.fp = a.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- dedup cluster-size distribution (the dedup data card) -------------
+    // What a curator reads before applying keep-one-per-cluster: how
+    // many duplicate families exist at each size, and how much of the
+    // corpus is singletons. Sizes come from dd_clusters' EXACT
+    // component lineage (cluster_size ≥ 2 by construction — a labeled
+    // doc is in some pair); singletons are the anti-join remainder,
+    // appearing as the size-1 row so the histogram's n_docs column
+    // sums to the corpus (the dd_report completeness rule,
+    // spec-asserted). Aggregate-over-aggregate: nothing here is bigger
+    // than the cluster table.
+    Q("dd_cluster_sizes",
+      (s, dir) => {
+        val labeled = graft.ops.Components.label(
+          TextOps.lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand),
+          rounds = 4).materialize()
+        val hist = labeled.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        val singles = docs(s, dir).select(col("doc_id"))
+          .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(lit(1L).as("cluster_size"), col("n_clusters"),
+            col("n_clusters").as("n_docs"))
+        hist.union(singles).filter(col("n_clusters") > 0)
+      },
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        ${graft.ops.Components.labelSql(4)},
+        sizes AS (
+          SELECT cluster_id, count(*) AS cluster_size
+          FROM l4 GROUP BY 1),
+        hist AS (
+          SELECT cluster_size, count(*) AS n_clusters,
+                 cluster_size * count(*) AS n_docs
+          FROM sizes GROUP BY 1),
+        singles AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+                 count(*) AS n_clusters, count(*) AS n_docs
+          FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM l4 WHERE l4.doc_id = d.doc_id))
+        SELECT * FROM (
+          SELECT * FROM hist UNION ALL SELECT * FROM singles)
+        WHERE n_clusters > 0"""))
   )
 }

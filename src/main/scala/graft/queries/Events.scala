@@ -2224,6 +2224,52 @@ object Events {
                  (n_users * total_events) AS BIGINT) AS gini_milli,
                CAST((e_top * 1000) // total_events AS BIGINT)
                  AS top10_share_milli
+        FROM g""")),
+
+    // ---- burstiness / dispersion (the Fano factor per event type) ----------
+    // Is traffic Poisson-like or bursty? The Fano factor σ²/μ of daily
+    // counts answers with one number per type: 1 = Poisson baseline,
+    // > 1 over-dispersed (bursts — provision for peaks, alarm with
+    // CUSUM), < 1 regular (a metronome — schedule-driven). Exact
+    // integer algebra end-to-end: Fano = (nΣx² − S²)/(n·S) from the
+    // q19 power-sum discipline, emitted as a milli div over
+    // non-negative operands (Cauchy–Schwarz makes the numerator ≥ 0),
+    // so the bursty verdict's boundary is hash-gated. One combinable
+    // daily count + one per-type fold.
+    Q("ev_dispersion",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ems div 86400000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n_days"), col("sx"),
+            call_function("div", col("sx") * 1000, col("n_days"))
+              .as("mean_milli"),
+            call_function("div",
+              (col("n_days") * col("sxx") - col("sx") * col("sx")) * 1000,
+              col("n_days") * col("sx")).as("fano_milli"),
+            (call_function("div",
+              (col("n_days") * col("sxx") - col("sx") * col("sx")) * 1000,
+              col("n_days") * col("sx")) > 1000).as("is_bursty"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS x
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY 1)
+        SELECT event_type, n_days, sx,
+               CAST((sx * 1000) // n_days AS BIGINT) AS mean_milli,
+               CAST(((n_days * sxx - sx * sx) * 1000) // (n_days * sx)
+                 AS BIGINT) AS fano_milli,
+               CAST(((n_days * sxx - sx * sx) * 1000) // (n_days * sx)
+                 AS BIGINT) > 1000 AS is_bursty
         FROM g"""))
   )
 }

@@ -1469,6 +1469,78 @@ object Similarity {
           GROUP BY 1)
         SELECT g.centroid_id, g.n, g.k, t.tau, b.n_below
         FROM g JOIN tau t USING (centroid_id)
-        JOIN below b USING (centroid_id)"""))
+        JOIN below b USING (centroid_id)""")),
+
+    // ---- embedding drift between snapshots (PSI's vector twin) -------------
+    // txt_drift_psi watches token distributions; this watches the
+    // EMBEDDING space: per label, the cosine between the old and new
+    // snapshots' mean vectors (vec_id-parity halves — swap in real
+    // snapshot frames unchanged). An encoder change, upstream
+    // preprocessing drift, or population shift pulls a label's means
+    // apart long before downstream metrics move. cos(mean_a, mean_b) ≡
+    // cos(sum_a, sum_b) — so the means are never computed: per-dim
+    // INTEGER sum vectors from one combinable aggregate (the sim_kmeans
+    // update shape, 2·|labels| rows of 64 sums), the dot/norms exact
+    // longs over those sums, one mirrored IEEE cosine at the end.
+    Q("sim_embedding_drift",
+      (s, dir) => {
+        val q = VectorOps.quantized(
+          Tables.sharded(s, dir, "embeddings"), keep = Seq("label"))
+          .withColumn("half",
+            when(col("vec_id") % 2 === 0, "old").otherwise("new"))
+        val sumCols = (1 to Dims).map(i =>
+          sum(element_at(col("q"), i)).as(s"s$i"))
+        val sums = q.groupBy(col("label").cast("long").as("label"),
+            col("half"))
+          .agg(count(lit(1)).as("n"), sumCols: _*)
+        def side(h: String, p: String) = sums.filter(col("half") === h)
+          .select(col("label") +: col("n").as(s"n_$h") +:
+            (1 to Dims).map(i => col(s"s$i").as(s"$p$i")): _*)
+        val joined = side("old", "o").join(side("new", "w"), "label")
+        val dot = (1 to Dims).map(i => col(s"o$i") * col(s"w$i"))
+          .reduce(_ + _)
+        val na = (1 to Dims).map(i => col(s"o$i") * col(s"o$i"))
+          .reduce(_ + _)
+        val nb = (1 to Dims).map(i => col(s"w$i") * col(s"w$i"))
+          .reduce(_ + _)
+        joined.select(col("label"), col("n_old"), col("n_new"),
+          (dot.cast("double") / sqrt(na.cast("double")) /
+            sqrt(nb.cast("double"))).as("drift_cos"))
+      },
+      Some(s"""
+        WITH qn AS ($qnSql),
+        ex AS (
+          SELECT vec_id, g.i AS d, qv[g.i] AS q
+          FROM qn CROSS JOIN generate_series(1, $Dims) AS g(i)),
+        lab AS (
+          SELECT e.vec_id, CAST(m.label AS BIGINT) AS label,
+                 CASE WHEN e.vec_id % 2 = 0 THEN 'old' ELSE 'new' END
+                   AS half,
+                 e.d, e.q
+          FROM ex e JOIN embeddings m ON m.vec_id = e.vec_id),
+        cnt AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 CASE WHEN vec_id % 2 = 0 THEN 'old' ELSE 'new' END
+                   AS half,
+                 count(*) AS n
+          FROM embeddings GROUP BY 1, 2),
+        s AS (
+          SELECT label, half, d, CAST(sum(q) AS BIGINT) AS sd
+          FROM lab GROUP BY 1, 2, 3),
+        j AS (
+          SELECT a.label,
+                 CAST(sum(a.sd * b.sd) AS BIGINT) AS dot,
+                 CAST(sum(a.sd * a.sd) AS BIGINT) AS na,
+                 CAST(sum(b.sd * b.sd) AS BIGINT) AS nb
+          FROM s a JOIN s b
+            ON b.label = a.label AND b.d = a.d
+           AND a.half = 'old' AND b.half = 'new'
+          GROUP BY 1)
+        SELECT j.label, co.n AS n_old, cn.n AS n_new,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
+                 / sqrt(CAST(nb AS DOUBLE)) AS drift_cos
+        FROM j
+        JOIN cnt co ON co.label = j.label AND co.half = 'old'
+        JOIN cnt cn ON cn.label = j.label AND cn.half = 'new'"""))
   )
 }

@@ -174,6 +174,50 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     assert(run("q27_bloom_join").count() > 0)
   }
 
+  test("ev_dispersion: Fano ≥ 0 and matches the power-sum recompute") {
+    val out = run("ev_dispersion").collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ems div 86400000").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    out.foreach { r =>
+      val f = r.getAs[Long]("fano_milli")
+      assert(f >= 0L)
+      val xs = daily.filter(_._1 == r.getAs[String]("event_type")).map(_._2)
+      val n = xs.length.toLong; val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      assert(f === (n * sxx - sx * sx) * 1000 / (n * sx))
+    }
+  }
+
+  test("dd_cluster_sizes: histogram docs sum to the corpus") {
+    val out = run("dd_cluster_sizes").collect()
+    assert(out.nonEmpty)
+    val corpus = Tables.apply(spark, sfDir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === corpus)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 1L)
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    // non-singleton mass agrees with dd_clusters' labeled doc count
+    val labeled = run("dd_clusters").count()
+    assert(out.filter(_.getAs[Long]("cluster_size") >= 2L)
+      .map(_.getAs[Long]("n_docs")).sum === labeled)
+  }
+
+  test("sim_embedding_drift: cosine bounded, halves partition the corpus") {
+    val out = run("sim_embedding_drift").collect()
+    assert(out.nonEmpty)
+    val corpus = Tables.apply(spark, sfDir, "embeddings").count()
+    assert(out.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum
+      === corpus)
+    out.foreach { r =>
+      val c = r.getAs[Double]("drift_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
   test("sim_outliers: the rank threshold is a decile, n_below < k ≤ n") {
     val out = run("sim_outliers").collect()
     assert(out.nonEmpty)
