@@ -2270,6 +2270,137 @@ object Events {
                  AS BIGINT) AS fano_milli,
                CAST(((n_days * sxx - sx * sx) * 1000) // (n_days * sx)
                  AS BIGINT) > 1000 AS is_bursty
-        FROM g"""))
+        FROM g""")),
+
+    // ---- growth accounting (new / retained / resurrected / churned) --------
+    // The product-analytics ledger every DAU chart decomposes into:
+    // each active (user, day) is NEW (first day ever), RETAINED (also
+    // active yesterday), or RESURRECTED (active before, but not
+    // yesterday); CHURNED(d) = yesterday's actives who didn't show
+    // today = dau(d−1) − retained(d). The conservation law
+    // dau = new + retained + resurrected holds by construction and is
+    // spec-asserted. Plan: one distinct (day, user) pass (the
+    // ev_stickiness frame, materialized — it feeds the lag window AND
+    // the dau join), one per-user lag window, one per-day aggregate,
+    // one self-join on day−1 over the model-sized daily table.
+    Q("ev_growth_accounting",
+      (s, dir) => {
+        val du = Tables.events(s, dir)
+          .select(expr("ems div 86400000").as("day"), col("user_id"))
+          .distinct()
+          .materialize()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val daily = du
+          .withColumn("prev", lag(col("day"), 1).over(w))
+          .withColumn("status",
+            when(col("prev").isNull, "new")
+              .when(col("prev") === col("day") - 1, "retained")
+              .otherwise("resurrected"))
+          .groupBy(col("day"))
+          .agg(sum(when(col("status") === "new", 1L).otherwise(0L))
+            .as("n_new"),
+            sum(when(col("status") === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            count(lit(1)).as("dau"))
+        daily.join(daily.select((col("day") + 1).as("day"),
+            col("dau").as("dau_prev")), Seq("day"), "left")
+          .select(col("day"), col("n_new"), col("n_retained"),
+            col("n_resurrected"), col("dau"),
+            (coalesce(col("dau_prev"), lit(0L)) - col("n_retained"))
+              .as("churned_from_prev"))
+      },
+      Some("""
+        WITH du AS (
+          SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+          FROM events),
+        st AS (
+          SELECT day, user_id,
+                 lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS prev
+          FROM du),
+        daily AS (
+          SELECT day,
+                 CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_retained,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_resurrected,
+                 count(*) AS dau
+          FROM st GROUP BY 1)
+        SELECT d.day, d.n_new, d.n_retained, d.n_resurrected, d.dau,
+               coalesce(p.dau, 0) - d.n_retained AS churned_from_prev
+        FROM daily d LEFT JOIN daily p ON p.day = d.day - 1""")),
+
+    // ---- U-shaped multi-touch attribution (position-based credit) ----------
+    // ev_first_touch credits one touch; the position-based (40/40/20)
+    // model marketing teams actually run credits the FIRST and LAST
+    // pre-conversion touches 400‰ each and splits 200‰ across the
+    // middles — all integer milli-credits with a deterministic floor
+    // (div k−2), so total credit per conversion is ≤ 1000 exactly and
+    // the channel ledger is hash-gated. Journeys join on user_id with
+    // t_touch < t_conv — bounded by journey length × conversions per
+    // user (the ev_cooccurrence key discipline), never cross-user. One
+    // rank window per conversion over that bounded join.
+    Q("ev_attribution_ushape",
+      (s, dir) => {
+        val e = Tables.events(s, dir).materialize()
+        val conv = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ems").as("c_ems"),
+            col("event_id").as("conv_id"))
+        val touches = e.select(col("user_id"), col("event_type"),
+          col("ems").as("t_ems"), col("event_id").as("t_id"))
+        val j = touches.join(conv, "user_id")
+          .filter(col("t_ems") < col("c_ems") ||
+            (col("t_ems") === col("c_ems") && col("t_id") < col("conv_id")))
+        val wc = Window.partitionBy(col("conv_id"))
+          .orderBy(col("t_ems").asc, col("t_id").asc)
+        val ranked = j
+          .withColumn("rk", row_number().over(wc).cast("long"))
+          .withColumn("k", count(lit(1)).over(
+            Window.partitionBy(col("conv_id"))))
+        ranked
+          .withColumn("credit_milli",
+            when(col("k") === 1, 1000L)
+              .when(col("k") === 2, 500L)
+              .when(col("rk") === 1 || col("rk") === col("k"), 400L)
+              .otherwise(call_function("div", lit(200L), col("k") - 2)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_milli")).as("credit_milli"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ems, event_id
+          FROM events),
+        conv AS (
+          SELECT user_id, ems AS c_ems, event_id AS conv_id
+          FROM e WHERE event_type = 'purchase'),
+        j AS (
+          SELECT t.event_type, c.conv_id, t.ems AS t_ems,
+                 t.event_id AS t_id
+          FROM e t JOIN conv c ON c.user_id = t.user_id
+           AND (t.ems < c.c_ems
+                OR (t.ems = c.c_ems AND t.event_id < c.conv_id))),
+        ranked AS (
+          SELECT event_type, conv_id,
+                 CAST(row_number() OVER (PARTITION BY conv_id
+                   ORDER BY t_ems, t_id) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+                   AS k
+          FROM j),
+        credited AS (
+          SELECT event_type,
+                 CASE WHEN k = 1 THEN 1000
+                      WHEN k = 2 THEN 500
+                      WHEN rk = 1 OR rk = k THEN 400
+                      ELSE 200 // (k - 2) END AS credit_milli
+          FROM ranked)
+        SELECT event_type, count(*) AS n_touches,
+               CAST(sum(credit_milli) AS BIGINT) AS credit_milli
+        FROM credited GROUP BY 1"""))
   )
 }

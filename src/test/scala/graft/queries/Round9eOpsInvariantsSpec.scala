@@ -174,6 +174,38 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     assert(run("q27_bloom_join").count() > 0)
   }
 
+  test("ev_growth_accounting: dau = new + retained + resurrected; churn balances") {
+    val out = run("ev_growth_accounting").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+        r.getAs[Long]("dau"), r.getAs[Long]("churned_from_prev")))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, nw, rt, rs, dau, _) =>
+      assert(nw + rt + rs === dau) // the conservation law
+    }
+    // churn(d) = dau(d-1) − retained(d) whenever d-1 exists
+    val dauBy = out.map(r => r._1 -> r._5).toMap
+    out.foreach { case (d, _, rt, _, _, ch) =>
+      assert(ch === dauBy.getOrElse(d - 1, 0L) - rt)
+    }
+    // total new across all days = distinct users
+    assert(out.map(_._2).sum ===
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+  }
+
+  test("ev_attribution_ushape: per-conversion credit ≤ 1000, totals account") {
+    val out = run("ev_attribution_ushape").collect()
+    assert(out.nonEmpty)
+    // total credit ≤ 1000 per conversion (floor rounding only loses)
+    val nConv = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    val totalCredit = out.map(_.getAs[Long]("credit_milli")).sum
+    assert(totalCredit <= nConv * 1000)
+    assert(totalCredit > nConv * 900) // floors lose < 10% at journey sizes here
+    assert(out.forall(_.getAs[Long]("n_touches") > 0L))
+  }
+
   test("ev_dispersion: Fano ≥ 0 and matches the power-sum recompute") {
     val out = run("ev_dispersion").collect()
     assert(out.nonEmpty)
