@@ -1754,6 +1754,68 @@ object Dedup {
           WHERE NOT EXISTS (SELECT 1 FROM l4 WHERE l4.doc_id = d.doc_id))
         SELECT * FROM (
           SELECT * FROM hist UNION ALL SELECT * FROM singles)
-        WHERE n_clusters > 0"""))
+        WHERE n_clusters > 0""")),
+
+    // ---- sentence-level exact dedup (the C4 repeated-lines ledger) ---------
+    // The granularity between document dedup (dd_exact) and token-gram
+    // spans (dd_substring): C4 removes individual SENTENCES that repeat
+    // across the corpus (boilerplate sign-offs, cookie banners, legal
+    // footers). Sentences are txt_sentences' exact split, CANONICALIZED
+    // through the tokenizer (case/punctuation-proof — "Hello,  world!"
+    // ≡ "hello world"), duplicated = same canonical form in ≥ 2
+    // distinct docs. The ledger reports per doc how much of it is
+    // corpus-repeated, zero-dup docs included (the dd_report
+    // completeness rule). The canonical-sentence frame is materialized
+    // — it feeds the frequency pass AND the join-back; shuffles carry
+    // canonical strings only at sentence grain.
+    Q("dd_sentence_dedup",
+      (s, dir) => {
+        val sent = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(col("text"), "[.!?]+")).as("sent"))
+          .select(col("doc_id"),
+            concat_ws(" ", TextOps.tokens(col("sent"))).as("canon"))
+          .filter(length(col("canon")) > 0)
+          .materialize()
+        val dup = sent.groupBy(col("canon"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("canon"))
+        val dupPer = sent.join(dup, Seq("canon"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        sent.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sentences"))
+          .join(dupPer, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sentences"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            call_function("div",
+              coalesce(col("n_dup"), lit(0L)) * 1000, col("n_sentences"))
+              .as("dup_pm"))
+      },
+      Some(s"""
+        WITH sent AS (
+          SELECT doc_id,
+                 array_to_string(regexp_extract_all(lower(sent),
+                   '${TextOps.TokenRegex}'), ' ') AS canon
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '[.!?]+'))
+                         AS sent
+                FROM documents)
+          WHERE array_to_string(regexp_extract_all(lower(sent),
+                  '${TextOps.TokenRegex}'), ' ') <> ''),
+        dup AS (
+          SELECT canon FROM (
+            SELECT canon, count(DISTINCT doc_id) AS nd
+            FROM sent GROUP BY 1)
+          WHERE nd >= 2),
+        per AS (
+          SELECT s.doc_id, count(*) AS n_dup
+          FROM sent s JOIN dup USING (canon) GROUP BY 1),
+        tot AS (
+          SELECT doc_id, count(*) AS n_sentences FROM sent GROUP BY 1)
+        SELECT t.doc_id, t.n_sentences,
+               coalesce(p.n_dup, 0) AS n_dup,
+               CAST((coalesce(p.n_dup, 0) * 1000) // t.n_sentences
+                 AS BIGINT) AS dup_pm
+        FROM tot t LEFT JOIN per p USING (doc_id)"""))
   )
 }

@@ -174,6 +174,23 @@ class Round9eOpsInvariantsSpec extends SparkSpec {
     assert(run("q27_bloom_join").count() > 0)
   }
 
+  test("dd_sentence_dedup: every doc reports, dup counts bounded, coherent with txt_sentences") {
+    val out = run("dd_sentence_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_dup"),
+         r.getAs[Long]("dup_pm"))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, d, pm) =>
+      assert(d <= n)
+      assert(pm === d * 1000 / n)
+    }
+    // sentence counts agree with txt_sentences' ledger (same split)
+    run("txt_sentences").collect().foreach { r =>
+      assert(out(r.getAs[Long]("doc_id"))._1 ===
+        r.getAs[Long]("n_sentences"))
+    }
+  }
+
   test("ev_growth_accounting: dau = new + retained + resurrected; churn balances") {
     val out = run("ev_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
