@@ -24,10 +24,15 @@ object Tables {
     *   - same type (ignoring nullability) → passes through untouched, so
     *     TODAY's plans are byte-identical to a plain `spark.read`;
     *   - losslessly widenable (`Cast.canUpCast` — e.g. INT32 ids from a
-    *     writer that narrowed, DECIMAL→DOUBLE measures) or a temporal
-    *     re-encoding (DATE/TIMESTAMP → TIMESTAMP_NTZ under the pinned
-    *     UTC session timezone) → cast to canonical, so every downstream
-    *     filter/extract/join keeps analyzing;
+    *     writer that narrowed), a DECIMAL→DOUBLE measure re-encoding
+    *     (canUpCast rejects decimal→fractional, so this arm is explicit:
+    *     casting DECIMAL(12,2) `123.45` to double yields the nearest
+    *     double to that decimal string — bit-identical to what a
+    *     double-typed writer would have stored for the same value, so
+    *     the coercion exactly reproduces the canonical encoding), or a
+    *     temporal re-encoding (DATE/TIMESTAMP → TIMESTAMP_NTZ under the
+    *     pinned UTC session timezone) → cast to canonical, so every
+    *     downstream filter/extract/join keeps analyzing;
     *   - anything else, or a MISSING column → fail loudly with the
     *     table.column and both types, instead of 19 queries dying at
     *     analysis like round 8's events outage.
@@ -69,10 +74,17 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{
-      DateType, DataType => DT, TimestampNTZType, TimestampType}
+      DateType, DataType => DT, DecimalType, DoubleType,
+      TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     def temporalOk(actual: DT, want: DT): Boolean = want == TimestampNTZType &&
       (actual == DateType || actual == TimestampType)
+    // Cast.canUpCast rejects decimal→fractional, but a writer drifting a
+    // monetary measure to DECIMAL(p,2) is the most plausible drift of all;
+    // decimal→double casts to the nearest double of the same decimal
+    // string — exactly the value a double-typed writer would have stored.
+    def decimalOk(actual: DT, want: DT): Boolean =
+      want == DoubleType && actual.isInstanceOf[DecimalType]
     canonical.getOrElse(name, Nil).foldLeft(raw) { case (df, (c, want)) =>
       df.schema.find(_.name == c).map(_.dataType) match {
         case None => throw new IllegalArgumentException(
@@ -85,7 +97,8 @@ object Tables {
               actual.catalogString == want.catalogString => df
         case Some(actual)
             if org.apache.spark.sql.catalyst.expressions.Cast
-              .canUpCast(actual, want) || temporalOk(actual, want) =>
+              .canUpCast(actual, want) || temporalOk(actual, want) ||
+              decimalOk(actual, want) =>
           df.withColumn(c, col(c).cast(want))
         case Some(actual) => throw new IllegalArgumentException(
           s"$name.$c: fixture encoding drifted to $actual, which cannot " +

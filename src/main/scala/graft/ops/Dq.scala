@@ -40,8 +40,12 @@ object Dq {
     * equivalence form).
     */
   def monitored(rows: DataFrame, orders: DataFrame): DataFrame = {
+    // dropDuplicates on the probe key: a dirty dimension with duplicate
+    // o_orderkey rows (the exact condition a DQ monitor exists to catch)
+    // must not multiply streamed fact rows, or every counter silently
+    // inflates — the batch gate's anti-join is immune, this probe is not.
     val flagged = rows.join(
-      broadcast(orders.select(col("o_orderkey"))),
+      broadcast(orders.select(col("o_orderkey")).dropDuplicates("o_orderkey")),
       rows("l_orderkey") === col("o_orderkey"), "left_outer")
     val aggs = checkAggs :+
       sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orphans")

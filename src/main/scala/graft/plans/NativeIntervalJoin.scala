@@ -166,9 +166,20 @@ object NativeIntervalJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
-    val node = IntervalJoinNode(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, lo), attr(lPlan, hi), attr(rPlan, time))
+    val lk = attr(lPlan, key); val rk = attr(rPlan, key)
+    val loA = attr(lPlan, lo); val hiA = attr(lPlan, hi)
+    val tA = attr(rPlan, time)
+    // fail at construction, not as a per-row ClassCastException inside
+    // the interpreted ordering mid-sweep: the exec compares key-vs-key
+    // and lo/hi-vs-time with orderings derived from ONE side's type
+    def sameType(aName: String, a: Attribute, bName: String, b: Attribute): Unit =
+      require(a.dataType == b.dataType,
+        s"intervalJoin: $aName (${a.dataType.catalogString}) and $bName " +
+          s"(${b.dataType.catalogString}) must have identical types")
+    sameType(s"intervals.$key", lk, s"points.$key", rk)
+    sameType(s"intervals.$lo", loA, s"points.$time", tA)
+    sameType(s"intervals.$hi", hiA, s"points.$time", tA)
+    val node = IntervalJoinNode(lPlan, rPlan, lk, rk, loA, hiA, tA)
     val joined = GraftBridge.ofRows(spark, node)
     val outCols = lPlan.output.map(a => GraftBridge.column(a)) ++
       rPlan.output.filterNot(_.name == key)

@@ -41,6 +41,23 @@ class TablesCoercionSpec extends SparkSpec {
     assert(r.getAs[Long]("n_orphans") === 0L)
   }
 
+  test("DECIMAL-drifted measures coerce to the canonical double") {
+    val dir = Files.createTempDirectory("coerce_dec").toString
+    Tables(spark, sfDir, "lineitem")
+      .withColumn("l_extendedprice",
+        col("l_extendedprice").cast(DecimalType(12, 2)))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Tables(spark, dir, "lineitem")
+    assert(got.schema("l_extendedprice").dataType === DoubleType)
+    // the decimal→double cast lands on the same nearest-double the
+    // original double-typed writer stored (prices have exactly 2dp)
+    val want = Tables(spark, sfDir, "lineitem")
+      .agg(sum(col("l_extendedprice") * 100).cast(LongType)).collect().head
+    val back = got
+      .agg(sum(col("l_extendedprice") * 100).cast(LongType)).collect().head
+    assert(back === want)
+  }
+
   test("incompatible and missing columns fail with the column named") {
     val dir = Files.createTempDirectory("coerce_bad").toString
     Tables(spark, sfDir, "part")

@@ -51,6 +51,22 @@ class NativeIntervalSpec extends SparkSpec {
     assert(out.length === 1) // only the fully-non-null pair
   }
 
+  test("mismatched column types fail at construction, naming both sides") {
+    // INT key vs BIGINT key: without the guard this is a per-row
+    // ClassCastException inside the interpreted ordering mid-sweep
+    val intPoints = points.withColumn("k", col("k").cast("int"))
+    val e = intercept[IllegalArgumentException](NativeIntervalJoin
+      .intervalJoin(intervals, intPoints, "k", "lo", "hi", "t"))
+    assert(e.getMessage.contains("intervals.k") &&
+      e.getMessage.contains("points.k") && e.getMessage.contains("int"))
+    // lo typed differently from t
+    val dblT = points.withColumn("t", col("t").cast("double"))
+    val e2 = intercept[IllegalArgumentException](NativeIntervalJoin
+      .intervalJoin(intervals, dblT, "k", "lo", "hi", "t"))
+    assert(e2.getMessage.contains("intervals.lo") &&
+      e2.getMessage.contains("points.t"))
+  }
+
   test("plans IntervalJoinExec with one hash exchange per side, no join node") {
     val df = NativeIntervalJoin
       .intervalJoin(intervals, points, "k", "lo", "hi", "t")

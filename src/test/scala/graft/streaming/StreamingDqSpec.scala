@@ -51,4 +51,21 @@ class StreamingDqSpec extends SparkSpec {
     assert(got.getAs[Long]("n_rows") === li.count() + 1)
     assert(got.getAs[Long]("n_bad_returnflag") === 0L)
   }
+
+  test("duplicate dimension keys do not inflate the monitor's counters") {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = Tables(spark, sfDir, "lineitem")
+    val orders = Tables(spark, sfDir, "orders")
+    // the dirty-dimension condition the monitor exists to survive:
+    // duplicated o_orderkey rows must not multiply probed fact rows
+    val dirty = orders.unionByName(orders.limit(5))
+    val clean = graft.ops.Dq.monitored(li, orders).collect().head
+    val got = graft.ops.Dq.monitored(li, dirty).collect().head
+    val fields = Seq("n_rows", "n_null_quantity", "n_range_quantity",
+      "n_range_discount", "n_range_shipdate", "n_bad_returnflag",
+      "n_orphans")
+    fields.foreach(f =>
+      assert(got.getAs[Long](f) === clean.getAs[Long](f), f))
+    assert(got.getAs[Long]("n_rows") === li.count())
+  }
 }
