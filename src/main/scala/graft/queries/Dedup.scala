@@ -8,8 +8,16 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the first of the four
   * LLM-training-data families (exact, MinHash+LSH, Jaccard verification,
-  * SimHash). All hashes are md5-derived (see TextOps), so every stage is
-  * DuckDB-checkable and recomputation-stable at 100 TB.
+  * SimHash). Hash discipline (the q27 rule, family-wide): a hash whose
+  * VALUE decides selection or surfaces in output (MinHash minima,
+  * winnowing window-mins, SimHash bits, Bloom positions, dd_exact's
+  * text_hash column) is md5-derived so the DuckDB oracle mirrors it
+  * bit-for-bit; a hash that is a pure equality-key COMPACTION (band
+  * buckets, shingle/gram/sentence group-join keys, content-equality
+  * probes) is codegen xxhash64 — results reduce to string equality, so
+  * the oracle's md5 twin agrees while our shuffles carry 8-byte longs.
+  * Either way every hash is deterministic: recomputation-stable at
+  * 100 TB (a re-derived lost partition reproduces identical keys).
   */
 object Dedup {
 
@@ -54,14 +62,19 @@ object Dedup {
       TextOps.lshCandidates(d, ShingleN, K, RowsPerBand).materialize()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // shingles compact to xxhash64 longs BEFORE the distinct — the hash
+    // is result-invisible here (set sizes and intersections reduce to
+    // string equality), so the distinct, both pair joins, and the size
+    // counts all key on 8-byte longs instead of ~50-char strings
     val sh = TextOps.explodedShingles(d, ShingleN)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h64"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h64")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h64")),
+        Seq("doc_b", "h64"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -97,9 +110,14 @@ object Dedup {
     */
   private def shingleIntersections(
       sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("shingle"))
+    // the join key is a RESULT-INVISIBLE compaction (the q27/bandHash
+    // discipline): pairs match iff their shingle STRINGS are equal, for
+    // any collision-free hash, so the ~50-char shingle shuffles and
+    // sort-merge-compares as one codegen xxhash64 long; the DuckDB
+    // truth joins the raw strings and agrees.
+    sh.select(col("doc_id").as("doc_a"), xxhash64(col("shingle")).as("h64"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        xxhash64(col("shingle")).as("h64")), Seq("h64"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -158,7 +176,7 @@ object Dedup {
     docsDf
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextOps.posGramHashes(col("toks"), n)).as("g"))
+        explode(TextOps.posGramHashes64(col("toks"), n)).as("g"))
       .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
 
   /** DISTINCT duplicated gram hashes (document frequency ≥ 2) — the
@@ -180,7 +198,7 @@ object Dedup {
       n: Int): org.apache.spark.sql.DataFrame =
     docsDf.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        TextOps.posGramHashes(col("toks"), n).as("gs"))
+        TextOps.posGramHashes64(col("toks"), n).as("gs"))
       .materialize()
 
   /** Maximal covered spans of NON-KEEPER duplicated-gram occurrences —
@@ -540,14 +558,16 @@ object Dedup {
           .join(sigs.select(col("doc_id").as("doc_b") +:
             (0 until K).map(k => col(s"mh$k").as(s"b_mh$k")): _*), "doc_b")
           .select(col("doc_a"), col("doc_b"), nMatch.cast("long").as("n_match"))
+        // the jaccardScored h64 compaction (result-invisible join key)
         val sh = TextOps.explodedShingles(d, ShingleN)
           .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h64"))
           .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val inter = cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-            Seq("doc_b", "shingle"))
+          .join(sh.select(col("doc_id").as("doc_a"), col("h64")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("h64")),
+            Seq("doc_b", "h64"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
         withSigs
@@ -794,9 +814,14 @@ object Dedup {
     Q("dd_shingle_cap",
       (s, dir) => {
         val d = docs(s, dir)
-        val sh = TextOps.explodedShingles(d, ShingleN).distinct()
+        // h64 compaction at the source (result-invisible: every output
+        // column reduces to shingle-string equality) — the df aggregate,
+        // the per-cap semi joins, and the pair self-join all key on longs
+        val sh = TextOps.explodedShingles(d, ShingleN)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h64"))
+          .distinct()
           .materialize()
-        val dfreq = sh.groupBy(col("shingle"))
+        val dfreq = sh.groupBy(col("h64"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2) // df=1 shingles generate zero pairs
           .materialize()
@@ -806,11 +831,11 @@ object Dedup {
             count(lit(1)).as("n_shingles"),
             coalesce(sum(call_function("div",
               col("df") * (col("df") - 1), lit(2L))), lit(0L)).as("gen_cost"))
-          val shKept = sh.join(kept.select(col("shingle")), "shingle")
+          val shKept = sh.join(kept.select(col("h64")), "h64")
           val pairStats = shKept
-            .select(col("doc_id").as("doc_a"), col("shingle"))
-            .join(shKept.select(col("doc_id").as("doc_b"), col("shingle")),
-              Seq("shingle"))
+            .select(col("doc_id").as("doc_a"), col("h64"))
+            .join(shKept.select(col("doc_id").as("doc_b"), col("h64")),
+              Seq("h64"))
             .filter(col("doc_a") < col("doc_b"))
             .select(col("doc_a"), col("doc_b")).distinct()
             .agg(count(lit(1)).as("n_pairs"))
@@ -879,19 +904,24 @@ object Dedup {
     // shuffles for it.
     Q("dd_contamination",
       (s, dir) => {
+        // 5-gram strings compact to xxhash64 keys (result-invisible:
+        // both counts reduce to shingle equality) — the distincts, the
+        // eval×train join, and the countDistinct all carry longs
         val withSrc = docs(s, dir)
           .select(col("doc_id"), col("source"),
             TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"),
             explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+          .select(col("doc_id"), col("source"),
+            xxhash64(col("shingle")).as("h64"))
         val eval_ = withSrc.filter(col("source") === "src0")
-          .select(col("shingle"), col("doc_id").as("eval_doc")).distinct()
+          .select(col("h64"), col("doc_id").as("eval_doc")).distinct()
         val train = withSrc.filter(col("source") =!= "src0")
-          .select(col("shingle"), col("doc_id").as("train_doc")).distinct()
-        eval_.join(train, "shingle")
+          .select(col("h64"), col("doc_id").as("train_doc")).distinct()
+        eval_.join(train, "h64")
           .groupBy(col("eval_doc"))
           .agg(countDistinct(col("train_doc")).as("n_train_docs"),
-            countDistinct(col("shingle")).as("n_shared_shingles"))
+            countDistinct(col("h64")).as("n_shared_shingles"))
       },
       Some(s"""
         WITH sh AS (
@@ -926,18 +956,21 @@ object Dedup {
     // combinable aggregates merged by one doc-keyed broadcast-back join.
     Q("dd_containment",
       (s, dir) => {
+        // same h64 compaction as dd_contamination (result-invisible)
         val withSrc = docs(s, dir)
           .select(col("doc_id"), col("source"),
             TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"),
             explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+          .select(col("doc_id"), col("source"),
+            xxhash64(col("shingle")).as("h64"))
         val evalSh = withSrc.filter(col("source") === "src0")
-          .select(col("doc_id").as("eval_doc"), col("shingle")).distinct()
+          .select(col("doc_id").as("eval_doc"), col("h64")).distinct()
         val trainSh = withSrc.filter(col("source") =!= "src0")
-          .select(col("shingle")).distinct()
+          .select(col("h64")).distinct()
         val tot = evalSh.groupBy(col("eval_doc"))
           .agg(count(lit(1)).as("n_shingles"))
-        val shared = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+        val shared = evalSh.join(trainSh, Seq("h64"), "left_semi")
           .groupBy(col("eval_doc")).agg(count(lit(1)).as("n_shared"))
         tot.join(shared, Seq("eval_doc"), "left")
           .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
@@ -1046,13 +1079,17 @@ object Dedup {
     // frequency filter when only the flagged spans matter).
     Q("dd_spans",
       (s, dir) => {
+        // span strings compact to xxhash64 group/join keys (result-
+        // invisible — outputs are per-doc counts, which reduce to span
+        // equality); the shuffle carries 8-byte longs, never span text
         val spans = docs(s, dir)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             explode(TextOps.strideSpans(col("toks"), 8)).as("span"))
+          .select(col("doc_id"), xxhash64(col("span")).as("h64"))
         val freq = spans.distinct()
-          .groupBy(col("span")).agg(count(lit(1)).as("doc_freq"))
-        spans.join(freq, "span")
+          .groupBy(col("h64")).agg(count(lit(1)).as("doc_freq"))
+        spans.join(freq, "h64")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_spans"),
             sum(when(col("doc_freq") >= 2, 1L).otherwise(0L))
@@ -1338,8 +1375,10 @@ object Dedup {
           col("n_tokens") >= 20 &&
           col("n_distinct") * 10 >= col("n_tokens") * 3 &&
           col("n_stop") * 100 >= col("n_tokens") * 2)
+        // exact-dup partition key: result-invisible compaction (keep-one
+        // reduces to normalized-text equality) — xxhash64, not md5
         val wHash = Window.partitionBy(
-          md5(concat_ws(" ", col("toks")).cast("binary")))
+          xxhash64(concat_ws(" ", col("toks"))))
         val s2 = s1.withColumn("canon", min(col("doc_id")).over(wHash))
           .filter(col("doc_id") === col("canon"))
         val labels = graft.ops.Components.label(
@@ -1352,11 +1391,14 @@ object Dedup {
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("cluster_id"), col("toks"))
         val sh = s3.select(col("doc_id"),
-          explode(TextOps.shingles(col("toks"), 5)).as("shingle")).distinct()
+          explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h64"))
+          .distinct()
         val evSh = toked.filter(col("source") === "src0")
           .select(explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+          .select(xxhash64(col("shingle")).as("h64"))
           .distinct()
-        val contam = sh.join(evSh, "shingle")
+        val contam = sh.join(evSh, "h64")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
         s3.join(contam, Seq("doc_id"), "left")
           .filter(coalesce(col("n_shared"), lit(0L)) < 3)
@@ -1564,8 +1606,8 @@ object Dedup {
       (s, dir) => {
         val d = docs(s, dir)
         val nDocs = d.agg(count(lit(1)).as("n_docs"))
-        val nDups = d.select(md5(concat_ws(" ",
-            TextOps.tokens(col("text"))).cast("binary")).as("h"))
+        val nDups = d.select(xxhash64(concat_ws(" ",
+            TextOps.tokens(col("text")))).as("h"))
           .groupBy(col("h")).agg(count(lit(1)).as("n"))
           .agg((sum(col("n")) - count(lit(1))).as("n_exact_dup_docs"))
         val nPairs = TextOps.lshCandidates(d, ShingleN, K, RowsPerBand)
@@ -1574,11 +1616,13 @@ object Dedup {
             TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"),
             explode(TextOps.shingles(col("toks"), 5)).as("shingle"))
+          .select(col("doc_id"), col("source"),
+            xxhash64(col("shingle")).as("h64"))
         val eval_ = sh.filter(col("source") === "src0")
-          .select(col("shingle"), col("doc_id").as("eval_doc")).distinct()
+          .select(col("h64"), col("doc_id").as("eval_doc")).distinct()
         val train = sh.filter(col("source") =!= "src0")
-          .select(col("shingle")).distinct()
-        val nContam = eval_.join(train, "shingle")
+          .select(col("h64")).distinct()
+        val nContam = eval_.join(train, "h64")
           .groupBy(col("eval_doc"))
           .agg(count(lit(1)).as("ns")) // (eval_doc, shingle) distinct already
           .filter(col("ns") >= 3)
@@ -1630,19 +1674,23 @@ object Dedup {
     // re-shard) actually reruns. Snapshots are simulated deterministically
     // from the fixture (old = doc_id%10<8, new = doc_id%10>=2, every 7th
     // doc's text revised in the new snapshot) and diffed by CONTENT HASH:
-    // each side is projected to (doc_id, md5) before the join, so the
-    // full-outer join — one co-partitioned key exchange — shuffles 32-char
-    // digests, never document text. At 100 TB the hash projections read
+    // each side is projected to (doc_id, content-hash) before the join,
+    // so the full-outer join — one co-partitioned key exchange — shuffles
+    // 8-byte longs, never document text. At 100 TB the hash projections read
     // only (doc_id, text) per side and the ledger aggregate is 4 rows.
     Q("dd_delta",
       (s, dir) => {
         val d = docs(s, dir)
+        // content hash is result-invisible (only hash EQUALITY decides
+        // the status, and the oracle's md5 equality agrees) — xxhash64
+        // makes the full-outer exchange carry 8-byte longs, not digests
         val old = d.filter(col("doc_id") % 10 < 8)
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+          .select(col("doc_id"), xxhash64(col("text")).as("h_old"))
         val neu = d.filter(col("doc_id") % 10 >= 2)
           .select(col("doc_id"),
-            md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-              .otherwise(col("text")).cast("binary")).as("h_new"))
+            xxhash64(when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h_new"))
         old.join(neu, Seq("doc_id"), "full_outer")
           .select(when(col("h_old").isNull, "added")
             .when(col("h_new").isNull, "removed")
@@ -1770,17 +1818,22 @@ object Dedup {
     // canonical strings only at sentence grain.
     Q("dd_sentence_dedup",
       (s, dir) => {
+        // canonical sentences compact to xxhash64 keys after the
+        // emptiness filter (result-invisible: the ledger reduces to
+        // canonical-string equality) — frequency pass and join-back
+        // carry longs at sentence grain, never sentence text
         val sent = docs(s, dir)
           .select(col("doc_id"),
             explode(split(col("text"), "[.!?]+")).as("sent"))
           .select(col("doc_id"),
             concat_ws(" ", TextOps.tokens(col("sent"))).as("canon"))
           .filter(length(col("canon")) > 0)
+          .select(col("doc_id"), xxhash64(col("canon")).as("h64"))
           .materialize()
-        val dup = sent.groupBy(col("canon"))
+        val dup = sent.groupBy(col("h64"))
           .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select(col("canon"))
-        val dupPer = sent.join(dup, Seq("canon"), "left_semi")
+          .filter(col("nd") >= 2).select(col("h64"))
+        val dupPer = sent.join(dup, Seq("h64"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
         sent.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_sentences"))

@@ -57,7 +57,7 @@ object StreamingSubstringGuard {
     val filterLit = typedLit(bloom.toSeq)
     docs
       .select(col("doc_id"),
-        TextOps.posGramHashes(TextOps.tokens(col("text")), n).as("gs"))
+        TextOps.posGramHashes64(TextOps.tokens(col("text")), n).as("gs"))
       .select(col("doc_id"),
         size(col("gs")).cast("long").as("n_grams"),
         size(filter(col("gs"), g =>

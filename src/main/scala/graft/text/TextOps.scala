@@ -49,6 +49,26 @@ object TextOps {
             .cast("binary")).as("h"))))
       .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
 
+  /** [[posGramHashes]] with a RESULT-INVISIBLE 64-bit hash — for the
+    * substring-dedup family, where `h` is only ever a group/join key
+    * for "same n-token gram" (outputs are spans and token ledgers, so
+    * any collision-free hash yields identical results; the DuckDB
+    * mirrors keep md5 and agree because both reduce to gram equality).
+    * Multi-arg xxhash64 over the n token elements: no gram STRING is
+    * ever materialized (md5(concat_ws) builds a ~n·6-char string per
+    * position first), each argument is length-mixed so token
+    * boundaries stay unambiguous, and the key is 8 bytes on the wire
+    * instead of 32 chars. Keep [[posGramHashes]] (md5) where the hash
+    * VALUE is selection-visible — winnowing's window-min fingerprints.
+    */
+  def posGramHashes64(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        struct(i.cast("long").as("start"),
+          xxhash64((0 until n).map(k => element_at(toks, i + lit(k))): _*)
+            .as("h"))))
+      .otherwise(array().cast("array<struct<start:bigint,h:bigint>>"))
+
   /** Non-overlapping n-token spans (stride = n) from a token array —
     * the chunking used for span-level dedup, where overlapping shingles
     * would multiply the hash volume n× for no extra dedup power.
@@ -82,12 +102,19 @@ object TextOps {
   /** LSH band hash over `rowsPerBand` consecutive MinHash components
     * (component columns named `<prefix>0..` — "mh" for the batch
     * signature table, "__mh" for the streaming per-row form).
+    *
+    * RESULT-INVISIBLE hash (the q27 discipline): bh is a pure
+    * compaction of the band's component tuple into one bucket key —
+    * two docs share a bucket iff their component values are equal, for
+    * ANY injective-w.h.p. hash — so candidates depend on the MinHash
+    * VALUES (md5-derived, oracle-mirrored), never on THIS function.
+    * Hence codegen xxhash64 over the raw longs (no string concat, no
+    * crypto digest, an 8-byte shuffle key instead of a 32-char string);
+    * the DuckDB oracle keeps its md5 bh — both group ≡ the tuple.
     */
   def bandHash(band: Int, rowsPerBand: Int, prefix: String = "mh"): Column =
-    md5(concat_ws("|",
-      (0 until rowsPerBand)
-        .map(j => col(s"$prefix${band * rowsPerBand + j}").cast("string")): _*)
-      .cast("binary"))
+    xxhash64((0 until rowsPerBand)
+      .map(j => col(s"$prefix${band * rowsPerBand + j}")): _*)
 
   /** documents(doc_id, text) → exploded (doc_id, shingle) pairs.
     *

@@ -98,7 +98,7 @@ class StreamingSubstringGuardSpec extends SparkSpec {
     // duplicated-hash set. Zero false negatives is the Bloom contract.
     val truth = incoming
       .select(col("doc_id"),
-        explode(TextOps.posGramHashes(TextOps.tokens(col("text")), n))
+        explode(TextOps.posGramHashes64(TextOps.tokens(col("text")), n))
           .as("g"))
       .join(Dedup.substringDupHashes(reference, n),
         col("g.h") === col("h"), "left_semi")

@@ -111,7 +111,7 @@ class ScaleSmokeSpec extends SparkSpec {
     val grams = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextOps.posGramHashes(col("toks"), gramN)).as("g"))
+        explode(TextOps.posGramHashes64(col("toks"), gramN)).as("g"))
       .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
       .localCheckpoint()
     val dup = grams.groupBy(col("h"))
