@@ -22,13 +22,23 @@ object Bench {
     * prior recorded min (bench_baseline.json), so regressions self-report
     * instead of waiting for a human diff of round artifacts. `ratio_milli`
     * is an integer per-mille (current·1000 ÷ best, floor) — exact integer
-    * arithmetic, no float-format drift across JVMs. A query regresses when
-    * its min moved ≥ `thresholdMilli` (default 1500‰ = 1.5×, above this
-    * host's measured burst amplitude for back-to-back mins); queries with
-    * no baseline are listed as new, never as regressions.
+    * arithmetic, no float-format drift across JVMs.
+    *
+    * NOISE-ROBUST two-run confirmation: a single full run on this host
+    * still flags ~30 byte-identical queries at 1.5× (the hypervisor
+    * bursts outlast even min-of-3 interleaved passes — round 9's trend
+    * list was pure noise), so one run's threshold breach is only a
+    * `suspect`. `regressed` = suspects that were ALSO suspect in the
+    * PREVIOUS independent bench run at the same sf (`priorSuspects`,
+    * read from the last bench_trend.json before it is overwritten).
+    * Noise is ~independent across runs, so the intersection of two
+    * noise sets is empty w.h.p., while a real slowdown breaches both
+    * runs and confirms. Queries with no baseline are listed as new,
+    * never as suspects.
     */
   private[graft] def trendJson(cur: Seq[(String, Double)],
-      base: Map[String, Double], thresholdMilli: Long = 1500L): String = {
+      base: Map[String, Double], priorSuspects: Set[String] = Set.empty,
+      sf: String = "", thresholdMilli: Long = 1500L): String = {
     val rows = cur.sortBy(_._1).map { case (name, min) =>
       base.get(name) match {
         case Some(b) if b > 0 =>
@@ -41,20 +51,50 @@ object Bench {
           (name, "\"" + name + "\":{\"min\":" + min + "}", None)
       }
     }
-    val regressed = rows.collect {
-      case (n, _, Some(m)) if m >= thresholdMilli => "\"" + n + "\""
+    val suspectNames = rows.collect {
+      case (n, _, Some(m)) if m >= thresholdMilli => n
     }
+    val suspects = suspectNames.map("\"" + _ + "\"")
+    val regressed = suspectNames.filter(priorSuspects)
+      .map("\"" + _ + "\"")
     val improved = rows.collect {
       case (n, _, Some(m)) if m * thresholdMilli <= 1000L * 1000L =>
         "\"" + n + "\"" // ratio ≤ 1/threshold, the symmetric win
     }
     val fresh = rows.collect { case (n, _, None) => "\"" + n + "\"" }
-    s"""{"threshold_milli":$thresholdMilli,""" +
+    s"""{"threshold_milli":$thresholdMilli,"sf":"$sf",""" +
       s""""regressed":${regressed.mkString("[", ",", "]")},""" +
+      s""""suspects":${suspects.mkString("[", ",", "]")},""" +
       s""""improved":${improved.mkString("[", ",", "]")},""" +
       s""""new":${fresh.mkString("[", ",", "]")},""" +
       s""""queries":${rows.map(_._2).mkString("{", ",", "}")}}"""
   }
+
+  /** Previous run's suspect set from the bench_trend.json about to be
+    * overwritten — the other half of the two-run confirmation. Prior
+    * evidence only counts when the previous run measured the SAME sf
+    * (a dev subset run at another scale says nothing about this one);
+    * pre-confirmation trend files (no "suspects" key) contribute their
+    * "regressed" list, so the policy upgrades in place.
+    */
+  private[graft] def readPriorSuspects(path: java.nio.file.Path,
+      sf: String): Set[String] =
+    if (!Files.exists(path)) Set.empty
+    else {
+      val text = Files.readString(path)
+      val sfRe = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+      val priorSf = sfRe.findFirstMatchIn(text).map(_.group(1))
+      if (priorSf.exists(_ != sf)) Set.empty
+      else {
+        def list(key: String): Option[Set[String]] = {
+          val re = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+          re.findFirstMatchIn(text).map(m =>
+            "\"([A-Za-z0-9_]+)\"".r.findAllMatchIn(m.group(1))
+              .map(_.group(1)).toSet)
+        }
+        list("suspects").orElse(list("regressed")).getOrElse(Set.empty)
+      }
+    }
 
   /** bench_baseline.json → per-query best prior min. Hand-rolled parse of
     * the known flat shape ("name":number pairs under "queries") — no JSON
@@ -99,6 +139,10 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // prior suspects feed the two-run regression confirmation — read
+    // BEFORE the delete below discards the previous run's evidence
+    val priorSuspects =
+      readPriorSuspects(Paths.get("bench_trend.json"), sfDir)
     // a crash below must never leave a previous run's results parseable
     Files.deleteIfExists(Paths.get("bench_out.json"))
     Files.deleteIfExists(Paths.get("bench_trend.json"))
@@ -165,7 +209,8 @@ object Bench {
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     Files.writeString(Paths.get("bench_trend.json"),
-      trendJson(ok, readBaseline(Paths.get("bench_baseline.json"))) + "\n")
+      trendJson(ok, readBaseline(Paths.get("bench_baseline.json")),
+        priorSuspects, sfDir) + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

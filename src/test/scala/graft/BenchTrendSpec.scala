@@ -9,23 +9,64 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchTrendSpec extends AnyFunSuite {
 
-  test("trendJson classifies regressions, improvements, and new queries") {
+  test("trendJson classifies suspects, improvements, and new queries") {
     val cur = Seq(
-      "q_reg" -> 3.0, // 3.0 / 1.0  = 3000‰ → regressed
+      "q_reg" -> 3.0, // 3.0 / 1.0  = 3000‰ → suspect
       "q_ok" -> 1.2, //  1.2 / 1.0  = 1200‰ → neither
       "q_win" -> 0.5, // 0.5 / 1.0  =  500‰ ≤ 1000/1.5 → improved
-      "q_edge" -> 1.5, // exactly 1500‰ → regressed (inclusive bound)
+      "q_edge" -> 1.5, // exactly 1500‰ → suspect (inclusive bound)
       "q_new" -> 2.0) // no baseline → new
     val base = Map("q_reg" -> 1.0, "q_ok" -> 1.0, "q_win" -> 1.0,
       "q_edge" -> 1.0)
     val json = Bench.trendJson(cur, base)
-    assert(json.contains(""""regressed":["q_edge","q_reg"]"""))
+    // first sighting: threshold breaches are suspects, never regressions
+    assert(json.contains(""""suspects":["q_edge","q_reg"]"""))
+    assert(json.contains(""""regressed":[]"""))
     assert(json.contains(""""improved":["q_win"]"""))
     assert(json.contains(""""new":["q_new"]"""))
     assert(json.contains(""""q_reg":{"min":3.0,"best_prior":1.0,"ratio_milli":3000}"""))
     assert(json.contains(""""q_win":{"min":0.5,"best_prior":1.0,"ratio_milli":500}"""))
     assert(json.contains(""""q_new":{"min":2.0}"""))
     assert(json.contains(""""threshold_milli":1500"""))
+  }
+
+  test("regressions need two independent runs (suspect ∩ prior suspects)") {
+    val base = Map("q_real" -> 1.0, "q_noise" -> 1.0, "q_prior_only" -> 1.0)
+    // current run breaches on q_real and q_noise; the PREVIOUS run
+    // breached on q_real and q_prior_only → only q_real confirms
+    val json = Bench.trendJson(
+      Seq("q_real" -> 2.0, "q_noise" -> 2.0, "q_prior_only" -> 1.0),
+      base, priorSuspects = Set("q_real", "q_prior_only"))
+    assert(json.contains(""""suspects":["q_noise","q_real"]"""))
+    assert(json.contains(""""regressed":["q_real"]"""))
+  }
+
+  test("byte-identical reruns converge to zero regressions") {
+    // run 1 flags pure noise; run 2 (same code, independent noise) flags
+    // a disjoint set → regressed must be empty both times
+    val base = Map("a" -> 1.0, "b" -> 1.0)
+    val run1 = Bench.trendJson(Seq("a" -> 2.0, "b" -> 1.0), base)
+    assert(run1.contains(""""regressed":[]"""))
+    val run2 = Bench.trendJson(Seq("a" -> 1.0, "b" -> 2.0), base,
+      priorSuspects = Set("a")) // run 1's suspect
+    assert(run2.contains(""""regressed":[]"""))
+    assert(run2.contains(""""suspects":["b"]"""))
+  }
+
+  test("readPriorSuspects round-trips and ignores other-sf evidence") {
+    val p = Files.createTempFile("trend", ".json")
+    Files.writeString(p, Bench.trendJson(Seq("q_slow" -> 2.0, "q_ok" -> 1.0),
+      Map("q_slow" -> 1.0, "q_ok" -> 1.0), sf = "/data/sf0.1"))
+    assert(Bench.readPriorSuspects(p, "/data/sf0.1") === Set("q_slow"))
+    // different sf: prior evidence says nothing about this run
+    assert(Bench.readPriorSuspects(p, "/data/sf0.01") === Set.empty)
+    assert(Bench.readPriorSuspects(
+      Paths.get("/nonexistent/trend.json"), "x") === Set.empty)
+    // pre-confirmation format (no suspects key): its regressed list counts
+    val old = Files.createTempFile("trend_old", ".json")
+    Files.writeString(old,
+      """{"threshold_milli":1500,"regressed":["q_a","q_b"],"improved":[]}""")
+    assert(Bench.readPriorSuspects(old, "any") === Set("q_a", "q_b"))
   }
 
   test("ratio_milli floors (integer arithmetic, no float formatting)") {
