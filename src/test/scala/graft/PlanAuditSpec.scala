@@ -110,10 +110,13 @@ class PlanAuditSpec extends SparkSpec {
       "binary column crosses an exchange"))
   }
 
-  test("global (empty-partition) windows only over model-sized inputs") {
+  test("global windows and global sorts only over model-sized inputs") {
     // A WindowExec with no partitionSpec moves its whole input to ONE
     // partition — fatal when the input is corpus-sized (the txt_surprisal
-    // bug class: a window over the vocabulary). Allowed only where the
+    // bug class: a window over the vocabulary); a global SortExec totals-
+    // orders its whole input for no consumer (none of the queries needs a
+    // corpus-wide order; currently ZERO queries plan one, so any new
+    // global sort fails here by default). Allowed only where the
     // window input is a model-sized aggregate: txt_source_mix (|sources|
     // rows), sim_ivf_stats (|centroids| rows), and ev_lateness (the
     // running watermark over |time-span|/1min micro-batch buckets — grows
@@ -147,14 +150,59 @@ class PlanAuditSpec extends SparkSpec {
       try {
         spark.conf.set(aqeKey, "false")
         SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-          val globals = fn(spark, sfDir).queryExecution.executedPlan.collect {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty => w
-          }
-          if (globals.nonEmpty && !allowed(name)) Some(name) else None
+          val globals =
+            globalNodes(fn(spark, sfDir).queryExecution.executedPlan)
+          if (globals.nonEmpty && !allowed(name))
+            Some(s"$name (${globals.mkString(",")})")
+          else None
         }
       } finally spark.conf.set(aqeKey, aqeWas)
     assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  /** The single-partition funnels the global-window/sort gate hunts:
+    * a WindowExec with no partitionSpec and a SortExec with global=true
+    * both move their WHOLE input through one task (empty-partition
+    * windows via an Exchange SinglePartition; global sorts via a range
+    * exchange whose value is only defensible on model-sized inputs —
+    * none of the 195 queries needs a corpus-wide total order, the
+    * oracle compare sorts on its own side). TakeOrderedAndProject is
+    * exempt by construction: it holds only top-k rows per partition.
+    */
+  private def globalNodes(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => "global-window"
+      case s: org.apache.spark.sql.execution.SortExec if s.global =>
+        "global-sort"
+    }
+
+  test("the global-window/sort detector fires on deliberate violations") {
+    // canary: the gate above is only as good as its detector — prove it
+    // would flag a new query that sneaks in a corpus-sized global window
+    // or a global orderBy, instead of silently blessing it
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
+    // plan without it, exactly as the gate test itself does
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val li = Tables(spark, sfDir, "lineitem")
+      val badWindow = li.withColumn("rk",
+        row_number().over(Window.orderBy(col("l_orderkey"))))
+      assert(globalNodes(badWindow.queryExecution.executedPlan)
+        .contains("global-window"))
+      val badSort = li.orderBy(col("l_extendedprice"))
+      assert(globalNodes(badSort.queryExecution.executedPlan)
+        .contains("global-sort"))
+      // and the exemption holds: top-k plans TakeOrderedAndProject, not a
+      // global sort — bounded per partition, no funnel
+      val topk = li.orderBy(col("l_extendedprice").desc).limit(5)
+      assert(globalNodes(topk.queryExecution.executedPlan).isEmpty)
+    } finally spark.conf.set(aqeKey, aqeWas)
   }
 
   test("hot narrow kernels run inside WholeStageCodegen spans") {
