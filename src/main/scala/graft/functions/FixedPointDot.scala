@@ -113,6 +113,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DotProductRewrite)
     // plain INNER equi+range joins → the native interval sweep
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    // stock logical.AsOfJoin (the merge_asof surface) → the native
+    // as-of merge. Analyzer post-hoc, NOT an optimizer rule: the stock
+    // expansion (RewriteAsOfJoin) runs in the optimizer's
+    // Finish-Analysis batch, ahead of every injected optimizer rule
+    ext.injectPostHocResolutionRule(_ => graft.plans.AsOfJoinRewrite)
     // whole-operator extensions: plans plans.AsOfJoinNode → AsOfJoinExec
     // and plans.IntervalJoinNode → IntervalJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

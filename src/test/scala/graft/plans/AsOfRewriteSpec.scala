@@ -1,0 +1,142 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{
+  And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, Literal,
+  Subtract}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin, LogicalPlan}
+
+/** [[AsOfJoinRewrite]]: the stock `logical.AsOfJoin` node (what
+  * pandas-on-Spark `merge_asof` builds) replans onto [[AsOfJoinExec]]
+  * with results identical to the stock expansion's semantics —
+  * duplicate-left collapse included — and every guarded shape
+  * (strict inequality, tolerance, multi-key by, non-backward ordering)
+  * stays on the stock pair-join path.
+  */
+class AsOfRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // duplicate left row ON PURPOSE: the stock expansion groups by
+  // l.output, so (1, 10, "a") twice must collapse to ONE output row
+  private def left = Seq(
+    (1L, 10L, "a"), (1L, 10L, "a"), (1L, 5L, "b"),
+    (2L, 7L, "c"), (3L, 50L, "d")).toDF("k", "t", "tag")
+
+  private def right = Seq(
+    (1L, 8L, "r8"), (1L, 10L, "r10"), (1L, 15L, "r15"),
+    (3L, 49L, "r49")).toDF("k", "rt", "rv")
+
+  /** Builds the exact node merge_asof builds: backward direction, and
+    * allow_exact_matches toggling >= vs >; `by` = the k equality. */
+  private def asOfNode(l: DataFrame, r: DataFrame, jt: JoinType,
+      exactMatches: Boolean = true,
+      tolerance: Option[Expression] = None,
+      byCond: Option[(LogicalPlan, LogicalPlan) => Expression] = None,
+      ordOf: Option[(Expression, Expression) => Expression] = None)
+      : DataFrame = {
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).get
+    val lt = attr(lp, "t"); val rt = attr(rp, "rt")
+    val cond = byCond.map(f => f(lp, rp))
+      .getOrElse(EqualTo(attr(lp, "k"), attr(rp, "k")))
+    val asOfCond: Expression =
+      if (exactMatches) GreaterThanOrEqual(lt, rt) else GreaterThan(lt, rt)
+    val ord = ordOf.map(f => f(lt, rt)).getOrElse(Subtract(lt, rt))
+    GraftBridge.ofRows(spark,
+      AsOfJoin(lp, rp, asOfCond, Some(cond), jt, ord, tolerance))
+  }
+
+  test("the stock as-of node replans onto AsOfJoinExec (no pair join)") {
+    val plan = asOfNode(left, right, LeftOuter)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("LeftOuter results match stock semantics, duplicate lefts collapse") {
+    val out = asOfNode(left, right, LeftOuter)
+      .toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "tag", "rt", "rv")
+      .as[(Long, Long, String, Option[Long], Option[String])]
+      .collect().toSeq
+    // one row per DISTINCT left row (the stock group-by-l.output rule)
+    assert(out.size === 4)
+    assert(out.toSet === Set(
+      (1L, 10L, "a", Some(10L), Some("r10")), // exact match included, once
+      (1L, 5L, "b", None, None), // no prior right row
+      (2L, 7L, "c", None, None), // absent key
+      (3L, 50L, "d", Some(49L), Some("r49"))))
+  }
+
+  test("Inner results drop unmatched lefts, keep the collapse") {
+    val out = asOfNode(left, right, Inner)
+      .toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "tag", "rt", "rv")
+      .as[(Long, Long, String, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 10L, "a", 10L, "r10"),
+      (3L, 50L, "d", 49L, "r49")))
+  }
+
+  test("guarded shapes stay on the stock expansion") {
+    // strict inequality (allow_exact_matches=False): semantics differ
+    val strict = asOfNode(left, right, LeftOuter, exactMatches = false)
+    assert(!strict.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // and the stock path still computes the right thing (t=10 now
+    // matches rt=8, not the tied rt=10)
+    val strictRows = strict.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rt")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(strictRows.contains((1L, 10L, Some(8L))))
+
+    // tolerance present: guarded out
+    val tol = asOfNode(left, right, LeftOuter,
+      tolerance = Some(GreaterThanOrEqual(Literal(5L), Literal(0L))))
+    assert(!tol.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+
+    // multi-key by (And of equalities): guarded out
+    val multi = asOfNode(left, right, LeftOuter, byCond = Some((lp, rp) => {
+      def a(p: LogicalPlan, n: String) = p.output.find(_.name == n).get
+      And(EqualTo(a(lp, "k"), a(rp, "k")), EqualTo(a(lp, "k"), a(rp, "k")))
+    }))
+    assert(!multi.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+
+    // non-backward ordering expression: guarded out
+    val fwdOrd = asOfNode(left, right, LeftOuter,
+      ordOf = Some((lt, rt) => Subtract(rt, lt)))
+    assert(!fwdOrd.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
+  test("rewritten and stock paths agree on a randomized workload") {
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(400)(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(12).toLong, i.toLong * 2 + 1, i.toLong))
+      .toDF("k", "rt", "rid") // rt globally unique: tie-free reference
+    val got = asOfNode(l.repartition(7), r.repartition(5), LeftOuter)
+      .toDF("k", "t", "lid", "k2", "rt", "rid")
+      .select("k", "t", "lid", "rid")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    // first-principles reference over the same rows (lefts unique by lid,
+    // rt unique per (k, rt) is NOT needed: ties broken by max rid is not
+    // assumed — instead assert the matched rt is the max prior rt)
+    val rRows = r.as[(Long, Long, Long)].collect()
+    val want = l.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
+      val prior = rRows.filter(x => x._1 == k && x._2 <= t)
+      if (prior.isEmpty) (k, t, lid, None: Option[Long])
+      else {
+        val best = prior.maxBy(_._2)
+        (k, t, lid, Some(best._3))
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.exists(_._4.isDefined))
+  }
+}
