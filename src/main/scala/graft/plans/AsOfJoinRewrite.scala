@@ -1,8 +1,11 @@
 package graft.plans
 
+import scala.util.Try
+
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, CreateStruct, EqualTo, Expression, GetStructField,
-  GreaterThanOrEqual, IsNotNull, LessThanOrEqual, Subtract}
+  Alias, And, Attribute, CreateStruct, EqualTo, Expression, GetStructField,
+  GreaterThanOrEqual, IsNotNull, LessThanOrEqual, Subtract, SubtractDates,
+  SubtractTimestamps}
 import org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -48,13 +51,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Deliberately conservative, the [[IntervalJoinRewrite]] guard
   * discipline; fires only when
   * - the node is resolved, batch, and joinType is Inner or LeftOuter;
-  * - no tolerance (a tolerance assertion changes match semantics);
   * - the as-of condition is backward-inclusive — `l.t >= r.t` with the
   *   probe time from the left child (merge_asof's default
-  *   direction='backward', allow_exact_matches=True); forward/nearest/
-  *   strict shapes stay on the stock expansion;
-  * - the order expression is exactly `l.t - r.t` (the stock backward
-  *   ordering — anything else means semantics this node doesn't have);
+  *   direction='backward', allow_exact_matches=True) — either bare or
+  *   AND-ed with the backward-tolerance bound `r.t >= (l.t - tol)`,
+  *   whose right side reaches us already coerced (for timestamps,
+  *   `cast(ts - interval as timestamp)`) and is carried opaquely into
+  *   [[AsOfJoinExec]] as a per-left-row lower bound (same dataType as
+  *   `r.t`, references only the left side). A tolerance assertion must
+  *   be constant-foldable to true (merge_asof tolerances are literals;
+  *   a non-positive or non-constant one keeps stock, which raises the
+  *   stock error). Forward/nearest/strict shapes stay stock;
+  * - the order expression is the stock backward ordering `l.t - r.t` in
+  *   any of its analyzer-coerced spellings — `Subtract` (numerics),
+  *   `SubtractTimestamps`, `SubtractDates` — anything else means
+  *   semantics this node doesn't have;
   * - the `by` condition is exactly ONE cross-side equality with equal
   *   key types, and the two time types match ([[AsOfJoinExec]] derives
   *   one interpreted ordering per pair; multi-key bys keep stock).
@@ -68,25 +79,57 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
     e.references.nonEmpty && e.references.subsetOf(p.outputSet)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case j @ AsOfJoin(l, r, asOfCond, Some(cond), jt, ord, None)
-        if j.resolved && !j.isStreaming && supported(jt) =>
+    case j @ AsOfJoin(l, r, asOfCond, Some(cond), jt, ord, tolAssert)
+        if j.resolved && !j.isStreaming && supported(jt) &&
+          assertionHolds(tolAssert) =>
       rewrite(l, r, asOfCond, cond, jt, ord).getOrElse(j)
   }
 
   private def supported(jt: JoinType): Boolean =
     jt == Inner || jt == LeftOuter
 
+  /** No assertion, or a constant one that evaluates to true (the
+    * `tolerance >= 0` check merge_asof attaches for literal tolerances).
+    * Anything non-foldable/false/failing keeps the stock path, which
+    * carries the stock runtime error behavior.
+    */
+  private def assertionHolds(tolAssert: Option[Expression]): Boolean =
+    tolAssert match {
+      case None => true
+      case Some(a) =>
+        a.foldable && Try(a.eval()).toOption.contains(true)
+    }
+
   private def rewrite(l: LogicalPlan, r: LogicalPlan, asOfCond: Expression,
       cond: Expression, jt: JoinType, ord: Expression): Option[LogicalPlan] = {
-    // backward-inclusive probe: l.t >= r.t (either comparison spelling)
-    val times = asOfCond match {
+    // backward-inclusive probe: l.t >= r.t (either comparison spelling),
+    // optionally AND-ed with the backward-tolerance bound
+    // r.t >= (l.t - tol); the bound is kept opaque — any left-side
+    // expression of r.t's type works as the exec's per-row lower bound.
+    def probe(e: Expression): Option[(Expression, Expression)] = e match {
       case GreaterThanOrEqual(lt, rt)
           if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt))
       case LessThanOrEqual(rt, lt)
           if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt))
       case _ => None
     }
-    times.flatMap { case (lt, rt) =>
+    val shapes: Option[(Expression, Expression, Option[Expression])] =
+      asOfCond match {
+        case And(base, GreaterThanOrEqual(rt2, lb))
+            if fromOnly(lb, l) =>
+          probe(base).collect {
+            case (lt, rt) if rt2.semanticEquals(rt) &&
+              lb.dataType == rt.dataType => (lt, rt, Some(lb))
+          }
+        case And(base, LessThanOrEqual(lb, rt2))
+            if fromOnly(lb, l) =>
+          probe(base).collect {
+            case (lt, rt) if rt2.semanticEquals(rt) &&
+              lb.dataType == rt.dataType => (lt, rt, Some(lb))
+          }
+        case other => probe(other).map { case (lt, rt) => (lt, rt, None) }
+      }
+    shapes.flatMap { case (lt, rt, lowerBound) =>
       val keys = cond match {
         case EqualTo(a, b) if fromOnly(a, l) && fromOnly(b, r) => Some((a, b))
         case EqualTo(a, b) if fromOnly(b, l) && fromOnly(a, r) => Some((b, a))
@@ -94,11 +137,19 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
       }
       keys.flatMap { case (lk, rk) =>
         val typesOk = lk.dataType == rk.dataType && lt.dataType == rt.dataType
-        // the stock backward ordering, and nothing else
-        val ordOk = ord.semanticEquals(Subtract(lt, rt))
+        // the stock backward ordering `l.t - r.t`, in any of the
+        // analyzer's coerced spellings, and nothing else
+        val ordOk = ord match {
+          case Subtract(a, b, _) => a.semanticEquals(lt) && b.semanticEquals(rt)
+          case st: SubtractTimestamps =>
+            st.left.semanticEquals(lt) && st.right.semanticEquals(rt)
+          case sd: SubtractDates =>
+            sd.left.semanticEquals(lt) && sd.right.semanticEquals(rt)
+          case _ => false
+        }
         if (!typesOk || !ordOk) None
         else {
-          val node = AsOfJoinNode(l, r, lk, rk, lt, rt)
+          val node = AsOfJoinNode(l, r, lk, rk, lt, rt, lowerBound)
           val nearest = Alias(
             MinBy(CreateStruct(r.output.map(a => a: Expression)), ord)
               .toAggregateExpression(), "__nearest_right")()

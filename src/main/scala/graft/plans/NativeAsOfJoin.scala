@@ -43,11 +43,21 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Null semantics: SQL join rules — a null key or null time on either
   * side never matches (right rows with nulls are skipped, left rows with
   * nulls emit null payloads).
+  *
+  * `leftLowerBound` (optional) is merge_asof's backward tolerance,
+  * pre-lowered by [[AsOfJoinRewrite]] to a per-left-row expression of
+  * the right-time's type (e.g. `cast(l.ts - interval as timestamp)`): a
+  * carried match is emitted only when `r.t >= lowerBound(l)`; a null
+  * bound never matches (SQL comparison semantics of the stock
+  * expansion's `r.t >= l.t - tol` conjunct). The merge still carries
+  * the single nearest prior row — tolerance only gates emission, so the
+  * pass stays O(|L|+|R|).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    leftLowerBound: Option[Expression] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -60,8 +70,8 @@ case class AsOfJoinNode(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, lb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +79,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    leftLowerBound: Option[Expression] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -94,6 +105,7 @@ case class AsOfJoinExec(
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val lBoundB = leftLowerBound.map(BindReferences.bindReference(_, left.output))
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val out = output
@@ -104,6 +116,7 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val toUnsafe = UnsafeProjection.create(out, out)
       var lastKey: Any = null
+      var lastTime: Any = null
       var lastRow: InternalRow = null
       lIt.map { l =>
         val lk = lKeyB.eval(l)
@@ -120,13 +133,20 @@ case class AsOfJoinExec(
               if (c < 0 || (c == 0 && timeOrd.compare(rt, lt) <= 0)) {
                 val r = rBuf.next()
                 lastKey = rk
+                lastTime = rt
                 lastRow = r.copy() // unsafe iterators reuse row objects
               } else advance = false
             }
           }
         }
-        val matched = lk != null && lastRow != null &&
+        var matched = lk != null && lastRow != null &&
           keyOrd.compare(lastKey, lk) == 0
+        if (matched && lBoundB.isDefined) {
+          // backward tolerance: carried match must satisfy r.t >= bound;
+          // a null bound never matches (stock `>=` conjunct semantics)
+          val lb = lBoundB.get.eval(l)
+          matched = lb != null && timeOrd.compare(lastTime, lb) >= 0
+        }
         toUnsafe(joined(l, if (matched) lastRow else nullRight))
       }
     }
@@ -143,9 +163,17 @@ case class AsOfJoinExec(
 object NativeAsOf {
   import org.apache.spark.sql.GraftBridge
 
+  /** `lowerBound`: optional NAME of a precomputed left column holding
+    * the per-row backward-tolerance bound (e.g.
+    * `.withColumn("lb", $"ts" - lit(5L))`) — typed by construction, so
+    * no cross-type arithmetic happens here; matches require
+    * `r.time >= lb`. The bound column still appears in the output's
+    * left half (drop it afterwards if unwanted).
+    */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      prefix: String = "r_"): DataFrame = {
+      prefix: String = "r_",
+      lowerBound: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     var rPlan = right.queryExecution.analyzed
@@ -158,7 +186,8 @@ object NativeAsOf {
         s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      lowerBound.map(attr(lPlan, _)))
     val joined = GraftBridge.ofRows(spark, node)
     // attribute-based projection (never by-name: both sides may share
     // column names): keep the left side as-is, drop the right key (it

@@ -373,6 +373,49 @@ object Events {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND c.c_ems <= p.ems""")),
 
+    // ---- as-of with backward TOLERANCE: click within 1h before purchase ----
+    // merge_asof(tolerance=1h) semantics on the native operator: the
+    // merge still carries the single nearest prior click (O(|L|+|R|)),
+    // and the per-left-row lower bound `ems - 3600000` nulls the match
+    // when the nearest click is older than the window — tolerance gates
+    // emission, it never widens the scan. The bound is a precomputed
+    // left column, so the operator does no cross-type arithmetic. The
+    // oracle states the same semantics as DuckDB's plain ASOF LEFT JOIN
+    // with a post-hoc CASE (nearest-prior-then-null-if-outside ≡
+    // tolerance for the backward direction: if the nearest prior is out
+    // of tolerance, every older one is too).
+    Q("ev_asof_tolerance",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ems"))
+          .withColumn("lb", col("ems") - lit(3600000L))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ems").as("c_ems"), col("event_id"))
+          .groupBy(col("user_id"), col("c_ems"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.plans.NativeAsOf
+          .asOf(purchases, clicks, "user_id", "ems", "c_ems",
+            lowerBound = Some("lb"))
+          .select(col("user_id"), col("event_id"), col("ems"),
+            col("r_c_ems").as("click_ms"), col("r_click_id").as("click_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS c_ems, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        j AS (
+          SELECT p.user_id, p.event_id, p.ems, c.c_ems, c.click_id
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.c_ems <= p.ems)
+        SELECT user_id, event_id, ems,
+               CASE WHEN c_ems >= ems - 3600000 THEN c_ems END AS click_ms,
+               CASE WHEN c_ems >= ems - 3600000 THEN click_id END AS click_id
+        FROM j""")),
+
     // ---- range join: purchases within ±1h of each error --------------------
     // ops.RangeJoin — bin-bucketed equi-join, not BNLJ: intervals explode
     // to 2h bins, points map to one bin, exact predicate after. The

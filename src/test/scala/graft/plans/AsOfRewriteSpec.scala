@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Subtract}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin, LogicalPlan}
+import org.apache.spark.sql.types.DayTimeIntervalType
 
 /** [[AsOfJoinRewrite]]: the stock `logical.AsOfJoin` node (what
   * pandas-on-Spark `merge_asof` builds) replans onto [[AsOfJoinExec]]
@@ -34,7 +35,8 @@ class AsOfRewriteSpec extends SparkSpec {
       exactMatches: Boolean = true,
       tolerance: Option[Expression] = None,
       byCond: Option[(LogicalPlan, LogicalPlan) => Expression] = None,
-      ordOf: Option[(Expression, Expression) => Expression] = None)
+      ordOf: Option[(Expression, Expression) => Expression] = None,
+      asOfCondOf: Option[(Expression, Expression) => Expression] = None)
       : DataFrame = {
     val lp = l.queryExecution.analyzed
     val rp = r.queryExecution.analyzed
@@ -42,8 +44,8 @@ class AsOfRewriteSpec extends SparkSpec {
     val lt = attr(lp, "t"); val rt = attr(rp, "rt")
     val cond = byCond.map(f => f(lp, rp))
       .getOrElse(EqualTo(attr(lp, "k"), attr(rp, "k")))
-    val asOfCond: Expression =
-      if (exactMatches) GreaterThanOrEqual(lt, rt) else GreaterThan(lt, rt)
+    val asOfCond: Expression = asOfCondOf.map(f => f(lt, rt)).getOrElse(
+      if (exactMatches) GreaterThanOrEqual(lt, rt) else GreaterThan(lt, rt))
     val ord = ordOf.map(f => f(lt, rt)).getOrElse(Subtract(lt, rt))
     GraftBridge.ofRows(spark,
       AsOfJoin(lp, rp, asOfCond, Some(cond), jt, ord, tolerance))
@@ -94,10 +96,17 @@ class AsOfRewriteSpec extends SparkSpec {
       .as[(Long, Long, Option[Long])].collect().toSet
     assert(strictRows.contains((1L, 10L, Some(8L))))
 
-    // tolerance present: guarded out
-    val tol = asOfNode(left, right, LeftOuter,
-      tolerance = Some(GreaterThanOrEqual(Literal(5L), Literal(0L))))
-    assert(!tol.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // tolerance assertion folds to FALSE (negative tolerance): the rule
+    // must NOT fire (firing would swallow the error) — the node stays
+    // stock and CheckAnalysis raises the stock TOLERANCE_IS_NON_NEGATIVE
+    val badTolEx = intercept[org.apache.spark.sql.AnalysisException] {
+      asOfNode(left, right, LeftOuter,
+        tolerance = Some(GreaterThanOrEqual(Literal(-5L), Literal(0L))),
+        asOfCondOf = Some((lt, rt) => And(GreaterThanOrEqual(lt, rt),
+          GreaterThanOrEqual(rt, Subtract(lt, Literal(-5L))))))
+        .queryExecution.analyzed
+    }
+    assert(badTolEx.getMessage.contains("TOLERANCE_IS_NON_NEGATIVE"))
 
     // multi-key by (And of equalities): guarded out
     val multi = asOfNode(left, right, LeftOuter, byCond = Some((lp, rp) => {
@@ -110,6 +119,94 @@ class AsOfRewriteSpec extends SparkSpec {
     val fwdOrd = asOfNode(left, right, LeftOuter,
       ordOf = Some((lt, rt) => Subtract(rt, lt)))
     assert(!fwdOrd.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
+  test("assertion-without-bound fires as no-tolerance (condition is authoritative)") {
+    // a foldable-true assertion whose asOfCond carries NO bound conjunct
+    // means no tolerance semantics — stock executes the condition as
+    // given, so the rewrite fires and matches the bare-backward results
+    val tol = asOfNode(left, right, LeftOuter,
+      tolerance = Some(GreaterThanOrEqual(Literal(5L), Literal(0L))))
+    assert(tol.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val out = tol.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rv").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(out === Set((1L, 10L, Some("r10")), (1L, 5L, None),
+      (2L, 7L, None), (3L, 50L, Some("r49"))))
+  }
+
+  test("timestamp as-of columns fire the rewrite (coerced SubtractTimestamps ord)") {
+    // merge_asof's dominant case: the analyzer coerces the raw
+    // Subtract(ts, ts) ordering into SubtractTimestamps; the rule must
+    // still recognize it (the round-10 gap: only Long times fired)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2020-01-01 00:00:10"), "a"),
+      (1L, ts("2020-01-01 00:00:03"), "b"),
+      (2L, ts("2020-01-01 00:01:00"), "c")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2020-01-01 00:00:08"), "r8"),
+      (2L, ts("2020-01-01 00:00:30"), "r30")).toDF("k", "rt", "rv")
+    val df = asOfNode(l, r, LeftOuter)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val out = df.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "tag", "rv")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(out === Set((1L, "a", Some("r8")), (1L, "b", None),
+      (2L, "c", Some("r30"))))
+  }
+
+  test("backward tolerance fires the rewrite and gates matches (Long times)") {
+    // merge_asof(tolerance=3): nearest prior within 3 time units
+    val df = asOfNode(left, right, LeftOuter,
+      tolerance = Some(GreaterThanOrEqual(Literal(3L), Literal(0L))),
+      asOfCondOf = Some((lt, rt) => And(GreaterThanOrEqual(lt, rt),
+        GreaterThanOrEqual(rt, Subtract(lt, Literal(3L))))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val out = df.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "tag", "rt", "rv")
+      .as[(Long, Long, String, Option[Long], Option[String])]
+      .collect().toSet
+    assert(out === Set(
+      (1L, 10L, "a", Some(10L), Some("r10")), // exact, within tolerance
+      (1L, 5L, "b", None, None),
+      (2L, 7L, "c", None, None),
+      (3L, 50L, "d", Some(49L), Some("r49")))) // 50-49=1 <= 3
+    // tighter tolerance nulls out the k=3 match (50-49=1 > 0 is fine;
+    // use tolerance 0: only exact matches survive)
+    val zero = asOfNode(left, right, LeftOuter,
+      tolerance = Some(GreaterThanOrEqual(Literal(0L), Literal(0L))),
+      asOfCondOf = Some((lt, rt) => And(GreaterThanOrEqual(lt, rt),
+        GreaterThanOrEqual(rt, Subtract(lt, Literal(0L))))))
+    assert(zero.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val zeroOut = zero.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rv")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(zeroOut === Set(
+      (1L, 10L, Some("r10")), (1L, 5L, None), (2L, 7L, None),
+      (3L, 50L, None)))
+  }
+
+  test("timestamp tolerance (interval bound) fires and matches merge_asof semantics") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2020-01-01 00:00:10"), "a"),
+      (1L, ts("2020-01-01 00:00:30"), "b")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2020-01-01 00:00:08"), "r8")).toDF("k", "rt", "rv")
+    val tol = Literal.create(java.time.Duration.ofSeconds(5),
+      DayTimeIntervalType())
+    val df = asOfNode(l, r, LeftOuter,
+      tolerance = Some(GreaterThanOrEqual(tol, Literal.default(tol.dataType))),
+      asOfCondOf = Some((lt, rt) => And(GreaterThanOrEqual(lt, rt),
+        GreaterThanOrEqual(rt, Subtract(lt, tol)))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val out = df.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("tag", "rv").as[(String, Option[String])].collect().toSet
+    // t=10s is 2s after r8 (within 5s); t=30s is 22s after (outside)
+    assert(out === Set(("a", Some("r8")), ("b", None)))
   }
 
   test("rewritten and stock paths agree on a randomized workload") {
