@@ -35,6 +35,13 @@ object Bench {
     * noise sets is empty w.h.p., while a real slowdown breaches both
     * runs and confirms. Queries with no baseline are listed as new,
     * never as suspects.
+    *
+    * Evidence is PER QUERY, not per file: a prior suspect that this run
+    * did not measure (a dev SPARK_GRAFT_ONLY subset) is carried forward
+    * in the written `suspects` list instead of being silently cleared —
+    * a standing full-run flag awaits a measurement that refutes it, it
+    * is never washed out by benching a disjoint subset. Only a query
+    * measured in BOTH runs can confirm as `regressed`.
     */
   private[graft] def trendJson(cur: Seq[(String, Double)],
       base: Map[String, Double], priorSuspects: Set[String] = Set.empty,
@@ -51,10 +58,14 @@ object Bench {
           (name, "\"" + name + "\":{\"min\":" + min + "}", None)
       }
     }
+    val measured = cur.map(_._1).toSet
     val suspectNames = rows.collect {
       case (n, _, Some(m)) if m >= thresholdMilli => n
     }
-    val suspects = suspectNames.map("\"" + _ + "\"")
+    // carry unmeasured queries' standing evidence; a measured query's
+    // suspicion is exactly this run's verdict
+    val persisted = (suspectNames ++ (priorSuspects -- measured)).sorted
+    val suspects = persisted.map("\"" + _ + "\"")
     val regressed = suspectNames.filter(priorSuspects)
       .map("\"" + _ + "\"")
     val improved = rows.collect {
@@ -72,10 +83,10 @@ object Bench {
 
   /** Previous run's suspect set from the bench_trend.json about to be
     * overwritten — the other half of the two-run confirmation. Prior
-    * evidence only counts when the previous run measured the SAME sf
+    * evidence only counts when the previous run recorded the SAME sf
     * (a dev subset run at another scale says nothing about this one);
-    * pre-confirmation trend files (no "suspects" key) contribute their
-    * "regressed" list, so the policy upgrades in place.
+    * a file with NO sf key — a legacy format, or hand-edited — is no
+    * evidence at all rather than evidence about every sf.
     */
   private[graft] def readPriorSuspects(path: java.nio.file.Path,
       sf: String): Set[String] =
@@ -84,15 +95,14 @@ object Bench {
       val text = Files.readString(path)
       val sfRe = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
       val priorSf = sfRe.findFirstMatchIn(text).map(_.group(1))
-      if (priorSf.exists(_ != sf)) Set.empty
+      if (!priorSf.contains(sf)) Set.empty
       else {
-        def list(key: String): Option[Set[String]] = {
-          val re = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-          re.findFirstMatchIn(text).map(m =>
-            "\"([A-Za-z0-9_]+)\"".r.findAllMatchIn(m.group(1))
-              .map(_.group(1)).toSet)
-        }
-        list("suspects").orElse(list("regressed")).getOrElse(Set.empty)
+        val re = "\"suspects\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        re.findFirstMatchIn(text).map(m =>
+          // same [^"]* name shape the sf parse uses — any legal query
+          // name round-trips, none silently drop
+          "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSet).getOrElse(Set.empty)
       }
     }
 

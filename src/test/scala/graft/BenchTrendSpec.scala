@@ -62,11 +62,39 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.readPriorSuspects(p, "/data/sf0.01") === Set.empty)
     assert(Bench.readPriorSuspects(
       Paths.get("/nonexistent/trend.json"), "x") === Set.empty)
-    // pre-confirmation format (no suspects key): its regressed list counts
+    // legacy format (no sf key): NO evidence — a file that recorded no
+    // scale must not confirm a breach at any scale
     val old = Files.createTempFile("trend_old", ".json")
     Files.writeString(old,
-      """{"threshold_milli":1500,"regressed":["q_a","q_b"],"improved":[]}""")
-    assert(Bench.readPriorSuspects(old, "any") === Set("q_a", "q_b"))
+      """{"threshold_milli":1500,"regressed":["q_a","q_b"],"suspects":["q_a"],"improved":[]}""")
+    assert(Bench.readPriorSuspects(old, "any") === Set.empty)
+  }
+
+  test("a subset rerun preserves an unmeasured query's suspect status") {
+    // full run flags q_standing; a later SPARK_GRAFT_ONLY subset run that
+    // does NOT measure q_standing must carry the flag forward in the
+    // file it writes — benching a disjoint subset is not refutation
+    val base = Map("q_standing" -> 1.0, "q_other" -> 1.0)
+    val p = Files.createTempFile("trend_carry", ".json")
+    Files.writeString(p, Bench.trendJson(Seq("q_standing" -> 2.0),
+      base, sf = "/data/sf0.1"))
+    val prior = Bench.readPriorSuspects(p, "/data/sf0.1")
+    assert(prior === Set("q_standing"))
+    val subsetRun = Bench.trendJson(Seq("q_other" -> 1.0), base,
+      priorSuspects = prior, sf = "/data/sf0.1")
+    assert(subsetRun.contains(""""suspects":["q_standing"]"""))
+    assert(subsetRun.contains(""""regressed":[]""")) // carried ≠ confirmed
+    Files.writeString(p, subsetRun)
+    // the carried flag survives the round trip for the NEXT full run...
+    assert(Bench.readPriorSuspects(p, "/data/sf0.1") === Set("q_standing"))
+    // ...which then either confirms it (measured + breached again)...
+    val confirm = Bench.trendJson(Seq("q_standing" -> 2.0), base,
+      priorSuspects = Set("q_standing"), sf = "/data/sf0.1")
+    assert(confirm.contains(""""regressed":["q_standing"]"""))
+    // ...or refutes it (measured, under threshold → flag cleared)
+    val refute = Bench.trendJson(Seq("q_standing" -> 1.0), base,
+      priorSuspects = Set("q_standing"), sf = "/data/sf0.1")
+    assert(refute.contains(""""suspects":[]"""))
   }
 
   test("ratio_milli floors (integer arithmetic, no float formatting)") {
