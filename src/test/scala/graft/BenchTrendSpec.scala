@@ -122,6 +122,18 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.readBaseline(bad) === Map.empty)
   }
 
+  test("a repinned section never pollutes the parsed baseline") {
+    // fold_baseline.py --repin writes an audit section of STRING values
+    // BEFORE "queries"; the scan-after-"queries" parse must see only the
+    // real numbers (a numeric or post-queries repin entry would leak)
+    val p = Files.createTempFile("baseline_repin", ".json")
+    Files.writeString(p,
+      """{"source": "r11",
+        | "repinned": {"q_slow": "0.3 -> 0.6: context evidence"},
+        | "queries": {"q_slow": 0.6, "q_fast": 0.2}}""".stripMargin)
+    assert(Bench.readBaseline(p) === Map("q_slow" -> 0.6, "q_fast" -> 0.2))
+  }
+
   test("the committed baseline covers the live query surface") {
     val m = Bench.readBaseline(Paths.get("bench_baseline.json"))
     assert(m.nonEmpty)
