@@ -158,11 +158,11 @@ object Dedup {
       n: Int): org.apache.spark.sql.DataFrame = {
     val grams = substringGrams(docsDf, n)
       .materialize() // feeds BOTH the freq pass and the join-back
-    val dupHashes = grams.groupBy(col("h"))
+    val dupHashes = grams.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("h"))
-    dupSpans(grams.join(dupHashes, "h")
+      .select(col("h1"), col("h2"))
+    dupSpans(grams.join(dupHashes, Seq("h1", "h2"))
         .select(col("doc_id"), col("start")), n)
       .select(col("doc_id"), col("span_start"), col("span_len"),
         col("n_grams"))
@@ -176,8 +176,9 @@ object Dedup {
     docsDf
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextOps.posGramHashes64(col("toks"), n)).as("g"))
-      .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
+        explode(TextOps.posGramHashes128(col("toks"), n)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"),
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
 
   /** DISTINCT duplicated gram hashes (document frequency ≥ 2) — the
     * build side of the streaming substring guard
@@ -186,10 +187,10 @@ object Dedup {
     */
   private[graft] def substringDupHashes(docsDf: org.apache.spark.sql.DataFrame,
       n: Int): org.apache.spark.sql.DataFrame =
-    substringGrams(docsDf, n).groupBy(col("h"))
+    substringGrams(docsDf, n).groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("h"))
+      .select(col("h1"), col("h2"))
 
   /** (doc_id, n_tokens, gs) base for the removal stage, checkpointed once
     * so the token ledger and the gram stream share one computation.
@@ -198,7 +199,7 @@ object Dedup {
       n: Int): org.apache.spark.sql.DataFrame =
     docsDf.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        TextOps.posGramHashes64(col("toks"), n).as("gs"))
+        TextOps.posGramHashes128(col("toks"), n).as("gs"))
       .materialize()
 
   /** Maximal covered spans of NON-KEEPER duplicated-gram occurrences —
@@ -209,13 +210,14 @@ object Dedup {
       base: org.apache.spark.sql.DataFrame,
       n: Int): org.apache.spark.sql.DataFrame = {
     val grams = base.select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
-    val keepers = grams.groupBy(col("h"))
+      .select(col("doc_id"), col("g.start").as("start"),
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
+    val keepers = grams.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("nd"),
         min(struct(col("doc_id"), col("start"))).as("keeper"))
       .filter(col("nd") >= 2)
-      .select(col("h"), col("keeper"))
-    dupSpans(grams.join(keepers, "h")
+      .select(col("h1"), col("h2"), col("keeper"))
+    dupSpans(grams.join(keepers, Seq("h1", "h2"))
         .filter(struct(col("doc_id"), col("start")) =!= col("keeper"))
         .select(col("doc_id"), col("start")), n)
   }

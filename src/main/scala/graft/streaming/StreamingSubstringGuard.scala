@@ -39,8 +39,13 @@ object StreamingSubstringGuard {
   def buildGramBloom(docsDf: DataFrame, n: Int, k: Int,
       bits: Int): Array[Long] = {
     val bl = udaf(new BloomSketch(bits / 64))
+    // the exact pass now carries 128-bit (h1, h2) keys; the Bloom folds
+    // h1 only — the probe side hashes with the single-seed
+    // posGramHashes64, whose h is bit-identical to h1, and a 64-bit
+    // collision here is just one more false positive inside the
+    // filter's own FP budget (flagged docs re-check exactly)
     Dedup.substringDupHashes(docsDf, n)
-      .select(BloomSketch.positions(col("h"), k, bits).as("pos"))
+      .select(BloomSketch.positions(col("h1"), k, bits).as("pos"))
       .agg(bl(col("pos")).as("bloom"))
       .collect()(0).getSeq[Long](0).toArray
   }

@@ -49,17 +49,19 @@ object TextOps {
             .cast("binary")).as("h"))))
       .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
 
-  /** [[posGramHashes]] with a RESULT-INVISIBLE 64-bit hash — for the
-    * substring-dedup family, where `h` is only ever a group/join key
-    * for "same n-token gram" (outputs are spans and token ledgers, so
-    * any collision-free hash yields identical results; the DuckDB
-    * mirrors keep md5 and agree because both reduce to gram equality).
-    * Multi-arg xxhash64 over the n token elements: no gram STRING is
-    * ever materialized (md5(concat_ws) builds a ~n·6-char string per
-    * position first), each argument is length-mixed so token
-    * boundaries stay unambiguous, and the key is 8 bytes on the wire
-    * instead of 32 chars. Keep [[posGramHashes]] (md5) where the hash
-    * VALUE is selection-visible — winnowing's window-min fingerprints.
+  /** [[posGramHashes]] with a RESULT-INVISIBLE 64-bit hash — for
+    * PROBABILISTIC consumers (the streaming substring guard's Bloom
+    * probe, where a collision is one more false positive inside the
+    * filter's own FP budget and flagged docs fall through to the exact
+    * batch join). Multi-arg xxhash64 over the n token elements: no gram
+    * STRING is ever materialized (md5(concat_ws) builds a ~n·6-char
+    * string per position first) — the running hash is seed-chained
+    * through the arguments, so token-boundary ambiguity ("ab","c" vs
+    * "a","bc") collides only with overwhelming improbability, not
+    * never — and the key is 8 bytes on the wire instead of 32 chars.
+    * Keep [[posGramHashes]] (md5) where the hash VALUE is
+    * selection-visible (winnowing's window-min fingerprints), and
+    * [[posGramHashes128]] where a collision would DESTROY data.
     */
   def posGramHashes64(toks: Column, n: Int): Column =
     when(size(toks) >= n,
@@ -68,6 +70,30 @@ object TextOps {
           xxhash64((0 until n).map(k => element_at(toks, i + lit(k))): _*)
             .as("h"))))
       .otherwise(array().cast("array<struct<start:bigint,h:bigint>>"))
+
+  /** 128-bit positional gram keys — two independently-seeded xxhash64
+    * columns — for the DESTRUCTIVE substring-dedup paths, where a
+    * colliding gram key marks a never-duplicated gram as df ≥ 2 and
+    * dd_substring_clean silently cuts real text. The collision budget
+    * is why 64 bits is not enough there: at the 100 TB design point
+    * (~2.5e13 grams) one 64-bit key expects ~10⁷ colliding pairs
+    * (n²/2⁶⁵), while the 128-bit pair expects ~3e-12 — "identical
+    * results for any collision-free hash" holds w.h.p. again. The
+    * second column prepends a literal salt, which re-seeds the whole
+    * chain; keys stay 16 bytes on the wire vs md5's 32-char strings,
+    * and the DuckDB mirrors keep md5 and agree because both reduce to
+    * gram equality.
+    */
+  def posGramHashes128(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        struct(i.cast("long").as("start"),
+          xxhash64((0 until n).map(k => element_at(toks, i + lit(k))): _*)
+            .as("h1"),
+          xxhash64(lit("g2") +: (0 until n)
+            .map(k => element_at(toks, i + lit(k))): _*).as("h2"))))
+      .otherwise(array()
+        .cast("array<struct<start:bigint,h1:bigint,h2:bigint>>"))
 
   /** Non-overlapping n-token spans (stride = n) from a token array —
     * the chunking used for span-level dedup, where overlapping shingles

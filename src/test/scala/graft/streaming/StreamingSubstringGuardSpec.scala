@@ -101,7 +101,7 @@ class StreamingSubstringGuardSpec extends SparkSpec {
         explode(TextOps.posGramHashes64(TextOps.tokens(col("text")), n))
           .as("g"))
       .join(Dedup.substringDupHashes(reference, n),
-        col("g.h") === col("h"), "left_semi")
+        col("g.h") === col("h1"), "left_semi")
       .select(col("doc_id")).distinct().as[Long].collect().toSet
     assert(truth === (10000L until 10050L by 5).toSet) // planted ground truth
     val flaggedIds = streamed.filter(_._4).map(_._1)

@@ -111,14 +111,15 @@ class ScaleSmokeSpec extends SparkSpec {
     val grams = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextOps.posGramHashes64(col("toks"), gramN)).as("g"))
-      .select(col("doc_id"), col("g.start").as("start"), col("g.h").as("h"))
+        explode(TextOps.posGramHashes128(col("toks"), gramN)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"),
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
       .localCheckpoint()
-    val dup = grams.groupBy(col("h"))
+    val dup = grams.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
       .cache()
     assert(dup.count() === (60 - gramN + 1).toLong) // span-sized, not corpus-sized
-    val spans = grams.join(dup.select(col("h")), "h")
+    val spans = grams.join(dup.select(col("h1"), col("h2")), Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(min(col("start")).as("span_start"),
         (max(col("start")) + lit(gramN.toLong) - min(col("start")))
