@@ -60,6 +60,44 @@ object VideoFrameSource {
 
   /** Test observability: pixel decodes performed in this JVM. */
   val pixelDecodes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test observability: files whose frames were decoded (meta or pixel)
+    * in this JVM — the counter that proves filename-filter pushdown
+    * keeps filtered-out files from ever reaching a decoder.
+    */
+  val filesDecoded = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Filename-predicate compiler for pushed source filters: Some(pred)
+    * only when `f` evaluates EXACTLY on the filename string. Exactness
+    * is the safety requirement, not a nicety — a wrongly excluded file
+    * can never be repaired by the residual Filter Spark re-applies, and
+    * under `Not` an over-inclusive approximation would flip into a
+    * wrong exclusion. Unknown shapes return None and simply don't
+    * prune; the TOP-LEVEL filter array is a conjunction, so the caller
+    * may prune with any exact subset of it.
+    */
+  private[sources] def filenamePredicate(
+      f: org.apache.spark.sql.sources.Filter): Option[String => Boolean] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo("filename", v: String) => Some(_ == v)
+      case In("filename", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        if (set.size == vs.length) Some(set) else None
+      case StringStartsWith("filename", p) => Some(_.startsWith(p))
+      case StringEndsWith("filename", s) => Some(_.endsWith(s))
+      case StringContains("filename", s) => Some(_.contains(s))
+      case IsNotNull("filename") => Some(_ => true) // listings never null
+      case And(l, r) =>
+        for (a <- filenamePredicate(l); b <- filenamePredicate(r))
+          yield (n: String) => a(n) && b(n)
+      case Or(l, r) =>
+        for (a <- filenamePredicate(l); b <- filenamePredicate(r))
+          yield (n: String) => a(n) || b(n)
+      case Not(inner) => filenamePredicate(inner).map(p => (n: String) => !p(n))
+      case _ => None
+    }
+  }
 }
 
 final class VideoFrameTable(properties: Map[String, String])
@@ -93,7 +131,11 @@ final class VideoFrameTable(properties: Map[String, String])
     val fs = fsPath.getFileSystem(hadoopConf)
     if (!fs.exists(fsPath)) throw new IllegalArgumentException(
       s"videoframes: path does not exist: $path")
-    val files = fs.listStatus(fsPath)
+    // listing is DEFERRED to build(), after filter pushdown, so a
+    // filename-filtered read (a split- or file-scoped query) keeps only
+    // matching files — filtered-out files never reach partition
+    // planning, let alone a decoder
+    val listFiles = (keep: String => Boolean) => fs.listStatus(fsPath)
       .filter(s => s.isFile &&
         VideoFrameSource.VideoExts(
           s.getPath.getName.split('.').last.toLowerCase))
@@ -101,15 +143,20 @@ final class VideoFrameTable(properties: Map[String, String])
         val uri = s.getPath.toUri
         if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
         else s.getPath.toString
-      }.sorted
-    new VideoFrameScanBuilder(files, sampleRateMs)
+      }
+      .filter(keep).sorted
+    new VideoFrameScanBuilder(listFiles, sampleRateMs)
   }
 }
 
-final class VideoFrameScanBuilder(files: Array[String], sampleRateMs: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+final class VideoFrameScanBuilder(
+    listFiles: (String => Boolean) => Array[String], sampleRateMs: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = VideoFrameSource.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var keep: String => Boolean = _ => true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve our canonical field order; keep only requested fields
@@ -117,15 +164,44 @@ final class VideoFrameScanBuilder(files: Array[String], sampleRateMs: Long)
       VideoFrameSource.Schema.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
 
+  /** Filename filters prune the LISTING; everything (including what we
+    * prune by) is returned as residual — Spark re-applies it post-scan,
+    * so an exact prune costs one redundant row-level check while any
+    * future predicate-shape surprise stays correct instead of silently
+    * dropping rows.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val compiled = filters.flatMap(f =>
+      VideoFrameSource.filenamePredicate(f).map(f -> _))
+    pushed = compiled.map(_._1)
+    val preds = compiled.map(_._2)
+    keep = n => preds.forall(_(n))
+    filters // all residual; see scaladoc
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
   override def build(): Scan = new VideoFrameScan(
-    files, sampleRateMs, required)
+    listFiles(keep), sampleRateMs, required, pushed)
 }
 
 final class VideoFrameScan(files: Array[String], sampleRateMs: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // BatchScanExec prints pushed filters only for built-in FileScans; a
+  // custom scan surfaces them through its description, so .explain
+  // evidence of listing-level pruning exists here too
+  override def description(): String =
+    s"videoframes PushedFilters: [${pushed.mkString(", ")}], " +
+      s"files: ${files.length}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // same rule as getTable's listing: the ACTIVE session plans this
@@ -165,6 +241,7 @@ final class VideoFrameReader(files: Array[String], sampleRateMs: Long,
   private val needImage = fieldNames.contains("image")
   private val decoder: FrameDecoder = new SyntheticFrameDecoder()
   private val frames = files.iterator.flatMap { f =>
+    VideoFrameSource.filesDecoded.incrementAndGet()
     val it =
       if (needImage) decoder.decode(f, null, sampleRateMs)
       else decoder.decodeMeta(f, null, sampleRateMs) // pruned: no pixels

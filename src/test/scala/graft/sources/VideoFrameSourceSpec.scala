@@ -65,4 +65,52 @@ class VideoFrameSourceSpec extends SparkSpec {
     assert(withPixels.forall(_ === 8 * 8 * 3))
     assert(VideoFrameSource.pixelDecodes.get() === withPixels.length)
   }
+
+  test("filename filters push into the LISTING: pruned files never decode") {
+    val dir = mkCorpus()
+    // file-scoped read: only a.mp4 survives listing; b/c never reach a
+    // decoder (filesDecoded counts every file whose frames are produced)
+    VideoFrameSource.filesDecoded.set(0)
+    val one = spark.read.format("videoframes").load(dir)
+      .filter(col("filename").endsWith("/a.mp4"))
+      .select("filename").distinct().as[String].collect()
+    assert(one.map(_.split('/').last).toSeq === Seq("a.mp4"))
+    assert(VideoFrameSource.filesDecoded.get() === 1,
+      "filtered-out files must not be decoded")
+    // the pushed filter is visible in the plan
+    val plan = spark.read.format("videoframes").load(dir)
+      .filter(col("filename").endsWith("/a.mp4"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("a.mp4"), plan)
+
+    // prefix + contains compose (top-level conjunction)
+    VideoFrameSource.filesDecoded.set(0)
+    val two = spark.read.format("videoframes").load(dir)
+      .filter(col("filename").startsWith(dir) &&
+        (col("filename").contains(".mp4") || col("filename").contains(".mkv")))
+      .select("filename").distinct().as[String].collect()
+    assert(two.map(_.split('/').last).toSet === Set("a.mp4", "b.mkv"))
+    assert(VideoFrameSource.filesDecoded.get() === 2)
+
+    // an unsupported shape must NOT wrongly prune (residual handles it)
+    val odd = spark.read.format("videoframes").load(dir)
+      .filter(length(col("filename")) > 0)
+      .select("filename").distinct().count()
+    assert(odd === 3)
+  }
+
+  test("filenamePredicate compiles only exactly-evaluable shapes") {
+    import org.apache.spark.sql.sources._
+    def p(f: Filter) = VideoFrameSource.filenamePredicate(f)
+    assert(p(EqualTo("filename", "x")).exists(_("x")))
+    assert(p(Not(StringContains("filename", "a"))).exists(!_("abc")))
+    // Not over an unsupported operand must not compile (an over-
+    // inclusive approximation would flip into a wrong exclusion)
+    assert(p(Not(EqualTo("timestamp_ms", 0L))).isEmpty)
+    assert(p(And(StringStartsWith("filename", "/d"),
+      EqualTo("timestamp_ms", 0L))).isEmpty)
+    assert(p(Or(StringEndsWith("filename", ".mp4"),
+      StringEndsWith("filename", ".mkv"))).exists(_("x.mkv")))
+    assert(p(GreaterThan("timestamp_ms", 5L)).isEmpty)
+  }
 }
