@@ -51,21 +51,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Deliberately conservative, the [[IntervalJoinRewrite]] guard
   * discipline; fires only when
   * - the node is resolved, batch, and joinType is Inner or LeftOuter;
-  * - the as-of condition is backward-inclusive — `l.t >= r.t` with the
-  *   probe time from the left child (merge_asof's default
-  *   direction='backward', allow_exact_matches=True) — either bare or
-  *   AND-ed with the backward-tolerance bound `r.t >= (l.t - tol)`,
-  *   whose right side reaches us already coerced (for timestamps,
-  *   `cast(ts - interval as timestamp)`) and is carried opaquely into
-  *   [[AsOfJoinExec]] as a per-left-row lower bound (same dataType as
-  *   `r.t`, references only the left side). A tolerance assertion must
-  *   be constant-foldable to true (merge_asof tolerances are literals;
-  *   a non-positive or non-constant one keeps stock, which raises the
-  *   stock error). Forward/nearest/strict shapes stay stock;
-  * - the order expression is the stock backward ordering `l.t - r.t` in
-  *   any of its analyzer-coerced spellings — `Subtract` (numerics),
-  *   `SubtractTimestamps`, `SubtractDates` — anything else means
-  *   semantics this node doesn't have;
+  * - the as-of condition is INCLUSIVE in either direction — backward
+  *   `l.t >= r.t` (merge_asof's default) or forward `l.t <= r.t`, the
+  *   probe time from the left child — either bare or AND-ed with the
+  *   direction's tolerance bound (backward: `r.t >= l.t - tol`, a
+  *   lower bound; forward: `r.t <= l.t + tol`, an upper bound), whose
+  *   bound side reaches us already coerced (for timestamps,
+  *   `cast(ts ± interval as timestamp)`) and is carried opaquely into
+  *   [[AsOfJoinExec]] as a per-left-row bound (same dataType as `r.t`,
+  *   references only the left side). A tolerance assertion must be
+  *   constant-foldable to true (merge_asof tolerances are literals; a
+  *   non-positive or non-constant one keeps stock, which raises the
+  *   stock error). Nearest and strict (allow_exact_matches=False)
+  *   shapes stay stock — nearest's equidistant tie is implementation-
+  *   arbitrary in the stock expansion, so there is nothing exact to
+  *   replicate;
+  * - the order expression is the stock ordering for the direction —
+  *   `l.t - r.t` backward, `r.t - l.t` forward — in any of its
+  *   analyzer-coerced spellings (`Subtract`, `SubtractTimestamps`,
+  *   `SubtractDates`); anything else means semantics this node doesn't
+  *   have;
   * - the `by` condition is exactly ONE cross-side equality with equal
   *   key types, and the two time types match ([[AsOfJoinExec]] derives
   *   one interpreted ordering per pair; multi-key bys keep stock).
@@ -102,34 +107,54 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(l: LogicalPlan, r: LogicalPlan, asOfCond: Expression,
       cond: Expression, jt: JoinType, ord: Expression): Option[LogicalPlan] = {
-    // backward-inclusive probe: l.t >= r.t (either comparison spelling),
-    // optionally AND-ed with the backward-tolerance bound
-    // r.t >= (l.t - tol); the bound is kept opaque — any left-side
-    // expression of r.t's type works as the exec's per-row lower bound.
-    def probe(e: Expression): Option[(Expression, Expression)] = e match {
-      case GreaterThanOrEqual(lt, rt)
-          if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt))
-      case LessThanOrEqual(rt, lt)
-          if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt))
-      case _ => None
-    }
-    val shapes: Option[(Expression, Expression, Option[Expression])] =
-      asOfCond match {
-        case And(base, GreaterThanOrEqual(rt2, lb))
-            if fromOnly(lb, l) =>
-          probe(base).collect {
-            case (lt, rt) if rt2.semanticEquals(rt) &&
-              lb.dataType == rt.dataType => (lt, rt, Some(lb))
-          }
-        case And(base, LessThanOrEqual(lb, rt2))
-            if fromOnly(lb, l) =>
-          probe(base).collect {
-            case (lt, rt) if rt2.semanticEquals(rt) &&
-              lb.dataType == rt.dataType => (lt, rt, Some(lb))
-          }
-        case other => probe(other).map { case (lt, rt) => (lt, rt, None) }
+    // inclusive probe, either direction: backward is l.t >= r.t, forward
+    // l.t <= r.t (each in both comparison spellings — the sides decide
+    // which direction a spelling means), optionally AND-ed with the
+    // tolerance bound (backward: r.t >= l.t - tol, a lower bound;
+    // forward: r.t <= l.t + tol, an upper bound). Bounds are kept
+    // opaque — any left-side expression of r.t's type works as the
+    // exec's per-row bound.
+    def probe(e: Expression): Option[(Expression, Expression, Boolean)] =
+      e match {
+        case GreaterThanOrEqual(lt, rt)
+            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, false))
+        case LessThanOrEqual(rt, lt)
+            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, false))
+        case LessThanOrEqual(lt, rt)
+            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, true))
+        case GreaterThanOrEqual(rt, lt)
+            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, true))
+        case _ => None
       }
-    shapes.flatMap { case (lt, rt, lowerBound) =>
+    // bound conjunct, normalized to (boundExpr, boundIsUpper)
+    def bound(e: Expression): Option[(Expression, Expression, Boolean)] =
+      e match {
+        case GreaterThanOrEqual(rt2, b) if fromOnly(b, l) =>
+          Some((rt2, b, false)) // r.t >= b: lower bound
+        case LessThanOrEqual(b, rt2) if fromOnly(b, l) =>
+          Some((rt2, b, false))
+        case LessThanOrEqual(rt2, b) if fromOnly(b, l) =>
+          Some((rt2, b, true)) // r.t <= b: upper bound
+        case GreaterThanOrEqual(b, rt2) if fromOnly(b, l) =>
+          Some((rt2, b, true))
+        case _ => None
+      }
+    val shapes: Option[(Expression, Expression, Option[Expression], Boolean)] =
+      asOfCond match {
+        case And(base, conj) =>
+          for {
+            (lt, rt, fwd) <- probe(base)
+            (rt2, b, isUpper) <- bound(conj)
+            // a backward probe pairs with a lower bound, forward with an
+            // upper; a mismatched pair is not a merge_asof shape
+            if isUpper == fwd && rt2.semanticEquals(rt) &&
+              b.dataType == rt.dataType
+          } yield (lt, rt, Some(b), fwd)
+        case other => probe(other).map { case (lt, rt, fwd) =>
+          (lt, rt, None, fwd)
+        }
+      }
+    shapes.flatMap { case (lt, rt, timeBound, fwd) =>
       val keys = cond match {
         case EqualTo(a, b) if fromOnly(a, l) && fromOnly(b, r) => Some((a, b))
         case EqualTo(a, b) if fromOnly(b, l) && fromOnly(a, r) => Some((b, a))
@@ -137,19 +162,25 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
       }
       keys.flatMap { case (lk, rk) =>
         val typesOk = lk.dataType == rk.dataType && lt.dataType == rt.dataType
-        // the stock backward ordering `l.t - r.t`, in any of the
-        // analyzer's coerced spellings, and nothing else
+        // the stock ordering for the direction — `l.t - r.t` backward,
+        // `r.t - l.t` forward — in any of the analyzer's coerced
+        // spellings, and nothing else. An ambiguous probe (a comparison
+        // shape both directions could produce never is: the operand
+        // sides pin it) is further confirmed here, since the ordering
+        // names the direction a second time.
+        val (ordA, ordB) = if (fwd) (rt, lt) else (lt, rt)
         val ordOk = ord match {
-          case Subtract(a, b, _) => a.semanticEquals(lt) && b.semanticEquals(rt)
+          case Subtract(a, b, _) =>
+            a.semanticEquals(ordA) && b.semanticEquals(ordB)
           case st: SubtractTimestamps =>
-            st.left.semanticEquals(lt) && st.right.semanticEquals(rt)
+            st.left.semanticEquals(ordA) && st.right.semanticEquals(ordB)
           case sd: SubtractDates =>
-            sd.left.semanticEquals(lt) && sd.right.semanticEquals(rt)
+            sd.left.semanticEquals(ordA) && sd.right.semanticEquals(ordB)
           case _ => false
         }
         if (!typesOk || !ordOk) None
         else {
-          val node = AsOfJoinNode(l, r, lk, rk, lt, rt, lowerBound)
+          val node = AsOfJoinNode(l, r, lk, rk, lt, rt, timeBound, fwd)
           val nearest = Alias(
             MinBy(CreateStruct(r.output.map(a => a: Expression)), ord)
               .toAggregateExpression(), "__nearest_right")()

@@ -44,20 +44,31 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * side never matches (right rows with nulls are skipped, left rows with
   * nulls emit null payloads).
   *
-  * `leftLowerBound` (optional) is merge_asof's backward tolerance,
-  * pre-lowered by [[AsOfJoinRewrite]] to a per-left-row expression of
-  * the right-time's type (e.g. `cast(l.ts - interval as timestamp)`): a
-  * carried match is emitted only when `r.t >= lowerBound(l)`; a null
-  * bound never matches (SQL comparison semantics of the stock
-  * expansion's `r.t >= l.t - tol` conjunct). The merge still carries
-  * the single nearest prior row — tolerance only gates emission, so the
-  * pass stays O(|L|+|R|).
+  * `leftTimeBound` (optional) is merge_asof's tolerance, pre-lowered by
+  * [[AsOfJoinRewrite]] to a per-left-row expression of the right-time's
+  * type (e.g. `cast(l.ts - interval as timestamp)`): a carried match is
+  * emitted only when `r.t >= bound(l)` (backward — the bound is a lower
+  * bound) or `r.t <= bound(l)` (forward — an upper bound); a null bound
+  * never matches (SQL comparison semantics of the stock expansion's
+  * tolerance conjunct). The merge still tracks a single candidate row —
+  * tolerance only gates emission, so the pass stays O(|L|+|R|).
+  *
+  * `forward` flips the match rule to merge_asof's direction='forward':
+  * the candidate is the FIRST right row with `r.t >= l.t` instead of
+  * the last with `r.t <= l.t`. Same physical contract; the merge keeps
+  * the candidate UNCONSUMED at the cursor head (a later left row with a
+  * larger time may share it), consuming only rows strictly before the
+  * probe. direction='nearest' stays unimplemented by design: with
+  * equidistant prior/following rows the stock expansion's min_by tie
+  * choice is implementation-arbitrary, so there is no semantics to be
+  * faithful to.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftLowerBound: Option[Expression] = None) extends BinaryNode {
+    leftTimeBound: Option[Expression] = None,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -70,8 +81,8 @@ case class AsOfJoinNode(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, lb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, lb, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -80,7 +91,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftLowerBound: Option[Expression] = None) extends BinaryExecNode {
+    leftTimeBound: Option[Expression] = None,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -105,11 +117,12 @@ case class AsOfJoinExec(
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
-    val lBoundB = leftLowerBound.map(BindReferences.bindReference(_, left.output))
+    val lBoundB = leftTimeBound.map(BindReferences.bindReference(_, left.output))
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val out = output
     val nRight = right.output.size
+    val fwd = forward
     left.execute().zipPartitions(right.execute(), true) { (lIt, rIt) =>
       val rBuf = rIt.buffered
       val nullRight = new GenericInternalRow(nRight)
@@ -121,6 +134,8 @@ case class AsOfJoinExec(
       lIt.map { l =>
         val lk = lKeyB.eval(l)
         val lt = lTimeB.eval(l)
+        var headKey: Any = null
+        var headTime: Any = null
         if (lk != null && lt != null) {
           var advance = true
           while (advance && rBuf.hasNext) {
@@ -130,24 +145,41 @@ case class AsOfJoinExec(
             if (rk == null || rt == null) rBuf.next() // nulls never match
             else {
               val c = keyOrd.compare(rk, lk)
-              if (c < 0 || (c == 0 && timeOrd.compare(rt, lt) <= 0)) {
+              // backward consumes THROUGH r.t == l.t and carries the last
+              // consumed row; forward stops AT r.t >= l.t and leaves the
+              // candidate unconsumed (a later left row may share it)
+              val within =
+                if (fwd) c == 0 && timeOrd.compare(rt, lt) < 0
+                else c == 0 && timeOrd.compare(rt, lt) <= 0
+              if (c < 0 || within) {
                 val r = rBuf.next()
                 lastKey = rk
                 lastTime = rt
                 lastRow = r.copy() // unsafe iterators reuse row objects
-              } else advance = false
+              } else {
+                headKey = rk
+                headTime = rt
+                advance = false
+              }
             }
           }
         }
-        var matched = lk != null && lastRow != null &&
-          keyOrd.compare(lastKey, lk) == 0
+        val (candRow, candKey, candTime) =
+          if (fwd) (if (rBuf.hasNext) rBuf.head else null, headKey, headTime)
+          else (lastRow, lastKey, lastTime)
+        var matched = lk != null && candRow != null && candKey != null &&
+          keyOrd.compare(candKey, lk) == 0
         if (matched && lBoundB.isDefined) {
-          // backward tolerance: carried match must satisfy r.t >= bound;
-          // a null bound never matches (stock `>=` conjunct semantics)
-          val lb = lBoundB.get.eval(l)
-          matched = lb != null && timeOrd.compare(lastTime, lb) >= 0
+          // tolerance: the candidate must satisfy r.t >= lower bound
+          // (backward) / r.t <= upper bound (forward); a null bound
+          // never matches (stock conjunct comparison semantics)
+          val bound = lBoundB.get.eval(l)
+          val cmp = if (bound == null) -1
+            else if (fwd) timeOrd.compare(bound, candTime)
+            else timeOrd.compare(candTime, bound)
+          matched = bound != null && cmp >= 0
         }
-        toUnsafe(joined(l, if (matched) lastRow else nullRight))
+        toUnsafe(joined(l, if (matched) candRow else nullRight))
       }
     }
   }
@@ -163,17 +195,20 @@ case class AsOfJoinExec(
 object NativeAsOf {
   import org.apache.spark.sql.GraftBridge
 
-  /** `lowerBound`: optional NAME of a precomputed left column holding
-    * the per-row backward-tolerance bound (e.g.
+  /** `timeBound`: optional NAME of a precomputed left column holding
+    * the per-row tolerance bound (e.g.
     * `.withColumn("lb", $"ts" - lit(5L))`) — typed by construction, so
     * no cross-type arithmetic happens here; matches require
-    * `r.time >= lb`. The bound column still appears in the output's
-    * left half (drop it afterwards if unwanted).
+    * `r.time >= bound` (backward) or `r.time <= bound` (forward). The
+    * bound column still appears in the output's left half (drop it
+    * afterwards if unwanted). `forward = true` matches the FIRST right
+    * row at-or-after the probe time instead of the last at-or-before.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       prefix: String = "r_",
-      lowerBound: Option[String] = None): DataFrame = {
+      timeBound: Option[String] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     var rPlan = right.queryExecution.analyzed
@@ -187,7 +222,7 @@ object NativeAsOf {
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      lowerBound.map(attr(lPlan, _)))
+      timeBound.map(attr(lPlan, _)), forward)
     val joined = GraftBridge.ofRows(spark, node)
     // attribute-based projection (never by-name: both sides may share
     // column names): keep the left side as-is, drop the right key (it

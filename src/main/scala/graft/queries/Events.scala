@@ -396,7 +396,7 @@ object Events {
           .agg(max(col("event_id")).as("click_id"))
         graft.plans.NativeAsOf
           .asOf(purchases, clicks, "user_id", "ems", "c_ems",
-            lowerBound = Some("lb"))
+            timeBound = Some("lb"))
           .select(col("user_id"), col("event_id"), col("ems"),
             col("r_c_ems").as("click_ms"), col("r_click_id").as("click_id"))
       },
@@ -415,6 +415,42 @@ object Events {
                CASE WHEN c_ems >= ems - 3600000 THEN c_ems END AS click_ms,
                CASE WHEN c_ems >= ems - 3600000 THEN click_id END AS click_id
         FROM j""")),
+
+    // ---- FORWARD as-of: next click at-or-after each purchase ---------------
+    // merge_asof(direction='forward') on the native operator: the same
+    // one-exchange-one-sort-per-side merge, with the candidate kept
+    // UNCONSUMED at the right cursor head (later probes may share it)
+    // instead of carried behind it. Post-purchase attribution and
+    // next-touch analyses are this exact shape. DuckDB's ASOF LEFT JOIN
+    // states the forward direction natively (`c_ems >= ems`), so the
+    // oracle needs no post-processing.
+    Q("ev_asof_forward",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ems"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ems").as("c_ems"), col("event_id"))
+          .groupBy(col("user_id"), col("c_ems"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.plans.NativeAsOf
+          .asOf(purchases, clicks, "user_id", "ems", "c_ems",
+            forward = true)
+          .select(col("user_id"), col("event_id"), col("ems"),
+            col("r_c_ems").as("click_ms"), col("r_click_id").as("click_id"),
+            (col("r_c_ems") - col("ems")).as("wait_ms"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS c_ems, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.user_id, p.event_id, p.ems, c.c_ems AS click_ms,
+               c.click_id, c.c_ems - p.ems AS wait_ms
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.c_ems >= p.ems""")),
 
     // ---- range join: purchases within ±1h of each error --------------------
     // ops.RangeJoin — bin-bucketed equi-join, not BNLJ: intervals explode

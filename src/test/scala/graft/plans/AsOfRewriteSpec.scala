@@ -3,8 +3,8 @@ package graft.plans
 import graft.SparkSpec
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{
-  And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, Literal,
-  Subtract}
+  Add, And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+  LessThanOrEqual, Literal, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin, LogicalPlan}
 import org.apache.spark.sql.types.DayTimeIntervalType
@@ -207,6 +207,72 @@ class AsOfRewriteSpec extends SparkSpec {
       .select("tag", "rv").as[(String, Option[String])].collect().toSet
     // t=10s is 2s after r8 (within 5s); t=30s is 22s after (outside)
     assert(out === Set(("a", Some("r8")), ("b", None)))
+  }
+
+  test("forward direction fires the rewrite: first right row at-or-after") {
+    val df = asOfNode(left, right, LeftOuter,
+      asOfCondOf = Some((lt, rt) => LessThanOrEqual(lt, rt)),
+      ordOf = Some((lt, rt) => Subtract(rt, lt)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val out = df.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rt", "rv")
+      .as[(Long, Long, Option[Long], Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, 10L, Some(10L), Some("r10")), // exact match, not r15
+      (1L, 5L, Some(8L), Some("r8")), // next following
+      (2L, 7L, None, None), // absent key
+      (3L, 50L, None, None))) // r49 is BEFORE 50: no forward match
+  }
+
+  test("forward tolerance (upper bound) gates matches") {
+    val df = asOfNode(left, right, LeftOuter,
+      tolerance = Some(GreaterThanOrEqual(Literal(3L), Literal(0L))),
+      asOfCondOf = Some((lt, rt) => And(LessThanOrEqual(lt, rt),
+        LessThanOrEqual(rt, Add(lt, Literal(3L))))),
+      ordOf = Some((lt, rt) => Subtract(rt, lt)))
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val out = df.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rv")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, 10L, Some("r10")), // 10 <= 13
+      (1L, 5L, Some("r8")), // 8 <= 8
+      (2L, 7L, None), (3L, 50L, None)))
+    // a mismatched pair — forward probe with a LOWER bound — is not a
+    // merge_asof shape and must stay stock
+    val mismatched = asOfNode(left, right, LeftOuter,
+      tolerance = Some(GreaterThanOrEqual(Literal(3L), Literal(0L))),
+      asOfCondOf = Some((lt, rt) => And(LessThanOrEqual(lt, rt),
+        GreaterThanOrEqual(rt, Subtract(lt, Literal(3L))))),
+      ordOf = Some((lt, rt) => Subtract(rt, lt)))
+    assert(!mismatched.queryExecution.executedPlan.toString
+      .contains("AsOfJoin"))
+  }
+
+  test("forward randomized parity with a first-principles reference") {
+    val rnd = new scala.util.Random(23)
+    val l = Seq.tabulate(400)(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(12).toLong, i.toLong * 2 + 1, i.toLong))
+      .toDF("k", "rt", "rid")
+    val got = asOfNode(l.repartition(7), r.repartition(5), LeftOuter,
+      asOfCondOf = Some((lt, rt) => LessThanOrEqual(lt, rt)),
+      ordOf = Some((lt, rt) => Subtract(rt, lt)))
+      .toDF("k", "t", "lid", "k2", "rt", "rid")
+      .select("k", "t", "lid", "rid")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val rRows = r.as[(Long, Long, Long)].collect()
+    val want = l.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
+      val following = rRows.filter(x => x._1 == k && x._2 >= t)
+      if (following.isEmpty) (k, t, lid, None: Option[Long])
+      else (k, t, lid, Some(following.minBy(_._2)._3))
+    }.toSet
+    assert(got === want)
+    assert(got.exists(_._4.isDefined))
   }
 
   test("rewritten and stock paths agree on a randomized workload") {
