@@ -129,12 +129,14 @@ object Main {
     */
   def run(files: DataFrame, outputDir: String,
       cfg: Config = Config(),
-      decoder: FrameDecoder = new SyntheticFrameDecoder()): Unit = {
+      decoder: FrameDecoder = new SyntheticFrameDecoder(),
+      embedder: Option[Embedder] = None): Unit = {
     val prepared = Ingest.splitByHash(
       Ingest.withLabel(Ingest.filterVideos(files)), 0.70, 0.15, 0.15)
     val frames = Frames.extract(prepared, decoder, cfg.sampleRateMs)
     val embedded = Embed.run(frames,
-      new HashEmbedder(cfg.embeddingDim), cfg.batchSize).toDF()
+      embedder.getOrElse(new HashEmbedder(cfg.embeddingDim)),
+      cfg.batchSize).toDF()
     val listCols = Seq("timestamp_ms", "logits")
     val samples = cfg.mode match {
       case SingleFrame => Samples.singleFrame(embedded, listCols)
