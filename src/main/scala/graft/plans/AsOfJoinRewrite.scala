@@ -71,9 +71,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   analyzer-coerced spellings (`Subtract`, `SubtractTimestamps`,
   *   `SubtractDates`); anything else means semantics this node doesn't
   *   have;
-  * - the `by` condition is exactly ONE cross-side equality with equal
-  *   key types, and the two time types match ([[AsOfJoinExec]] derives
-  *   one interpreted ordering per pair; multi-key bys keep stock).
+  * - the `by` condition is a conjunction of cross-side equalities with
+  *   equal key types (merge_asof's by=[k1, k2, …]); several keys
+  *   compose into one null-guarded struct key
+  *   ([[AsOfJoinNode.structKey]] — the guard preserves the
+  *   conjunction's per-field null semantics). Any non-equality
+  *   conjunct keeps stock, and the two time types must match
+  *   ([[AsOfJoinExec]] derives one interpreted ordering per pair).
   * AsOfRewriteSpec proves plan shape, row-parity with the stock
   * expansion's semantics (duplicate-left collapse included), and that
   * every guarded shape stays on the stock path.
@@ -155,11 +159,28 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
         }
       }
     shapes.flatMap { case (lt, rt, timeBound, fwd) =>
-      val keys = cond match {
-        case EqualTo(a, b) if fromOnly(a, l) && fromOnly(b, r) => Some((a, b))
-        case EqualTo(a, b) if fromOnly(b, l) && fromOnly(a, r) => Some((b, a))
+      // the `by` condition: one or more cross-side equalities (merge_asof
+      // with by=[k1, k2, …] builds their conjunction). Several keys
+      // compose into one null-guarded struct (AsOfJoinNode.structKey) —
+      // positional field names make both sides' types equal, and the
+      // guard preserves the conjunction's null semantics. Any
+      // non-equality conjunct keeps stock.
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case other => Seq(other)
+      }
+      val pairs = conjuncts(cond).map {
+        case EqualTo(a, b) if fromOnly(a, l) && fromOnly(b, r) &&
+          a.dataType == b.dataType => Some((a, b))
+        case EqualTo(a, b) if fromOnly(b, l) && fromOnly(a, r) &&
+          a.dataType == b.dataType => Some((b, a))
         case _ => None
       }
+      val keys =
+        if (pairs.nonEmpty && pairs.forall(_.isDefined))
+          Some((AsOfJoinNode.structKey(pairs.flatten.map(_._1)),
+            AsOfJoinNode.structKey(pairs.flatten.map(_._2))))
+        else None
       keys.flatMap { case (lk, rk) =>
         val typesOk = lk.dataType == rk.dataType && lt.dataType == rt.dataType
         // the stock ordering for the direction — `l.t - r.t` backward,

@@ -76,6 +76,35 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+object AsOfJoinNode {
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    CreateNamedStruct, If, IsNull, Literal, Or}
+
+  /** Multi-key `by` support: several key expressions compose into ONE
+    * null-guarded struct key with POSITIONAL field names (`k0`, `k1`,
+    * …) so the left and right structs get identical dataTypes
+    * regardless of source column names. The null guard is the SQL
+    * semantics the stock expansion's `AND` of equalities has and a
+    * plain struct comparison does NOT: `struct(null, 1) = struct(null,
+    * 1)` compares EQUAL under interpreted ordering, but an equality
+    * conjunct over a null key matches nothing — so any null field
+    * nulls the WHOLE key, and [[AsOfJoinExec]]'s null-key handling
+    * (skip right rows, emit null payload for left rows) applies.
+    */
+  def structKey(fields: Seq[Expression]): Expression = {
+    require(fields.nonEmpty, "as-of key needs at least one column")
+    if (fields.size == 1) fields.head
+    else {
+      val named = CreateNamedStruct(fields.zipWithIndex.flatMap {
+        case (f, i) => Seq(Literal(s"k$i"), f)
+      })
+      val anyNull = fields.map(IsNull(_): Expression).reduce(Or)
+      If(anyNull, Literal.create(null, named.dataType), named)
+    }
+  }
+}
+
 /** Plans [[AsOfJoinNode]] into [[AsOfJoinExec]]; injected via
   * `GraftExtensions.injectPlannerStrategy`.
   */
@@ -208,6 +237,19 @@ object NativeAsOf {
       leftTime: String, rightTime: String,
       prefix: String = "r_",
       timeBound: Option[String] = None,
+      forward: Boolean = false): DataFrame =
+    asOfKeys(left, right, Seq(key), leftTime, rightTime, prefix,
+      timeBound, forward)
+
+  /** Multi-key `by` (merge_asof's by=[k1, k2, …]): the keys compose
+    * into one null-guarded struct ([[AsOfJoinNode.structKey]]), so a
+    * row with ANY null key column matches nothing — the semantics of
+    * the equivalent AND-of-equalities join condition.
+    */
+  def asOfKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      prefix: String = "r_",
+      timeBound: Option[String] = None,
       forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
@@ -220,15 +262,16 @@ object NativeAsOf {
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
     val node = AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key),
+      AsOfJoinNode.structKey(keys.map(attr(lPlan, _))),
+      AsOfJoinNode.structKey(keys.map(attr(rPlan, _))),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
       timeBound.map(attr(lPlan, _)), forward)
     val joined = GraftBridge.ofRows(spark, node)
     // attribute-based projection (never by-name: both sides may share
-    // column names): keep the left side as-is, drop the right key (it
-    // equals the left key on matches), prefix the right payload
+    // column names): keep the left side as-is, drop the right keys
+    // (they equal the left keys on matches), prefix the right payload
     val outCols = lPlan.output.map(a => GraftBridge.column(a)) ++
-      rPlan.output.filterNot(_.name == key)
+      rPlan.output.filterNot(a => keys.contains(a.name))
         .map(a => GraftBridge.column(a).as(prefix + a.name))
     joined.select(outCols: _*)
   }

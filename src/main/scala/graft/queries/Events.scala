@@ -416,6 +416,47 @@ object Events {
                CASE WHEN c_ems >= ems - 3600000 THEN click_id END AS click_id
         FROM j""")),
 
+    // ---- MULTI-KEY as-of: latest same-weekday click before each purchase ---
+    // merge_asof(by=[user_id, dow]) on the native operator: the two by
+    // columns compose into one null-guarded struct key (positional field
+    // names, so both sides' types agree; a null field nulls the whole
+    // key — AND-of-equalities semantics), and the plan is the identical
+    // one-exchange-one-sort-per-side merge, now keyed on the struct.
+    // Weekday-affinity features ("what did this user click last
+    // Saturday?") are this exact shape. dow derives from integer epoch
+    // arithmetic spelled identically on both engines (non-negative
+    // operands, so Spark div ≡ DuckDB //).
+    Q("ev_asof_multikey",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ems"),
+            expr("pmod(ems div 86400000 + 4, 7)").as("dow"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ems").as("c_ems"), col("event_id"),
+            expr("pmod(ems div 86400000 + 4, 7)").as("dow"))
+          .groupBy(col("user_id"), col("dow"), col("c_ems"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.plans.NativeAsOf
+          .asOfKeys(purchases, clicks, Seq("user_id", "dow"), "ems", "c_ems")
+          .select(col("user_id"), col("event_id"), col("ems"), col("dow"),
+            col("r_c_ems").as("click_ms"), col("r_click_id").as("click_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems,
+                 (epoch_ms(ts) // 86400000 + 4) % 7 AS dow
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+                 epoch_ms(ts) AS c_ems, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3)
+        SELECT p.user_id, p.event_id, p.ems, p.dow, c.c_ems AS click_ms,
+               c.click_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.dow = c.dow
+         AND c.c_ems <= p.ems""")),
+
     // ---- FORWARD as-of: next click at-or-after each purchase ---------------
     // merge_asof(direction='forward') on the native operator: the same
     // one-exchange-one-sort-per-side merge, with the candidate kept
@@ -451,6 +492,63 @@ object Events {
                c.click_id, c.c_ems - p.ems AS wait_ms
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND c.c_ems >= p.ems""")),
+
+    // ---- NEAREST as-of with an EXPLICIT tie rule ---------------------------
+    // merge_asof(direction='nearest') stays OFF the native replan because
+    // stock's equidistant tie is implementation-arbitrary (min_by over
+    // equal |Δ|) — there is no exact semantics to replicate. This query
+    // is the deterministic alternative: COMPOSE the two well-defined
+    // directions (both on the native merge) and pick the smaller gap,
+    // ties to backward — a documented rule both engines state
+    // identically, so even nearest is oracle-checkable. Cost: two
+    // merges over the same exchanged-and-sorted purchase lineage.
+    Q("ev_asof_nearest",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ems"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ems").as("c_ems"), col("event_id"))
+          .groupBy(col("user_id"), col("c_ems"))
+          .agg(max(col("event_id")).as("click_id"))
+        val b = graft.plans.NativeAsOf
+          .asOf(purchases, clicks, "user_id", "ems", "c_ems", prefix = "b_")
+        val both = graft.plans.NativeAsOf
+          .asOf(b, clicks, "user_id", "ems", "c_ems", prefix = "f_",
+            forward = true)
+        val useB = col("f_c_ems").isNull ||
+          (col("b_c_ems").isNotNull &&
+            col("ems") - col("b_c_ems") <= col("f_c_ems") - col("ems"))
+        both.select(col("user_id"), col("event_id"), col("ems"),
+          when(useB, col("b_c_ems")).otherwise(col("f_c_ems"))
+            .as("near_ms"),
+          when(useB, col("b_click_id")).otherwise(col("f_click_id"))
+            .as("near_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ems
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS c_ems, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        b AS (
+          SELECT p.user_id, p.event_id, p.ems, c.c_ems AS b_ms,
+                 c.click_id AS b_id
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.c_ems <= p.ems),
+        f AS (
+          SELECT p.event_id, c.c_ems AS f_ms, c.click_id AS f_id
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.c_ems >= p.ems)
+        SELECT b.user_id, b.event_id, b.ems,
+               CASE WHEN f.f_ms IS NULL OR (b.b_ms IS NOT NULL
+                      AND b.ems - b.b_ms <= f.f_ms - b.ems)
+                    THEN b.b_ms ELSE f.f_ms END AS near_ms,
+               CASE WHEN f.f_ms IS NULL OR (b.b_ms IS NOT NULL
+                      AND b.ems - b.b_ms <= f.f_ms - b.ems)
+                    THEN b.b_id ELSE f.f_id END AS near_id
+        FROM b JOIN f ON f.event_id = b.event_id""")),
 
     // ---- range join: purchases within ±1h of each error --------------------
     // ops.RangeJoin — bin-bucketed equi-join, not BNLJ: intervals explode

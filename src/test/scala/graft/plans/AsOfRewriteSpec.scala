@@ -108,12 +108,13 @@ class AsOfRewriteSpec extends SparkSpec {
     }
     assert(badTolEx.getMessage.contains("TOLERANCE_IS_NON_NEGATIVE"))
 
-    // multi-key by (And of equalities): guarded out
-    val multi = asOfNode(left, right, LeftOuter, byCond = Some((lp, rp) => {
+    // a NON-equality conjunct in the by condition: guarded out
+    val nonEq = asOfNode(left, right, LeftOuter, byCond = Some((lp, rp) => {
       def a(p: LogicalPlan, n: String) = p.output.find(_.name == n).get
-      And(EqualTo(a(lp, "k"), a(rp, "k")), EqualTo(a(lp, "k"), a(rp, "k")))
+      And(EqualTo(a(lp, "k"), a(rp, "k")),
+        GreaterThan(a(lp, "k"), a(rp, "k")))
     }))
-    assert(!multi.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(!nonEq.queryExecution.executedPlan.toString.contains("AsOfJoin"))
 
     // non-backward ordering expression: guarded out
     val fwdOrd = asOfNode(left, right, LeftOuter,
@@ -207,6 +208,47 @@ class AsOfRewriteSpec extends SparkSpec {
       .select("tag", "rv").as[(String, Option[String])].collect().toSet
     // t=10s is 2s after r8 (within 5s); t=30s is 22s after (outside)
     assert(out === Set(("a", Some("r8")), ("b", None)))
+  }
+
+  test("multi-key by fires via the null-guarded struct key") {
+    // two-key by: (k, g). The g split separates matches that a k-only
+    // join would conflate, and a NULL g must match nothing (the AND-of-
+    // equalities semantics the struct null guard exists to preserve).
+    val l2 = Seq(
+      (1L, Some("x"), 10L, "a"), (1L, Some("y"), 10L, "b"),
+      (1L, None: Option[String], 10L, "c")).toDF("k", "g", "t", "tag")
+    val r2 = Seq(
+      (1L, Some("x"), 8L, "rx"), (1L, Some("y"), 9L, "ry"),
+      (1L, None: Option[String], 5L, "rnull")).toDF("k", "g", "rt", "rv")
+    val lp = l2.queryExecution.analyzed
+    val rp = r2.queryExecution.analyzed
+    def a(p: LogicalPlan, n: String) = p.output.find(_.name == n).get
+    val df = GraftBridge.ofRows(spark, AsOfJoin(lp, rp,
+      GreaterThanOrEqual(a(lp, "t"), a(rp, "rt")),
+      Some(And(EqualTo(a(lp, "k"), a(rp, "k")),
+        EqualTo(a(lp, "g"), a(rp, "g")))),
+      LeftOuter, Subtract(a(lp, "t"), a(rp, "rt")), None))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val out = df.toDF("k", "g", "t", "tag", "k2", "g2", "rt", "rv")
+      .select("tag", "rv").as[(String, Option[String])].collect().toSet
+    assert(out === Set(
+      ("a", Some("rx")), // (1, x) matches only the x row
+      ("b", Some("ry")), // (1, y) matches only the y row
+      ("c", None))) // null g: AND-of-equalities matches nothing
+    // parity with the stock expansion on the same node shape: force
+    // stock by adding a tautological non-equality conjunct
+    val stock = GraftBridge.ofRows(spark, AsOfJoin(lp, rp,
+      GreaterThanOrEqual(a(lp, "t"), a(rp, "rt")),
+      Some(And(And(EqualTo(a(lp, "k"), a(rp, "k")),
+        EqualTo(a(lp, "g"), a(rp, "g"))),
+        GreaterThanOrEqual(a(lp, "k"), a(rp, "k")))),
+      LeftOuter, Subtract(a(lp, "t"), a(rp, "rt")), None))
+    assert(!stock.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val stockOut = stock.toDF("k", "g", "t", "tag", "k2", "g2", "rt", "rv")
+      .select("tag", "rv").as[(String, Option[String])].collect().toSet
+    assert(stockOut === out)
   }
 
   test("forward direction fires the rewrite: first right row at-or-after") {
