@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution / record linkage — the MDM-style operator family
+  * (Fellegi–Sunter blocking → pairwise scoring → match decision →
+  * entity clustering → golden-record survivorship) the curation side of
+  * a training-data pipeline needs when the "duplicates" are structured
+  * RECORDS from several source systems rather than near-identical text.
+  * Same discipline as the dedup family: candidate generation is ALWAYS
+  * blocked (never all-pairs), expensive scoring runs only on in-block
+  * pairs, clustering is the bounded [[graft.ops.Components]] propagation,
+  * and every step is mirrored in DuckDB SQL so the whole chain sits
+  * under the hash gate.
+  *
+  * The fixture has no dirty-records table, so one is SYNTHESIZED
+  * deterministically from `customer` (the dd_url_dedup crawl-variant
+  * precedent): each customer yields three source-system records whose
+  * name variants exercise the matcher —
+  *   - v0 `crm`: the clean name (`Customer#000000042`);
+  *   - v1 `web`: a doubled consonant (`Customerr#…`, edit distance 1) —
+  *     and for every 5th customer a TRIPLED one (`Customerrr#…`,
+  *     distance 2), deliberately past the match threshold so the family
+  *     has structural false negatives to measure; v1 also arrives with
+  *     a NULL market segment (source-system incompleteness, so golden-
+  *     record survivorship has real work);
+  *   - v2 `pos`: lower-cased with the `#` dropped — distance 0 after
+  *     normalization, a pure canonicalization catch.
+  * Ground truth (the generating c_custkey) rides along for EVALUATION
+  * ONLY (the txt_langid_eval discipline); the matcher itself sees just
+  * name / nation / segment.
+  */
+object EntityRes {
+
+  /** The dirty-records synthesis: (rec_id, c_custkey, c_nationkey,
+    * c_acctbal, src, name, seg). rec_id = custkey·3 + variant, so the
+    * eval side can recover ground truth as `rec_id div 3` without a
+    * join. Narrow: one customer scan × a 3-row explode, all codegen
+    * string ops. Mirrored literally in [[recordsSql]].
+    */
+  private[graft] def records(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"),
+        explode(array(lit(0), lit(1), lit(2))).as("v"))
+      .select(
+        (col("c_custkey") * 3 + col("v")).as("rec_id"),
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        when(col("v") === 0, lit("crm"))
+          .when(col("v") === 1, lit("web")).otherwise(lit("pos")).as("src"),
+        when(col("v") === 0, col("c_name"))
+          .when(col("v") === 1, concat(substring(col("c_name"), 1, 8),
+            when(col("c_custkey") % 5 === 0, lit("rr")).otherwise(lit("r")),
+            substring(col("c_name"), 9, 100)))
+          .otherwise(expr("replace(lower(c_name), '#', '')")).as("name"),
+        when(col("v") === 1, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+
+  /** DuckDB mirror of [[records]] as a `recs` CTE. */
+  private def recordsSql: String = """
+    recs AS (
+      SELECT c_custkey * 3 + v AS rec_id,
+             c_custkey, c_nationkey, c_acctbal,
+             CASE v WHEN 0 THEN 'crm' WHEN 1 THEN 'web' ELSE 'pos'
+               END AS src,
+             CASE v
+               WHEN 0 THEN c_name
+               WHEN 1 THEN substr(c_name, 1, 8) ||
+                    CASE WHEN c_custkey % 5 = 0 THEN 'rr' ELSE 'r' END ||
+                    substr(c_name, 9, 100)
+               ELSE replace(lower(c_name), '#', '') END AS name,
+             CASE WHEN v = 1 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS v))"""
+
+  /** Normalization + blocking key over a records frame: `norm` folds
+    * case and punctuation (so v2 lands at distance 0), and the blocking
+    * key = nation × last-two-digits-of-norm — computable from record
+    * FIELDS only (never the ground-truth key), collides all variants of
+    * one customer by construction, and bounds candidate generation to
+    * Σ|block|² instead of n². Key selectivity is the whole scaling
+    * story: a one-digit key makes |block| grow linearly with the corpus
+    * (measured 15 s at sf0.1 — quadratic in disguise); the two-digit
+    * key is 10× more selective, and production blocking picks keys so
+    * |block| stays O(1) in corpus size (then Σ|block|² is linear).
+    */
+  private[graft] def keyed(recs: DataFrame): DataFrame =
+    recs
+      .withColumn("norm", expr("replace(lower(name), '#', '')"))
+      .withColumn("bk", col("c_nationkey").cast("long") * 100 +
+        expr("CAST(substring(norm, length(norm) - 1, 2) AS BIGINT)"))
+
+  private def keyedSql: String = """
+    keyed AS (
+      SELECT *, replace(lower(name), '#', '') AS norm,
+             c_nationkey * 100 +
+               CAST(substr(norm, length(norm) - 1, 2) AS BIGINT) AS bk
+      FROM recs)"""
+
+  /** In-block candidate pairs with the pairwise feature vector:
+    * levenshtein over normalized names (computed ONLY inside blocks),
+    * null-safe segment agreement, and the match decision (distance
+    * ≤ 1). Shared by er_pairs / er_match / er_entities / er_golden so
+    * the decision rule cannot drift between the views.
+    */
+  private[graft] def scoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = keyed(records(s, dir))
+    // repartition the probe side on the blocking key: the customer scan
+    // is one file locally, and a broadcast join would inherit its 1-2
+    // input partitions — serializing millions of levenshtein calls onto
+    // one core. Exchanging on bk is exactly the shuffle the blocked
+    // join pays at cluster scale anyway; the scorer then parallelizes
+    // by block wherever the input layout came from. The EXPLICIT count
+    // (vs repartition(col)) matters: AQE coalesces size-based shuffles
+    // to ~1 partition on the few-MB record table, blind to the
+    // pair-scoring CPU downstream of the join.
+    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = k.select(col("bk"), col("rec_id").as("rec_a"),
+      col("norm").as("norm_a"), col("seg").as("seg_a"))
+      .repartition(shufflePartitions, col("bk"))
+    val b = k.select(col("bk"), col("rec_id").as("rec_b"),
+      col("norm").as("norm_b"), col("seg").as("seg_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("rec_a") < col("rec_b"))
+      .select(col("rec_a"), col("rec_b"),
+        levenshtein(col("norm_a"), col("norm_b")).cast("long")
+          .as("name_dist"),
+        (col("seg_a") <=> col("seg_b")).cast("long").as("seg_agree"))
+      .withColumn("is_match", (col("name_dist") <= 1).cast("long"))
+  }
+
+  private def scoredPairsSql: String = s"""
+    $recordsSql,
+    $keyedSql,
+    pairs AS (
+      SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+             CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS name_dist,
+             CAST(a.seg IS NOT DISTINCT FROM b.seg AS BIGINT) AS seg_agree,
+             CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT) AS is_match
+      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- blocking-efficiency card ------------------------------------------
+    // The table a linkage engineer reads before paying for scoring: per
+    // blocking key, how many records land in the block and how many
+    // pairs that commits the matcher to (Σ n(n−1)/2 across blocks vs
+    // n(n−1)/2 all-pairs is the whole economics of blocking). One
+    // narrow synthesis pass + one combinable aggregate; nothing here is
+    // bigger than the block-key domain.
+    Q("er_blocking",
+      (s, dir) => keyed(records(s, dir))
+        .groupBy(col("bk"))
+        .agg(count(lit(1)).as("n_records"))
+        .select(col("bk"), col("n_records"),
+          // div, not `/`: Column./ on longs is IEEE double division —
+          // the integer quotient is what DuckDB's // yields
+          expr("(n_records * (n_records - 1)) div 2").as("n_pairs")),
+      Some(s"""
+        WITH $recordsSql, $keyedSql
+        SELECT bk, count(*) AS n_records,
+               count(*) * (count(*) - 1) // 2 AS n_pairs
+        FROM keyed GROUP BY bk""")),
+
+    // ---- scored candidate pairs --------------------------------------------
+    // The pairwise comparison vector (Fellegi–Sunter's gamma), restricted
+    // to near pairs (distance ≤ 2) so the output is decision-sized:
+    // matches, plus the distance-2 near-misses a threshold review would
+    // look at. Levenshtein runs ONLY on in-block pairs — the blocked
+    // join IS the guard that keeps the quadratic scorer affordable.
+    Q("er_pairs",
+      (s, dir) => scoredPairs(s, dir).filter(col("name_dist") <= 2),
+      Some(s"""
+        WITH $scoredPairsSql
+        SELECT * FROM pairs WHERE name_dist <= 2""")),
+
+    // ---- matcher evaluation against the synthesis ground truth -------------
+    // The er twin of txt_langid_eval: ground truth (same generating
+    // custkey ⇔ same entity) is recoverable as rec_id div 3, so
+    // TP/FP/FN and integer per-mille precision/recall are exact. FN > 0
+    // by construction (every 5th customer's web record sits at distance
+    // 2); all true pairs are in-block by construction, so FN here is
+    // the THRESHOLD's miss, not blocking's. One aggregate over the
+    // scored pairs + the true-pair total 3·|customers| as a 1-row cross.
+    Q("er_match",
+      (s, dir) => {
+        val sp = scoredPairs(s, dir)
+          .withColumn("same_entity",
+            (expr("rec_a div 3") === expr("rec_b div 3")).cast("long"))
+        val agg = sp.agg(
+          count(lit(1)).as("n_candidates"),
+          sum(col("is_match") * col("same_entity")).as("tp"),
+          sum(col("is_match") * (lit(1) - col("same_entity"))).as("fp"),
+          sum((lit(1) - col("is_match")) * col("same_entity")).as("fn"))
+        val total = records(s, dir).agg(count(lit(1)).as("n_true_pairs"))
+        agg.crossJoin(total).select(
+          col("n_candidates"), col("n_true_pairs"), col("tp"), col("fp"),
+          col("fn"),
+          expr("(tp * 1000) div (tp + fp)").as("precision_pm"),
+          expr("(tp * 1000) div (tp + fn)").as("recall_pm"))
+      },
+      Some(s"""
+        WITH $scoredPairsSql,
+        ev AS (
+          SELECT count(*) AS n_candidates,
+                 CAST(sum(is_match * same_entity) AS BIGINT) AS tp,
+                 CAST(sum(is_match * (1 - same_entity)) AS BIGINT) AS fp,
+                 CAST(sum((1 - is_match) * same_entity) AS BIGINT) AS fn
+          FROM (SELECT *,
+                  CAST(rec_a // 3 = rec_b // 3 AS BIGINT) AS same_entity
+                FROM pairs)),
+        tot AS (SELECT count(*) AS n_true_pairs FROM recs)
+        SELECT n_candidates, n_true_pairs, tp, fp, fn,
+               (tp * 1000) // (tp + fp) AS precision_pm,
+               (tp * 1000) // (tp + fn) AS recall_pm
+        FROM ev CROSS JOIN tot""")),
+
+    // ---- entity formation: matched pairs → clusters ------------------------
+    // The dd_clusters discipline on record linkage: bounded min-label
+    // propagation (ops.Components, 3 rounds — match clusters are
+    // near-cliques, diameter ≤ 2) over the MATCHED pairs only, plus the
+    // entity size joined back. A false-positive merge shows up here as
+    // an entity spanning two custkeys — exactly what er_golden surfaces.
+    Q("er_entities",
+      (s, dir) => {
+        val matched = scoredPairs(s, dir).filter(col("is_match") === 1)
+          .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b"))
+        val labeled = graft.ops.Components.label(matched, rounds = 3)
+          .select(col("doc_id").as("rec_id"), col("cluster_id")
+            .as("entity_id"))
+        val sizes = labeled.groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("entity_size"))
+        labeled.join(sizes, Seq("entity_id"))
+          .select(col("rec_id"), col("entity_id"), col("entity_size"))
+      },
+      Some(s"""
+        WITH $scoredPairsSql,
+        cand AS (
+          SELECT rec_a AS doc_a, rec_b AS doc_b FROM pairs
+          WHERE is_match = 1),
+        ${graft.ops.Components.labelSql(3)},
+        lab AS (SELECT doc_id AS rec_id, cluster_id AS entity_id FROM l3)
+        SELECT rec_id, entity_id, count(*) OVER (PARTITION BY entity_id)
+                 AS entity_size
+        FROM lab""")),
+
+    // ---- golden-record survivorship ----------------------------------------
+    // The MDM merge: per entity (matched clusters ∪ unmatched records as
+    // their own singleton entities — the dd_cluster_sizes completeness
+    // rule, so every record lands in exactly one entity), pick the
+    // surviving record by source priority crm > web > pos (ties to the
+    // lowest rec_id) via one packed-integer min — src_rank·10¹² + rec_id
+    // stays far under 2⁶³ at any custkey scale — and merge fields:
+    // segment = max over members (max ignores the web NULLs in both
+    // engines — survivorship by completeness), balance = exact max
+    // (doubles compare exactly; no sum, so no fxsum needed). n_custkeys
+    // audits false-positive merges: > 1 means the matcher glued two
+    // real customers.
+    Q("er_golden",
+      (s, dir) => {
+        val matched = scoredPairs(s, dir).filter(col("is_match") === 1)
+          .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b"))
+        val labeled = graft.ops.Components.label(matched, rounds = 3)
+          .select(col("doc_id").as("rec_id"), col("cluster_id")
+            .as("entity_id"))
+        val recs = records(s, dir)
+        val members = recs.join(labeled, Seq("rec_id"), "left")
+          .withColumn("entity_id",
+            coalesce(col("entity_id"), col("rec_id")))
+          .withColumn("src_rank",
+            when(col("src") === "crm", 0L)
+              .when(col("src") === "web", 1L).otherwise(2L))
+        members.groupBy(col("entity_id"))
+          .agg(
+            min(col("src_rank") * 1000000000000L + col("rec_id"))
+              .as("pk"),
+            count(lit(1)).as("n_records"),
+            countDistinct(col("c_custkey")).as("n_custkeys"),
+            max(col("seg")).as("seg"),
+            max(col("c_acctbal")).as("bal_max"))
+          .select(col("entity_id"),
+            expr("pk % 1000000000000").as("golden_rec"),
+            when(expr("pk div 1000000000000") === 0, "crm")
+              .when(expr("pk div 1000000000000") === 1, "web")
+              .otherwise("pos").as("golden_src"),
+            col("n_records"), col("n_custkeys"), col("seg"),
+            col("bal_max"))
+      },
+      Some(s"""
+        WITH $scoredPairsSql,
+        cand AS (
+          SELECT rec_a AS doc_a, rec_b AS doc_b FROM pairs
+          WHERE is_match = 1),
+        ${graft.ops.Components.labelSql(3)},
+        members AS (
+          SELECT r.*, coalesce(l.cluster_id, r.rec_id) AS entity_id,
+                 CASE r.src WHEN 'crm' THEN 0 WHEN 'web' THEN 1 ELSE 2
+                   END AS src_rank
+          FROM recs r LEFT JOIN l3 l ON l.doc_id = r.rec_id),
+        g AS (
+          SELECT entity_id,
+                 min(src_rank * 1000000000000 + rec_id) AS pk,
+                 count(*) AS n_records,
+                 count(DISTINCT c_custkey) AS n_custkeys,
+                 max(seg) AS seg,
+                 max(c_acctbal) AS bal_max
+          FROM members GROUP BY entity_id)
+        SELECT entity_id, pk % 1000000000000 AS golden_rec,
+               CASE pk // 1000000000000 WHEN 0 THEN 'crm'
+                 WHEN 1 THEN 'web' ELSE 'pos' END AS golden_src,
+               n_records, n_custkeys, seg, bal_max
+        FROM g"""))
+  )
+}

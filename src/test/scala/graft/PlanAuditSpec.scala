@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
       "ev_cooccurrence",
       // three 1-row aggregate verdict sides crossing into one report row
       "dq_expectations",
+      // the 1-row TP/FP/FN aggregate crossing the 1-row true-pair total
+      // into the single evaluation-card row (the dq_expectations shape)
+      "er_match",
       // 1-row now-timestamp and quartile-threshold sides broadcast-cross
       // the per-user metric table (the q14 broadcast-back shape)
       "ev_rfm",

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic laws of the entity-resolution family, proven against the
+  * sf0.001 fixture (150 customers → 450 synthesized records) with
+  * first-principles recomputes independent of the query lineages.
+  */
+class EntityResSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("blocking never splits a true entity and bounds the pair budget") {
+    val recs = EntityRes.keyed(EntityRes.records(spark, sfDir))
+      .select(col("rec_id"), col("c_custkey"), col("bk"))
+      .as[(Long, Long, Long)].collect()
+    // every record of one customer lands in the SAME block (recall of
+    // the blocking stage is 1 by construction; er_match's FN is then
+    // attributable to the threshold alone)
+    recs.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).distinct.length === 1)
+    }
+    // the blocking card's pair budget is strictly below all-pairs
+    val card = run("er_blocking")
+      .agg(sum(col("n_pairs")), sum(col("n_records")))
+      .as[(Long, Long)].collect().head
+    val n = recs.length.toLong
+    assert(card._2 === n)
+    assert(card._1 < n * (n - 1) / 2)
+  }
+
+  test("er_match's counts equal a first-principles recompute") {
+    val recs = EntityRes.keyed(EntityRes.records(spark, sfDir))
+      .select(col("rec_id"), col("bk"), col("norm"))
+      .as[(Long, Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val pairs = for {
+      a <- recs; b <- recs
+      if a._2 == b._2 && a._1 < b._1
+    } yield (a._1 / 3 == b._1 / 3, lev(a._3, b._3) <= 1)
+    val tp = pairs.count(p => p._1 && p._2).toLong
+    val fp = pairs.count(p => !p._1 && p._2).toLong
+    val fn = pairs.count(p => p._1 && !p._2).toLong
+    val row = run("er_match")
+      .select(col("tp"), col("fp"), col("fn"), col("recall_pm"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert((row._1, row._2, row._3) === ((tp, fp, fn)))
+    // the structural misses: every 5th customer's web record sits at
+    // distance 2 from BOTH its siblings → exactly 2 FN per such customer
+    val nCust = recs.length / 3
+    assert(fn === 2L * ((nCust + 4) / 5))
+    assert(row._4 === tp * 1000 / (tp + fn))
+  }
+
+  test("er_golden covers every record exactly once and picks by priority") {
+    val golden = run("er_golden").cache()
+    val nRecords = EntityRes.records(spark, sfDir).count()
+    // completeness: entity sizes sum to the record count (matched
+    // clusters ∪ singletons partition the records)
+    assert(golden.agg(sum(col("n_records"))).as[Long].collect().head
+      === nRecords)
+    // survivorship: every multi-record entity with a crm member picks a
+    // crm golden record, and merged seg is never null when any member
+    // has one (crm/pos members always do)
+    val bad = golden.filter(col("n_records") >= 3 &&
+      (col("golden_src") =!= "crm" || col("seg").isNull)).count()
+    assert(bad === 0L)
+    // false-positive audit column: entities gluing two customers are
+    // exactly the ones the matcher merged across custkeys, and each
+    // still surfaces one golden record
+    val fpEnt = golden.filter(col("n_custkeys") > 1)
+    assert(fpEnt.filter(col("golden_rec").isNull).count() === 0L)
+    golden.unpersist()
+  }
+
+  test("er_entities sizes agree with er_golden's matched clusters") {
+    val ent = run("er_entities")
+    val fromEntities = ent.groupBy(col("entity_id"))
+      .agg(max(col("entity_size")).as("sz"))
+      .select(col("entity_id"), col("sz"))
+      .as[(Long, Long)].collect().toMap
+    val fromGolden = run("er_golden").filter(col("n_records") >= 2)
+      .select(col("entity_id"), col("n_records"))
+      .as[(Long, Long)].collect().toMap
+    assert(fromEntities === fromGolden)
+  }
+}
