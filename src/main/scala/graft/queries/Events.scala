@@ -2196,6 +2196,77 @@ object Events {
                CAST(sape // n_days AS BIGINT) AS mape_pm
         FROM g""")),
 
+    // ---- autocorrelation of the daily series (the seasonality detector) ----
+    // ACF at lags 1..7 per event type — the card that TELLS you lag-7 is
+    // the season ev_forecast's naive model assumes (a weekly cycle shows
+    // as a positive spike at lag 7). All arithmetic exact until the last
+    // step: deviations are scaled by n (d_t = n·c_t − S, an integer — no
+    // fractional mean anywhere), numerator Σ d_t·d_{t+k} and denominator
+    // Σ d_t² are long sums, and acf = num/den is ONE mirrored IEEE
+    // division (n² cancels). Magnitudes: |d| ≤ n·max(c) ≈ 60·10⁵ at
+    // sf0.1-scale, squared and summed ≈ 10¹⁵ ≪ 2⁶³. Gap days are absent
+    // rows on both engines (same construction), so pairs spanning a gap
+    // drop identically. Plan: one combinable (type, day) count
+    // (materialized — three consumers), a |types|-row stats join-back,
+    // the lag explode (×7) joined back to the SAME deviation table on
+    // (type, day+lag) — aggregate-sized everywhere, the event stream is
+    // scanned once.
+    Q("ev_acf",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ems div 86400000").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .materialize()
+        val stats = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+        val dev = daily.join(stats, Seq("event_type"))
+          .select(col("event_type"), col("day"),
+            (col("n") * col("c") - col("s")).as("dv"))
+          .materialize()
+        val den = dev.groupBy(col("event_type"))
+          .agg(sum(col("dv") * col("dv")).as("den"))
+        val num = dev
+          .select(col("event_type"), col("day"), col("dv"),
+            explode(array((1 to 7).map(lit(_)): _*)).as("lag"))
+          .withColumn("tday", col("day") + col("lag"))
+          .join(dev.select(col("event_type"), col("day").as("tday"),
+            col("dv").as("bdv")), Seq("event_type", "tday"))
+          .groupBy(col("event_type"), col("lag"))
+          .agg(sum(col("dv") * col("bdv")).as("num"),
+            count(lit(1)).as("n_terms"))
+        num.join(den, Seq("event_type"))
+          .select(col("event_type"), col("lag"), col("n_terms"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("acf"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(c) AS BIGINT) AS s
+          FROM d GROUP BY 1),
+        dev AS (
+          SELECT d.event_type, d.day, st.n * d.c - st.s AS dv
+          FROM d JOIN st USING (event_type)),
+        den AS (
+          SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS den
+          FROM dev GROUP BY 1),
+        num AS (
+          SELECT a.event_type, l.lag,
+                 CAST(sum(a.dv * b.dv) AS BIGINT) AS num,
+                 count(*) AS n_terms
+          FROM dev a
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+          JOIN dev b ON b.event_type = a.event_type
+                    AND b.day = a.day + l.lag
+          GROUP BY 1, 2)
+        SELECT n.event_type, n.lag, n.n_terms,
+               CAST(n.num AS DOUBLE) / CAST(d2.den AS DOUBLE) AS acf
+        FROM num n JOIN den d2 USING (event_type)""")),
+
     // ---- per-user behavioral entropy (the diversity feature) ---------------
     // Shannon entropy of each user's event-type mix — the segmentation
     // feature that separates single-purpose users (H = 0) from
