@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Materialize._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,8 +105,15 @@ object EntityRes {
     * ≤ 1). Shared by er_pairs / er_match / er_entities / er_golden so
     * the decision rule cannot drift between the views.
     */
-  private[graft] def scoredPairs(s: SparkSession, dir: String): DataFrame = {
-    val k = keyed(records(s, dir))
+  private[graft] def scoredPairs(s: SparkSession, dir: String): DataFrame =
+    scoredPairsOf(keyed(records(s, dir)))
+
+  /** The same blocked scorer over ANY keyed records frame — the seam the
+    * 90k-record scale smoke and the streaming twin drive, so they
+    * exercise the identical join/scoring lineage the oracle gates.
+    */
+  private[graft] def scoredPairsOf(k: DataFrame): DataFrame = {
+    val s = k.sparkSession
     // repartition the probe side on the blocking key: the customer scan
     // is one file locally, and a broadcast join would inherit its 1-2
     // input partitions — serializing millions of levenshtein calls onto
@@ -310,6 +318,64 @@ object EntityRes {
                CASE pk // 1000000000000 WHEN 0 THEN 'crm'
                  WHEN 1 THEN 'web' ELSE 'pos' END AS golden_src,
                n_records, n_custkeys, seg, bal_max
-        FROM g"""))
+        FROM g""")),
+
+    // ---- the linkage data card (dd_report discipline) ----------------------
+    // One row a pipeline owner reads after a linkage run: corpus size,
+    // blocking fan-in, candidate/match volume, entity formation, and the
+    // largest merged entity (the FP-chain alarm). Composed from the SAME
+    // keyed/scoredPairs/Components definitions as the detail views —
+    // coherence with er_blocking/er_entities is spec-enforced — so the
+    // card cannot disagree with the tables it summarizes. Three
+    // model-sized aggregate sides cross into the single row (the
+    // allowlisted dq_expectations shape).
+    Q("er_report",
+      (s, dir) => {
+        val k = keyed(records(s, dir))
+        val sp = scoredPairsOf(k).materialize()
+        val blocks = k.agg(count(lit(1)).as("n_records"),
+          countDistinct(col("bk")).as("n_blocks"))
+        val pairsAgg = sp.agg(count(lit(1)).as("n_candidates"),
+          sum(col("is_match")).as("n_matches"))
+        val entAgg = graft.ops.Components.label(
+            sp.filter(col("is_match") === 1)
+              .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b")),
+            rounds = 3)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_entities_multi"),
+            sum(col("sz")).as("n_linked_records"),
+            max(col("sz")).as("largest_entity"))
+        blocks.crossJoin(pairsAgg).crossJoin(entAgg)
+          .select(col("n_records"), col("n_blocks"), col("n_candidates"),
+            col("n_matches"), col("n_entities_multi"),
+            col("n_linked_records"),
+            (col("n_records") - col("n_linked_records"))
+              .as("n_singletons"),
+            col("largest_entity"))
+      },
+      Some(s"""
+        WITH $scoredPairsSql,
+        blocks_a AS (
+          SELECT count(*) AS n_records, count(DISTINCT bk) AS n_blocks
+          FROM keyed),
+        pairs_a AS (
+          SELECT count(*) AS n_candidates,
+                 CAST(sum(is_match) AS BIGINT) AS n_matches
+          FROM pairs),
+        cand AS (
+          SELECT rec_a AS doc_a, rec_b AS doc_b FROM pairs
+          WHERE is_match = 1),
+        ${graft.ops.Components.labelSql(3)},
+        szs AS (SELECT cluster_id, count(*) AS sz FROM l3 GROUP BY 1),
+        ent_a AS (
+          SELECT count(*) AS n_entities_multi,
+                 CAST(sum(sz) AS BIGINT) AS n_linked_records,
+                 max(sz) AS largest_entity
+          FROM szs)
+        SELECT n_records, n_blocks, n_candidates, n_matches,
+               n_entities_multi, n_linked_records,
+               n_records - n_linked_records AS n_singletons,
+               largest_entity
+        FROM blocks_a CROSS JOIN pairs_a CROSS JOIN ent_a"""))
   )
 }

@@ -47,6 +47,9 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row TP/FP/FN aggregate crossing the 1-row true-pair total
       // into the single evaluation-card row (the dq_expectations shape)
       "er_match",
+      // three 1-row aggregate sides (blocking, pairs, entities) crossing
+      // into the one-row linkage data card (same shape)
+      "er_report",
       // 1-row now-timestamp and quartile-threshold sides broadcast-cross
       // the per-user metric table (the q14 broadcast-back shape)
       "ev_rfm",

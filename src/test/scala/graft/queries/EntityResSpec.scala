@@ -85,6 +85,27 @@ class EntityResSpec extends SparkSpec {
     golden.unpersist()
   }
 
+  test("er_report agrees with the detail views it summarizes") {
+    val r = run("er_report").collect().head
+    val blocking = run("er_blocking")
+      .agg(sum(col("n_records")), count(lit(1)), sum(col("n_pairs")))
+      .as[(Long, Long, Long)].collect().head
+    assert(r.getAs[Long]("n_records") === blocking._1)
+    assert(r.getAs[Long]("n_blocks") === blocking._2)
+    assert(r.getAs[Long]("n_candidates") === blocking._3)
+    val ent = run("er_entities")
+    assert(r.getAs[Long]("n_linked_records") === ent.count())
+    assert(r.getAs[Long]("n_entities_multi") ===
+      ent.select(col("entity_id")).distinct().count())
+    assert(r.getAs[Long]("largest_entity") ===
+      ent.agg(max(col("entity_size"))).as[Long].collect().head)
+    assert(r.getAs[Long]("n_singletons") ===
+      r.getAs[Long]("n_records") - r.getAs[Long]("n_linked_records"))
+    val m = run("er_match").collect().head
+    assert(r.getAs[Long]("n_matches") ===
+      m.getAs[Long]("tp") + m.getAs[Long]("fp"))
+  }
+
   test("er_entities sizes agree with er_golden's matched clusters") {
     val ent = run("er_entities")
     val fromEntities = ent.groupBy(col("entity_id"))
