@@ -991,5 +991,103 @@ object Relational {
         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1996-04-01'
         GROUP BY 1"""))
+  ,
+
+    // ---- k-anonymity / l-diversity card (the privacy gate) -----------------
+    // What a release review asks before customer-derived data ships to
+    // training: how re-identifiable are rows under their quasi-
+    // identifiers (nation × market segment — the attacker-observable
+    // columns), and does any equivalence class leak its sensitive
+    // attribute (the balance magnitude) by being internally uniform.
+    // k_min = the smallest class (k-anonymity), rows_at_risk/risk_pm =
+    // population inside sub-k=5 classes, l_div_min = the least diverse
+    // class's distinct sensitive values (l-diversity). ONE combinable
+    // (QID) aggregate then a class-table fold — nothing row-sized after
+    // the first exchange; bucketing is floor over one mirrored IEEE
+    // division so the class structure is bit-identical cross-engine.
+    Q("dq_kanon",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / lit(1000.0)).as("bal_bucket"))
+        c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("bal_bucket")).as("ldiv"))
+          .agg(sum(col("n")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            min(col("n")).as("k_min"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L))
+              .as("rows_at_risk"),
+            min(col("ldiv")).as("l_div_min"))
+          .select(col("n_rows"), col("n_classes"), col("k_min"),
+            col("rows_at_risk"),
+            expr("(rows_at_risk * 1000) div n_rows").as("risk_pm"),
+            col("l_div_min"),
+            (col("k_min") >= 5).cast("long").as("k_anon_ok"))
+      },
+      Some("""
+        WITH cls AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                 count(DISTINCT floor(c_acctbal / 1000e0)) AS ldiv
+          FROM customer GROUP BY 1, 2),
+        card AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                 count(*) AS n_classes, min(n) AS k_min,
+                 CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+                 min(ldiv) AS l_div_min
+          FROM cls)
+        SELECT n_rows, n_classes, k_min, rows_at_risk,
+               (rows_at_risk * 1000) // n_rows AS risk_pm, l_div_min,
+               CAST(k_min >= 5 AS BIGINT) AS k_anon_ok
+        FROM card""")),
+
+    // ---- Benford first-digit integrity card ---------------------------------
+    // The classic numeric-integrity screen over a monetary column: the
+    // first significant digit's distribution vs Benford's law. The
+    // digit derives through EXACT integer cents (round(bal·100) → BIGINT
+    // → VARCHAR → first char): double→string formatting differs between
+    // engines, but integer→string does not — that detour is what makes
+    // a digit-of-a-double hash-gateable. Benford per-mille shares are
+    // round(log10(1+1/d)·1000) literals (they sum to exactly 1000), so
+    // no transcendental runs at query time. One combinable digit
+    // aggregate + a 1-row total cross (the allowlisted dq shape);
+    // TPC-H's uniform balances fail the screen loudly — which is the
+    // point of a card whose verdict column is the deviation itself.
+    Q("dq_benford",
+      (s, dir) => {
+        val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+        val digits = Tables(s, dir, "customer")
+          .select(cents.as("cents"))
+          .filter(col("cents") =!= 0)
+          .select(substring(abs(col("cents")).cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n_obs"))
+        val total = digits.agg(sum(col("n_obs")).as("n_total"))
+        val benfordPm = typedLit(Map(1L -> 301L, 2L -> 176L, 3L -> 125L,
+          4L -> 97L, 5L -> 79L, 6L -> 67L, 7L -> 58L, 8L -> 51L,
+          9L -> 46L))
+        digits.crossJoin(broadcast(total))
+          .select(col("digit"), col("n_obs"),
+            expr("(n_obs * 1000) div n_total").as("obs_pm"),
+            element_at(benfordPm, col("digit")).as("benford_pm"))
+          .withColumn("dev_pm", abs(col("obs_pm") - col("benford_pm")))
+      },
+      Some("""
+        WITH digs AS (
+          SELECT CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit, count(*) AS n_obs
+          FROM (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer)
+          WHERE cents <> 0 GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM digs),
+        bf AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+                      unnest([301,176,125,97,79,67,58,51,46]) AS pm)
+        SELECT d.digit, d.n_obs,
+               (d.n_obs * 1000) // t.n_total AS obs_pm,
+               CAST(bf.pm AS BIGINT) AS benford_pm,
+               abs((d.n_obs * 1000) // t.n_total - bf.pm) AS dev_pm
+        FROM digs d CROSS JOIN tot t JOIN bf ON bf.digit = d.digit"""))
   )
 }

@@ -50,6 +50,9 @@ class PlanAuditSpec extends SparkSpec {
       // three 1-row aggregate sides (blocking, pairs, entities) crossing
       // into the one-row linkage data card (same shape)
       "er_report",
+      // the 1-row digit-total broadcast crossing the ≤9-row digit table
+      // (the txt_collocations corpus-total shape)
+      "dq_benford",
       // 1-row now-timestamp and quartile-threshold sides broadcast-cross
       // the per-user metric table (the q14 broadcast-back shape)
       "ev_rfm",
