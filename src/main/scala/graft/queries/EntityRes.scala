@@ -132,9 +132,21 @@ object EntityRes {
     a.join(b, Seq("bk"))
       .filter(col("rec_a") < col("rec_b"))
       .select(col("rec_a"), col("rec_b"),
-        levenshtein(col("norm_a"), col("norm_b")).cast("long")
-          .as("name_dist"),
+        // THRESHOLDED levenshtein (banded O(k·n) DP, not full O(n·m)):
+        // no consumer reads a distance above 2 (er_pairs cuts at 2, the
+        // match rule at 1), so the scorer never pays for the exact
+        // value of a far pair — the difference between O(n·m) and
+        // O(k·n) per comparison is the scorer's whole budget on long
+        // fields at scale. Spark returns -1 past the threshold; map it
+        // to 3 (any value > 2) so the ≤2 cut can't admit it. Distances
+        // 0..2 are exact, so the md5-free oracle (exact levenshtein)
+        // sees identical surviving rows.
+        levenshtein(col("norm_a"), col("norm_b"), 2).cast("long")
+          .as("d_raw"),
         (col("seg_a") <=> col("seg_b")).cast("long").as("seg_agree"))
+      .withColumn("name_dist",
+        when(col("d_raw") < 0, lit(3L)).otherwise(col("d_raw")))
+      .drop("d_raw")
       .withColumn("is_match", (col("name_dist") <= 1).cast("long"))
   }
 

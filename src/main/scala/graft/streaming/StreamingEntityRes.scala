@@ -71,14 +71,16 @@ object StreamingEntityRes {
     val idxEdges = kb
       .join(index.select(col("bk"), col("norm").as("__inorm"),
         col("entity_id")), Seq("bk"))
-      .filter(levenshtein(col("norm"), col("__inorm")) <= 1)
+      // thresholded levenshtein (banded DP): -1 means "past 1", so
+      // ≥ 0 IS the ≤ 1 decision — the scorer never pays full O(n·m)
+      .filter(levenshtein(col("norm"), col("__inorm"), 1) >= 0)
       .select(col("rec_id").as("doc_a"), col("entity_id").as("doc_b"))
     val intra = kb.select(col("bk"), col("rec_id").as("__a"),
         col("norm").as("__na"))
       .join(kb.select(col("bk"), col("rec_id").as("__b"),
         col("norm").as("__nb")), Seq("bk"))
       .filter(col("__a") < col("__b") &&
-        levenshtein(col("__na"), col("__nb")) <= 1)
+        levenshtein(col("__na"), col("__nb"), 1) >= 0)
       .select(col("__a").as("doc_a"), col("__b").as("doc_b"))
     val labels = graft.ops.Components
       .label(idxEdges.unionByName(intra), rounds = 3)
