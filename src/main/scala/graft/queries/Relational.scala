@@ -1088,6 +1088,64 @@ object Relational {
                (d.n_obs * 1000) // t.n_total AS obs_pm,
                CAST(bf.pm AS BIGINT) AS benford_pm,
                abs((d.n_obs * 1000) // t.n_total - bf.pm) AS dev_pm
-        FROM digs d CROSS JOIN tot t JOIN bf ON bf.digit = d.digit"""))
+        FROM digs d CROSS JOIN tot t JOIN bf ON bf.digit = d.digit""")),
+
+    // ---- DDSketch-layout quantiles: log buckets, bounded RELATIVE error ----
+    // The third quantile machine, for the regime the others miss:
+    // q17/q17b are exact/approx on raw values, q21's equi-width grid
+    // bounds ABSOLUTE error (useless across magnitudes), the moments
+    // sketch assumes smooth bodies. Log-width buckets (the DDSketch
+    // layout, Masson et al. VLDB'19) give a fixed ±1% RELATIVE error at
+    // ANY magnitude from a |buckets| ≈ ln(range)/ln(γ) aggregate —
+    // ~1.2k buckets spans 10 orders of magnitude, the mergeable shape a
+    // p99-latency/price pipeline ships. bucket = ⌈ln(cents)/ln(γ)⌉ with
+    // γ=(1+α)/(1−α), α=1%: ln is micro-quantized at source over EXACT
+    // integer cents (the txt_bm25 rule) and ln(γ)·10⁶ is the integer
+    // literal 20001, so bucketing is pure integer arithmetic both
+    // engines. Rank selection avoids division: cum ≥ ⌈q·n/100⌉ ⟺
+    // 100·cum ≥ q·n over exact longs. Windows partition by flag over
+    // the |flags|×|buckets| aggregate — model-sized, never row-sized.
+    Q("q28_ddsketch",
+      (s, dir) => {
+        val hist = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("""CAST(round(ln(CAST(round(l_extendedprice * 100)
+                    AS BIGINT)) * 1000000) AS BIGINT)""").as("li"))
+          .select(col("flag"), expr("(li + 20000) div 20001").as("bucket"))
+          .groupBy(col("flag"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val byFlag = Window.partitionBy(col("flag"))
+        val cum = hist.select(col("flag"), col("bucket"), col("cnt"),
+          sum(col("cnt")).over(byFlag.orderBy(col("bucket"))).as("cum"),
+          sum(col("cnt")).over(byFlag).as("n"),
+          count(lit(1)).over(byFlag).as("n_buckets"))
+        cum.select(col("flag"), col("bucket"), col("cum"), col("n"),
+            col("n_buckets"),
+            explode(array(lit(50), lit(95), lit(99))).as("q"))
+          .filter(col("cum") * 100 >= col("q") * col("n"))
+          .groupBy(col("flag"), col("q"))
+          .agg(min(col("bucket")).as("est_bucket"), max(col("n")).as("n"),
+            max(col("n_buckets")).as("n_buckets"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT l_returnflag AS flag,
+                 (CAST(round(ln(CAST(round(l_extendedprice * 100)
+                    AS BIGINT)) * 1000000) AS BIGINT) + 20000) // 20001
+                   AS bucket,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        c AS (
+          SELECT flag, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+                 sum(cnt) OVER (PARTITION BY flag) AS n,
+                 count(*) OVER (PARTITION BY flag) AS n_buckets
+          FROM h),
+        e AS (SELECT c.*, q
+              FROM c CROSS JOIN (SELECT unnest([50, 95, 99]) AS q))
+        SELECT flag, q, min(bucket) AS est_bucket,
+               CAST(max(n) AS BIGINT) AS n, max(n_buckets) AS n_buckets
+        FROM e WHERE cum * 100 >= q * n
+        GROUP BY 1, 2"""))
   )
 }
