@@ -388,6 +388,54 @@ object EntityRes {
                n_entities_multi, n_linked_records,
                n_records - n_linked_records AS n_singletons,
                largest_entity
-        FROM blocks_a CROSS JOIN pairs_a CROSS JOIN ent_a"""))
+        FROM blocks_a CROSS JOIN pairs_a CROSS JOIN ent_a""")),
+
+    // ---- match-threshold operating curve ------------------------------------
+    // The knob-selection discipline (mm_hamming_curve / sim_tau_curve /
+    // dd_jaccard_curve) applied to the ER decision threshold: precision
+    // and recall at every distance cut t ∈ {0, 1, 2}, all from ONE
+    // scored-pair pass — the table that JUSTIFIES the family's dist ≤ 1
+    // rule instead of asserting it. Bounded at 2 because the thresholded
+    // scorer never learns larger distances (by design — see
+    // scoredPairsOf); ground truth rides the rec_id arithmetic, so no
+    // extra join. Coherence with er_match at t=1 is spec-enforced.
+    Q("er_threshold_curve",
+      (s, dir) => {
+        val sp = scoredPairs(s, dir)
+          .withColumn("same_entity",
+            (expr("rec_a div 3") === expr("rec_b div 3")).cast("long"))
+          .select(col("name_dist"), col("same_entity"),
+            explode(array(lit(0), lit(1), lit(2))).as("t"))
+          .filter(col("name_dist") <= col("t"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum(col("same_entity")).as("tp"))
+        val total = records(s, dir).agg(count(lit(1)).as("n_true_pairs"))
+        sp.crossJoin(broadcast(total))
+          .select(col("t"), col("n_matched"), col("tp"),
+            (col("n_matched") - col("tp")).as("fp"),
+            (col("n_true_pairs") - col("tp")).as("fn"),
+            expr("(tp * 1000) div n_matched").as("precision_pm"),
+            expr("(tp * 1000) div n_true_pairs").as("recall_pm"))
+      },
+      Some(s"""
+        WITH $scoredPairsSql,
+        se AS (
+          SELECT *, CAST(rec_a // 3 = rec_b // 3 AS BIGINT) AS same_entity
+          FROM pairs),
+        e AS (
+          SELECT se.*, t
+          FROM se CROSS JOIN (SELECT unnest([0, 1, 2]) AS t)
+          WHERE name_dist <= t),
+        g AS (
+          SELECT t, count(*) AS n_matched,
+                 CAST(sum(same_entity) AS BIGINT) AS tp
+          FROM e GROUP BY 1),
+        tot AS (SELECT count(*) AS n_true_pairs FROM recs)
+        SELECT t, n_matched, tp, n_matched - tp AS fp,
+               n_true_pairs - tp AS fn,
+               (tp * 1000) // n_matched AS precision_pm,
+               (tp * 1000) // n_true_pairs AS recall_pm
+        FROM g CROSS JOIN tot"""))
   )
 }

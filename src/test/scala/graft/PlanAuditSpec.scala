@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row digit-total broadcast crossing the ≤9-row digit table
       // (the txt_collocations corpus-total shape)
       "dq_benford",
+      // the 1-row true-pair total crossing the 3-row threshold curve
+      // (er_match's evaluation-cross shape)
+      "er_threshold_curve",
       // 1-row now-timestamp and quartile-threshold sides broadcast-cross
       // the per-user metric table (the q14 broadcast-back shape)
       "ev_rfm",

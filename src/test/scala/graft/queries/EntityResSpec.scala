@@ -106,6 +106,25 @@ class EntityResSpec extends SparkSpec {
       m.getAs[Long]("tp") + m.getAs[Long]("fp"))
   }
 
+  test("er_threshold_curve at t=1 equals er_match (the shipped rule)") {
+    val curve = run("er_threshold_curve").filter(col("t") === 1)
+      .select(col("tp"), col("fp"), col("fn"), col("precision_pm"),
+        col("recall_pm"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val m = run("er_match")
+      .select(col("tp"), col("fp"), col("fn"), col("precision_pm"),
+        col("recall_pm"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(curve === m)
+    // monotone laws over the curve: recall never falls, precision never
+    // rises as the threshold loosens
+    val pts = run("er_threshold_curve")
+      .select(col("t"), col("precision_pm"), col("recall_pm"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(pts.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+    assert(pts.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("er_entities sizes agree with er_golden's matched clusters") {
     val ent = run("er_entities")
     val fromEntities = ent.groupBy(col("entity_id"))
