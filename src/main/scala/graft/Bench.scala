@@ -59,8 +59,23 @@ object Bench {
       }
     }
     val measured = cur.map(_._1).toSet
+    // FLEET-RELATIVE threshold: a sustained host-noise window inflates
+    // every query about uniformly (observed twice in round 11: full runs
+    // with median ratio ~1.45 flagged 40 byte-identical queries across
+    // two consecutive runs — the two-run intersection cannot help when
+    // both runs sit inside one noise window). The run's median ratio IS
+    // its environment factor; only a breach beyond median×threshold is
+    // code signal. Applied only to full-ish runs (≥30 baselined
+    // queries): a dev subset's median could be dominated by a genuinely
+    // regressed family, so subsets keep the absolute threshold.
+    val millis = rows.collect { case (_, _, Some(m)) => m }
+    val medianMilli =
+      if (millis.size >= 30) { val s = millis.sorted; s(s.size / 2) }
+      else 1000L
+    val effThreshold = math.max(thresholdMilli,
+      thresholdMilli * math.max(medianMilli, 1000L) / 1000L)
     val suspectNames = rows.collect {
-      case (n, _, Some(m)) if m >= thresholdMilli => n
+      case (n, _, Some(m)) if m >= effThreshold => n
     }
     // carry unmeasured queries' standing evidence; a measured query's
     // suspicion is exactly this run's verdict
@@ -74,6 +89,8 @@ object Bench {
     }
     val fresh = rows.collect { case (n, _, None) => "\"" + n + "\"" }
     s"""{"threshold_milli":$thresholdMilli,"sf":"$sf",""" +
+      s""""median_ratio_milli":$medianMilli,""" +
+      s""""threshold_eff_milli":$effThreshold,""" +
       s""""regressed":${regressed.mkString("[", ",", "]")},""" +
       s""""suspects":${suspects.mkString("[", ",", "]")},""" +
       s""""improved":${improved.mkString("[", ",", "]")},""" +

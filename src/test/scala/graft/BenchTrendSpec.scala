@@ -53,6 +53,36 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(run2.contains(""""suspects":["b"]"""))
   }
 
+  test("fleet-relative threshold: uniform host inflation is not a suspect") {
+    // a sustained noise window inflates EVERY query ~uniformly; with ≥30
+    // baselined queries the run's median ratio becomes the environment
+    // factor and a uniform 1.8× run flags nothing...
+    val base = (1 to 40).map(i => s"q$i" -> 1.0).toMap
+    val uniform = (1 to 40).map(i => s"q$i" -> 1.8)
+    val j1 = Bench.trendJson(uniform, base)
+    assert(j1.contains(""""suspects":[]"""), j1)
+    assert(j1.contains(""""median_ratio_milli":1800"""))
+    // ...while a lone 4× outlier in the same window still flags (4000 ≥
+    // 1.5 × 1800 = 2700), and a lone outlier in a QUIET run flags as before
+    val j2 = Bench.trendJson(uniform.init :+ ("q40" -> 4.0), base)
+    assert(j2.contains(""""suspects":["q40"]"""), j2)
+    val quiet = (1 to 39).map(i => s"q$i" -> 1.0) :+ ("q40" -> 2.0)
+    val j3 = Bench.trendJson(quiet, base)
+    assert(j3.contains(""""suspects":["q40"]"""), j3)
+    // a fast-host run (median < 1) never LOWERS the absolute threshold
+    val fast = (1 to 39).map(i => s"q$i" -> 0.5) :+ ("q40" -> 1.4)
+    assert(Bench.trendJson(fast, base).contains(""""suspects":[]"""))
+  }
+
+  test("fleet-relative threshold is OFF for dev subsets (<30 baselined)") {
+    // benching only the family you just slowed down must still flag it:
+    // a subset's median could be dominated by a real regression
+    val base = (1 to 5).map(i => s"er$i" -> 1.0).toMap
+    val j = Bench.trendJson((1 to 5).map(i => s"er$i" -> 2.0), base)
+    assert(j.contains(
+      """"suspects":["er1","er2","er3","er4","er5"]"""), j)
+  }
+
   test("readPriorSuspects round-trips and ignores other-sf evidence") {
     val p = Files.createTempFile("trend", ".json")
     Files.writeString(p, Bench.trendJson(Seq("q_slow" -> 2.0, "q_ok" -> 1.0),
@@ -107,7 +137,9 @@ class BenchTrendSpec extends AnyFunSuite {
     val json = Bench.trendJson(Seq("a" -> 1.0, "b" -> 2.0),
       Map("a" -> 0.0))
     assert(json.contains(""""new":["a","b"]"""))
-    assert(!json.contains("ratio_milli"))
+    // the exact per-query key — the run-level median_ratio_milli field
+    // is always present and is not a division over a query baseline
+    assert(!json.contains("\"ratio_milli\""))
   }
 
   test("readBaseline parses the committed bench_baseline.json shape") {
