@@ -43,6 +43,11 @@ object Bench {
     * is never washed out by benching a disjoint subset. Only a query
     * measured in BOTH runs can confirm as `regressed`.
     */
+  /** Suspect-list sentinel for the fleet-median warning — double
+    * underscores keep it outside every legal query name.
+    */
+  private[graft] val FleetSentinel = "__fleet_median__"
+
   private[graft] def trendJson(cur: Seq[(String, Double)],
       base: Map[String, Double], priorSuspects: Set[String] = Set.empty,
       sf: String = "", thresholdMilli: Long = 1500L): String = {
@@ -77,9 +82,27 @@ object Bench {
     val suspectNames = rows.collect {
       case (n, _, Some(m)) if m >= effThreshold => n
     }
+    // The fleet-relative threshold's blind spot: a UNIFORM real
+    // regression (a global config / Spark-version change slowing every
+    // query ~1.8×) raises the median and flags nothing. Surface it: a
+    // full run whose MEDIAN itself breaches the absolute threshold is
+    // fleet-suspect, and two consecutive fleet-suspect full runs
+    // confirm as `fleet_regressed` — the same two-run discipline as
+    // per-query suspects, carried between runs via the `fleet_suspect`
+    // field ([[readPriorSuspects]] surfaces it as [[FleetSentinel]] in
+    // the prior set; the suspects array itself stays per-query). A
+    // quiet full run clears the flag; a subset run carries the prior
+    // verdict unchanged (it says nothing about the fleet).
+    val fullRun = millis.size >= 30
+    val fleetSuspect =
+      if (fullRun) medianMilli >= thresholdMilli
+      else priorSuspects(FleetSentinel)
+    val fleetRegressed = fullRun && medianMilli >= thresholdMilli &&
+      priorSuspects(FleetSentinel)
     // carry unmeasured queries' standing evidence; a measured query's
     // suspicion is exactly this run's verdict
-    val persisted = (suspectNames ++ (priorSuspects -- measured)).sorted
+    val persisted =
+      (suspectNames ++ (priorSuspects - FleetSentinel -- measured)).sorted
     val suspects = persisted.map("\"" + _ + "\"")
     val regressed = suspectNames.filter(priorSuspects)
       .map("\"" + _ + "\"")
@@ -91,6 +114,8 @@ object Bench {
     s"""{"threshold_milli":$thresholdMilli,"sf":"$sf",""" +
       s""""median_ratio_milli":$medianMilli,""" +
       s""""threshold_eff_milli":$effThreshold,""" +
+      s""""fleet_suspect":$fleetSuspect,""" +
+      s""""fleet_regressed":$fleetRegressed,""" +
       s""""regressed":${regressed.mkString("[", ",", "]")},""" +
       s""""suspects":${suspects.mkString("[", ",", "]")},""" +
       s""""improved":${improved.mkString("[", ",", "]")},""" +
@@ -115,11 +140,15 @@ object Bench {
       if (!priorSf.contains(sf)) Set.empty
       else {
         val re = "\"suspects\"\\s*:\\s*\\[([^\\]]*)\\]".r
-        re.findFirstMatchIn(text).map(m =>
+        val perQuery = re.findFirstMatchIn(text).map(m =>
           // same [^"]* name shape the sf parse uses — any legal query
           // name round-trips, none silently drop
           "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
-            .map(_.group(1)).toSet).getOrElse(Set.empty)
+            .map(_.group(1)).toSet).getOrElse(Set.empty[String])
+        // the standing fleet-median verdict rides along as a sentinel
+        // (double underscores keep it outside every legal query name)
+        if (text.contains("\"fleet_suspect\":true")) perQuery + FleetSentinel
+        else perQuery
       }
     }
 

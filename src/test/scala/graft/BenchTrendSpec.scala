@@ -74,6 +74,40 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.trendJson(fast, base).contains(""""suspects":[]"""))
   }
 
+  test("a uniform fleet-wide slowdown surfaces as fleet_suspect → fleet_regressed") {
+    // the fleet-relative policy's blind spot: a REAL uniform regression
+    // (global config change slowing everything 1.8×) raises the median
+    // and flags no per-query suspect — the fleet fields must catch it
+    val base = (1 to 40).map(i => s"q$i" -> 1.0).toMap
+    val uniform = (1 to 40).map(i => s"q$i" -> 1.8)
+    val p = Files.createTempFile("trend_fleet", ".json")
+    val run1 = Bench.trendJson(uniform, base, sf = "/data/sf0.1")
+    assert(run1.contains(""""fleet_suspect":true"""), run1)
+    assert(run1.contains(""""fleet_regressed":false"""), run1) // one run ≠ proof
+    assert(run1.contains(""""suspects":[]"""), run1)
+    Files.writeString(p, run1)
+    // second consecutive fleet-suspect full run confirms
+    val prior = Bench.readPriorSuspects(p, "/data/sf0.1")
+    assert(prior contains Bench.FleetSentinel)
+    val run2 = Bench.trendJson(uniform, base, priorSuspects = prior,
+      sf = "/data/sf0.1")
+    assert(run2.contains(""""fleet_regressed":true"""), run2)
+    // ...while a quiet full run in between clears the standing flag
+    val quietRun = Bench.trendJson((1 to 40).map(i => s"q$i" -> 1.0), base,
+      priorSuspects = prior, sf = "/data/sf0.1")
+    assert(quietRun.contains(""""fleet_suspect":false"""), quietRun)
+    Files.writeString(p, quietRun)
+    assert(!Bench.readPriorSuspects(p, "/data/sf0.1")
+      .contains(Bench.FleetSentinel))
+    // a dev subset neither confirms nor clears: the prior verdict carries
+    val subset = Bench.trendJson(Seq("q1" -> 1.8), base,
+      priorSuspects = prior, sf = "/data/sf0.1")
+    assert(subset.contains(""""fleet_suspect":true"""), subset)
+    assert(subset.contains(""""fleet_regressed":false"""), subset)
+    // and the sentinel never leaks into the per-query suspects array
+    assert(!subset.contains("__fleet_median__\""), subset)
+  }
+
   test("fleet-relative threshold is OFF for dev subsets (<30 baselined)") {
     // benching only the family you just slowed down must still flag it:
     // a subset's median could be dominated by a real regression
