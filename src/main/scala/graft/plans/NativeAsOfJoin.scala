@@ -182,9 +182,14 @@ case class AsOfJoinExec(
                 else c == 0 && timeOrd.compare(rt, lt) <= 0
               if (c < 0 || within) {
                 val r = rBuf.next()
-                lastKey = rk
-                lastTime = rt
-                lastRow = r.copy() // unsafe iterators reuse row objects
+                if (!fwd) {
+                  // backward carries the last consumed row; the forward
+                  // candidate is always the UNCONSUMED cursor head, so
+                  // carrying (and copying) here would be pure waste
+                  lastKey = rk
+                  lastTime = rt
+                  lastRow = r.copy() // unsafe iterators reuse row objects
+                }
               } else {
                 headKey = rk
                 headTime = rt
@@ -261,6 +266,18 @@ object NativeAsOf {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    timeBound.foreach { tb =>
+      val b = attr(lPlan, tb)
+      val rt = attr(rPlan, rightTime)
+      // fail misuse at construction with a clear message — a mismatched
+      // bound type otherwise dies as a ClassCastException inside the
+      // interpreted ordering at execution time (the Catalyst rewrite
+      // path already checks b.dataType == rt.dataType; mirror it here)
+      require(b.dataType == rt.dataType,
+        s"timeBound column $tb has type ${b.dataType}, but the right " +
+          s"time column $rightTime has type ${rt.dataType}; the bound " +
+          "must be pre-cast to the right time's type")
+    }
     val node = AsOfJoinNode(lPlan, rPlan,
       AsOfJoinNode.structKey(keys.map(attr(lPlan, _))),
       AsOfJoinNode.structKey(keys.map(attr(rPlan, _))),

@@ -293,6 +293,30 @@ class AsOfRewriteSpec extends SparkSpec {
       .contains("AsOfJoin"))
   }
 
+  test("nearest direction stays stock (both exact-match variants)") {
+    // merge_asof(direction='nearest') builds asOfCond = true (or
+    // Not(l.t = r.t) when allow_exact_matches=False) and the two-sided
+    // If ordering — its equidistant tie is implementation-arbitrary in
+    // the stock expansion, so the rule must never claim the shape
+    import org.apache.spark.sql.catalyst.expressions.{If, Not}
+    def nearestOrd(lt: Expression, rt: Expression): Expression =
+      If(GreaterThan(lt, rt), Subtract(lt, rt), Subtract(rt, lt))
+    val exact = asOfNode(left, right, LeftOuter,
+      asOfCondOf = Some((_, _) => Literal.TrueLiteral),
+      ordOf = Some(nearestOrd))
+    assert(!exact.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val strict = asOfNode(left, right, LeftOuter,
+      asOfCondOf = Some((lt, rt) => Not(EqualTo(lt, rt))),
+      ordOf = Some(nearestOrd))
+    assert(!strict.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // and the stock path still computes nearest correctly: t=5 is
+    // nearer to r8 (3) than to nothing prior — nearest picks r8
+    val rows = exact.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rv").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(rows.contains((1L, 5L, Some("r8"))))
+  }
+
   test("forward randomized parity with a first-principles reference") {
     val rnd = new scala.util.Random(23)
     val l = Seq.tabulate(400)(i =>
