@@ -208,20 +208,24 @@ object Y4MFrameDecoder {
 
 /** The deployment seam, one level up from
   * [[FfmpegFrameDecoder.orSynthetic]]: dispatch per FILE by content
-  * magic, not by classpath alone — y4m streams decode on the pure-JVM
-  * path everywhere (extensions lie; ffmpeg also sniffs content), and
-  * everything else takes the best decoder this JVM offers (JavaCV when
-  * present, deterministic synthetic otherwise).
+  * magic, not by classpath alone — y4m streams (raw planar) and MJPEG
+  * AVIs (compressed, decoded by the JVM's own JPEG reader) take the
+  * pure-JVM paths everywhere (extensions lie; ffmpeg also sniffs
+  * content), and everything else takes the best decoder this JVM
+  * offers (JavaCV when present, deterministic synthetic otherwise).
   */
 final class AutoFrameDecoder(
     fallback: FrameDecoder = FfmpegFrameDecoder.orSynthetic())
     extends FrameDecoder {
 
   private val y4m = new Y4MFrameDecoder
+  private val avi = new AviMjpegFrameDecoder
 
   private def route(filename: String, content: Array[Byte]): FrameDecoder =
     if (Y4MFrameDecoder.sniff(content) ||
       (content == null && filename.endsWith(".y4m"))) y4m
+    else if (AviMjpegFrameDecoder.sniff(content) ||
+      (content == null && filename.endsWith(".avi"))) avi
     else fallback
 
   override def decode(filename: String, content: Array[Byte],
