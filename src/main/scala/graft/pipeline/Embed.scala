@@ -31,6 +31,14 @@ trait Embedder extends Serializable {
 
   /** Embed one batch of equally-shaped images. */
   def embed(images: Seq[Array[Float]]): Seq[Array[Float]]
+
+  /** Shape-aware variant: [[Embed.run]] batches per (dataset, height,
+    * width), so the batch's geometry is always known — geometry-aware
+    * models (conv stems, [[ConvEmbedder]]) override THIS; shape-blind
+    * embedders inherit the delegation and notice nothing.
+    */
+  def embed(images: Seq[Array[Float]], height: Int,
+      width: Int): Seq[Array[Float]] = embed(images)
 }
 
 /** Deterministic stub standing in for Inception-V3 (no ML runtime in this
@@ -185,7 +193,7 @@ object Embed {
       def flush(key: (String, Int, Int)): Iterator[EmbeddedFrame] =
         buffers.remove(key) match {
           case Some(rows) =>
-            val logits = e.embed(rows.map(_.image).toSeq)
+            val logits = e.embed(rows.map(_.image).toSeq, key._2, key._3)
             rows.iterator.zip(logits.iterator).map { case (r, l) =>
               EmbeddedFrame(r.filename, r.label, r.dataset, r.timestamp_ms,
                 r.frame_per_sec, r.frame_total, l)
