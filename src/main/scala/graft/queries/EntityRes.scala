@@ -85,19 +85,91 @@ object EntityRes {
     * (measured 15 s at sf0.1 — quadratic in disguise); the two-digit
     * key is 10× more selective, and production blocking picks keys so
     * |block| stays O(1) in corpus size (then Σ|block|² is linear).
+    *
+    * Digit-suffix assumption, made SAFE rather than assumed: the
+    * fixture's names all end in digits (`Customer#000000042` and its
+    * variants), but [[graft.streaming.StreamingEntityRes]] feeds
+    * arbitrary batch records through this same function. A plain CAST
+    * of a non-numeric suffix yields null under Spark's non-ANSI cast
+    * but RAISES in DuckDB — divergent engines outside the fixture — so
+    * both sides use TRY_CAST folded to a −1 sentinel: every digitless
+    * record in a nation lands in one well-defined fallback block
+    * (nation·100 − 1) instead of an unblockable null, and the two
+    * engines agree on every input.
     */
   private[graft] def keyed(recs: DataFrame): DataFrame =
     recs
       .withColumn("norm", expr("replace(lower(name), '#', '')"))
       .withColumn("bk", col("c_nationkey").cast("long") * 100 +
-        expr("CAST(substring(norm, length(norm) - 1, 2) AS BIGINT)"))
+        expr("coalesce(TRY_CAST(substring(norm, length(norm) - 1, 2)" +
+          " AS BIGINT), -1)"))
 
   private def keyedSql: String = """
     keyed AS (
       SELECT *, replace(lower(name), '#', '') AS norm,
              c_nationkey * 100 +
-               CAST(substr(norm, length(norm) - 1, 2) AS BIGINT) AS bk
+               coalesce(TRY_CAST(substr(norm, length(norm) - 1, 2)
+                 AS BIGINT), -1) AS bk
       FROM recs)"""
+
+  /** Hot-block pair cap: records kept per blocking key before the
+    * scorer sees them, and the salt fan-out bounding the final
+    * per-block window at Cap×Salt rows (the dd_domain_cap discipline).
+    * 4 truncates real fixture blocks (variants cluster 3+ per customer,
+    * collisions push past 4), so the cap is exercised by the oracle
+    * gate, not just the planted-hot-block spec.
+    */
+  private[graft] val BlockCap = 4
+  private[graft] val BlockCapSalt = 8
+
+  /** [[keyed]] with each block capped at `cap` records — the hot-block
+    * safety valve [[scoredPairsOf]] itself deliberately lacks: a
+    * pathological key collecting a data-sized block (one default city
+    * field, an empty-string name) would otherwise go quadratic no
+    * matter how selective the OTHER keys are. Survivors are chosen by
+    * a salted-md5 order (unbiased — block position, not record
+    * content, decides nothing) with rec_id as the total-order tie
+    * break, so both engines and every rerun keep the same records.
+    * Two-phase ranking bounds the final window at Cap×Salt rows per
+    * block (the per-(block, salt) pre-rank keeps a superset of the
+    * final top-Cap — top-k distributes over any partition of the
+    * input); the DuckDB mirror needs only the single logical window.
+    * Capped-OUT records simply generate no pairs (they surface as
+    * singletons downstream) — and the truncation is never silent:
+    * er_blocking carries the capped-economics columns, and
+    * er_pairs_capped gates this exact lineage.
+    */
+  private[graft] def cappedKeyed(k: DataFrame,
+      cap: Int = BlockCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr("CAST(conv(substring(md5(concat('ercap', " +
+      "CAST(rec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val order = Seq(h.asc, col("rec_id").asc)
+    val pre = Window.partitionBy(col("bk"),
+      pmod(col("rec_id"), lit(BlockCapSalt))).orderBy(order: _*)
+    val fin = Window.partitionBy(col("bk")).orderBy(order: _*)
+    k.withColumn("pre_rk", row_number().over(pre))
+      .filter(col("pre_rk") <= cap)
+      .withColumn("cap_rk", row_number().over(fin))
+      .filter(col("cap_rk") <= cap)
+      .drop("pre_rk", "cap_rk")
+  }
+
+  /** DuckDB mirror of [[cappedKeyed]] as a `ckeyed` CTE (single
+    * window — the salted pre-pass is result-invisible).
+    */
+  private def cappedKeyedSql(cap: Int = BlockCap): String = s"""
+    ckeyed AS (
+      SELECT rec_id, c_custkey, c_nationkey, c_acctbal, src, name, seg,
+             norm, bk
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY bk
+                 ORDER BY CAST('0x' || substr(md5('ercap' ||
+                   CAST(rec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   rec_id) AS cap_rk
+        FROM keyed)
+      WHERE cap_rk <= $cap)"""
 
   /** In-block candidate pairs with the pairwise feature vector:
     * levenshtein over normalized names (computed ONLY inside blocks),
@@ -154,8 +226,14 @@ object EntityRes {
     $recordsSql,
     $keyedSql,
     pairs AS (
+      -- LEAST(…, 3) mirrors Spark's THRESHOLDED levenshtein exactly:
+      -- the Spark side maps every past-threshold distance to 3, so the
+      -- mirror must too — value-identical pairs cross-engine, not mere
+      -- agreement-after-the-≤2-filter (a future consumer reading raw
+      -- name_dist would otherwise silently diverge)
       SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
-             CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS name_dist,
+             LEAST(CAST(levenshtein(a.norm, b.norm) AS BIGINT), 3)
+               AS name_dist,
              CAST(a.seg IS NOT DISTINCT FROM b.seg AS BIGINT) AS seg_agree,
              CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT) AS is_match
       FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id)"""
@@ -176,12 +254,57 @@ object EntityRes {
         .select(col("bk"), col("n_records"),
           // div, not `/`: Column./ on longs is IEEE double division —
           // the integer quotient is what DuckDB's // yields
-          expr("(n_records * (n_records - 1)) div 2").as("n_pairs")),
+          expr("(n_records * (n_records - 1)) div 2").as("n_pairs"),
+          // the hot-block cap's economics, IN the card (truncation is
+          // never silent): records/pairs the BlockCap-capped scorer
+          // actually pays for, and the pairs the cap drops. Pure
+          // arithmetic off n_records — the capped LINEAGE itself is
+          // gated by er_pairs_capped
+          least(col("n_records"), lit(BlockCap.toLong)).as("n_capped"),
+          expr(s"(least(n_records, $BlockCap) * " +
+            s"(least(n_records, $BlockCap) - 1)) div 2")
+            .as("n_pairs_capped"),
+          expr(s"(n_records * (n_records - 1)) div 2 - " +
+            s"(least(n_records, $BlockCap) * " +
+            s"(least(n_records, $BlockCap) - 1)) div 2")
+            .as("n_pairs_dropped")),
       Some(s"""
         WITH $recordsSql, $keyedSql
         SELECT bk, count(*) AS n_records,
-               count(*) * (count(*) - 1) // 2 AS n_pairs
+               count(*) * (count(*) - 1) // 2 AS n_pairs,
+               LEAST(count(*), $BlockCap) AS n_capped,
+               LEAST(count(*), $BlockCap) *
+                 (LEAST(count(*), $BlockCap) - 1) // 2 AS n_pairs_capped,
+               count(*) * (count(*) - 1) // 2 -
+                 LEAST(count(*), $BlockCap) *
+                 (LEAST(count(*), $BlockCap) - 1) // 2 AS n_pairs_dropped
         FROM keyed GROUP BY bk""")),
+
+    // ---- capped scored pairs (the hot-block safety valve) -------------------
+    // The SAME blocked scorer over the BlockCap-capped blocks — the
+    // lineage a 100 TB run uses when key selectivity cannot be trusted
+    // (a default-value field, an empty name): per-block candidate work
+    // is bounded at Cap(Cap−1)/2 regardless of how hot a key gets,
+    // records past the cap surface as singletons rather than melting an
+    // executor. Blocks already under the cap score IDENTICALLY to
+    // er_pairs (ErCapSpec proves that recall contract plus the bound on
+    // a planted 2k-record hot block).
+    Q("er_pairs_capped",
+      (s, dir) => scoredPairsOf(cappedKeyed(keyed(records(s, dir))))
+        .filter(col("name_dist") <= 2),
+      Some(s"""
+        WITH $recordsSql, $keyedSql, ${cappedKeyedSql()},
+        pairs AS (
+          SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 LEAST(CAST(levenshtein(a.norm, b.norm) AS BIGINT), 3)
+                   AS name_dist,
+                 CAST(a.seg IS NOT DISTINCT FROM b.seg AS BIGINT)
+                   AS seg_agree,
+                 CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT)
+                   AS is_match
+          FROM ckeyed a JOIN ckeyed b
+            ON a.bk = b.bk AND a.rec_id < b.rec_id)
+        SELECT * FROM pairs WHERE name_dist <= 2""")),
 
     // ---- scored candidate pairs --------------------------------------------
     // The pairwise comparison vector (Fellegi–Sunter's gamma), restricted
