@@ -36,6 +36,14 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
 
   import ExampleCodec._
 
+  // Decode-side projection: only features named in the schema are ever
+  // MATERIALIZED (key parsed, value bytes skipped in place for everyone
+  // else) — the codec built over Spark's pruned requiredSchema reads a
+  // 2048-float logits list as a varint length + skip when the query
+  // only asked for `filename`. The byte counter is the proof hook
+  // TFRecordFormatSpec asserts on.
+  private val wanted: Set[String] = schema.fieldNames.toSet
+
   @transient private lazy val warned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -213,8 +221,9 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
         while (features.hasNext) {
           val (f2, w2) = features.readTag()
           if (f2 == 1 && w2 == 2) {
-            val (k, v) = readMapEntry(features.readDelimited())
-            context += (k -> v)
+            readMapEntry(features.readDelimited()).foreach { case (k, v) =>
+              context += (k -> v)
+            }
           } else features.skip(w2)
         }
       } else if (field == 2 && wt == 2 && sequenceMode) { // feature_lists
@@ -222,15 +231,16 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
         while (flMap.hasNext) {
           val (f2, w2) = flMap.readTag()
           if (f2 == 1 && w2 == 2) {
-            val (k, flBytes) = readMapEntry(flMap.readDelimited())
-            val fl = new Reader(flBytes)
-            var features = Vector.empty[Array[Byte]]
-            while (fl.hasNext) {
-              val (f3, w3) = fl.readTag()
-              if (f3 == 1 && w3 == 2) features :+= fl.readDelimitedBytes()
-              else fl.skip(w3)
+            readMapEntry(flMap.readDelimited()).foreach { case (k, flBytes) =>
+              val fl = new Reader(flBytes)
+              var features = Vector.empty[Array[Byte]]
+              while (fl.hasNext) {
+                val (f3, w3) = fl.readTag()
+                if (f3 == 1 && w3 == 2) features :+= fl.readDelimitedBytes()
+                else fl.skip(w3)
+              }
+              lists += (k -> features)
             }
-            lists += (k -> features)
           } else flMap.skip(w2)
         }
       } else top.skip(wt)
@@ -238,16 +248,36 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
     (context, lists)
   }
 
-  private def readMapEntry(entry: Reader): (String, Array[Byte]) = {
-    var key = ""
-    var value = Array.empty[Byte]
+  /** One map entry, PROJECTION-AWARE: the key always parses; the value
+    * bytes are copied (and counted) only when the key is in the codec's
+    * schema — a non-requested feature costs one varint read + an
+    * in-place skip, never an allocation. Protobuf permits any field
+    * order, so a value seen BEFORE its key (foreign writers; ours and
+    * TF's emit key-first) is materialized defensively and dropped
+    * post-loop if the key turns out unwanted — correct for every
+    * layout, allocation-free for the common one.
+    */
+  private def readMapEntry(entry: Reader): Option[(String, Array[Byte])] = {
+    var key: String = null
+    var value: Array[Byte] = null
     while (entry.hasNext) {
       val (f, w) = entry.readTag()
-      if (f == 1 && w == 2) key = new String(entry.readDelimitedBytes(), "UTF-8")
-      else if (f == 2 && w == 2) value = entry.readDelimitedBytes()
-      else entry.skip(w)
+      if (f == 1 && w == 2)
+        key = new String(entry.readDelimitedBytes(), "UTF-8")
+      else if (f == 2 && w == 2) {
+        if (key != null && !wanted(key))
+          ExampleCodec.bytesSkipped.add(entry.skipDelimited().toLong)
+        else value = entry.readDelimitedBytes()
+      } else entry.skip(w)
     }
-    (key, value)
+    if (key != null && wanted(key)) {
+      val v = if (value != null) value else Array.empty[Byte]
+      ExampleCodec.bytesMaterialized.add(v.length.toLong)
+      Some(key -> v)
+    } else {
+      if (value != null) ExampleCodec.bytesSkipped.add(value.length.toLong)
+      None
+    }
   }
 
   /** All values of one Feature, converted to Catalyst `dt` values. */
@@ -315,6 +345,16 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
 }
 
 object ExampleCodec {
+
+  /** Decode-side byte accounting (per-JVM, test-visible): value bytes
+    * copied into rows vs value bytes SKIPPED in place because the
+    * feature key was not in the decode schema. TFRecordFormatSpec reads
+    * the deltas to prove a pruned read never materializes non-requested
+    * columns; production cost: two LongAdder.add calls per feature.
+    */
+  val bytesMaterialized = new java.util.concurrent.atomic.LongAdder
+  val bytesSkipped = new java.util.concurrent.atomic.LongAdder
+
   private def floatFeature(vs: Array[Float]): Writer = {
     val list = new Writer
     list.writePackedFloats(1, vs)

@@ -135,6 +135,17 @@ object ProtoWire {
       v.toLong & 0xffffffffL
     }
 
+    /** Skips one length-delimited field body in place, returning the
+      * skipped length — the projection-aware codec's byte-budget
+      * accounting hook (a skip is free; the caller wants to PROVE it).
+      */
+    def skipDelimited(): Int = {
+      val len = readVarint().toInt
+      require(len)
+      pos += len
+      len
+    }
+
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => require(8); pos += 8

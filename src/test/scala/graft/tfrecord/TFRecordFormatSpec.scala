@@ -57,6 +57,57 @@ class TFRecordFormatSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq === Seq("a.mp4", "b.mp4", "c.mp4"))
   }
 
+  test("pruned reads skip non-requested feature bytes at the wire level") {
+    // the retrain-loop contract: TFRecord as a first-class SOURCE means
+    // a narrow projection over wide records (2048-float logits) must
+    // not pay to decode the floats it never asked for. Plant records
+    // whose logits dwarf the filename, read only the filename, and
+    // assert (a) identical rows to the full read's projection and
+    // (b) the wide column's bytes were SKIPPED, not materialized.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tfrec_prune").toString
+    val wide = Seq.tabulate(20)(i =>
+      (s"v$i.mp4", "train", Seq(0L), Seq(Seq.fill(2048)(i.toFloat))))
+      .toDF("filename", "dataset", "timestamp_ms", "logits")
+    TFRecords.write(wide, dir, numShards = 1)
+    val full = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("timestamp_ms", ArrayType(LongType)),
+      StructField("logits", ArrayType(ArrayType(FloatType)))))
+    def counters() = (ExampleCodec.bytesMaterialized.sum(),
+      ExampleCodec.bytesSkipped.sum())
+
+    val (m0, s0) = counters()
+    val pruned = TFRecords.read(spark, dir, full)
+      .select("filename").collect().map(_.getString(0)).sorted
+    val (m1, s1) = counters()
+    assert(pruned.toSeq === Seq.tabulate(20)(i => s"v$i.mp4").sorted)
+    // explain names only the requested column in ReadSchema
+    val plan = TFRecords.read(spark, dir, full).select("filename")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("logits"), plan)
+    // byte budget: each record carries 2048 floats ≈ 8 KB of logits; the
+    // pruned read must materialize well under one record's logits TOTAL
+    // while skipping ≈ all of them
+    val matPruned = m1 - m0
+    val skipped = s1 - s0
+    assert(matPruned < 8 * 1024,
+      s"pruned read materialized $matPruned bytes — logits leaked")
+    assert(skipped > 20L * 2048 * 4,
+      s"only $skipped bytes skipped — the wide column was not walked past")
+
+    // and a query that DOES touch the wide column still materializes it
+    // (pruning is projection-driven, not a lossy shortcut), identically
+    val (m2, _) = counters()
+    val fullRows = TFRecords.read(spark, dir, full)
+      .selectExpr("filename", "size(logits) AS nf").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted
+    val (m3, _) = counters()
+    assert(fullRows.map(_._1).toSeq === pruned.toSeq)
+    assert(fullRows.forall(_._2 === 1)) // one feature-list entry per row
+    assert(m3 - m2 > 20L * 2048 * 4) // touching logits pays full freight
+  }
+
   test("written shards are valid TFRecord files at the byte level") {
     val dir = Files.createTempDirectory("tfrec").toString
     TFRecords.write(sampleDf, dir, numShards = 1)
