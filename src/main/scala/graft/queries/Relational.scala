@@ -1090,6 +1090,155 @@ object Relational {
                abs((d.n_obs * 1000) // t.n_total - bf.pm) AS dev_pm
         FROM digs d CROSS JOIN tot t JOIN bf ON bf.digit = d.digit""")),
 
+    // ---- ε-differentially-private histogram (seeded, deterministic) --------
+    // The release shape for sharing aggregate statistics about a
+    // training corpus: per-type event counts + Laplace(b = 1/ε) noise,
+    // ε = 0.5. Real DP draws fresh randomness; a HASH-GATED pipeline
+    // needs the noise DETERMINISTIC and cross-engine, so the uniform
+    // draw is the salted-md5 numeric prefix (the house sampling rule: a
+    // keyed, replayable pseudo-draw — the seeded-noise discipline of
+    // reproducible-DP releases) pushed through the exact Laplace
+    // inverse CDF x = −b·sign(u−½)·ln(1−2|u−½|). Everything stays
+    // integer-exact: h ∈ [0, 2⁶⁰) from 15 hex digits, the centered
+    // magnitude m = max(2⁵⁹ − |h − 2⁵⁹|, 1) is an exact BIGINT, ln runs
+    // ONCE over that integer and micro-quantizes at source (the
+    // txt_bm25/q28 rule), ln(2⁵⁹)·10⁶ is the literal 40895684. One
+    // combinable aggregate; |types| rows.
+    Q("dq_dp_hist",
+      (s, dir) => {
+        val two59 = 576460752303423488L
+        Tables.events(s, dir)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .withColumn("h", expr("CAST(conv(substring(md5(concat(" +
+            "'dpseed', event_type)), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("d", col("h") - lit(two59))
+          .withColumn("m", greatest(lit(two59) - abs(col("d")), lit(1L)))
+          .withColumn("noise_micro",
+            when(col("d") < 0, lit(-1L)).otherwise(lit(1L)) * lit(2L) *
+              (lit(40895684L) -
+                expr("CAST(round(ln(m) * 1000000) AS BIGINT)")))
+          .select(col("event_type"), col("n"),
+            lit(500000L).as("epsilon_micro"), col("noise_micro"),
+            (col("n") * lit(1000000L) + col("noise_micro"))
+              .as("dp_n_micro"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        hn AS (
+          SELECT event_type, n,
+                 CAST('0x' || substr(md5('dpseed' || event_type), 1, 15)
+                   AS BIGINT) - 576460752303423488 AS d
+          FROM g),
+        nz AS (
+          SELECT event_type, n, d,
+                 GREATEST(576460752303423488 - abs(d), 1) AS m
+          FROM hn)
+        SELECT event_type, n, CAST(500000 AS BIGINT) AS epsilon_micro,
+               (CASE WHEN d < 0 THEN -1 ELSE 1 END) * 2 *
+                 (40895684 - CAST(round(ln(m) * 1000000) AS BIGINT))
+                 AS noise_micro,
+               n * 1000000 +
+                 (CASE WHEN d < 0 THEN -1 ELSE 1 END) * 2 *
+                 (40895684 - CAST(round(ln(m) * 1000000) AS BIGINT))
+                 AS dp_n_micro
+        FROM nz""")),
+
+    // ---- freshness SLA card --------------------------------------------------
+    // Per event type: volume, last-seen time, and the lag behind the
+    // corpus frontier — the staleness screen a scheduled ingest runs
+    // before training on "yesterday's" data (a type whose feed died
+    // shows up as a growing lag long before a row-count alarm fires).
+    // Exact epoch-ms integers on both engines (unix_millis ↔ epoch_ms,
+    // the ev_* precedent); one combinable aggregate + the 1-row
+    // frontier cross (the allowlisted dq card shape).
+    Q("dq_freshness",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val byType = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            max(unix_millis(col("ts"))).as("last_ms"))
+        val frontier = e.agg(max(unix_millis(col("ts")))
+          .as("corpus_last_ms"))
+        byType.crossJoin(broadcast(frontier))
+          .select(col("event_type"), col("n"), col("last_ms"),
+            (col("corpus_last_ms") - col("last_ms")).as("lag_ms"),
+            (col("corpus_last_ms") - col("last_ms") > 86400000L)
+              .cast("long").as("stale_1d"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type, count(*) AS n, max(epoch_ms(ts)) AS last_ms
+          FROM events GROUP BY 1),
+        f AS (SELECT max(epoch_ms(ts)) AS corpus_last_ms FROM events)
+        SELECT event_type, n, last_ms,
+               corpus_last_ms - last_ms AS lag_ms,
+               CAST(corpus_last_ms - last_ms > 86400000 AS BIGINT)
+                 AS stale_1d
+        FROM t CROSS JOIN f""")),
+
+    // ---- completeness card ---------------------------------------------------
+    // Null/blank rates per column over the documents table — the
+    // field-level twin of dq_expectations' row-level gate (a corpus can
+    // pass every row predicate while a source quietly ships empty lang
+    // tags). ONE pass computes every column's null count (and the
+    // trimmed-blank count for text); the per-column rows unfold from
+    // the 1-row aggregate via a 4-element explode — |columns| output
+    // rows, nothing row-sized after the scan.
+    Q("dq_completeness",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val agg = d.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("text").isNull.cast("long")).as("null_text"),
+          sum((col("text").isNotNull && trim(col("text")) === "")
+            .cast("long")).as("blank_text"),
+          sum(col("lang").isNull.cast("long")).as("null_lang"),
+          sum(col("source").isNull.cast("long")).as("null_source"),
+          sum(col("n_chars").isNull.cast("long")).as("null_n_chars"))
+        agg.select(col("n_rows"), explode(array(
+            struct(lit("text").as("column_name"),
+              col("null_text").as("n_null"),
+              col("blank_text").as("n_blank")),
+            struct(lit("lang").as("column_name"),
+              col("null_lang").as("n_null"), lit(0L).as("n_blank")),
+            struct(lit("source").as("column_name"),
+              col("null_source").as("n_null"), lit(0L).as("n_blank")),
+            struct(lit("n_chars").as("column_name"),
+              col("null_n_chars").as("n_null"), lit(0L).as("n_blank"))))
+            .as("c"))
+          .select(col("c.column_name").as("column_name"), col("n_rows"),
+            col("c.n_null").as("n_null"), col("c.n_blank").as("n_blank"),
+            expr("((n_rows - c.n_null - c.n_blank) * 1000) div n_rows")
+              .as("complete_pm"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT count(*) AS n_rows,
+            CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS null_text,
+            CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) = ''
+              THEN 1 ELSE 0 END) AS BIGINT) AS blank_text,
+            CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS null_lang,
+            CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_source,
+            CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_n_chars
+          FROM documents)
+        SELECT column_name, n_rows, n_null, n_blank,
+               ((n_rows - n_null - n_blank) * 1000) // n_rows
+                 AS complete_pm
+        FROM (
+          SELECT 'text' AS column_name, n_rows, null_text AS n_null,
+                 blank_text AS n_blank FROM a
+          UNION ALL SELECT 'lang', n_rows, null_lang,
+                 CAST(0 AS BIGINT) FROM a
+          UNION ALL SELECT 'source', n_rows, null_source,
+                 CAST(0 AS BIGINT) FROM a
+          UNION ALL SELECT 'n_chars', n_rows, null_n_chars,
+                 CAST(0 AS BIGINT) FROM a)""")),
+
     // ---- DDSketch-layout quantiles: log buckets, bounded RELATIVE error ----
     // The third quantile machine, for the regime the others miss:
     // q17/q17b are exact/approx on raw values, q21's equi-width grid

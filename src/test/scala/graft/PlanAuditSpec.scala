@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row digit-total broadcast crossing the ≤9-row digit table
       // (the txt_collocations corpus-total shape)
       "dq_benford",
+      // the 1-row broadcast corpus-frontier timestamp crossing the
+      // |event-types|-row freshness table (the ev_rfm threshold shape)
+      "dq_freshness",
       // the 1-row true-pair total crossing the 3-row threshold curve
       // (er_match's evaluation-cross shape)
       "er_threshold_curve",
