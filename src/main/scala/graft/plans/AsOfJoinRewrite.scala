@@ -4,8 +4,8 @@ import scala.util.Try
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, Attribute, CreateStruct, EqualTo, Expression, GetStructField,
-  GreaterThanOrEqual, IsNotNull, LessThanOrEqual, Subtract, SubtractDates,
-  SubtractTimestamps}
+  GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual,
+  Subtract, SubtractDates, SubtractTimestamps}
 import org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -51,21 +51,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Deliberately conservative, the [[IntervalJoinRewrite]] guard
   * discipline; fires only when
   * - the node is resolved, batch, and joinType is Inner or LeftOuter;
-  * - the as-of condition is INCLUSIVE in either direction — backward
-  *   `l.t >= r.t` (merge_asof's default) or forward `l.t <= r.t`, the
-  *   probe time from the left child — either bare or AND-ed with the
-  *   direction's tolerance bound (backward: `r.t >= l.t - tol`, a
-  *   lower bound; forward: `r.t <= l.t + tol`, an upper bound), whose
-  *   bound side reaches us already coerced (for timestamps,
+  * - the as-of condition is a single time comparison in either
+  *   direction — backward `l.t >= r.t` (merge_asof's default) or
+  *   forward `l.t <= r.t`, the probe time from the left child —
+  *   inclusive or STRICT (`>` / `<`, allow_exact_matches=False; strict
+  *   semantics are exact, unlike nearest, so the merge implements
+  *   them), either bare or AND-ed with the direction's tolerance bound
+  *   (backward: `r.t >= l.t - tol`, a lower bound; forward:
+  *   `r.t <= l.t + tol`, an upper bound; strict probes pair with
+  *   strict bounds — merge_asof emits them together), whose bound side
+  *   reaches us already coerced (for timestamps,
   *   `cast(ts ± interval as timestamp)`) and is carried opaquely into
   *   [[AsOfJoinExec]] as a per-left-row bound (same dataType as `r.t`,
   *   references only the left side). A tolerance assertion must be
   *   constant-foldable to true (merge_asof tolerances are literals; a
   *   non-positive or non-constant one keeps stock, which raises the
-  *   stock error). Nearest and strict (allow_exact_matches=False)
-  *   shapes stay stock — nearest's equidistant tie is implementation-
-  *   arbitrary in the stock expansion, so there is nothing exact to
-  *   replicate;
+  *   stock error). Nearest shapes stay stock — nearest's equidistant
+  *   tie is implementation-arbitrary in the stock expansion, so there
+  *   is nothing exact to replicate;
   * - the order expression is the stock ordering for the direction —
   *   `l.t - r.t` backward, `r.t - l.t` forward — in any of its
   *   analyzer-coerced spellings (`Subtract`, `SubtractTimestamps`,
@@ -111,54 +114,86 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(l: LogicalPlan, r: LogicalPlan, asOfCond: Expression,
       cond: Expression, jt: JoinType, ord: Expression): Option[LogicalPlan] = {
-    // inclusive probe, either direction: backward is l.t >= r.t, forward
-    // l.t <= r.t (each in both comparison spellings — the sides decide
-    // which direction a spelling means), optionally AND-ed with the
-    // tolerance bound (backward: r.t >= l.t - tol, a lower bound;
-    // forward: r.t <= l.t + tol, an upper bound). Bounds are kept
-    // opaque — any left-side expression of r.t's type works as the
-    // exec's per-row bound.
-    def probe(e: Expression): Option[(Expression, Expression, Boolean)] =
+    // the probe, either direction, inclusive OR strict: backward is
+    // l.t >= r.t (merge_asof default) or l.t > r.t
+    // (allow_exact_matches=False); forward is l.t <= r.t or l.t < r.t
+    // (each in both comparison spellings — the sides decide which
+    // direction a spelling means), optionally AND-ed with the tolerance
+    // bound (backward: r.t >= l.t - tol, a lower bound; forward:
+    // r.t <= l.t + tol, an upper — both strict when the probe is).
+    // Bounds are kept opaque — any left-side expression of r.t's type
+    // works as the exec's per-row bound. Probe tuple:
+    // (leftTime, rightTime, forward, strict).
+    def probe(e: Expression)
+        : Option[(Expression, Expression, Boolean, Boolean)] =
       e match {
         case GreaterThanOrEqual(lt, rt)
-            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, false))
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, false, false))
         case LessThanOrEqual(rt, lt)
-            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, false))
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, false, false))
         case LessThanOrEqual(lt, rt)
-            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, true))
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, true, false))
         case GreaterThanOrEqual(rt, lt)
-            if fromOnly(lt, l) && fromOnly(rt, r) => Some((lt, rt, true))
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, true, false))
+        case GreaterThan(lt, rt)
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, false, true))
+        case LessThan(rt, lt)
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, false, true))
+        case LessThan(lt, rt)
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, true, true))
+        case GreaterThan(rt, lt)
+            if fromOnly(lt, l) && fromOnly(rt, r) =>
+          Some((lt, rt, true, true))
         case _ => None
       }
-    // bound conjunct, normalized to (boundExpr, boundIsUpper)
-    def bound(e: Expression): Option[(Expression, Expression, Boolean)] =
+    // bound conjunct → (rightTime, bound, boundIsUpper, boundIsStrict)
+    def bound(e: Expression)
+        : Option[(Expression, Expression, Boolean, Boolean)] =
       e match {
         case GreaterThanOrEqual(rt2, b) if fromOnly(b, l) =>
-          Some((rt2, b, false)) // r.t >= b: lower bound
+          Some((rt2, b, false, false)) // r.t >= b: lower bound
         case LessThanOrEqual(b, rt2) if fromOnly(b, l) =>
-          Some((rt2, b, false))
+          Some((rt2, b, false, false))
         case LessThanOrEqual(rt2, b) if fromOnly(b, l) =>
-          Some((rt2, b, true)) // r.t <= b: upper bound
+          Some((rt2, b, true, false)) // r.t <= b: upper bound
         case GreaterThanOrEqual(b, rt2) if fromOnly(b, l) =>
-          Some((rt2, b, true))
+          Some((rt2, b, true, false))
+        case GreaterThan(rt2, b) if fromOnly(b, l) =>
+          Some((rt2, b, false, true)) // r.t > b: strict lower
+        case LessThan(b, rt2) if fromOnly(b, l) =>
+          Some((rt2, b, false, true))
+        case LessThan(rt2, b) if fromOnly(b, l) =>
+          Some((rt2, b, true, true)) // r.t < b: strict upper
+        case GreaterThan(b, rt2) if fromOnly(b, l) =>
+          Some((rt2, b, true, true))
         case _ => None
       }
-    val shapes: Option[(Expression, Expression, Option[Expression], Boolean)] =
+    val shapes: Option[(Expression, Expression, Option[Expression],
+        Boolean, Boolean)] =
       asOfCond match {
         case And(base, conj) =>
           for {
-            (lt, rt, fwd) <- probe(base)
-            (rt2, b, isUpper) <- bound(conj)
+            (lt, rt, fwd, strict) <- probe(base)
+            (rt2, b, isUpper, bStrict) <- bound(conj)
             // a backward probe pairs with a lower bound, forward with an
-            // upper; a mismatched pair is not a merge_asof shape
-            if isUpper == fwd && rt2.semanticEquals(rt) &&
-              b.dataType == rt.dataType
-          } yield (lt, rt, Some(b), fwd)
-        case other => probe(other).map { case (lt, rt, fwd) =>
-          (lt, rt, None, fwd)
+            // upper, and the bound's strictness follows the probe's
+            // (merge_asof emits them together); a mismatched pair is
+            // not a merge_asof shape
+            if isUpper == fwd && bStrict == strict &&
+              rt2.semanticEquals(rt) && b.dataType == rt.dataType
+          } yield (lt, rt, Some(b), fwd, strict)
+        case other => probe(other).map { case (lt, rt, fwd, strict) =>
+          (lt, rt, None, fwd, strict)
         }
       }
-    shapes.flatMap { case (lt, rt, timeBound, fwd) =>
+    shapes.flatMap { case (lt, rt, timeBound, fwd, strict) =>
       // the `by` condition: one or more cross-side equalities (merge_asof
       // with by=[k1, k2, …] builds their conjunction). Several keys
       // compose into one null-guarded struct (AsOfJoinNode.structKey) —
@@ -201,7 +236,8 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
         }
         if (!typesOk || !ordOk) None
         else {
-          val node = AsOfJoinNode(l, r, lk, rk, lt, rt, timeBound, fwd)
+          val node =
+            AsOfJoinNode(l, r, lk, rk, lt, rt, timeBound, fwd, strict)
           val nearest = Alias(
             MinBy(CreateStruct(r.output.map(a => a: Expression)), ord)
               .toAggregateExpression(), "__nearest_right")()

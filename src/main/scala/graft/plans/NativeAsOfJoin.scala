@@ -62,13 +62,24 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * equidistant prior/following rows the stock expansion's min_by tie
   * choice is implementation-arbitrary, so there is no semantics to be
   * faithful to.
+  *
+  * `strict` is merge_asof's allow_exact_matches=False: ties (`r.t ==
+  * l.t`) never match — backward takes the last row STRICTLY before,
+  * forward the first STRICTLY after, and a tolerance bound compares
+  * strictly too (the stock expansion's strict conjuncts). Unlike
+  * nearest, strict semantics are exact (no arbitrary tie), so the
+  * merge implements them: the consume-through-ties rule just flips
+  * sides — backward-strict stops AT ties like forward does, and
+  * forward-strict consumes THROUGH them like backward does. Still one
+  * O(|L|+|R|) pass.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftTimeBound: Option[Expression] = None,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    strict: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -110,8 +121,9 @@ object AsOfJoinNode {
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, lb, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb, fwd) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, lb, fwd, st) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb, fwd,
+        st) :: Nil
     case _ => Nil
   }
 }
@@ -121,7 +133,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftTimeBound: Option[Expression] = None,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    strict: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -152,6 +165,7 @@ case class AsOfJoinExec(
     val out = output
     val nRight = right.output.size
     val fwd = forward
+    val strictTies = strict
     left.execute().zipPartitions(right.execute(), true) { (lIt, rIt) =>
       val rBuf = rIt.buffered
       val nullRight = new GenericInternalRow(nRight)
@@ -176,10 +190,14 @@ case class AsOfJoinExec(
               val c = keyOrd.compare(rk, lk)
               // backward consumes THROUGH r.t == l.t and carries the last
               // consumed row; forward stops AT r.t >= l.t and leaves the
-              // candidate unconsumed (a later left row may share it)
-              val within =
-                if (fwd) c == 0 && timeOrd.compare(rt, lt) < 0
-                else c == 0 && timeOrd.compare(rt, lt) <= 0
+              // candidate unconsumed (a later left row may share it).
+              // strict mode flips each side's tie handling: backward-
+              // strict stops AT ties (the carry must be strictly before),
+              // forward-strict consumes THROUGH them (the head must be
+              // strictly after) — so consume-through-ties ⇔ fwd == strict
+              val cmpT = if (c == 0) timeOrd.compare(rt, lt) else 0
+              val within = c == 0 &&
+                (if (fwd == strictTies) cmpT <= 0 else cmpT < 0)
               if (c < 0 || within) {
                 val r = rBuf.next()
                 if (!fwd) {
@@ -205,13 +223,15 @@ case class AsOfJoinExec(
           keyOrd.compare(candKey, lk) == 0
         if (matched && lBoundB.isDefined) {
           // tolerance: the candidate must satisfy r.t >= lower bound
-          // (backward) / r.t <= upper bound (forward); a null bound
-          // never matches (stock conjunct comparison semantics)
+          // (backward) / r.t <= upper bound (forward) — both STRICT in
+          // strict mode (the stock expansion's strict conjuncts); a
+          // null bound never matches (conjunct comparison semantics)
           val bound = lBoundB.get.eval(l)
           val cmp = if (bound == null) -1
             else if (fwd) timeOrd.compare(bound, candTime)
             else timeOrd.compare(candTime, bound)
-          matched = bound != null && cmp >= 0
+          matched = bound != null &&
+            (if (strictTies) cmp > 0 else cmp >= 0)
         }
         toUnsafe(joined(l, if (matched) candRow else nullRight))
       }
@@ -237,14 +257,17 @@ object NativeAsOf {
     * bound column still appears in the output's left half (drop it
     * afterwards if unwanted). `forward = true` matches the FIRST right
     * row at-or-after the probe time instead of the last at-or-before.
+    * `strict = true` excludes exact-time ties (merge_asof's
+    * allow_exact_matches=False) and makes the bound comparison strict.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       prefix: String = "r_",
       timeBound: Option[String] = None,
-      forward: Boolean = false): DataFrame =
+      forward: Boolean = false,
+      strict: Boolean = false): DataFrame =
     asOfKeys(left, right, Seq(key), leftTime, rightTime, prefix,
-      timeBound, forward)
+      timeBound, forward, strict)
 
   /** Multi-key `by` (merge_asof's by=[k1, k2, …]): the keys compose
     * into one null-guarded struct ([[AsOfJoinNode.structKey]]), so a
@@ -255,7 +278,8 @@ object NativeAsOf {
       leftTime: String, rightTime: String,
       prefix: String = "r_",
       timeBound: Option[String] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      strict: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     var rPlan = right.queryExecution.analyzed
@@ -282,7 +306,7 @@ object NativeAsOf {
       AsOfJoinNode.structKey(keys.map(attr(lPlan, _))),
       AsOfJoinNode.structKey(keys.map(attr(rPlan, _))),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      timeBound.map(attr(lPlan, _)), forward)
+      timeBound.map(attr(lPlan, _)), forward, strict)
     val joined = GraftBridge.ofRows(spark, node)
     // attribute-based projection (never by-name: both sides may share
     // column names): keep the left side as-is, drop the right keys

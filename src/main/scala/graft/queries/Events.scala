@@ -493,6 +493,45 @@ object Events {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND c.c_ems >= p.ems""")),
 
+    // ---- STRICT as-of (allow_exact_matches=False) ---------------------------
+    // The self-join shape where ties are the BUG: "the last click
+    // strictly before this click" must never match the probe row
+    // itself. merge_asof(allow_exact_matches=False) on the native
+    // merge — strict semantics are exact (no arbitrary tie, unlike
+    // nearest), so the operator implements them: backward-strict stops
+    // consuming AT ties where inclusive consumes through. DuckDB's
+    // ASOF JOIN takes the strict comparison directly, so the oracle is
+    // first-class. Probing clicks against clicks makes every probe
+    // time an exact-match candidate — the fixture exercises strictness
+    // on EVERY row, not just coincidental collisions.
+    Q("ev_asof_strict",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ems").as("c_ems"), col("event_id"))
+          .groupBy(col("user_id"), col("c_ems"))
+          .agg(max(col("event_id")).as("click_id"))
+        val probes = clicks
+          .select(col("user_id"), col("c_ems").as("ems"),
+            col("click_id").as("probe_id"))
+        graft.plans.NativeAsOf
+          .asOf(probes, clicks, "user_id", "ems", "c_ems", strict = true)
+          .select(col("user_id"), col("probe_id"), col("ems"),
+            col("r_c_ems").as("prev_ms"),
+            col("r_click_id").as("prev_id"),
+            (col("ems") - col("r_c_ems")).as("gap_ms"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, epoch_ms(ts) AS c_ems, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+          SELECT user_id, c_ems AS ems, click_id AS probe_id FROM c)
+        SELECT p.user_id, p.probe_id, p.ems, c.c_ems AS prev_ms,
+               c.click_id AS prev_id, p.ems - c.c_ems AS gap_ms
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.c_ems < p.ems""")),
+
     // ---- NEAREST as-of with an EXPLICIT tie rule ---------------------------
     // merge_asof(direction='nearest') stays OFF the native replan because
     // stock's equidistant tie is implementation-arbitrary (min_by over

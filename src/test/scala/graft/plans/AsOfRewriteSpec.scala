@@ -4,7 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{
   Add, And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
-  LessThanOrEqual, Literal, Subtract}
+  LessThan, LessThanOrEqual, Literal, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin, LogicalPlan}
 import org.apache.spark.sql.types.DayTimeIntervalType
@@ -85,17 +85,88 @@ class AsOfRewriteSpec extends SparkSpec {
       (3L, 50L, "d", 49L, "r49")))
   }
 
-  test("guarded shapes stay on the stock expansion") {
-    // strict inequality (allow_exact_matches=False): semantics differ
+  test("strict (allow_exact_matches=False) fires and excludes ties") {
+    // backward strict: t=10 must match rt=8, never the tied rt=10
     val strict = asOfNode(left, right, LeftOuter, exactMatches = false)
-    assert(!strict.queryExecution.executedPlan.toString.contains("AsOfJoin"))
-    // and the stock path still computes the right thing (t=10 now
-    // matches rt=8, not the tied rt=10)
-    val strictRows = strict.toDF("k", "t", "tag", "k2", "rt", "rv")
+    val plan = strict.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val rows = strict.toDF("k", "t", "tag", "k2", "rt", "rv")
       .select("k", "t", "rt")
       .as[(Long, Long, Option[Long])].collect().toSet
-    assert(strictRows.contains((1L, 10L, Some(8L))))
+    assert(rows === Set(
+      (1L, 10L, Some(8L)), // tie excluded: strictly-before r8 wins
+      (1L, 5L, None), (2L, 7L, None),
+      (3L, 50L, Some(49L))))
+    // forward strict: t=10 must match rt=15, never the tied rt=10
+    val fwdStrict = asOfNode(left, right, LeftOuter,
+      asOfCondOf = Some((lt, rt) => LessThan(lt, rt)),
+      ordOf = Some((lt, rt) => Subtract(rt, lt)))
+    assert(fwdStrict.queryExecution.executedPlan.toString
+      .contains("AsOfJoin"))
+    val fRows = fwdStrict.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rt")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(fRows === Set(
+      (1L, 10L, Some(15L)), // tie excluded: strictly-after r15 wins
+      (1L, 5L, Some(8L)), (2L, 7L, None),
+      (3L, 50L, None))) // r49 is before 50
+    // strict tolerance: strict probe pairs with a STRICT bound; with
+    // tolerance 2 the k=1 t=10 match (10-8=2) is excluded (8 > 10-2
+    // is false), while k=3 t=50 keeps r49 (49 > 48)
+    val strictTol = asOfNode(left, right, LeftOuter,
+      exactMatches = false,
+      tolerance = Some(GreaterThanOrEqual(Literal(2L), Literal(0L))),
+      asOfCondOf = Some((lt, rt) => And(GreaterThan(lt, rt),
+        GreaterThan(rt, Subtract(lt, Literal(2L))))))
+    assert(strictTol.queryExecution.executedPlan.toString
+      .contains("AsOfJoin"))
+    val tRows = strictTol.toDF("k", "t", "tag", "k2", "rt", "rv")
+      .select("k", "t", "rv")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(tRows === Set(
+      (1L, 10L, None), (1L, 5L, None), (2L, 7L, None),
+      (3L, 50L, Some("r49"))))
+    // a MIXED pair — strict probe with an inclusive bound — is not a
+    // merge_asof shape and stays stock
+    val mixed = asOfNode(left, right, LeftOuter,
+      exactMatches = false,
+      tolerance = Some(GreaterThanOrEqual(Literal(2L), Literal(0L))),
+      asOfCondOf = Some((lt, rt) => And(GreaterThan(lt, rt),
+        GreaterThanOrEqual(rt, Subtract(lt, Literal(2L))))))
+    assert(!mixed.queryExecution.executedPlan.toString
+      .contains("AsOfJoin"))
+  }
 
+  test("strict randomized parity with a first-principles reference") {
+    val rnd = new scala.util.Random(31)
+    val l = Seq.tabulate(400)(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(120).toLong, i.toLong))
+      .toDF("k", "t", "lid") // small time domain → ties are COMMON
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(120).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val got = asOfNode(l.repartition(7), r.repartition(5), LeftOuter,
+      exactMatches = false)
+      .toDF("k", "t", "lid", "k2", "rt", "rid")
+      .select("k", "t", "lid", "rt")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val rRows = r.as[(Long, Long, Long)].collect()
+    val want = l.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
+      val prior = rRows.filter(x => x._1 == k && x._2 < t) // STRICT
+      if (prior.isEmpty) (k, t, lid, None: Option[Long])
+      else (k, t, lid, Some(prior.map(_._2).max))
+    }.toSet
+    assert(got === want)
+    assert(got.exists(_._4.isDefined))
+    // the fixture genuinely exercised ties: some left time equals some
+    // same-key right time (otherwise strictness proved nothing)
+    val lRows = l.as[(Long, Long, Long)].collect()
+    assert(lRows.exists(lr =>
+      rRows.exists(rr => rr._1 == lr._1 && rr._2 == lr._2)))
+  }
+
+  test("guarded shapes stay on the stock expansion") {
     // tolerance assertion folds to FALSE (negative tolerance): the rule
     // must NOT fire (firing would swallow the error) — the node stays
     // stock and CheckAnalysis raises the stock TOLERANCE_IS_NON_NEGATIVE
