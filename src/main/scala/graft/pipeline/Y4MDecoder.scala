@@ -221,12 +221,29 @@ final class AutoFrameDecoder(
   private val y4m = new Y4MFrameDecoder
   private val avi = new AviMjpegFrameDecoder
 
-  private def route(filename: String, content: Array[Byte]): FrameDecoder =
-    if (Y4MFrameDecoder.sniff(content) ||
-      (content == null && filename.endsWith(".y4m"))) y4m
-    else if (AviMjpegFrameDecoder.sniff(content) ||
-      (content == null && filename.endsWith(".avi"))) avi
+  /** File-path decode (content == null, the DSv2 source's shape) sniffs
+    * the stream head FROM DISK — same magic rules as in-memory content,
+    * so extensions lie harmlessly on both paths. An unreadable path
+    * yields an empty probe and falls through to the fallback (which
+    * owns the error/synthetic decision, as it always has).
+    */
+  private def headBytes(filename: String): Array[Byte] =
+    try {
+      val in = java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(filename.stripPrefix("file:")))
+      try {
+        val b = new Array[Byte](16)
+        val n = in.read(b)
+        if (n <= 0) Array.emptyByteArray else java.util.Arrays.copyOf(b, n)
+      } finally in.close()
+    } catch { case _: Exception => Array.emptyByteArray }
+
+  private def route(filename: String, content: Array[Byte]): FrameDecoder = {
+    val probe = if (content != null) content else headBytes(filename)
+    if (Y4MFrameDecoder.sniff(probe)) y4m
+    else if (AviMjpegFrameDecoder.sniff(probe)) avi
     else fallback
+  }
 
   override def decode(filename: String, content: Array[Byte],
       sampleRateMs: Long): Iterator[DecodedFrame] =

@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 import scala.jdk.CollectionConverters._
 
-import graft.pipeline.{FrameDecoder, SyntheticFrameDecoder}
+import graft.pipeline.FrameDecoder
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,9 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * touches `image` (counting frames, auditing fps, joining metadata)
   * reports a pruned `ReadSchema` and the reader SKIPS pixel decode
   * entirely — at 100 TB that is the difference between a metadata query
-  * and decoding the corpus. Decode stays behind [[FrameDecoder]]
-  * (synthetic here — no codec libs in this container; the real decoder
-  * swaps in without touching this file's planning).
+  * and decoding the corpus. Decode stays behind [[FrameDecoder]] via
+  * [[graft.pipeline.AutoFrameDecoder]]: the reader sniffs each file's
+  * head, so y4m and MJPEG-AVI corpora REAL-decode through this source
+  * with zero native deps, and anything else takes the best decoder
+  * this JVM offers (JavaCV when present, deterministic synthetic in
+  * this offline container).
   *
   * Partition planning: files are listed driver-side (cheap metadata) and
   * round-robined into `spark.default.parallelism` input partitions, so
@@ -239,7 +242,11 @@ final class VideoFrameReader(files: Array[String], sampleRateMs: Long,
     fieldNames: Array[String]) extends PartitionReader[InternalRow] {
 
   private val needImage = fieldNames.contains("image")
-  private val decoder: FrameDecoder = new SyntheticFrameDecoder()
+  // content-magic routing over the FILE head: real y4m / MJPEG-AVI
+  // corpora decode for real through this source (pure JVM); everything
+  // else takes the best decoder this JVM offers (JavaCV when present,
+  // deterministic synthetic otherwise — the offline default)
+  private val decoder: FrameDecoder = new graft.pipeline.AutoFrameDecoder()
   private val frames = files.iterator.flatMap { f =>
     VideoFrameSource.filesDecoded.incrementAndGet()
     val it =

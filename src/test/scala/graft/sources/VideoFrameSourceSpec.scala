@@ -99,6 +99,47 @@ class VideoFrameSourceSpec extends SparkSpec {
     assert(odd === 3)
   }
 
+  test("real y4m and MJPEG-AVI files REAL-decode through the source") {
+    import graft.pipeline.{AviMjpegFrameDecoder, Y4MFrameDecoder}
+    val dir = Files.createTempDirectory("vfsrc_real").toString
+    // a real y4m (75%-red constant frame) under a LYING .mp4 extension,
+    // a real MJPEG-AVI (solid mid-gray), and a fake-content video name
+    val redFrame = {
+      val f = new Array[Byte](2 * 2 + 2 * 1)
+      java.util.Arrays.fill(f, 0, 4, 82.toByte)
+      f(4) = 90.toByte; f(5) = 240.toByte
+      f
+    }
+    Files.write(java.nio.file.Path.of(dir, "red.mp4"),
+      Y4MFrameDecoder.write(2, 2, 2, 1, "420mpeg2", Seq(redFrame)))
+    val gray = Array.fill(4 * 4 * 3)(0.5f)
+    Files.write(java.nio.file.Path.of(dir, "gray.avi"),
+      AviMjpegFrameDecoder.write(4, 4, 2, 1,
+        Seq(AviMjpegFrameDecoder.encodeJpeg(gray, 4, 4))))
+    Files.writeString(java.nio.file.Path.of(dir, "fake.mkv"), "not a video")
+    val rows = spark.read.format("videoframes").load(dir)
+      .select(col("filename"), col("height"), col("width"),
+        element_at(col("image"), 1).as("r0"))
+      .as[(String, Int, Int, Float)].collect()
+      .map(t => (t._1.split('/').last, t._2, t._3, t._4)).sortBy(_._1)
+    // fake content falls back to the synthetic decoder's 8x8 shape;
+    // the real containers carry their REAL dimensions and pixels
+    assert(rows.map(_._1).distinct.toSeq === Seq("fake.mkv", "gray.avi",
+      "red.mp4"))
+    val gray0 = rows.find(_._1 == "gray.avi").get
+    assert(gray0._2 === 4 && gray0._3 === 4)
+    assert(math.abs(gray0._4 - 0.5f) < 3f / 255f) // JPEG round-trip
+    val red0 = rows.find(_._1 == "red.mp4").get
+    assert(red0._2 === 2 && red0._3 === 2)
+    assert(red0._4 === 1.0f) // BT.601 75%-red clamps R to 1 (the golden)
+    assert(rows.find(_._1 == "fake.mkv").get._2 === 8)
+    // and the pruned path still decodes ZERO pixels on real files
+    val before = VideoFrameSource.pixelDecodes.get()
+    spark.read.format("videoframes").load(dir)
+      .select("filename", "height").collect()
+    assert(VideoFrameSource.pixelDecodes.get() === before)
+  }
+
   test("filenamePredicate compiles only exactly-evaluable shapes") {
     import org.apache.spark.sql.sources._
     def p(f: Filter) = VideoFrameSource.filenamePredicate(f)
