@@ -557,6 +557,74 @@ object MultimodalQ {
                CAST((CAST(sum(ham) AS BIGINT) * 1000) // count(*)
                  AS BIGINT) AS mean_ham_milli,
                max(ham) AS max_hamming
-        FROM sc GROUP BY 1"""))
+        FROM sc GROUP BY 1""")),
+
+    // ---- audio features through REAL WAV bytes -------------------------------
+    // The audio rung of the multimodal family: per-document PCM16
+    // waveforms (deterministic integer samples both engines can
+    // generate) round-trip through the REAL RIFF/WAVE container
+    // ([[graft.pipeline.WavCodec]], cross-validated against the JRE's
+    // own WAVE reader) on the Spark side, then the feature card —
+    // sample count, container size, peak amplitude, energy (exact
+    // integer sum of squares; ms_level = mean square, no sqrt so no
+    // transcendental), zero-crossing count (the classic pitch proxy) —
+    // computes from the DECODED samples. The DuckDB oracle computes the
+    // same features from the same generated list WITHOUT the container:
+    // a hash match therefore proves the encode→decode round trip is
+    // bit-exact AND the 44-byte canonical header math (wav_bytes is
+    // measured from real bytes on one side, arithmetic on the other).
+    // The codec pair is the sanctioned UDF exception (binary container
+    // I/O is not SQL); everything else is codegen HOFs. Plan: a pure
+    // NARROW projection — no explode, no window, ZERO exchanges —
+    // feature extraction stays embarrassingly parallel at any scale.
+    Q("mm_audio_features",
+      (s, dir) => {
+        val wavEnc = udf((xs: Seq[Long]) =>
+          graft.pipeline.WavCodec.encode(xs.map(_.toShort).toArray, 8000))
+        val wavDec = udf((b: Array[Byte]) =>
+          graft.pipeline.WavCodec.decode(b)._3.map(_.toLong).toSeq)
+        Tables(s, dir, "documents").select(col("doc_id"))
+          .withColumn("samples", expr(
+            "transform(sequence(0L, 159L), i -> " +
+              "(doc_id * 7919 + i * i * 40503 + i * 131) % 65536 - 32768)"))
+          .withColumn("wav", wavEnc(col("samples")))
+          .withColumn("decoded", wavDec(col("wav")))
+          .select(col("doc_id"),
+            expr("CAST(size(decoded) AS BIGINT)").as("n_samples"),
+            length(col("wav")).cast("long").as("wav_bytes"),
+            expr("array_max(transform(decoded, x -> abs(x)))").as("peak"),
+            expr("aggregate(decoded, 0L, (acc, x) -> acc + x * x)")
+              .as("sum_sq"),
+            expr("aggregate(zip_with(slice(decoded, 1, 159), " +
+              "slice(decoded, 2, 159), " +
+              "(a, b) -> IF((a >= 0) != (b >= 0), 1L, 0L)), " +
+              "0L, (acc, x) -> acc + x)").as("zero_crossings"))
+          .withColumn("ms_level", expr("sum_sq div n_samples"))
+          .select(col("doc_id"), col("n_samples"), col("wav_bytes"),
+            col("peak"), col("sum_sq"), col("ms_level"),
+            col("zero_crossings"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 159), i ->
+                   (doc_id * 7919 + i * i * 40503 + i * 131) % 65536
+                     - 32768) AS l
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CAST(len(l) AS BIGINT) AS n_samples,
+                 CAST(44 + 2 * len(l) AS BIGINT) AS wav_bytes,
+                 CAST(list_max(list_transform(l, x -> abs(x))) AS BIGINT)
+                   AS peak,
+                 CAST(list_sum(list_transform(l, x -> x * x)) AS BIGINT)
+                   AS sum_sq,
+                 CAST(list_sum(list_transform(generate_series(2, 160),
+                   j -> CASE WHEN (l[j-1] >= 0) != (l[j] >= 0)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+          FROM g)
+        SELECT doc_id, n_samples, wav_bytes, peak, sum_sq,
+               sum_sq // n_samples AS ms_level, zero_crossings
+        FROM f"""))
   )
 }
