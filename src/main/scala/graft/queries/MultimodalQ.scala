@@ -625,6 +625,87 @@ object MultimodalQ {
           FROM g)
         SELECT doc_id, n_samples, wav_bytes, peak, sum_sq,
                sum_sq // n_samples AS ms_level, zero_crossings
-        FROM f"""))
+        FROM f""")),
+
+    // ---- audio near-dup: sign-of-delta fingerprint + block buckets ----------
+    // The audio twin of mm_dhash_neardup (Shazam-style robust
+    // fingerprinting, miniaturized): a 60-bit fingerprint whose bit b
+    // compares two anchor samples — a DELTA sign, so it is invariant to
+    // DC offset / constant gain shift, exactly the robustness a
+    // loudness-normalized re-upload needs. Each document contributes
+    // two "recordings": the original and a DC-shifted copy whose BYTES
+    // differ but whose fingerprint is identical — the planted near-dup
+    // the bucket join must find. Same pigeonhole discipline as dhash:
+    // 4×15-bit blocks, hamming ≤ 3 pairs must agree exactly on ≥ 1
+    // block (EXACT recall, not probabilistic), candidate generation
+    // always bucketed. The Spark side fingerprints DECODED samples that
+    // round-tripped through the real WAV container; the oracle
+    // fingerprints the generated list container-free — the
+    // mm_audio_features proof, now load-bearing under a join.
+    Q("mm_audio_neardup",
+      (s, dir) => {
+        val wavEnc = udf((xs: Seq[Long]) =>
+          graft.pipeline.WavCodec.encode(xs.map(_.toShort).toArray, 8000))
+        val wavDec = udf((b: Array[Byte]) =>
+          graft.pipeline.WavCodec.decode(b)._3.map(_.toLong).toSeq)
+        val recs = Tables.sharded(s, dir, "documents")
+          .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
+          .select((col("doc_id") * 2 + col("v")).as("rec_id"),
+            col("doc_id"), col("v"))
+          .withColumn("samples", expr(
+            "transform(sequence(0L, 159L), i -> " +
+              "(doc_id * (i * i * 101 + i * 31 + 7)) % 65000 " +
+              "- 32500 + IF(v = 1, 3L, 0L))"))
+          .withColumn("decoded", wavDec(wavEnc(col("samples"))))
+          .select(col("rec_id"), expr(
+            "aggregate(sequence(0, 59), 0L, (acc, b) -> acc + " +
+              "IF(element_at(decoded, CAST(((b + 1) * 159) div 60 " +
+              "AS INT) + 1) > element_at(decoded, CAST((b * 159) " +
+              "div 60 AS INT) + 1), shiftleft(1L, b), 0L))").as("f"))
+          .materialize() // both sides of the bucket join — one fp pass
+        val blocked = recs.select(col("rec_id"), col("f"),
+            explode(dhashBlockStructs(col("f"))).as("e"))
+          .select(col("rec_id"), col("f"),
+            col("e.blk").as("blk"), col("e.bv").as("bv"))
+        val lhs = blocked.select(col("blk"), col("bv"),
+          col("rec_id").as("rec_a"), col("f").as("f_a"))
+        val rhs = blocked.select(col("blk"), col("bv"),
+          col("rec_id").as("rec_b"), col("f").as("f_b"))
+        lhs.join(rhs, Seq("blk", "bv"))
+          .filter(col("rec_a") < col("rec_b"))
+          .select(col("rec_a"), col("rec_b"),
+            bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
+              .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= DhashMaxHamming)
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT doc_id * 2 + v AS rec_id, doc_id, v
+          FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v)),
+        g AS (
+          SELECT rec_id,
+                 list_transform(generate_series(0, 159), i ->
+                   (doc_id * (i * i * 101 + i * 31 + 7)) % 65000
+                     - 32500 + CASE WHEN v = 1 THEN 3 ELSE 0 END) AS l
+          FROM recs),
+        fp AS (
+          SELECT rec_id,
+                 CAST(list_sum(list_transform(generate_series(0, 59),
+                   b -> CASE WHEN l[((b + 1) * 159) // 60 + 1] >
+                       l[(b * 159) // 60 + 1]
+                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+                   AS BIGINT) AS f
+          FROM g),
+        blocked AS (
+          SELECT rec_id, f, blk, (f >> (blk * 15)) & 32767 AS bv
+          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        pairs AS (
+          SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+          FROM blocked a JOIN blocked b
+            ON a.blk = b.blk AND a.bv = b.bv AND a.rec_id < b.rec_id)
+        SELECT rec_a, rec_b, hamming FROM pairs
+        WHERE hamming <= $DhashMaxHamming"""))
   )
 }
