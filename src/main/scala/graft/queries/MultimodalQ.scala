@@ -643,44 +643,91 @@ object MultimodalQ {
     // fingerprints the generated list container-free — the
     // mm_audio_features proof, now load-bearing under a join.
     Q("mm_audio_neardup",
+      (s, dir) => audioPairs(s, dir),
+      Some(s"""
+        WITH $audioPairsSql
+        SELECT rec_a, rec_b, hamming FROM pairs
+        WHERE hamming <= $DhashMaxHamming""")),
+
+    // ---- audio-dup ledger: pairs → clusters → keep-newest --------------------
+    // The mm_dhash_clusters discipline on the audio fingerprint pairs:
+    // near-dup PAIRS folded into duplicate SETS (bounded min-label
+    // components — clique-shaped groups under block bucketing) and one
+    // ledger row per set with the keep-newest retention decision
+    // (highest rec_id survives). Composed from the SAME audioPairs
+    // definition as mm_audio_neardup, so the ledger cannot drift from
+    // the pair query it summarizes.
+    Q("mm_audio_clusters",
       (s, dir) => {
-        val wavEnc = udf((xs: Seq[Long]) =>
-          graft.pipeline.WavCodec.encode(xs.map(_.toShort).toArray, 8000))
-        val wavDec = udf((b: Array[Byte]) =>
-          graft.pipeline.WavCodec.decode(b)._3.map(_.toLong).toSeq)
-        val recs = Tables.sharded(s, dir, "documents")
-          .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
-          .select((col("doc_id") * 2 + col("v")).as("rec_id"),
-            col("doc_id"), col("v"))
-          .withColumn("samples", expr(
-            "transform(sequence(0L, 159L), i -> " +
-              "(doc_id * (i * i * 101 + i * 31 + 7)) % 65000 " +
-              "- 32500 + IF(v = 1, 3L, 0L))"))
-          .withColumn("decoded", wavDec(wavEnc(col("samples"))))
-          .select(col("rec_id"), expr(
-            "aggregate(sequence(0, 59), 0L, (acc, b) -> acc + " +
-              "IF(element_at(decoded, CAST(((b + 1) * 159) div 60 " +
-              "AS INT) + 1) > element_at(decoded, CAST((b * 159) " +
-              "div 60 AS INT) + 1), shiftleft(1L, b), 0L))").as("f"))
-          .materialize() // both sides of the bucket join — one fp pass
-        val blocked = recs.select(col("rec_id"), col("f"),
-            explode(dhashBlockStructs(col("f"))).as("e"))
-          .select(col("rec_id"), col("f"),
-            col("e.blk").as("blk"), col("e.bv").as("bv"))
-        val lhs = blocked.select(col("blk"), col("bv"),
-          col("rec_id").as("rec_a"), col("f").as("f_a"))
-        val rhs = blocked.select(col("blk"), col("bv"),
-          col("rec_id").as("rec_b"), col("f").as("f_b"))
-        lhs.join(rhs, Seq("blk", "bv"))
-          .filter(col("rec_a") < col("rec_b"))
-          .select(col("rec_a"), col("rec_b"),
-            bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
-              .as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= DhashMaxHamming)
+        val pairs = audioPairs(s, dir)
+          .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b"))
+        graft.ops.Components.label(pairs, rounds = 2)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(col("doc_id")).as("keep_id"))
+          .withColumn("n_removed", col("n_members") - 1)
       },
       Some(s"""
-        WITH recs AS (
+        WITH $audioPairsSql,
+        cand AS (
+          SELECT rec_a AS doc_a, rec_b AS doc_b FROM pairs
+          WHERE hamming <= $DhashMaxHamming),
+        ${graft.ops.Components.labelSql(2)}
+        SELECT cluster_id, count(*) AS n_members, max(doc_id) AS keep_id,
+               count(*) - 1 AS n_removed
+        FROM l2 GROUP BY cluster_id"""))
+  )
+
+  /** The audio-fingerprint near-dup pair lineage (WAV round-trip →
+    * sign-of-delta fingerprint → block explode → bucket self-join →
+    * exact hamming, threshold applied) — ONE definition consumed by
+    * mm_audio_neardup and mm_audio_clusters so the ledger cannot drift
+    * from the pair query it composes.
+    */
+  private def audioPairs(s: SparkSession, dir: String): DataFrame = {
+    val wavEnc = udf((xs: Seq[Long]) =>
+      graft.pipeline.WavCodec.encode(xs.map(_.toShort).toArray, 8000))
+    val wavDec = udf((b: Array[Byte]) =>
+      graft.pipeline.WavCodec.decode(b)._3.map(_.toLong).toSeq)
+    val recs = Tables.sharded(s, dir, "documents")
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
+      .select((col("doc_id") * 2 + col("v")).as("rec_id"),
+        col("doc_id"), col("v"))
+      .withColumn("samples", expr(
+        "transform(sequence(0L, 159L), i -> " +
+          "(doc_id * (i * i * 101 + i * 31 + 7)) % 65000 " +
+          "- 32500 + IF(v = 1, 3L, 0L))"))
+      .withColumn("decoded", wavDec(wavEnc(col("samples"))))
+      .select(col("rec_id"), expr(
+        "aggregate(sequence(0, 59), 0L, (acc, b) -> acc + " +
+          "IF(element_at(decoded, CAST(((b + 1) * 159) div 60 " +
+          "AS INT) + 1) > element_at(decoded, CAST((b * 159) " +
+          "div 60 AS INT) + 1), shiftleft(1L, b), 0L))").as("f"))
+      .materialize() // both sides of the bucket join — one fp pass
+    val blocked = recs.select(col("rec_id"), col("f"),
+        explode(dhashBlockStructs(col("f"))).as("e"))
+      .select(col("rec_id"), col("f"),
+        col("e.blk").as("blk"), col("e.bv").as("bv"))
+    val lhs = blocked.select(col("blk"), col("bv"),
+      col("rec_id").as("rec_a"), col("f").as("f_a"))
+    val rhs = blocked.select(col("blk"), col("bv"),
+      col("rec_id").as("rec_b"), col("f").as("f_b"))
+    lhs.join(rhs, Seq("blk", "bv"))
+      .filter(col("rec_a") < col("rec_b"))
+      .select(col("rec_a"), col("rec_b"),
+        bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DhashMaxHamming)
+  }
+
+  /** Oracle CTEs recs/g/fp/blocked/pairs mirroring [[audioPairs]] —
+    * shared by both audio oracles for the same no-drift reason. A def,
+    * not a val: `qs` above interpolates it during object init, and a
+    * val declared after `qs` would still be null at that point.
+    */
+  private def audioPairsSql = s"""
+        recs AS (
           SELECT doc_id * 2 + v AS rec_id, doc_id, v
           FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v)),
         g AS (
@@ -704,8 +751,5 @@ object MultimodalQ {
           SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
                  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
           FROM blocked a JOIN blocked b
-            ON a.blk = b.blk AND a.bv = b.bv AND a.rec_id < b.rec_id)
-        SELECT rec_a, rec_b, hamming FROM pairs
-        WHERE hamming <= $DhashMaxHamming"""))
-  )
+            ON a.blk = b.blk AND a.bv = b.bv AND a.rec_id < b.rec_id)"""
 }
