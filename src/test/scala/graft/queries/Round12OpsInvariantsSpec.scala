@@ -69,6 +69,33 @@ class Round12OpsInvariantsSpec extends SparkSpec {
     assert(rows.exists(_._4 === 0L))
   }
 
+  test("mm_audio_neardup finds every planted DC twin; clusters cohere") {
+    // every document plants a DC-shifted recording pair (2d, 2d+1)
+    // whose fingerprints are identical (sign-of-delta is DC-invariant):
+    // the near-dup output must contain ALL of them at hamming 0
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = run("mm_audio_neardup")
+      .select("rec_a", "rec_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    docs.foreach { d =>
+      assert(pairs.exists(p => p._1 == d * 2 && p._2 == d * 2 + 1 &&
+        p._3 == 0L), s"planted twin of doc $d missing")
+    }
+    assert(pairs.forall(_._3 <= 3L))
+    // the ledger summarizes exactly the pair graph: member count equals
+    // the distinct rec_ids in pairs, keep_id is each set's max member,
+    // removals = members − survivors
+    val clusters = run("mm_audio_clusters")
+      .select("cluster_id", "n_members", "keep_id", "n_removed")
+      .as[(Long, Long, Long, Long)].collect()
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.map(_._2).sum === inPairs.size.toLong)
+    assert(clusters.forall(c => c._4 === c._2 - 1))
+    assert(clusters.forall(c => inPairs.contains(c._3)))
+    assert(clusters.map(_._3).toSet.size === clusters.length) // keepers unique
+  }
+
   test("dq_completeness: per-column rates recompute; pm identity holds") {
     val docs = Tables(spark, sfDir, "documents").collect()
     val nRows = docs.length.toLong
