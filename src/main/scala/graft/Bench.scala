@@ -50,7 +50,8 @@ object Bench {
 
   private[graft] def trendJson(cur: Seq[(String, Double)],
       base: Map[String, Double], priorSuspects: Set[String] = Set.empty,
-      sf: String = "", thresholdMilli: Long = 1500L): String = {
+      sf: String = "", thresholdMilli: Long = 1500L,
+      fullSurface: Boolean = true): String = {
     val rows = cur.sortBy(_._1).map { case (name, min) =>
       base.get(name) match {
         case Some(b) if b > 0 =>
@@ -70,12 +71,16 @@ object Bench {
     // two consecutive runs — the two-run intersection cannot help when
     // both runs sit inside one noise window). The run's median ratio IS
     // its environment factor; only a breach beyond median×threshold is
-    // code signal. Applied only to full-ish runs (≥30 baselined
-    // queries): a dev subset's median could be dominated by a genuinely
-    // regressed family, so subsets keep the absolute threshold.
+    // code signal. Applied only to FULL-SURFACE runs with ≥30 baselined
+    // queries: a dev subset's median could be dominated by a genuinely
+    // regressed family, so subsets keep the absolute threshold — and
+    // `fullSurface` is threaded from main (SPARK_GRAFT_ONLY unset), not
+    // inferred from size, so a ≥30-query biased subset can neither
+    // median-normalize itself nor touch the fleet verdict below.
     val millis = rows.collect { case (_, _, Some(m)) => m }
+    val fullRun = fullSurface && millis.size >= 30
     val medianMilli =
-      if (millis.size >= 30) { val s = millis.sorted; s(s.size / 2) }
+      if (fullRun) { val s = millis.sorted; s(s.size / 2) }
       else 1000L
     val effThreshold = math.max(thresholdMilli,
       thresholdMilli * math.max(medianMilli, 1000L) / 1000L)
@@ -93,7 +98,6 @@ object Bench {
     // the prior set; the suspects array itself stays per-query). A
     // quiet full run clears the flag; a subset run carries the prior
     // verdict unchanged (it says nothing about the fleet).
-    val fullRun = millis.size >= 30
     val fleetSuspect =
       if (fullRun) medianMilli >= thresholdMilli
       else priorSuspects(FleetSentinel)
@@ -203,8 +207,14 @@ object Bench {
     Files.deleteIfExists(Paths.get("bench_out.json"))
     Files.deleteIfExists(Paths.get("bench_trend.json"))
 
-    // dev affordance: SPARK_GRAFT_ONLY=q1_agg,dd_jaccard benches a subset
-    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+    // dev affordance: SPARK_GRAFT_ONLY=q1_agg,dd_jaccard benches a subset.
+    // Full-surface status is decided HERE (the env var's absence), not
+    // re-inferred downstream from a ≥30-query heuristic a biased subset
+    // could satisfy — only a genuinely full run may median-normalize or
+    // confirm/clear the standing fleet verdict in trendJson.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val fullSurface = only.isEmpty
+    val names = only match {
       case Some(list) => list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       case None       => SparkEntry.queries.keys.toSeq.sorted
     }
@@ -262,12 +272,48 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""variance":$vars,"passes":$passes,""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
-    println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     Files.writeString(Paths.get("bench_trend.json"),
       trendJson(ok, readBaseline(Paths.get("bench_baseline.json")),
-        priorSuspects, sfDir) + "\n")
+        priorSuspects, sfDir, fullSurface = fullSurface) + "\n")
+    // The driver captures only the TAIL (~2 KB) of stdout: the full
+    // per-query line above is ~25 KB, so its head — and with it the
+    // {"metric": prefix the parser keys on — fell outside the window in
+    // rounds 10–12 and BENCH_r*.json recorded "parsed": null each time.
+    // stdout therefore carries a COMPACT summary line (same metric/value
+    // plus a fixed per-family headline subset at 3 decimals, bounded
+    // ≤ ~1 KB by BenchLineSpec) as the LAST print; bench_out.json stays
+    // the full-resolution channel.
+    println(compactLine(total, ok, failed, passes, sfDir))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Representative per-family subset for the compact stdout line: the
+    * historically most expensive query of each family plus the flagship
+    * relational/reference shapes. Fixed by name (not by this run's
+    * ranking) so the driver's per-round numbers are comparable.
+    */
+  private[graft] val Headline: Seq[String] = Seq(
+    "q1_agg", "q25_profile", "q27_bloom_join",
+    "dd_lsh_sweep", "dd_clean_corpus", "dd_minhash_lsh", "dd_exact",
+    "er_report", "er_entities",
+    "sim_ivfpq", "sim_mmr",
+    "txt_bigram_lm", "txt_bm25",
+    "ev_sessionize", "ev_asof_native",
+    "mm_audio_clusters", "mm_asset_dedup",
+    "dq_expectations",
+    "ref_crop_video", "ref_tfrecord_roundtrip")
+
+  private[graft] def compactLine(total: Double, ok: Seq[(String, Double)],
+      failed: Seq[String], passes: Int, sfDir: String): String = {
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val byName = ok.toMap
+    val head = Headline.filter(byName.contains)
+      .map(n => "\"" + n + "\":" + r3(byName(n))).mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$head,"n_queries":${ok.size},"passes":$passes,""" +
+      s""""errors":$errs,"detail":"bench_out.json","sf":"$sfDir"}"""
   }
 }

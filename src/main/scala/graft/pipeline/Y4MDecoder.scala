@@ -214,6 +214,18 @@ object Y4MFrameDecoder {
   * content), and everything else takes the best decoder this JVM
   * offers (JavaCV when present, deterministic synthetic otherwise).
   */
+object AutoFrameDecoder {
+  /** Files whose on-disk head probe threw (per-JVM, test-visible): each
+    * is logged to stderr and counted here before falling through to the
+    * fallback decoder, so a synthetic-pixel substitution can never
+    * happen without a trace. In-memory content and missing-file fixture
+    * paths that never open a stream successfully land here too — by
+    * design the fallback still owns the decode decision; this counter
+    * only guarantees observability.
+    */
+  val probeFailures = new java.util.concurrent.atomic.LongAdder
+}
+
 final class AutoFrameDecoder(
     fallback: FrameDecoder = FfmpegFrameDecoder.orSynthetic())
     extends FrameDecoder {
@@ -223,20 +235,29 @@ final class AutoFrameDecoder(
 
   /** File-path decode (content == null, the DSv2 source's shape) sniffs
     * the stream head FROM DISK — same magic rules as in-memory content,
-    * so extensions lie harmlessly on both paths. An unreadable path
-    * yields an empty probe and falls through to the fallback (which
-    * owns the error/synthetic decision, as it always has).
+    * so extensions lie harmlessly on both paths. The probe is a
+    * readNBytes LOOP, not a single read(): a stream may legally return
+    * fewer than 16 bytes per read, and a short probe would misroute a
+    * real y4m/AVI to the fallback — which, without JavaCV, fabricates
+    * deterministic synthetic pixels, i.e. real corpus data silently
+    * replaced by fake frames. An unreadable path still falls through to
+    * the fallback (it owns the error/synthetic decision, as it always
+    * has) but is now logged and counted, never swallowed silently.
     */
   private def headBytes(filename: String): Array[Byte] =
     try {
       val in = java.nio.file.Files.newInputStream(
         java.nio.file.Paths.get(filename.stripPrefix("file:")))
-      try {
-        val b = new Array[Byte](16)
-        val n = in.read(b)
-        if (n <= 0) Array.emptyByteArray else java.util.Arrays.copyOf(b, n)
-      } finally in.close()
-    } catch { case _: Exception => Array.emptyByteArray }
+      try in.readNBytes(16)
+      finally in.close()
+    } catch {
+      case e: Exception =>
+        AutoFrameDecoder.probeFailures.increment()
+        System.err.println(
+          s"[videoframes] head probe failed for $filename — " +
+            s"routing to fallback decoder: $e")
+        Array.emptyByteArray
+    }
 
   private def route(filename: String, content: Array[Byte]): FrameDecoder = {
     val probe = if (content != null) content else headBytes(filename)

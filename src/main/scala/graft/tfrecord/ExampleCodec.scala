@@ -275,7 +275,12 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
       ExampleCodec.bytesMaterialized.add(v.length.toLong)
       Some(key -> v)
     } else {
-      if (value != null) ExampleCodec.bytesSkipped.add(value.length.toLong)
+      // A value materialized defensively (seen before its key, which
+      // then turned out unwanted) was COPIED, not varint-skipped —
+      // crediting it to bytesSkipped would overstate in-place skips for
+      // foreign key-after-value writers and quietly weaken the pruning
+      // proof. It gets its own counter.
+      if (value != null) ExampleCodec.bytesDropped.add(value.length.toLong)
       None
     }
   }
@@ -347,13 +352,19 @@ final class ExampleCodec(schema: StructType, sequenceMode: Boolean)
 object ExampleCodec {
 
   /** Decode-side byte accounting (per-JVM, test-visible): value bytes
-    * copied into rows vs value bytes SKIPPED in place because the
-    * feature key was not in the decode schema. TFRecordFormatSpec reads
-    * the deltas to prove a pruned read never materializes non-requested
-    * columns; production cost: two LongAdder.add calls per feature.
+    * copied into rows, vs value bytes SKIPPED truly in place (one
+    * varint read, no allocation) because the feature key was not in the
+    * decode schema, vs value bytes DROPPED after a defensive copy (a
+    * foreign writer emitted the value BEFORE its key, and the key
+    * turned out unwanted — materialized, then discarded). Keeping the
+    * third bucket separate means bytesSkipped never overstates in-place
+    * skips: the pruning proof in TFRecordFormatSpec reads the deltas,
+    * and for our own key-first layout bytesDropped stays exactly zero.
+    * Production cost: one LongAdder.add per feature.
     */
   val bytesMaterialized = new java.util.concurrent.atomic.LongAdder
   val bytesSkipped = new java.util.concurrent.atomic.LongAdder
+  val bytesDropped = new java.util.concurrent.atomic.LongAdder
 
   private def floatFeature(vs: Array[Float]): Writer = {
     val list = new Writer

@@ -117,6 +117,57 @@ class BenchTrendSpec extends AnyFunSuite {
       """"suspects":["er1","er2","er3","er4","er5"]"""), j)
   }
 
+  test("a ≥30-query biased subset neither median-normalizes nor clears the fleet flag") {
+    // SPARK_GRAFT_ONLY with ≥30 baselined queries used to count as a
+    // "full run" via the size heuristic: a quiet biased subset could
+    // clear a standing fleet_suspect and a slow family could hide
+    // behind its own median. fullSurface=false (threaded from main)
+    // keeps the absolute threshold AND carries the fleet verdict.
+    val base = (1 to 40).map(i => s"q$i" -> 1.0).toMap
+    val uniform = (1 to 40).map(i => s"q$i" -> 1.8)
+    val j = Bench.trendJson(uniform, base, fullSurface = false)
+    // absolute threshold: every 1.8× query flags (no median normalization)
+    assert(j.contains(""""q1","q10""""), j)
+    assert(j.contains(""""median_ratio_milli":1000"""), j)
+    // a QUIET 40-query subset cannot clear a standing fleet_suspect...
+    val quiet = (1 to 40).map(i => s"q$i" -> 1.0)
+    val carry = Bench.trendJson(quiet, base,
+      priorSuspects = Set(Bench.FleetSentinel), fullSurface = false)
+    assert(carry.contains(""""fleet_suspect":true"""), carry)
+    assert(carry.contains(""""fleet_regressed":false"""), carry)
+    // ...while the same quiet run at full surface does clear it
+    val clear = Bench.trendJson(quiet, base,
+      priorSuspects = Set(Bench.FleetSentinel), fullSurface = true)
+    assert(clear.contains(""""fleet_suspect":false"""), clear)
+    // and a slow subset can never CONFIRM fleet_regressed either
+    val slow = Bench.trendJson(uniform, base,
+      priorSuspects = Set(Bench.FleetSentinel), fullSurface = false)
+    assert(slow.contains(""""fleet_regressed":false"""), slow)
+  }
+
+  test("compact stdout line fits the driver's tail window for the full surface") {
+    // Rounds 10-12 each recorded "parsed": null in BENCH_r*.json: the
+    // driver keeps only the last ~2000 chars of stdout and the full
+    // per-query JSON line is ~25 KB, so its {"metric": head never made
+    // the window. The compact line is the LAST stdout print and must
+    // stay well inside the window even after sbt's [success] trailer.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val ok = names.map(n => n -> 1.234567891)
+    val line = Bench.compactLine(123.456789, ok, Nil, 3, "/root/testdata/sf0.1")
+    assert(line.length < 1200, s"compact line too long: ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":123.457,"unit":"sec""""))
+    assert(line.contains("\"n_queries\":" + names.size), line)
+    // every headline query that exists in the surface is present
+    Bench.Headline.filter(names.contains).foreach { h =>
+      assert(line.contains("\"" + h + "\":1.235"), h)
+    }
+    assert(Bench.Headline.count(names.contains) >= 15,
+      "headline subset has drifted away from the live surface")
+    // failures still surface in the compact channel
+    val withErr = Bench.compactLine(1.0, ok.take(2), Seq("q_bad"), 3, "sf")
+    assert(withErr.contains(""""errors":["q_bad"]"""))
+  }
+
   test("readPriorSuspects round-trips and ignores other-sf evidence") {
     val p = Files.createTempFile("trend", ".json")
     Files.writeString(p, Bench.trendJson(Seq("q_slow" -> 2.0, "q_ok" -> 1.0),

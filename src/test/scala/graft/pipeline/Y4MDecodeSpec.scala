@@ -120,6 +120,29 @@ class Y4MDecodeSpec extends SparkSpec {
     assert(fake.head.width === 8)
   }
 
+  test("file-path probe: full 16-byte head, tiny files route clean, failures observable") {
+    val auto = new AutoFrameDecoder(fallback = new SyntheticFrameDecoder())
+    // a real on-disk y4m (magic spans 9 bytes — a short single read()
+    // would misroute it): the loop-read probe must route it for real
+    val dir = java.nio.file.Files.createTempDirectory("probe")
+    val y4mPath = dir.resolve("clip.mp4") // lying extension, as ever
+    java.nio.file.Files.write(y4mPath, y4m420(2, 2, Seq((82, 90, 240))))
+    val real = auto.decode(y4mPath.toString, null, 500).toSeq
+    assert(real.size === 1 && real.head.image(0) === 1.0f)
+    // a file SHORTER than the probe is not a failure — it reads to EOF
+    // and routes to the fallback without incrementing the counter
+    val tiny = dir.resolve("tiny.avi")
+    java.nio.file.Files.write(tiny, Array[Byte](1, 2, 3))
+    val f0 = AutoFrameDecoder.probeFailures.sum()
+    assert(auto.decode(tiny.toString, null, 500).toSeq.head.width === 8)
+    assert(AutoFrameDecoder.probeFailures.sum() === f0)
+    // an UNREADABLE path still falls through to the fallback (it owns
+    // the error/synthetic decision) but is counted — never silent
+    val missing = dir.resolve("nope.avi").toString
+    assert(auto.decode(missing, null, 500).toSeq.head.width === 8)
+    assert(AutoFrameDecoder.probeFailures.sum() === f0 + 1)
+  }
+
   test("O7→O20 end-to-end on REAL decoded bytes (no synthetic pixels)") {
     import graft.Main
     import graft.tfrecord.TFRecords

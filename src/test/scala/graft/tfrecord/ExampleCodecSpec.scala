@@ -134,6 +134,59 @@ class ExampleCodecSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("value-before-key foreign layout: dropped bytes never count as skipped") {
+    // Protobuf permits any field order inside a map entry; our writer and
+    // TF's emit key-first, but a foreign writer may emit the VALUE first.
+    // An unwanted value seen before its key is materialized defensively
+    // and dropped post-loop — those bytes were copied, so crediting them
+    // to bytesSkipped would overstate the in-place-skip proof. They must
+    // land in bytesDropped instead.
+    import ProtoWire.Writer
+    def floats(vs: Array[Float]): Writer = {
+      val list = new Writer; list.writePackedFloats(1, vs)
+      val ft = new Writer; ft.writeMessage(2, list); ft
+    }
+    def example(keyFirst: Boolean, key: String): Array[Byte] = {
+      val ft = floats(Array.tabulate(64)(_.toFloat))
+      val entry = new Writer
+      if (keyFirst) {
+        entry.writeBytes(1, key.getBytes("UTF-8"))
+        entry.writeMessage(2, ft)
+      } else {
+        entry.writeMessage(2, ft)
+        entry.writeBytes(1, key.getBytes("UTF-8"))
+      }
+      val features = new Writer; features.writeMessage(1, entry)
+      val msg = new Writer; msg.writeMessage(1, features)
+      msg.toByteArray
+    }
+    val schema = StructType(Seq(StructField("wanted", ArrayType(FloatType))))
+    val codec = new ExampleCodec(schema, sequenceMode = false)
+    def counters() = (ExampleCodec.bytesMaterialized.sum(),
+      ExampleCodec.bytesSkipped.sum(), ExampleCodec.bytesDropped.sum())
+
+    // value-first + unwanted key → dropped, NOT skipped
+    val (m0, s0, d0) = counters()
+    codec.decode(example(keyFirst = false, key = "unwanted"))
+    val (m1, s1, d1) = counters()
+    assert(s1 - s0 === 0L, "defensively-copied bytes credited as in-place skips")
+    assert(d1 - d0 > 0L)
+    assert(m1 - m0 === 0L)
+
+    // key-first + unwanted key → a true in-place skip, nothing dropped
+    codec.decode(example(keyFirst = true, key = "unwanted"))
+    val (m2, s2, d2) = counters()
+    assert(s2 - s1 > 0L)
+    assert(d2 - d1 === 0L)
+    assert(m2 - m1 === 0L)
+
+    // value-first + WANTED key decodes identically to key-first
+    val a = codec.decode(example(keyFirst = false, key = "wanted"))
+    val b = codec.decode(example(keyFirst = true, key = "wanted"))
+    assert(a.getArray(0).toFloatArray.toSeq === b.getArray(0).toFloatArray.toSeq)
+    assert(a.getArray(0).numElements() === 64)
+  }
+
   test("truncated proto bytes fail with a descriptive error") {
     val schema = StructType(Seq(StructField("a", StringType)))
     val codec = new ExampleCodec(schema, sequenceMode = false)
