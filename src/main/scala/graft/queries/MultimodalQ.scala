@@ -35,6 +35,15 @@ object MultimodalQ {
   private[graft] val SceneCutTau = 12
   private val DhashBlockBits = DhashBits / DhashBlocks // 15
   private val DhashBlockMask = (1L << DhashBlockBits) - 1
+  // mm_video_neardup: inverted-index document-frequency cap per frame
+  // hash (recordings per hash — a shared intro slate is this domain's
+  // hot key) and the minimum aligned-frame count that upgrades a
+  // candidate to a near-dup (1–2 shared frames happen by collision;
+  // 3 agreeing on ONE offset do not). Declared BEFORE `qs`: the oracle
+  // strings interpolate them during object init (the audioPairsSql
+  // lesson).
+  private[graft] val VideoDfCap = 16
+  private[graft] val VideoMinAlign = 3
 
   /** 60-bit difference hash of a string payload: sample DhashBits+1 fixed
     * positions across the first [[DhashThumb]] chars, bit i = sampled
@@ -675,8 +684,191 @@ object MultimodalQ {
         ${graft.ops.Components.labelSql(2)}
         SELECT cluster_id, count(*) AS n_members, max(doc_id) AS keep_id,
                count(*) - 1 AS n_removed
+        FROM l2 GROUP BY cluster_id""")),
+
+    // ---- VIDEO near-dup: frame-fingerprint sequence alignment ---------------
+    // The temporal rung of the multimodal family: none of the per-asset
+    // queries above can catch a TRIMMED RE-UPLOAD — the same video minus
+    // its first seconds, the classic YouTube-scale duplicate — because
+    // every whole-asset fingerprint moves when the content shifts. The
+    // standard industrial answer (frame-level fingerprints + temporal
+    // alignment) is what this query does, miniaturized onto the
+    // mm_scene_cuts frame model: each asset is a SEQUENCE of per-frame
+    // dHashes; every document plants a twin "recording" whose payload
+    // drops the first frame-stride of content, so the twin's frame k is
+    // bit-identical to the original's frame k+1 — a one-frame-shifted
+    // fingerprint sequence, undetectable to whole-asset hashing,
+    // guaranteed recoverable here.
+    //   Candidates: an inverted index on the exact frame hash (share a
+    // frame → candidate), DF-CAPPED at [[VideoDfCap]] recordings per
+    // hash — a shared intro slate or black frame is the hot key of this
+    // domain, and an uncapped index would go quadratic on it (the
+    // dd_domain_cap discipline; VideoNearDupSpec plants exactly that
+    // slate and proves both the bound and that twins still recover via
+    // their remaining frames).
+    //   Verification: alignment votes. Each shared frame (a, b) votes
+    // for offset d = frame_a − frame_b; a genuine sub-sequence match
+    // concentrates votes on ONE offset, accidental hash collisions
+    // scatter. Per pair keep the best (most votes, then smallest
+    // offset) via a packed-integer max — n ≤ 8 frames and |d| ≤ 7, so
+    // pack = n·1024 + (512 − d) is exact and tie-deterministic (the
+    // er_golden survivorship discipline). A pair is a near-dup when ≥
+    // [[VideoMinAlign]] frames agree on one offset; containment_milli
+    // = aligned/min(nf) recognizes clip-within-video containment.
+    //   Scale: one fingerprint pass (materialized), then key-bucketed
+    // joins only — hash-partitioned on h with the cap bounding every
+    // bucket, never all-pairs; aggregates carry (rec, rec, d) keys, not
+    // payloads. 100 TB shape: identical, with the frame table bucketed
+    // by h on disk.
+    Q("mm_video_neardup",
+      (s, dir) => videoNearDup(s, Tables.sharded(s, dir, "documents")),
+      Some(s"""
+        WITH $videoPairsSql
+        SELECT rec_a, rec_b, n_aligned, best_offset, containment_milli
+        FROM vnd""")),
+
+    // ---- video-dup ledger: aligned pairs → duplicate sets → keep-newest -----
+    // The retention ledger over the alignment pairs — the third instance
+    // of the pairs→clusters contract (mm_dhash_clusters, mm_audio_
+    // clusters): bounded min-label components over the near-dup pairs,
+    // one row per duplicate set with the keep-newest (max rec_id)
+    // survivor. Composed from the SAME videoNearDup lineage / oracle
+    // CTE block as mm_video_neardup, so the ledger cannot drift from
+    // the pair query it summarizes.
+    Q("mm_video_clusters",
+      (s, dir) => {
+        val pairs = videoNearDup(s, Tables.sharded(s, dir, "documents"))
+          .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b"))
+        graft.ops.Components.label(pairs, rounds = 2)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(col("doc_id")).as("keep_id"))
+          .withColumn("n_removed", col("n_members") - 1)
+      },
+      Some(s"""
+        WITH $videoPairsSql,
+        cand AS (SELECT rec_a AS doc_a, rec_b AS doc_b FROM vnd),
+        ${graft.ops.Components.labelSql(2)}
+        SELECT cluster_id, count(*) AS n_members, max(doc_id) AS keep_id,
+               count(*) - 1 AS n_removed
         FROM l2 GROUP BY cluster_id"""))
   )
+
+  /** Oracle CTE block recs→…→vnd mirroring [[videoNearDup]], shared by
+    * both video oracles for the no-drift reason above. A def, not a
+    * val: `qs` interpolates it during object init (the audioPairsSql
+    * lesson).
+    */
+  private def videoPairsSql = s"""
+        recs AS (
+          SELECT doc_id * 2 + v AS rec_id,
+                 CASE WHEN v = 1 THEN substr(text, 1 + $SceneStride)
+                      ELSE text END AS text
+          FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v)),
+        base AS (
+          SELECT rec_id, text,
+                 least(length(text) // $SceneStride, $SceneMaxFrames) AS nf
+          FROM recs),
+        fr AS (
+          SELECT rec_id, nf, CAST(g.i AS BIGINT) AS frame,
+                 substr(text, 1 + g.i * $SceneStride, $DhashThumb) AS t
+          FROM base
+          CROSS JOIN generate_series(0, ${SceneMaxFrames - 1}) AS g(i)
+          WHERE base.nf >= 2 AND g.i < base.nf),
+        ch AS (
+          SELECT rec_id, nf, frame,
+                 [ascii(substr(t, 1 + (i * ${DhashThumb - 1}) // $DhashBits,
+                    1)) for i in generate_series(0, $DhashBits)] AS cs
+          FROM fr),
+        dh AS (
+          SELECT rec_id, nf, frame,
+                 CAST(list_sum([CASE WHEN cs[i+1] > cs[i+2]
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                   for i in generate_series(0, ${DhashBits - 1})]) AS BIGINT)
+                   AS h
+          FROM ch),
+        keep AS (
+          SELECT h FROM dh GROUP BY h
+          HAVING count(DISTINCT rec_id) <= $VideoDfCap),
+        idx AS (SELECT dh.* FROM dh JOIN keep USING (h)),
+        co AS (
+          SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 a.frame - b.frame AS d, count(*) AS n
+          FROM idx a JOIN idx b ON a.h = b.h AND a.rec_id < b.rec_id
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT rec_a, rec_b, max(n * 1024 + (512 - d)) AS pack
+          FROM co GROUP BY 1, 2),
+        nfs AS (SELECT rec_id, max(nf) AS nf FROM dh GROUP BY 1),
+        vnd AS (
+          SELECT rec_a, rec_b,
+                 pack // 1024 AS n_aligned,
+                 512 - (pack % 1024) AS best_offset,
+                 (pack // 1024) * 1000 // least(na.nf, nb.nf)
+                   AS containment_milli
+          FROM best
+          JOIN nfs na ON na.rec_id = rec_a
+          JOIN nfs nb ON nb.rec_id = rec_b
+          WHERE pack // 1024 >= $VideoMinAlign)"""
+
+  /** Per-recording frame-hash sequences for [[videoNearDup]]: original
+    * (v=0) plus the planted trimmed twin (v=1, first [[SceneStride]]
+    * chars dropped — its frame k ≡ the original's frame k+1). Takes the
+    * documents frame explicitly so VideoNearDupSpec can drive planted
+    * corpora through the exact production lineage.
+    */
+  private[graft] def videoFrames(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(array(lit(0), lit(1))).as("v"))
+      .select((col("doc_id") * 2 + col("v")).as("rec_id"),
+        when(col("v") === 1, expr(s"substring(text, ${SceneStride + 1})"))
+          .otherwise(col("text")).as("text"))
+      .withColumn("nf", least(expr(s"length(text) div $SceneStride"),
+        lit(SceneMaxFrames)).cast("long"))
+      .filter(col("nf") >= 2)
+      .select(col("rec_id"), col("nf"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("frame"),
+        col("text"))
+      .select(col("rec_id"), col("nf"), col("frame"),
+        dhash(s, expr(
+          s"substring(text, 1 + frame * $SceneStride, $DhashThumb)"))
+          .as("h"))
+
+  /** Frame-sequence alignment near-dup over [[videoFrames]] — the Spark
+    * lineage mm_video_neardup registers (its scaladoc above carries the
+    * design rationale).
+    */
+  private[graft] def videoNearDup(s: SparkSession, docs: DataFrame): DataFrame = {
+    val fr = videoFrames(s, docs).materialize() // one fingerprint pass
+    val keep = fr.groupBy(col("h"))
+      .agg(countDistinct(col("rec_id")).as("df"))
+      .filter(col("df") <= VideoDfCap)
+      .select(col("h"))
+    val idx = fr.join(keep, Seq("h"))
+    val co = idx
+      .select(col("h"), col("rec_id").as("rec_a"), col("frame").as("fa"))
+      .join(idx.select(col("h"), col("rec_id").as("rec_b"),
+        col("frame").as("fb")), Seq("h"))
+      .filter(col("rec_a") < col("rec_b"))
+      .groupBy(col("rec_a"), col("rec_b"),
+        (col("fa") - col("fb")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val best = co.groupBy(col("rec_a"), col("rec_b"))
+      .agg(max(col("n") * 1024 + (lit(512L) - col("d"))).as("pack"))
+    val nfs = fr.groupBy(col("rec_id")).agg(max(col("nf")).as("nf"))
+    best
+      .join(nfs.select(col("rec_id").as("rec_a"), col("nf").as("nf_a")),
+        Seq("rec_a"))
+      .join(nfs.select(col("rec_id").as("rec_b"), col("nf").as("nf_b")),
+        Seq("rec_b"))
+      .select(col("rec_a"), col("rec_b"),
+        expr("pack div 1024").as("n_aligned"),
+        (lit(512L) - expr("pack % 1024")).as("best_offset"),
+        expr("(pack div 1024) * 1000 div least(nf_a, nf_b)")
+          .as("containment_milli"))
+      .filter(col("n_aligned") >= VideoMinAlign)
+  }
 
   /** The audio-fingerprint near-dup pair lineage (WAV round-trip →
     * sign-of-delta fingerprint → block explode → bucket self-join →
