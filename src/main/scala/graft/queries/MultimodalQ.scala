@@ -837,13 +837,17 @@ object MultimodalQ {
 
   /** Frame-sequence alignment near-dup over [[videoFrames]] — the Spark
     * lineage mm_video_neardup registers (its scaladoc above carries the
-    * design rationale).
+    * design rationale). `dfCap` is parameterized so the streaming twin's
+    * spec can compare against the UNCAPPED alignment (a stream applies
+    * its cap against the index-so-far, so only the capless pair sets
+    * are slicing-independently equal).
     */
-  private[graft] def videoNearDup(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def videoNearDup(s: SparkSession, docs: DataFrame,
+      dfCap: Long = VideoDfCap.toLong): DataFrame = {
     val fr = videoFrames(s, docs).materialize() // one fingerprint pass
     val keep = fr.groupBy(col("h"))
       .agg(countDistinct(col("rec_id")).as("df"))
-      .filter(col("df") <= VideoDfCap)
+      .filter(col("df") <= dfCap)
       .select(col("h"))
     val idx = fr.join(keep, Seq("h"))
     val co = idx
