@@ -398,6 +398,124 @@ object Text {
         FROM sc"""
       }),
 
+    // ---- TRAINED language ID: multinomial Naive Bayes ------------------------
+    // txt_langid votes over hand-picked stopword profiles; this is the
+    // TRAINABLE twin — the classic fasttext-shaped corpus classifier,
+    // reduced to what it really is at 100 TB: training IS one combinable
+    // aggregate (per-(lang, token) counts roll up map-side; the model is
+    // |vocab|×|langs| quantized log-likelihoods, broadcastable), scoring
+    // IS one broadcast join + per-doc sum. Everything stays exact-integer
+    // cross-engine: every ln runs over an INTEGER argument and
+    // micro-quantizes at source (the q28/txt_bm25/dq_dp_hist rule), so
+    // the whole log-posterior is BIGINT arithmetic:
+    //   score_l(d) = Q(D_l+1) − Q(D+|L|)                        (prior)
+    //              + Σ_{t∈d} Q(c_{l,t}+1) − n_d · Q(T_l+V)      (add-one)
+    // with Q(x) = round(ln(x)·10⁶). Unseen (lang, token) pairs cost
+    // Q(1) = 0, so the per-token model join needs no per-lang fallback
+    // rows. Deterministic priority-ordered argmax (the txt_langid tie
+    // rule); docs with zero tokens (zh under the latin tokenizer) score
+    // prior-only and stay in the output via the left join.
+    Q("txt_nb_langid",
+      (s, dir) => {
+        val langs = Seq("en", "de", "es", "fr", "zh")
+        val tok = tokenRows(s, dir).select(col("doc_id"), col("lang"),
+          col("token"))
+        val counts = tok.groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val mcols = langs.map(l => expr(
+          s"CAST(round(ln(coalesce(max(CASE WHEN lang = '$l' THEN c END)," +
+            s" 0) + 1) * 1000000) AS BIGINT)").as(s"q_$l"))
+        val model = counts.groupBy(col("token")).agg(mcols.head, mcols.tail: _*)
+        val dcols = count(lit(1)).as("n_tokens") +:
+          langs.map(l => sum(col(s"q_$l")).as(s"sq_$l"))
+        val perDoc = tok.join(broadcast(model), Seq("token"))
+          .groupBy(col("doc_id")).agg(dcols.head, dcols.tail: _*)
+        val tcols = langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"t_$l")) :+
+          countDistinct(col("token")).as("v")
+        val tokTotals = tok.agg(tcols.head, tcols.tail: _*)
+        val ecols = langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"d_$l")) :+
+          count(lit(1)).as("d_all")
+        val docTotals = docs(s, dir).agg(ecols.head, ecols.tail: _*)
+        val scoreCols = langs.map { l =>
+          (expr(s"CAST(round(ln(d_$l + 1) * 1000000) AS BIGINT)") -
+            expr(s"CAST(round(ln(d_all + ${langs.size}) * 1000000) AS BIGINT)") +
+            col(s"sq_$l") -
+            col("n_tokens") *
+              expr(s"CAST(round(ln(t_$l + v) * 1000000) AS BIGINT)"))
+            .as(s"nb_${l}_micro")
+        }
+        val Seq(en, de, es2, fr, zh) = langs.map(l => col(s"nb_${l}_micro"))
+        docs(s, dir).select(col("doc_id"), col("lang"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L)
+          .crossJoin(broadcast(tokTotals))
+          .crossJoin(broadcast(docTotals))
+          .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+          .withColumn("pred_lang",
+            when(en >= de && en >= es2 && en >= fr && en >= zh, "en")
+              .when(de >= es2 && de >= fr && de >= zh, "de")
+              .when(es2 >= fr && es2 >= zh, "es")
+              .when(fr >= zh, "fr")
+              .otherwise("zh"))
+      },
+      Some {
+        val langs = Seq("en", "de", "es", "fr", "zh")
+        val mcols = langs.map(l =>
+          s"CAST(round(ln(COALESCE(max(CASE WHEN lang = '$l' THEN c END)," +
+            s" 0) + 1) * 1000000) AS BIGINT) AS q_$l").mkString(", ")
+        val dcols = langs.map(l =>
+          s"CAST(sum(q_$l) AS BIGINT) AS sq_$l").mkString(", ")
+        val tcols = langs.map(l =>
+          s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT)" +
+            s" AS t_$l").mkString(", ")
+        val ecols = langs.map(l =>
+          s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT)" +
+            s" AS d_$l").mkString(", ")
+        val scoreCols = langs.map(l =>
+          s"(CAST(round(ln(d_$l + 1) * 1000000) AS BIGINT)" +
+            s" - CAST(round(ln(d_all + ${langs.size}) * 1000000) AS BIGINT)" +
+            s" + COALESCE(sq_$l, 0)" +
+            s" - COALESCE(n_tokens, 0) *" +
+            s" CAST(round(ln(t_$l + v) * 1000000) AS BIGINT))" +
+            s" AS nb_${l}_micro").mkString(", ")
+        s"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(tokens) AS token
+          FROM (${DocSql.toksSql})),
+        counts AS (
+          SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        model AS (SELECT token, $mcols FROM counts GROUP BY token),
+        per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, $dcols
+          FROM tok JOIN model USING (token) GROUP BY doc_id),
+        tok_tot AS (
+          SELECT $tcols, CAST(count(DISTINCT token) AS BIGINT) AS v
+          FROM tok),
+        doc_tot AS (
+          SELECT $ecols, CAST(count(*) AS BIGINT) AS d_all FROM documents),
+        sc AS (
+          SELECT doc_id, lang, $scoreCols
+          FROM documents LEFT JOIN per_doc USING (doc_id)
+          CROSS JOIN tok_tot CROSS JOIN doc_tot)
+        SELECT doc_id, lang,
+               nb_en_micro, nb_de_micro, nb_es_micro, nb_fr_micro,
+               nb_zh_micro,
+               CASE WHEN nb_en_micro >= nb_de_micro AND
+                         nb_en_micro >= nb_es_micro AND
+                         nb_en_micro >= nb_fr_micro AND
+                         nb_en_micro >= nb_zh_micro THEN 'en'
+                    WHEN nb_de_micro >= nb_es_micro AND
+                         nb_de_micro >= nb_fr_micro AND
+                         nb_de_micro >= nb_zh_micro THEN 'de'
+                    WHEN nb_es_micro >= nb_fr_micro AND
+                         nb_es_micro >= nb_zh_micro THEN 'es'
+                    WHEN nb_fr_micro >= nb_zh_micro THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM sc"""
+      }),
+
     // ---- PII scrubbing ------------------------------------------------------
     // The fixture corpus carries no PII, so deterministic emails/URLs are
     // appended first (both engines see identical text), then scrubbed with

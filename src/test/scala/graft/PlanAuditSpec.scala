@@ -53,6 +53,10 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row digit-total broadcast crossing the ≤9-row digit table
       // (the txt_collocations corpus-total shape)
       "dq_benford",
+      // two 1-row broadcast training-constant sides (per-lang token
+      // totals + vocab, per-lang doc priors) crossing the scored-doc
+      // table — the txt_surprisal corpus-total shape, twice
+      "txt_nb_langid",
       // the 1-row broadcast corpus-frontier timestamp crossing the
       // |event-types|-row freshness table (the ev_rfm threshold shape)
       "dq_freshness",
