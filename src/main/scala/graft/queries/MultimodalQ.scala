@@ -44,6 +44,11 @@ object MultimodalQ {
   // lesson).
   private[graft] val VideoDfCap = 16
   private[graft] val VideoMinAlign = 3
+  // mm_image_features thumbnail geometry (small enough that the HOF
+  // feature math stays cheap per row, wide enough that the row-aware
+  // edge energy exercises real scanline structure)
+  private[graft] val ImgW = 12
+  private[graft] val ImgH = 8
 
   /** 60-bit difference hash of a string payload: sample DhashBits+1 fixed
     * positions across the first [[DhashThumb]] chars, bit i = sampled
@@ -567,6 +572,87 @@ object MultimodalQ {
                  AS BIGINT) AS mean_ham_milli,
                max(ham) AS max_hamming
         FROM sc GROUP BY 1""")),
+
+    // ---- image features through REAL PNG bytes -------------------------------
+    // The image rung of the "real container" rule (WAV proved audio,
+    // y4m/MJPEG-AVI video): per-document RGB pixels (deterministic
+    // integer formulas both engines can generate) round-trip through
+    // REAL PNG bytes — genuine DEFLATE compression via
+    // [[graft.pipeline.PngCodec]], cross-validated both directions
+    // against the JRE's own ImageIO reader/writer — then the feature
+    // card (dimensions from the parsed IHDR, exact per-channel integer
+    // sums, integer-permille max luma, row-aware horizontal edge
+    // energy) computes from the DECODED pixels. The DuckDB oracle
+    // computes the same math from the same generated list WITHOUT the
+    // container: PNG is lossless, so the hash match proves the
+    // compress→decompress round trip bit-exact AND the chunk/filter
+    // parsing. The codec pair is the sanctioned binary-I/O UDF
+    // exception; everything else is codegen HOFs over a pure NARROW
+    // projection — zero exchanges, embarrassingly parallel at any
+    // scale. png_bytes is deliberately NOT in the output: DEFLATE
+    // output length is compressor-version-dependent (unlike WAV's
+    // arithmetic header), so it is spec-checked, never oracle-hashed.
+    Q("mm_image_features",
+      (s, dir) => {
+        val (w, h) = (ImgW, ImgH)
+        val enc = udf((xs: Seq[Long]) =>
+          graft.pipeline.PngCodec.encode(w, h, xs.map(_.toInt).toArray))
+        val dec = udf((b: Array[Byte]) => {
+          val (dw, dh, rgb) = graft.pipeline.PngCodec.decode(b)
+          (dw.toLong, dh.toLong, rgb.map(_.toLong).toSeq)
+        })
+        Tables(s, dir, "documents").select(col("doc_id"))
+          .withColumn("gen", expr(
+            s"""transform(sequence(0L, ${w * h - 1}L), i ->
+               ((doc_id * 37 + i * i * 11 + 3) % 256) * 65536 +
+               ((doc_id * (i * 13 + 7)) % 256) * 256 +
+               (doc_id * 101 + i * 29) % 256)"""))
+          .withColumn("d", dec(enc(col("gen"))))
+          .select(col("doc_id"), col("d._1").as("width"),
+            col("d._2").as("height"), col("d._3").as("rgb"))
+          .select(col("doc_id"), col("width"), col("height"),
+            expr("CAST(size(rgb) AS BIGINT)").as("n_pixels"),
+            expr("aggregate(rgb, 0L, (a, x) -> a + x div 65536)")
+              .as("sum_r"),
+            expr("aggregate(rgb, 0L, (a, x) -> a + (x div 256) % 256)")
+              .as("sum_g"),
+            expr("aggregate(rgb, 0L, (a, x) -> a + x % 256)").as("sum_b"),
+            expr("array_max(transform(rgb, x -> 299 * (x div 65536) + " +
+              "587 * ((x div 256) % 256) + 114 * (x % 256)))")
+              .as("max_luma_pm"),
+            expr(s"""aggregate(transform(sequence(1L, ${w * h - 1}L), i ->
+                 IF(i % $w = 0, 0L, abs(element_at(rgb, CAST(i + 1 AS INT))
+                   div 65536 - element_at(rgb, CAST(i AS INT))
+                   div 65536))), 0L, (a, x) -> a + x)""")
+              .as("edge_energy"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, ${ImgW * ImgH - 1}), i ->
+                   ((doc_id * 37 + i * i * 11 + 3) % 256) * 65536 +
+                   ((doc_id * (i * 13 + 7)) % 256) * 256 +
+                   (doc_id * 101 + i * 29) % 256) AS l
+          FROM documents)
+        SELECT doc_id,
+               CAST($ImgW AS BIGINT) AS width,
+               CAST($ImgH AS BIGINT) AS height,
+               CAST(len(l) AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(l, x -> x // 65536)) AS BIGINT)
+                 AS sum_r,
+               CAST(list_sum(list_transform(l, x -> (x // 256) % 256))
+                 AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(l, x -> x % 256)) AS BIGINT)
+                 AS sum_b,
+               CAST(list_max(list_transform(l, x -> 299 * (x // 65536) +
+                 587 * ((x // 256) % 256) + 114 * (x % 256))) AS BIGINT)
+                 AS max_luma_pm,
+               CAST(list_sum(list_transform(
+                 generate_series(1, ${ImgW * ImgH - 1}), i ->
+                   CASE WHEN i % $ImgW = 0 THEN 0
+                        ELSE abs(l[i + 1] // 65536 - l[i] // 65536)
+                   END)) AS BIGINT) AS edge_energy
+        FROM g""")),
 
     // ---- audio features through REAL WAV bytes -------------------------------
     // The audio rung of the multimodal family: per-document PCM16
