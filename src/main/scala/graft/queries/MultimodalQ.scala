@@ -654,6 +654,101 @@ object MultimodalQ {
                    END)) AS BIGINT) AS edge_energy
         FROM g""")),
 
+    // ---- image near-dup over REAL decoded pixels -----------------------------
+    // mm_dhash_neardup's scaladoc promised that its (substr, ascii)
+    // "thumbnail" swaps for a real decode with everything downstream
+    // unchanged — this query KEEPS that promise: the actual dHash
+    // algorithm (a 9×8 grid, bit = left pixel brighter than right) over
+    // pixels that round-tripped through REAL PNG bytes (DEFLATE
+    // compress → decompress via [[graft.pipeline.PngCodec]]), then the
+    // family's block-bucket discipline verbatim. Each document plants a
+    // BRIGHTNESS-SHIFTED twin — +10 gray on every pixel, bytes and
+    // DEFLATE stream completely different — and dHash's gradient-sign
+    // invariance makes the fingerprints identical (pixel values are
+    // generated in [0, 200): the shift never clamps, so every
+    // left-vs-right comparison is preserved): exactly the re-exposed
+    // re-upload robustness real image dedup exists for. 60 of the 64
+    // grid bits are used so the fingerprint stays a positive BIGINT in
+    // both engines (the simhashWide precedent; block math unchanged).
+    // The oracle computes the same fingerprint from the same generated
+    // pixel list container-free — the hash match proves the compressed
+    // round trip AND pins the bucket economics. The base pixel is
+    // salted-md5-derived, not modular arithmetic: a first cut used
+    // (doc_id · c_i) % 200, and every pair of docs congruent mod 200
+    // got bit-identical images — 280k pairs at sf0.1, the audio
+    // hot-bucket lesson in its residue-class form. Full-entropy mixing
+    // keeps non-planted fingerprints hash-uniform.
+    Q("mm_image_neardup",
+      (s, dir) => {
+        val (w, h) = (9, 8)
+        val enc = udf((xs: Seq[Long]) =>
+          graft.pipeline.PngCodec.encode(w, h, xs.map(_.toInt).toArray))
+        val dec = udf((b: Array[Byte]) =>
+          graft.pipeline.PngCodec.decode(b)._3.map(_.toLong).toSeq)
+        val recs = Tables.sharded(s, dir, "documents")
+          .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
+          .select((col("doc_id") * 2 + col("v")).as("rec_id"),
+            col("doc_id"), col("v"))
+          .withColumn("gen", expr(
+            s"""transform(sequence(0L, ${w * h - 1}L), i ->
+               (CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+                  '|', CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)
+                  % 200 +
+                IF(v = 1, 10L, 0L)) * 65793)"""))
+          .withColumn("rgb", dec(enc(col("gen"))))
+          .select(col("rec_id"), expr(
+            s"""aggregate(sequence(0, 59), 0L, (acc, k) -> acc + IF(
+               element_at(rgb, CAST((k div 8) * 9 + (k % 8) + 1 AS INT))
+                 div 65536 >
+               element_at(rgb, CAST((k div 8) * 9 + (k % 8) + 2 AS INT))
+                 div 65536,
+               shiftleft(1L, k), 0L))""").as("f"))
+          .materialize() // one decode+fingerprint pass, both join sides
+        val blocked = recs.select(col("rec_id"), col("f"),
+            explode(dhashBlockStructs(col("f"))).as("e"))
+          .select(col("rec_id"), col("f"),
+            col("e.blk").as("blk"), col("e.bv").as("bv"))
+        blocked.select(col("blk"), col("bv"), col("rec_id").as("rec_a"),
+            col("f").as("f_a"))
+          .join(blocked.select(col("blk"), col("bv"),
+            col("rec_id").as("rec_b"), col("f").as("f_b")), Seq("blk", "bv"))
+          .filter(col("rec_a") < col("rec_b"))
+          .select(col("rec_a"), col("rec_b"),
+            bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
+              .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= DhashMaxHamming)
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT doc_id * 2 + v AS rec_id, doc_id, v
+          FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v)),
+        g AS (
+          SELECT rec_id,
+                 list_transform(generate_series(0, 71), i ->
+                   (CAST('0x' || substr(md5(doc_id || '|' || i), 1, 12)
+                      AS BIGINT) % 200 +
+                    CASE WHEN v = 1 THEN 10 ELSE 0 END) * 65793) AS l
+          FROM recs),
+        fp AS (
+          SELECT rec_id,
+                 CAST(list_sum(list_transform(generate_series(0, 59),
+                   k -> CASE WHEN l[(k // 8) * 9 + (k % 8) + 1] // 65536 >
+                       l[(k // 8) * 9 + (k % 8) + 2] // 65536
+                     THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+                   AS BIGINT) AS f
+          FROM g),
+        blocked AS (
+          SELECT rec_id, f, blk, (f >> (blk * 15)) & 32767 AS bv
+          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        pairs AS (
+          SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+          FROM blocked a JOIN blocked b
+            ON a.blk = b.blk AND a.bv = b.bv AND a.rec_id < b.rec_id)
+        SELECT rec_a, rec_b, hamming FROM pairs
+        WHERE hamming <= $DhashMaxHamming""")),
+
     // ---- audio features through REAL WAV bytes -------------------------------
     // The audio rung of the multimodal family: per-document PCM16
     // waveforms (deterministic integer samples both engines can
