@@ -197,4 +197,61 @@ object PngCodec {
   private def readInt(bytes: Array[Byte], at: Int): Int =
     ((bytes(at) & 0xff) << 24) | ((bytes(at + 1) & 0xff) << 16) |
       ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
+
+  /** IHDR dimensions WITHOUT decompressing pixel data — the
+    * metadata-only path ([[PngFrameDecoder.decodeMeta]]): header CRC
+    * still verified, IDAT never inflated.
+    */
+  def dimensions(bytes: Array[Byte]): (Int, Int) = {
+    require(sniff(bytes), "not a PNG stream (bad signature)")
+    require(bytes.length >= 33, "truncated PNG: no room for IHDR")
+    require(new String(bytes, 12, 4, "US-ASCII") == "IHDR",
+      "PNG first chunk is not IHDR")
+    val crc = new CRC32()
+    crc.update(bytes, 12, 4 + 13)
+    require(crc.getValue.toInt == readInt(bytes, 29), "PNG IHDR CRC mismatch")
+    (readInt(bytes, 16), readInt(bytes, 20))
+  }
+}
+
+/** An image corpus flows through the SAME O7→O20 pipeline as video: a
+  * PNG is a one-frame "video" (frame 0 at t=0), so listing → filter →
+  * decode → embed → assemble → TFRecord needs no image-specific branch
+  * anywhere downstream — the reference's single-frame mode
+  * (preprocess.py single_frame) generalized to real image bytes.
+  * Pixel layout and normalization match the other real decoders
+  * (interleaved RGB floats in [0,1]); the metadata path parses the IHDR
+  * only and never inflates the DEFLATE stream, so the DSv2 source's
+  * column pruning keeps paying on image corpora too.
+  */
+final class PngFrameDecoder extends FrameDecoder {
+
+  private def bytesOf(filename: String, content: Array[Byte]): Array[Byte] =
+    if (content != null) content
+    else java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      filename.stripPrefix("file:")))
+
+  override def decode(filename: String, content: Array[Byte],
+      sampleRateMs: Long): Iterator[DecodedFrame] = {
+    val (w, h, rgb) = PngCodec.decode(bytesOf(filename, content))
+    val px = new Array[Float](w * h * 3)
+    var i = 0
+    while (i < rgb.length) {
+      val v = rgb(i)
+      px(3 * i) = ((v >> 16) & 0xff) / 255.0f
+      px(3 * i + 1) = ((v >> 8) & 0xff) / 255.0f
+      px(3 * i + 2) = (v & 0xff) / 255.0f
+      i += 1
+    }
+    Iterator.single(DecodedFrame(0L,
+      FrameDecoder.effectiveFps(sampleRateMs), 1.0, h, w, px))
+  }
+
+  override def decodeMeta(filename: String, content: Array[Byte],
+      sampleRateMs: Long): Iterator[DecodedFrame] = {
+    val (w, h) = PngCodec.dimensions(bytesOf(filename, content))
+    Iterator.single(DecodedFrame(0L,
+      FrameDecoder.effectiveFps(sampleRateMs), 1.0, h, w,
+      Array.emptyFloatArray))
+  }
 }

@@ -208,8 +208,9 @@ object Y4MFrameDecoder {
 
 /** The deployment seam, one level up from
   * [[FfmpegFrameDecoder.orSynthetic]]: dispatch per FILE by content
-  * magic, not by classpath alone — y4m streams (raw planar) and MJPEG
-  * AVIs (compressed, decoded by the JVM's own JPEG reader) take the
+  * magic, not by classpath alone — y4m streams (raw planar), MJPEG
+  * AVIs (compressed, decoded by the JVM's own JPEG reader), and PNGs
+  * (compressed stills as 1-frame videos, [[PngFrameDecoder]]) take the
   * pure-JVM paths everywhere (extensions lie; ffmpeg also sniffs
   * content), and everything else takes the best decoder this JVM
   * offers (JavaCV when present, deterministic synthetic otherwise).
@@ -232,6 +233,7 @@ final class AutoFrameDecoder(
 
   private val y4m = new Y4MFrameDecoder
   private val avi = new AviMjpegFrameDecoder
+  private val png = new PngFrameDecoder
 
   /** File-path decode (content == null, the DSv2 source's shape) sniffs
     * the stream head FROM DISK — same magic rules as in-memory content,
@@ -263,6 +265,7 @@ final class AutoFrameDecoder(
     val probe = if (content != null) content else headBytes(filename)
     if (Y4MFrameDecoder.sniff(probe)) y4m
     else if (AviMjpegFrameDecoder.sniff(probe)) avi
+    else if (PngCodec.sniff(probe)) png // an image is a 1-frame video
     else fallback
   }
 
