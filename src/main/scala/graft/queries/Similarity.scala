@@ -33,6 +33,10 @@ object Similarity {
   // sim_negatives: hash-sampled pool size and hard-negative cut
   private[graft] val NegPoolN = 50
   private[graft] val NegK = 10
+  // sim_mrl_curve prefix dimensions (full dim last = the recall-1 sanity
+  // row); sim_rank_eval's ranking depth
+  private[graft] val MrlDims = Seq(8, 16, 32, 64)
+  private[graft] val RankK = 10
 
   /** DuckDB mirrors of VectorOps.quantize/dot/cosine. */
   private[queries] val qnSql = s"""
@@ -551,6 +555,181 @@ object Similarity {
         FROM truth t LEFT JOIN approx a
           ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
         GROUP BY t.probe_id""")),
+
+    // ---- Matryoshka truncation curve: recall@5 per prefix dimension ---------
+    // The eval behind MRL-style embeddings (Kusupati et al. 2022,
+    // arXiv:2205.13147): modern models are trained so a PREFIX of the
+    // vector is itself a usable embedding, and serving picks the
+    // cheapest prefix whose retrieval quality holds. This measures
+    // exactly that trade: brute-force top-5 under the first
+    // 8/16/32/64 components against the full-dimension ground truth —
+    // recall@5 per prefix, exact integer per-mille. Slice-then-quantize
+    // ≡ quantize-then-slice (elementwise), so the oracle slices the
+    // quantized arrays. Per-dim probe sides stay broadcast; the corpus
+    // scans once per dim and never shuffles (the knnBrute shape).
+    Q("sim_mrl_curve",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < ProbeLimit)
+        val truth = VectorOps.knnBrute(e, probes, 5)
+          .select(col("probe_id"), col("neighbor_id")).materialize()
+        MrlDims.map { d =>
+          val te = e.select(col("vec_id"),
+            expr(s"slice(embedding, 1, $d)").as("embedding"))
+          val approx = VectorOps
+            .knnBrute(te, te.filter(col("vec_id") < ProbeLimit), 5)
+            .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+          truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+            .select(lit(d.toLong).as("dim"), col("n_truth"), col("n_hit"),
+              expr("n_hit * 1000 div n_truth").as("recall_pm"))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val dimBlocks = MrlDims.map { d =>
+          s"""qn$d AS (
+               SELECT vec_id, qv[1:$d] AS qv,
+                      CAST(list_sum([q * q for q in qv[1:$d]]) AS BIGINT)
+                        AS n2
+               FROM qn),
+             ap$d AS (
+               SELECT probe_id, vec_id AS neighbor_id FROM (
+                 SELECT p.vec_id AS probe_id, c.vec_id,
+                        row_number() OVER (PARTITION BY p.vec_id
+                          ORDER BY ${cosSql("p", "c")} DESC, c.vec_id ASC)
+                          AS rank
+                 FROM (SELECT * FROM qn$d WHERE vec_id < $ProbeLimit) p
+                 JOIN qn$d c ON c.vec_id <> p.vec_id) WHERE rank <= 5)"""
+        }.mkString(",\n")
+        val rows = MrlDims.map { d =>
+          s"""SELECT CAST($d AS BIGINT) AS dim,
+                     CAST(count(*) AS BIGINT) AS n_truth,
+                     CAST(sum(CASE WHEN a.probe_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                     CAST(sum(CASE WHEN a.probe_id IS NOT NULL
+                       THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+                       AS recall_pm
+              FROM truth t LEFT JOIN ap$d a
+                ON a.probe_id = t.probe_id
+               AND a.neighbor_id = t.neighbor_id"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+        WITH qn AS ($qnSql),
+        truth AS (
+          SELECT probe_id, vec_id AS neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id ASC) AS rank
+            FROM (SELECT * FROM qn WHERE vec_id < $ProbeLimit) p
+            JOIN qn c ON c.vec_id <> p.vec_id) WHERE rank <= 5),
+        $dimBlocks
+        $rows"""
+      }),
+
+    // ---- graded ranking evaluation: MRR + nDCG@10 over IVF retrieval --------
+    // The other half of retrieval evaluation: sim_recall asks "did the
+    // right documents come back", this asks "did they come back IN THE
+    // RIGHT ORDER". Relevance = label match (the corpus carries class
+    // labels); the ranking under test is the production IVF search's
+    // top-10. MRR is 10⁶//first-relevant-rank; nDCG's log2 discount
+    // uses the micro-quantized-ln rule (every ln runs over the INTEGER
+    // rank+1): dcg_micro = Σ_rel 10¹²//Q(r+1), idcg over the ideal
+    // prefix min(|rel∩corpus|, 10) — the whole metric stays exact
+    // BIGINT arithmetic, so even the EVALUATION is oracle-checked. A
+    // probe whose bucket returns nothing relevant reports 0, not NULL.
+    Q("sim_rank_eval",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings")
+        val labels = e.select(col("vec_id"), col("label"))
+        val ranked = VectorOps.knnIvf(e, col("vec_id") < ProbeLimit,
+            CentroidModulo, RankK)
+          .select(col("probe_id"), col("neighbor_id"), col("rank"))
+          .join(broadcast(labels.select(col("vec_id").as("probe_id"),
+            col("label").as("plabel"))), Seq("probe_id"))
+          .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nlabel"))), Seq("neighbor_id"))
+          .withColumn("rel", when(col("plabel") === col("nlabel"), 1L)
+            .otherwise(0L))
+        // corpus-wide relevant count per probe (excluding self) bounds
+        // the ideal ranking's length
+        val corpusRel = e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_label"))
+        val perProbe = ranked.groupBy(col("probe_id"), col("plabel"))
+          .agg(
+            sum(col("rel")).as("n_rel_found"),
+            min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
+            sum(when(col("rel") === 1L,
+              expr("1000000000000 div CAST(round(ln(rank + 1) * 1000000)" +
+                " AS BIGINT)")).otherwise(0L)).as("dcg_micro"))
+          .join(broadcast(corpusRel.select(col("label").as("plabel"),
+            col("n_label"))), Seq("plabel"))
+          .withColumn("n_rel_corpus", col("n_label") - 1)
+        perProbe.select(col("probe_id"), col("n_rel_corpus"),
+            col("n_rel_found"),
+            coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+            when(col("first_rel_rank").isNull, 0L)
+              .otherwise(expr("1000000 div first_rel_rank")).as("mrr_micro"),
+            col("dcg_micro"),
+            expr(s"""aggregate(sequence(1L, least(n_rel_corpus,
+                 ${RankK}L)), 0L, (a, r) -> a + 1000000000000 div
+                 CAST(round(ln(r + 1) * 1000000) AS BIGINT))""")
+              .as("idcg_micro"))
+          .withColumn("ndcg_pm",
+            when(col("idcg_micro") === 0L, 0L)
+              .otherwise(expr("dcg_micro * 1000 div idcg_micro")))
+      },
+      Some(s"""
+        WITH $assignSql,
+        ranked AS (
+          SELECT probe_id, vec_id AS neighbor_id, rank FROM (
+            SELECT p.probe_id, c.vec_id,
+                   row_number() OVER (PARTITION BY p.probe_id
+                     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id ASC) AS rank
+            FROM (SELECT vec_id AS probe_id, centroid_id, qv, n2 FROM asg
+                  WHERE vec_id < $ProbeLimit) p
+            JOIN asg c ON c.centroid_id = p.centroid_id
+                      AND c.vec_id <> p.probe_id) WHERE rank <= $RankK),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        rl AS (
+          SELECT r.probe_id, r.rank,
+                 CASE WHEN pl.label = nl.label THEN 1 ELSE 0 END AS rel,
+                 pl.label AS plabel
+          FROM ranked r
+          JOIN lab pl ON pl.vec_id = r.probe_id
+          JOIN lab nl ON nl.vec_id = r.neighbor_id),
+        cr AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+        pp AS (
+          SELECT probe_id, plabel,
+                 CAST(sum(rel) AS BIGINT) AS n_rel_found,
+                 min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+                 CAST(sum(CASE WHEN rel = 1 THEN 1000000000000 //
+                   CAST(round(ln(rank + 1) * 1000000) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS dcg_micro
+          FROM rl GROUP BY 1, 2),
+        wc AS (
+          SELECT pp.*, cr.n_label - 1 AS n_rel_corpus
+          FROM pp JOIN cr ON cr.label = pp.plabel)
+        SELECT probe_id, CAST(n_rel_corpus AS BIGINT) AS n_rel_corpus,
+               n_rel_found,
+               CAST(coalesce(first_rel_rank, 0) AS BIGINT)
+                 AS first_rel_rank,
+               CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+                    ELSE 1000000 // first_rel_rank END AS BIGINT)
+                 AS mrr_micro,
+               dcg_micro,
+               CAST(list_sum([1000000000000 //
+                 CAST(round(ln(r + 1) * 1000000) AS BIGINT)
+                 for r in generate_series(1, least(n_rel_corpus, $RankK))])
+                 AS BIGINT) AS idcg_micro,
+               CAST(CASE WHEN least(n_rel_corpus, $RankK) <= 0 THEN 0
+                    ELSE dcg_micro * 1000 //
+                      CAST(list_sum([1000000000000 //
+                        CAST(round(ln(r + 1) * 1000000) AS BIGINT)
+                        for r in generate_series(1,
+                          least(n_rel_corpus, $RankK))]) AS BIGINT)
+                    END AS BIGINT) AS ndcg_pm
+        FROM wc""")),
 
     // ---- embedding-cosine near-dup candidates ------------------------------
     // Near-dup detection in embedding space: all pairs WITHIN an IVF bucket

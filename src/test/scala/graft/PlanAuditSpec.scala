@@ -57,6 +57,12 @@ class PlanAuditSpec extends SparkSpec {
       // totals + vocab, per-lang doc priors) crossing the scored-doc
       // table — the txt_surprisal corpus-total shape, twice
       "txt_nb_langid",
+      // knnBrute's bounded corpus × broadcast-probe BNLJ, once per
+      // prefix dimension (the sim_recall shape, ×4)
+      "sim_mrl_curve",
+      // inherits assignIvf's bounded corpus × broadcast-centroid BNLJ
+      // (the sim_knn_ivf shape) under the label joins
+      "sim_rank_eval",
       // the 1-row broadcast corpus-frontier timestamp crossing the
       // |event-types|-row freshness table (the ev_rfm threshold shape)
       "dq_freshness",
