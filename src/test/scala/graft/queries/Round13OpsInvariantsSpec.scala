@@ -40,6 +40,39 @@ class Round13OpsInvariantsSpec extends SparkSpec {
     assert(PngCodec.decode(b0)._3.toSeq !== PngCodec.decode(b1)._3.toSeq)
   }
 
+  test("sim_mrl_curve: recall is monotone in prefix dim; full dim is exact") {
+    val rows = run("sim_mrl_curve")
+      .select("dim", "n_truth", "n_hit", "recall_pm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Similarity.MrlDims.map(_.toLong))
+    // a longer prefix can only see MORE of the true geometry
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._4, s"recall dropped ${lo._1}→${hi._1}")
+    }
+    // the full-dimension row IS the ground truth: recall exactly 1
+    assert(rows.last._4 === 1000L)
+    assert(rows.last._2 === rows.last._3)
+  }
+
+  test("sim_rank_eval: metric bounds and internal consistency") {
+    val rows = run("sim_rank_eval")
+      .select("probe_id", "n_rel_corpus", "n_rel_found", "first_rel_rank",
+        "mrr_micro", "dcg_micro", "idcg_micro", "ndcg_pm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, relC, relF, fr, mrr, dcg, idcg, ndcg) =>
+      assert(relF <= relC, s"probe $p found more relevant than exist")
+      assert(ndcg >= 0L && ndcg <= 1000L, s"probe $p ndcg $ndcg")
+      assert(mrr >= 0L && mrr <= 1000000L, s"probe $p mrr $mrr")
+      assert(dcg <= idcg, s"probe $p dcg $dcg > idcg $idcg")
+      if (relF == 0L) {
+        assert(fr === 0L && mrr === 0L && dcg === 0L && ndcg === 0L)
+      } else {
+        assert(fr >= 1L && mrr === 1000000L / fr)
+      }
+    }
+  }
+
   test("mm_image_features: decoded-pixel features match a driver-side recompute") {
     val rows = run("mm_image_features")
       .select("doc_id", "sum_r", "sum_g", "sum_b", "max_luma_pm",
