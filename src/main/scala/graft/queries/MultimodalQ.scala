@@ -679,73 +679,9 @@ object MultimodalQ {
     // hot-bucket lesson in its residue-class form. Full-entropy mixing
     // keeps non-planted fingerprints hash-uniform.
     Q("mm_image_neardup",
-      (s, dir) => {
-        val (w, h) = (9, 8)
-        val enc = udf((xs: Seq[Long]) =>
-          graft.pipeline.PngCodec.encode(w, h, xs.map(_.toInt).toArray))
-        val dec = udf((b: Array[Byte]) =>
-          graft.pipeline.PngCodec.decode(b)._3.map(_.toLong).toSeq)
-        val recs = Tables.sharded(s, dir, "documents")
-          .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
-          .select((col("doc_id") * 2 + col("v")).as("rec_id"),
-            col("doc_id"), col("v"))
-          .withColumn("gen", expr(
-            s"""transform(sequence(0L, ${w * h - 1}L), i ->
-               (CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
-                  '|', CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)
-                  % 200 +
-                IF(v = 1, 10L, 0L)) * 65793)"""))
-          .withColumn("rgb", dec(enc(col("gen"))))
-          .select(col("rec_id"), expr(
-            s"""aggregate(sequence(0, 59), 0L, (acc, k) -> acc + IF(
-               element_at(rgb, CAST((k div 8) * 9 + (k % 8) + 1 AS INT))
-                 div 65536 >
-               element_at(rgb, CAST((k div 8) * 9 + (k % 8) + 2 AS INT))
-                 div 65536,
-               shiftleft(1L, k), 0L))""").as("f"))
-          .materialize() // one decode+fingerprint pass, both join sides
-        val blocked = recs.select(col("rec_id"), col("f"),
-            explode(dhashBlockStructs(col("f"))).as("e"))
-          .select(col("rec_id"), col("f"),
-            col("e.blk").as("blk"), col("e.bv").as("bv"))
-        blocked.select(col("blk"), col("bv"), col("rec_id").as("rec_a"),
-            col("f").as("f_a"))
-          .join(blocked.select(col("blk"), col("bv"),
-            col("rec_id").as("rec_b"), col("f").as("f_b")), Seq("blk", "bv"))
-          .filter(col("rec_a") < col("rec_b"))
-          .select(col("rec_a"), col("rec_b"),
-            bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
-              .as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= DhashMaxHamming)
-      },
+      (s, dir) => imagePairs(s, dir),
       Some(s"""
-        WITH recs AS (
-          SELECT doc_id * 2 + v AS rec_id, doc_id, v
-          FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v)),
-        g AS (
-          SELECT rec_id,
-                 list_transform(generate_series(0, 71), i ->
-                   (CAST('0x' || substr(md5(doc_id || '|' || i), 1, 12)
-                      AS BIGINT) % 200 +
-                    CASE WHEN v = 1 THEN 10 ELSE 0 END) * 65793) AS l
-          FROM recs),
-        fp AS (
-          SELECT rec_id,
-                 CAST(list_sum(list_transform(generate_series(0, 59),
-                   k -> CASE WHEN l[(k // 8) * 9 + (k % 8) + 1] // 65536 >
-                       l[(k // 8) * 9 + (k % 8) + 2] // 65536
-                     THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
-                   AS BIGINT) AS f
-          FROM g),
-        blocked AS (
-          SELECT rec_id, f, blk, (f >> (blk * 15)) & 32767 AS bv
-          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
-        pairs AS (
-          SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
-                 CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
-          FROM blocked a JOIN blocked b
-            ON a.blk = b.blk AND a.bv = b.bv AND a.rec_id < b.rec_id)
+        WITH $imagePairsSql
         SELECT rec_a, rec_b, hamming FROM pairs
         WHERE hamming <= $DhashMaxHamming""")),
 
@@ -932,8 +868,148 @@ object MultimodalQ {
         ${graft.ops.Components.labelSql(2)}
         SELECT cluster_id, count(*) AS n_members, max(doc_id) AS keep_id,
                count(*) - 1 AS n_removed
-        FROM l2 GROUP BY cluster_id"""))
+        FROM l2 GROUP BY cluster_id""")),
+
+    // ---- multimodal dedup governance card ------------------------------------
+    // One row per MODALITY, composed from the SAME four pair lineages
+    // the near-dup queries register (stub-thumbnail dHash, PNG-decoded
+    // dHash, audio fingerprint, video frame alignment) — the card a data
+    // steward reads before a training run: how many duplicate pairs per
+    // modality, touching how many records. Because each lineage is the
+    // single shared definition, the card cannot drift from the queries
+    // it summarizes; on the oracle side each lineage's CTE block is
+    // scoped inside its own subquery (names collide across blocks by
+    // design). Four 1-row aggregate pairs cross into four card rows —
+    // the dq_expectations verdict-card shape, per modality.
+    Q("mm_dedup_report",
+      (s, dir) => {
+        def card(modality: String, pairs: DataFrame, ca: String,
+            cb: String): DataFrame = {
+          val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
+            .materialize() // two aggregates below — one lineage run
+          val members = p.select(col("a").as("m"))
+            .unionByName(p.select(col("b").as("m")))
+          p.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(members.agg(
+              countDistinct(col("m")).as("n_dup_records")))
+            .select(lit(modality).as("modality"), col("n_pairs"),
+              col("n_dup_records"))
+        }
+        card("audio_fingerprint", audioPairs(s, dir), "rec_a", "rec_b")
+          .unionByName(card("image_png_dhash", imagePairs(s, dir),
+            "rec_a", "rec_b"))
+          .unionByName(card("image_stub_dhash", dhashPairs(s, dir),
+            "asset_a", "asset_b"))
+          .unionByName(card("video_alignment",
+            videoNearDup(s, Tables.sharded(s, dir, "documents")),
+            "rec_a", "rec_b"))
+      },
+      Some {
+        def block(modality: String, ctes: String, sel: String,
+            ca: String, cb: String): String = s"""
+          SELECT * FROM (
+            WITH $ctes,
+            p2 AS ($sel)
+            SELECT '$modality' AS modality,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p2) AS n_pairs,
+                   (SELECT CAST(count(DISTINCT m) AS BIGINT) FROM (
+                      SELECT $ca AS m FROM p2
+                      UNION ALL SELECT $cb FROM p2)) AS n_dup_records)"""
+        Seq(
+          block("audio_fingerprint", audioPairsSql,
+            s"SELECT rec_a, rec_b FROM pairs WHERE hamming <= $DhashMaxHamming",
+            "rec_a", "rec_b"),
+          block("image_png_dhash", imagePairsSql,
+            s"SELECT rec_a, rec_b FROM pairs WHERE hamming <= $DhashMaxHamming",
+            "rec_a", "rec_b"),
+          block("image_stub_dhash", dhashPairsSql,
+            s"SELECT asset_a, asset_b FROM pairs " +
+              s"WHERE bit_count(xor(h_a, h_b)) <= $DhashMaxHamming",
+            "asset_a", "asset_b"),
+          block("video_alignment", videoPairsSql,
+            "SELECT rec_a, rec_b FROM vnd", "rec_a", "rec_b"))
+          .mkString("\nUNION ALL\n")
+      })
   )
+
+  /** The image near-dup pair lineage (pixel gen → PNG round trip → real
+    * 9×8 dHash → block-bucket self-join → exact hamming, threshold
+    * applied) — ONE definition consumed by mm_image_neardup and
+    * mm_dedup_report.
+    */
+  private[graft] def imagePairs(s: SparkSession, dir: String): DataFrame = {
+    val (w, h) = (9, 8)
+    val enc = udf((xs: Seq[Long]) =>
+      graft.pipeline.PngCodec.encode(w, h, xs.map(_.toInt).toArray))
+    val dec = udf((b: Array[Byte]) =>
+      graft.pipeline.PngCodec.decode(b)._3.map(_.toLong).toSeq)
+    val recs = Tables.sharded(s, dir, "documents")
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
+      .select((col("doc_id") * 2 + col("v")).as("rec_id"),
+        col("doc_id"), col("v"))
+      .withColumn("gen", expr(
+        s"""transform(sequence(0L, ${w * h - 1}L), i ->
+           (CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+              '|', CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)
+              % 200 +
+            IF(v = 1, 10L, 0L)) * 65793)"""))
+      .withColumn("rgb", dec(enc(col("gen"))))
+      .select(col("rec_id"), expr(
+        s"""aggregate(sequence(0, 59), 0L, (acc, k) -> acc + IF(
+           element_at(rgb, CAST((k div 8) * 9 + (k % 8) + 1 AS INT))
+             div 65536 >
+           element_at(rgb, CAST((k div 8) * 9 + (k % 8) + 2 AS INT))
+             div 65536,
+           shiftleft(1L, k), 0L))""").as("f"))
+      .materialize() // one decode+fingerprint pass, both join sides
+    val blocked = recs.select(col("rec_id"), col("f"),
+        explode(dhashBlockStructs(col("f"))).as("e"))
+      .select(col("rec_id"), col("f"),
+        col("e.blk").as("blk"), col("e.bv").as("bv"))
+    blocked.select(col("blk"), col("bv"), col("rec_id").as("rec_a"),
+        col("f").as("f_a"))
+      .join(blocked.select(col("blk"), col("bv"),
+        col("rec_id").as("rec_b"), col("f").as("f_b")), Seq("blk", "bv"))
+      .filter(col("rec_a") < col("rec_b"))
+      .select(col("rec_a"), col("rec_b"),
+        bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DhashMaxHamming)
+  }
+
+  /** Oracle CTE block recs→…→pairs mirroring [[imagePairs]] — shared by
+    * the image near-dup oracle and the report (CTE names collide with
+    * the audio block's by design; each consumer scopes its block inside
+    * its own subquery). A def, not a val (the audioPairsSql lesson).
+    */
+  private def imagePairsSql = s"""
+        recs AS (
+          SELECT doc_id * 2 + v AS rec_id, doc_id, v
+          FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v)),
+        g AS (
+          SELECT rec_id,
+                 list_transform(generate_series(0, 71), i ->
+                   (CAST('0x' || substr(md5(doc_id || '|' || i), 1, 12)
+                      AS BIGINT) % 200 +
+                    CASE WHEN v = 1 THEN 10 ELSE 0 END) * 65793) AS l
+          FROM recs),
+        fp AS (
+          SELECT rec_id,
+                 CAST(list_sum(list_transform(generate_series(0, 59),
+                   k -> CASE WHEN l[(k // 8) * 9 + (k % 8) + 1] // 65536 >
+                       l[(k // 8) * 9 + (k % 8) + 2] // 65536
+                     THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+                   AS BIGINT) AS f
+          FROM g),
+        blocked AS (
+          SELECT rec_id, f, blk, (f >> (blk * 15)) & 32767 AS bv
+          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+        pairs AS (
+          SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+          FROM blocked a JOIN blocked b
+            ON a.blk = b.blk AND a.bv = b.bv AND a.rec_id < b.rec_id)"""
 
   /** Oracle CTE block recs→…→vnd mirroring [[videoNearDup]], shared by
     * both video oracles for the no-drift reason above. A def, not a

@@ -60,6 +60,9 @@ class PlanAuditSpec extends SparkSpec {
       // knnBrute's bounded corpus × broadcast-probe BNLJ, once per
       // prefix dimension (the sim_recall shape, ×4)
       "sim_mrl_curve",
+      // four 1-row aggregate pairs crossing into four card rows — the
+      // dq_expectations verdict-card shape, once per modality
+      "mm_dedup_report",
       // inherits assignIvf's bounded corpus × broadcast-centroid BNLJ
       // (the sim_knn_ivf shape) under the label joins
       "sim_rank_eval",
