@@ -51,4 +51,39 @@ object Dq {
       sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orphans")
     flagged.groupBy().agg(aggs.head, aggs.tail: _*)
   }
+
+  /** One referential-integrity card row for a child.fk → parent.pk
+    * relationship: orphaned child rows/keys (FK violations) AND childless
+    * parent keys (coverage — the direction a training-data join silently
+    * drops). Shape: BOTH sides collapse to per-key counts first (two
+    * combinable aggregates whose shuffles carry only the key), then one
+    * key-keyed full-outer join and a 1-row fold — the exchange never
+    * carries a payload column, and a duplicated parent key (the very
+    * defect a DQ card exists to catch) is COUNTED once, not allowed to
+    * multiply child rows the way a raw row-level join would. NULL child
+    * FKs are orphan rows by definition (they reference nothing) and are
+    * counted under the null key. Consumed by dq_referential (4 fixture
+    * relationships) and DqCardsSpec's planted-violation corpus.
+    */
+  def referentialCard(label: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val c = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c_rows"))
+    val p = parent.groupBy(col(pk).as("k")).agg(count(lit(1)).as("p_rows"))
+    c.join(p, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce(col("c_rows"), lit(0L))).as("n_child"),
+        sum(when(col("p_rows").isNotNull, 1L).otherwise(0L))
+          .as("n_parent"),
+        sum(when(col("p_rows").isNull, col("c_rows")).otherwise(lit(0L)))
+          .as("orphan_rows"),
+        sum(when(col("p_rows").isNull, 1L).otherwise(0L))
+          .as("orphan_keys"),
+        sum(when(col("c_rows").isNull && col("p_rows").isNotNull, 1L)
+          .otherwise(0L)).as("childless_parents"))
+      .select(lit(label).as("relationship"), col("n_child"),
+        col("n_parent"), col("orphan_rows"), col("orphan_keys"),
+        col("childless_parents"),
+        expr("((n_parent - childless_parents) * 1000) div " +
+          "greatest(n_parent, 1)").as("coverage_pm"))
+  }
 }

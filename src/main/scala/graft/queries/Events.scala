@@ -2688,6 +2688,50 @@ object Events {
           FROM ranked)
         SELECT event_type, count(*) AS n_touches,
                CAST(sum(credit_milli) AS BIGINT) AS credit_milli
-        FROM credited GROUP BY 1"""))
+        FROM credited GROUP BY 1""")),
+
+    // ---- seasonality profile (day-of-week × hour-of-day load card) ---------
+    // The capacity-planning twin of ev_tumbling: where the tumbling
+    // window asks "what happened each hour", this asks "what ALWAYS
+    // happens at this hour" — the 168-cell weekly load profile a
+    // scheduler reads to place batch work off-peak and an anomaly
+    // monitor baselines against. load_pm = cell rate vs the uniform
+    // 1/168 expectation as exact integer per-mille (1000 = flat;
+    // ≥1500/≤500 flag peak/trough cells). ONE combinable aggregate over
+    // a compile-time-bounded ≤168-cell key (dow, hr both derived by
+    // codegen date functions in the scan projection), the corpus total
+    // as the allowlisted 1-row broadcast cross (the dq_freshness
+    // shape) — no window, no second corpus pass, nothing row-sized
+    // after the scan at any event volume. Spark's dayofweek is
+    // 1-based-Sunday; minus 1 aligns it with DuckDB's 0-based-Sunday
+    // so both engines bucket identically.
+    Q("ev_seasonality",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val cells = e
+          .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .groupBy(col("dow"), col("hr"))
+          .agg(count(lit(1)).as("n"))
+        val tot = e.agg(count(lit(1)).as("total"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hr"), col("n"),
+            expr("(n * 168 * 1000) div total").as("load_pm"),
+            (expr("(n * 168 * 1000) div total") >= 1500L).cast("long")
+              .as("peak"),
+            (expr("(n * 168 * 1000) div total") <= 500L).cast("long")
+              .as("trough"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                 CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT count(*) AS total FROM events)
+        SELECT dow, hr, n,
+               (n * 168 * 1000) // total AS load_pm,
+               CAST((n * 168 * 1000) // total >= 1500 AS BIGINT) AS peak,
+               CAST((n * 168 * 1000) // total <= 500 AS BIGINT) AS trough
+        FROM c CROSS JOIN t"""))
   )
 }

@@ -1239,6 +1239,135 @@ object Relational {
           UNION ALL SELECT 'n_chars', n_rows, null_n_chars,
                  CAST(0 AS BIGINT) FROM a)""")),
 
+    // ---- referential-integrity card (FK orphans + parent coverage) ---------
+    // The cross-TABLE data-quality gate dq_expectations (row predicates)
+    // and dq_completeness (field nulls) cannot express: for each foreign
+    // key in the star schema, how many child rows reference a missing
+    // parent (orphans — a violated join would silently DROP them in an
+    // inner-join pipeline) and how many parents have no children
+    // (coverage — the denominator a per-customer aggregate silently
+    // loses). Four relationships, one card. Each row is ops.Dq
+    // .referentialCard: both sides pre-collapse to per-key counts, so
+    // every exchange carries only the key — at 100 TB the lineitem→part
+    // probe shuffles |distinct partkey| rows, never line items — and a
+    // duplicate parent key is counted, not multiplied through. The
+    // fixture is referentially CLEAN (orphans = 0 — that's the gate
+    // passing, not a vacuous check: DqCardsSpec proves the same lineage
+    // counts planted violations exactly); childless_parents is the
+    // live signal (customers without orders exist at every TPC-H scale).
+    Q("dq_referential",
+      (s, dir) => {
+        import graft.ops.Dq
+        val rels = Seq(
+          ("orders.o_custkey->customer.c_custkey",
+            Tables(s, dir, "orders"), "o_custkey",
+            Tables(s, dir, "customer"), "c_custkey"),
+          ("lineitem.l_orderkey->orders.o_orderkey",
+            Tables(s, dir, "lineitem"), "l_orderkey",
+            Tables(s, dir, "orders"), "o_orderkey"),
+          ("lineitem.l_partkey->part.p_partkey",
+            Tables(s, dir, "lineitem"), "l_partkey",
+            Tables(s, dir, "part"), "p_partkey"),
+          ("lineitem.l_suppkey->supplier.s_suppkey",
+            Tables(s, dir, "lineitem"), "l_suppkey",
+            Tables(s, dir, "supplier"), "s_suppkey"))
+        rels.map { case (label, c, fk, p, pk) =>
+          Dq.referentialCard(label, c, fk, p, pk)
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        def rel(label: String, child: String, fk: String,
+            parent: String, pk: String) = s"""
+          SELECT '$label' AS relationship, n_child, n_parent,
+                 orphan_rows, orphan_keys, childless_parents,
+                 ((n_parent - childless_parents) * 1000) //
+                   greatest(n_parent, 1) AS coverage_pm
+          FROM (
+            SELECT CAST(sum(coalesce(c_rows, 0)) AS BIGINT) AS n_child,
+                   CAST(sum(CASE WHEN p_rows IS NOT NULL THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_parent,
+                   CAST(sum(CASE WHEN p_rows IS NULL THEN c_rows ELSE 0
+                     END) AS BIGINT) AS orphan_rows,
+                   CAST(sum(CASE WHEN p_rows IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS orphan_keys,
+                   CAST(sum(CASE WHEN c_rows IS NULL AND p_rows IS NOT
+                     NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS childless_parents
+            FROM (SELECT $fk AS k, count(*) AS c_rows
+                  FROM $child GROUP BY 1) c
+            FULL OUTER JOIN (SELECT $pk AS k, count(*) AS p_rows
+                  FROM $parent GROUP BY 1) p USING (k))"""
+        Seq(
+          rel("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"),
+          rel("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          rel("lineitem.l_partkey->part.p_partkey",
+            "lineitem", "l_partkey", "part", "p_partkey"),
+          rel("lineitem.l_suppkey->supplier.s_suppkey",
+            "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+          .mkString(" UNION ALL ")
+      }),
+
+    // ---- primary-key uniqueness card (every table, one row each) -----------
+    // The governance card's other half: per table, declared-key
+    // cardinality vs row count — a duplicated key is the defect that
+    // turns every downstream join into silent row multiplication (the
+    // dq_referential card counts parents once precisely because this
+    // card might be red). Each row is ONE combinable aggregate —
+    // count(*) plus an exact two-phase count(DISTINCT key) whose shuffle
+    // carries only the key (the composite lineitem key travels as its
+    // two integer columns, never a concatenated string) — and the ten
+    // 1-row results union. At 100 TB per-table cost is a keyed
+    // distinct-aggregate scan, embarrassingly parallel across tables.
+    Q("dq_pk_unique",
+      (s, dir) => {
+        val tabs: Seq[(String, Seq[String])] = Seq(
+          "region" -> Seq("r_regionkey"),
+          "nation" -> Seq("n_nationkey"),
+          "customer" -> Seq("c_custkey"),
+          "supplier" -> Seq("s_suppkey"),
+          "part" -> Seq("p_partkey"),
+          "orders" -> Seq("o_orderkey"),
+          "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+          "events" -> Seq("event_id"),
+          "documents" -> Seq("doc_id"),
+          "embeddings" -> Seq("vec_id"))
+        tabs.map { case (t, pks) =>
+          Tables(s, dir, t)
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(pks.head, pks.tail: _*).as("n_keys"))
+            .select(lit(t).as("table_name"),
+              lit(pks.mkString(",")).as("pk"),
+              col("n_rows"), col("n_keys"),
+              (col("n_rows") - col("n_keys")).as("dup_rows"),
+              expr("((n_rows - n_keys) * 1000) div greatest(n_rows, 1)")
+                .as("dup_pm"))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        def one(t: String, pks: Seq[String]) = {
+          val d = if (pks.size == 1) pks.head
+                  else s"(${pks.mkString(", ")})"
+          s"""
+          SELECT '$t' AS table_name, '${pks.mkString(",")}' AS pk,
+                 count(*) AS n_rows,
+                 CAST(count(DISTINCT $d) AS BIGINT) AS n_keys,
+                 CAST(count(*) - count(DISTINCT $d) AS BIGINT)
+                   AS dup_rows,
+                 ((count(*) - count(DISTINCT $d)) * 1000) //
+                   greatest(count(*), 1) AS dup_pm
+          FROM $t"""
+        }
+        Seq("region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+          "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+          "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+          "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+          "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+          "embeddings" -> Seq("vec_id"))
+          .map { case (t, p) => one(t, p) }.mkString(" UNION ALL ")
+      }),
+
     // ---- DDSketch-layout quantiles: log buckets, bounded RELATIVE error ----
     // The third quantile machine, for the regime the others miss:
     // q17/q17b are exact/approx on raw values, q21's equi-width grid

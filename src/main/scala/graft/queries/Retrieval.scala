@@ -30,6 +30,37 @@ object Retrieval {
     */
   private[graft] val PostingsCap = 8
 
+  /** The fixed two-term phrase txt_phrase_search matches (adjacent, in
+    * order) — shared by the query, its oracle, and PhraseSearchSpec's
+    * naive sliding-window cross-check.
+    */
+  private[graft] val PhraseA = "the"
+  private[graft] val PhraseB = "table"
+
+  /** txt_phrase_search's lineage over any (doc_id, text) frame — one
+    * higher-order-function pass per document, no exchange anywhere
+    * (PhraseSearchSpec asserts both the plan and a naive sliding-window
+    * cross-check, plus the 0/1-token edge cases on planted frames).
+    */
+  private[graft] def phraseHits(d: DataFrame): DataFrame = {
+    val (a, b) = (PhraseA, PhraseB)
+    d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        filter(transform(
+          when(size(col("toks")) >= 2,
+            sequence(lit(1), size(col("toks")) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => when(element_at(col("toks"), i) === a &&
+            element_at(col("toks"), i + 1) === b, i.cast("long"))),
+          x => x.isNotNull).as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        element_at(col("hits"), 1).as("first_pos"),
+        concat_ws(",", transform(col("hits"), _.cast("string")))
+          .as("positions"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.sharded(s, dir, "documents")
 
@@ -453,7 +484,42 @@ object Retrieval {
                WHERE df = (SELECT max(df) FROM dft))
         SELECT corpus.n_docs, corpus.n_tokens, corpus.vocab_size,
                mx.max_df, corpus.avgdl, tt.top_term
-        FROM corpus, mx, tt"""))
+        FROM corpus, mx, tt""")),
+
+    // ---- exact phrase search (adjacency match, zero-shuffle) ---------------
+    // The positional-retrieval operator the inverted index alone cannot
+    // answer: which documents contain the exact PHRASE "the table" (terms
+    // ADJACENT, in order), with every match position. A term-at-a-time
+    // index join would shuffle postings on (doc, pos); scanning documents
+    // anyway (no index is persisted between queries by contract), the
+    // optimal shape is document-at-a-time: per doc, one pass over the
+    // token array via transform(sequence)/filter higher-order functions —
+    // positions where tok[i]=A ∧ tok[i+1]=B — entirely inside the
+    // projection. The whole query plans scan → project → filter with NO
+    // exchange at all (PhraseSearchSpec asserts zero): at 100 TB this is
+    // an embarrassingly parallel map stage, the cheapest possible plan
+    // for a fixed phrase. sequence() is guarded behind size ≥ 2 —
+    // sequence(1, 0) in Spark steps DESCENDING, not empty. The oracle
+    // enumerates positions with the constant-bound generate_series
+    // (512-token fixture invariant, Verify-checked) and 1-based list
+    // indexing mirrors element_at.
+    Q("txt_phrase_search",
+      (s, dir) => phraseHits(docs(s, dir)),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '${TextOps.TokenRegex}')
+                   AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST(g.i AS BIGINT) AS pos
+          FROM t CROSS JOIN generate_series(1, 511) AS g(i)
+          WHERE g.i < len(toks)
+            AND toks[g.i] = '$PhraseA' AND toks[g.i + 1] = '$PhraseB')
+        SELECT doc_id, count(*) AS n_hits, min(pos) AS first_pos,
+               string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                 AS positions
+        FROM h GROUP BY doc_id"""))
   )
 
 }

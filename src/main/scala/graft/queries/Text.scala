@@ -54,7 +54,7 @@ object Text {
     * ratio, vowel ratio), every value a single IEEE division over exact
     * integers so both engines agree bitwise. One narrow documents pass.
     */
-  private def lrFeatures(d: DataFrame): DataFrame = {
+  private[graft] def lrFeatures(d: DataFrame): DataFrame = {
     val nc = greatest(col("n_chars"), lit(1L)).cast("double")
     d.select(
       col("doc_id"),
@@ -83,7 +83,7 @@ object Text {
     * association exactly, which is what makes the two engines bitwise
     * comparable.
     */
-  private def lrScore(w: Array[Double]): Column = {
+  private[graft] def lrScore(w: Array[Double]): Column = {
     val z = lit(w(0)) + lit(w(1)) * col("f1") +
       lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
     lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
@@ -96,7 +96,7 @@ object Text {
     * one row (an agg with no grouping), so the per-step collect is
     * model-sized by construction.
     */
-  private def lrTrain(feats: DataFrame): Array[Double] = {
+  private[graft] def lrTrain(feats: DataFrame): Array[Double] = {
     var w = Array(0.0, 0.0, 0.0, 0.0)
     for (_ <- 1 to LrIters) {
       val p = lrScore(w)
@@ -153,6 +153,65 @@ object Text {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.sharded(s, dir, "documents")
+
+  /** txt_char_entropy's lineage over any (doc_id, text) frame: sort the
+    * row's own char array so equal chars are adjacent, then one
+    * aggregate() fold walks the runs — (prev, run, Σ c·q(c), distinct) —
+    * and the finisher flushes the last run. Entirely intra-row, so the
+    * plan has zero exchanges (CharEntropySpec asserts the plan and
+    * cross-checks a Scala histogram; planted frames cover the empty /
+    * single-char / uniform edges).
+    */
+  /** The calibration-card reduction over any (yy ∈ {0,1}, s_milli) frame
+    * — txt_calibration's second half, shared with the streaming monitor
+    * (streaming.StreamingCalibration): every per-bucket column is a
+    * commutative, combinable sum over the ≤100-bucket compile-time key,
+    * so the SAME definition folds identically in a batch HashAggregate
+    * and incrementally in a Structured Streaming state store (≤100 rows
+    * of state at any rate).
+    */
+  private[graft] def calibrationOf(scored: DataFrame): DataFrame =
+    scored
+      .select(col("yy"), col("s_milli"),
+        least(expr("s_milli div 10"), lit(99L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("yy")).as("n_pos"),
+        sum(col("s_milli")).as("sum_s"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("sum_s div n").as("mean_score_milli"),
+        expr("(n_pos * 1000) div n").as("pos_rate_milli"),
+        abs(expr("sum_s div n") - expr("(n_pos * 1000) div n"))
+          .as("gap_milli"))
+
+  private[graft] def charEntropy(d: DataFrame): DataFrame = {
+    def qln(x: Column): Column =
+      round(log(x.cast("double")) * 1000000).cast("long")
+    def flush(acc: Column): Column =
+      acc("s") + when(acc("run") > 0L, acc("run") * qln(acc("run")))
+        .otherwise(lit(0L))
+    d.select(col("doc_id"),
+        sort_array(filter(split(col("text"), ""), c => c =!= ""))
+          .as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_chars_text"),
+        aggregate(col("cs"),
+          struct(lit("").as("prev"), lit(0L).as("run"),
+            lit(0L).as("s"), lit(0L).as("d")),
+          (acc, c) => struct(
+            c.as("prev"),
+            when(c === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+              .as("run"),
+            when(c === acc("prev"), acc("s")).otherwise(flush(acc))
+              .as("s"),
+            when(c === acc("prev"), acc("d")).otherwise(acc("d") + 1L)
+              .as("d")),
+          acc => struct(flush(acc).as("s"), acc("d").as("d"))).as("f"))
+      .filter(col("n_chars_text") > 0)
+      .select(col("doc_id"), col("n_chars_text"),
+        col("f.d").as("n_distinct"),
+        (qln(col("n_chars_text")) - expr("f.s div n_chars_text"))
+          .as("ent_micro"))
+  }
 
   private def tokenRows(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
@@ -1669,6 +1728,163 @@ object Text {
                CAST((tp * 1000) // greatest(tp + fn, 1) AS BIGINT)
                  AS recall_milli
         FROM conf""")),
+
+    // ---- threshold-free ranking quality: exact AUC by rank sum -------------
+    // txt_classifier_eval judges ONE operating point (0.5); AUC judges the
+    // whole score ordering — the metric a quality-filter pipeline actually
+    // tunes against before picking its keep-threshold. Computed EXACTLY on
+    // the milli-quantized score grid (round(p·1000) ∈ [0,1000]): AUC of
+    // the quantized classifier = (concordant + ties/2) / (pos·neg) pairs,
+    // with concordant/tie counts read off a per-score histogram —
+    // Σ_s pos_s·cumneg_{<s} and Σ_s pos_s·neg_s — so NO pairwise join and
+    // no per-doc window ever exists. The prefix sum runs over the ≤1001-row
+    // score histogram (value-domain-bounded, the ev_gini/q28 block
+    // decomposition; PlanAuditSpec allowlists it on that argument). Pair
+    // counts multiply two corpus-sized cardinalities, so the histogram-side
+    // arithmetic is decimal(38,0) — at 10¹⁰ docs pos·neg ≈ 10¹⁹ overflows
+    // BIGINT; the oracle's HUGEINT mirrors it — with every OUTPUT cast back
+    // to BIGINT (auc_micro ≤ 10⁶ by construction, counts fixture-safe).
+    Q("txt_classifier_auc",
+      (s, dir) => {
+        val feats = lrFeatures(docs(s, dir)).materialize()
+        val w = lrTrain(feats)
+        val dec = "decimal(38,0)"
+        val hist = feats.select(col("y").cast("long").as("yy"),
+            round(lrScore(w) * 1000).cast("long").as("s_milli"))
+          .groupBy(col("s_milli"))
+          .agg(sum(col("yy")).as("pos"),
+            sum(lit(1L) - col("yy")).as("neg"))
+        val wAsc = Window.orderBy(col("s_milli").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("cum_neg",
+            coalesce(sum(col("neg")).over(wAsc), lit(0L)))
+          .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+            sum((col("pos") * col("cum_neg")).cast(dec)).as("conc"),
+            sum((col("pos") * col("neg")).cast(dec)).as("ties"))
+          // exact floor division in decimal space: decimal `/` rounds at
+          // the result scale (a 0.9999995 quotient could round past the
+          // floor DuckDB's `//` takes), so subtract the exact decimal
+          // remainder first — the then-integral quotient is represented
+          // exactly at any scale
+          .withColumn("num",
+            (lit(2L).cast(dec) * col("conc") + col("ties")) *
+              lit(1000000L).cast(dec))
+          .withColumn("den",
+            greatest(lit(2L).cast(dec) * col("n_pos").cast(dec) *
+              col("n_neg").cast(dec), lit(1L).cast(dec)))
+          .select(col("n_pos"), col("n_neg"),
+            col("conc").cast("long").as("concordant"),
+            col("ties").cast("long").as("tied"),
+            ((col("num") - col("num") % col("den")) / col("den"))
+              .cast("long").as("auc_micro"))
+      },
+      Some(s"""
+        $lrOracleCtes,
+        sm AS (
+          SELECT CAST(y AS BIGINT) AS yy,
+                 CAST(round(($lrPSql) * 1000) AS BIGINT) AS s_milli
+          FROM zf),
+        hist AS (
+          SELECT s_milli,
+                 CAST(sum(yy) AS BIGINT) AS pos,
+                 CAST(sum(1 - yy) AS BIGINT) AS neg
+          FROM sm GROUP BY 1),
+        cum AS (
+          SELECT *, CAST(coalesce(sum(neg) OVER (ORDER BY s_milli ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_neg
+          FROM hist),
+        agg AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(neg) AS BIGINT) AS n_neg,
+                 sum(CAST(pos AS HUGEINT) * CAST(cum_neg AS HUGEINT))
+                   AS conc,
+                 sum(CAST(pos AS HUGEINT) * CAST(neg AS HUGEINT)) AS ties
+          FROM cum)
+        SELECT n_pos, n_neg,
+               CAST(conc AS BIGINT) AS concordant,
+               CAST(ties AS BIGINT) AS tied,
+               CAST((2 * conc + ties) * 1000000 //
+                 greatest(2 * CAST(n_pos AS HUGEINT) *
+                   CAST(n_neg AS HUGEINT), 1) AS BIGINT) AS auc_micro
+        FROM agg""")),
+
+    // ---- calibration / reliability card (10 fixed score deciles) -----------
+    // The third leg of the classifier-evaluation tripod: eval judges a
+    // threshold, AUC judges the ordering, calibration judges whether the
+    // SCORES MEAN what they say — a filter that keeps "p ≥ 0.9" docs is
+    // only as selective as its calibration. Ten FIXED score deciles
+    // (milli div 100, top edge folded into bucket 9), per bucket the mean
+    // predicted score vs the observed positive rate, both as exact
+    // integer per-mille (observed − predicted gap = the reliability
+    // diagram's vertical distance). Bins are the 100 FIXED centi-buckets
+    // (milli div 10, top edge folded into bin 99) — the 100-bin ECE
+    // convention, chosen over deciles because an under-dispersed
+    // classifier (this one: scores hug the 0.46 band) collapses a decile
+    // card to one row. One combinable aggregate over a compile-time-
+    // bounded ≤100-row group key — no window, no second pass, the
+    // cheapest query in the family at any corpus size.
+    Q("txt_calibration",
+      (s, dir) => {
+        val feats = lrFeatures(docs(s, dir)).materialize()
+        val w = lrTrain(feats)
+        calibrationOf(feats.select(col("y").cast("long").as("yy"),
+          round(lrScore(w) * 1000).cast("long").as("s_milli")))
+      },
+      Some(s"""
+        $lrOracleCtes,
+        sm AS (
+          SELECT CAST(y AS BIGINT) AS yy,
+                 CAST(round(($lrPSql) * 1000) AS BIGINT) AS s_milli
+          FROM zf),
+        b AS (
+          SELECT yy, s_milli, least(s_milli // 10, 99) AS bucket FROM sm),
+        g AS (
+          SELECT bucket, count(*) AS n,
+                 CAST(sum(yy) AS BIGINT) AS n_pos,
+                 CAST(sum(s_milli) AS BIGINT) AS sum_s
+          FROM b GROUP BY 1)
+        SELECT bucket, n, n_pos,
+               CAST(sum_s // n AS BIGINT) AS mean_score_milli,
+               CAST((n_pos * 1000) // n AS BIGINT) AS pos_rate_milli,
+               CAST(abs(sum_s // n - (n_pos * 1000) // n) AS BIGINT)
+                 AS gap_milli
+        FROM g""")),
+
+    // ---- per-document character entropy (zero-shuffle quality signal) ------
+    // The Gopher-family repetition signal txt_repetition doesn't carry:
+    // Shannon entropy of the character distribution — near-zero for
+    // degenerate docs ("aaaa…", padded exports), ~ln(alphabet) for
+    // natural prose — computed WITHOUT the (doc, char) shuffle the naive
+    // groupBy formulation pays (≈|alphabet| rows per doc across the
+    // exchange at corpus scale). A document's characters already live in
+    // ONE row, so the whole histogram is intra-row work: sort the char
+    // array, then a single higher-order aggregate() fold walks the runs
+    // accumulating Σ c·q(c) and the distinct count in one pass — the
+    // plan is scan → project → filter with ZERO exchanges, like
+    // txt_phrase_search. Exactness: H = ln n − Σ c·ln c / n with every
+    // ln micro-quantized at source over exact integer counts (the
+    // txt_bm25/q28 rule) and one non-negative integer div, so both
+    // engines agree bit-for-bit; the oracle computes the same histogram
+    // the relational way (unnest + GROUP BY — oracles need not scale).
+    Q("txt_char_entropy",
+      (s, dir) => charEntropy(docs(s, dir)),
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+          FROM documents),
+        g AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        d AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_text,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) *
+                   1000000) AS BIGINT)) AS BIGINT) AS s
+          FROM g GROUP BY 1)
+        SELECT doc_id, n_chars_text, n_distinct,
+               CAST(round(ln(CAST(n_chars_text AS DOUBLE)) * 1000000)
+                 AS BIGINT) - s // n_chars_text AS ent_micro
+        FROM d""")),
 
     // ---- collocation mining (PMI-ranked bigram association) ----------------
     // Top-20 bigrams by association LIFT = P(ab)/(P(a)P(b)) — kept as

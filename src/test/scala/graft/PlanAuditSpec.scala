@@ -98,7 +98,10 @@ class PlanAuditSpec extends SparkSpec {
       "q27_bloom_join",
       // the 1-row broadcast doc-count total crossing the vocab-sized
       // token aggregate (txt_collocations' corpus-total shape)
-      "txt_stopword_discovery")
+      "txt_stopword_discovery",
+      // the 1-row broadcast event total crossing the ≤168-cell weekly
+      // load profile (the dq_freshness corpus-frontier shape)
+      "ev_seasonality")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -171,7 +174,11 @@ class PlanAuditSpec extends SparkSpec {
       // Gini: windows over the |distinct count values| histogram — the
       // whole point of the block decomposition is that the global sort
       // never touches user-sized data
-      "ev_gini")
+      "ev_gini",
+      // AUC: the cumulative-negative prefix sum runs over the ≤1001-row
+      // milli-quantized score histogram — value-domain-bounded like
+      // ev_gini, never document-sized
+      "txt_classifier_auc")
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     val offenders =
