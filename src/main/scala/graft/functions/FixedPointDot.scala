@@ -109,6 +109,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "dhash60 takes exactly 1 argument")
         Dhash60(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_entropy_packed"),
+      new ExpressionInfo(classOf[CharEntropyPacked].getName,
+        "char_entropy_packed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "char_entropy_packed takes exactly 1 argument")
+        CharEntropyPacked(args.head)
+      }))
     // HOF dot product → FixedPointDot (see DotProductRewrite scaladoc)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     // plain INNER equi+range joins → the native interval sweep

@@ -154,14 +154,6 @@ object Text {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.sharded(s, dir, "documents")
 
-  /** txt_char_entropy's lineage over any (doc_id, text) frame: sort the
-    * row's own char array so equal chars are adjacent, then one
-    * aggregate() fold walks the runs — (prev, run, Σ c·q(c), distinct) —
-    * and the finisher flushes the last run. Entirely intra-row, so the
-    * plan has zero exchanges (CharEntropySpec asserts the plan and
-    * cross-checks a Scala histogram; planted frames cover the empty /
-    * single-char / uniform edges).
-    */
   /** The calibration-card reduction over any (yy ∈ {0,1}, s_milli) frame
     * — txt_calibration's second half, shared with the streaming monitor
     * (streaming.StreamingCalibration): every per-bucket column is a
@@ -183,7 +175,39 @@ object Text {
         abs(expr("sum_s div n") - expr("(n_pos * 1000) div n"))
           .as("gap_milli"))
 
-  private[graft] def charEntropy(d: DataFrame): DataFrame = {
+  /** txt_char_entropy's lineage over any (doc_id, text) frame —
+    * session-aware dispatch (the MultimodalQ.dhash discipline): the
+    * native one-byte-walk kernel (functions.CharEntropyPacked — counts
+    * code points in one pass, no per-doc sort, no interpreted lambda,
+    * whole-stage codegen) when the running session registered
+    * GraftExtensions, the portable HOF fold otherwise.
+    * CharEntropyExprSpec pins value-equality of the two forms; either
+    * way the plan is entirely intra-row — zero exchanges.
+    */
+  private[graft] def charEntropy(s: SparkSession, d: DataFrame): DataFrame =
+    if (s.catalog.functionExists("char_entropy_packed")) {
+      import graft.functions.CharEntropyPacked.{EntMask, Shift}
+      d.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_text"),
+          call_function("char_entropy_packed", col("text")).as("pk"))
+        .filter(col("n_chars_text") > 0)
+        .select(col("doc_id"), col("n_chars_text"),
+          shiftright(col("pk"), Shift).as("n_distinct"),
+          col("pk").bitwiseAND(lit(EntMask)).as("ent_micro"))
+    } else charEntropyHof(d)
+
+  /** Portable built-in-only form of [[charEntropy]] (works on any
+    * session, and the parity reference the native kernel is pinned to):
+    * sort the row's own char array so equal chars are adjacent, then one
+    * aggregate() fold walks the runs — (prev, run, Σ c·q(c), distinct) —
+    * and the finisher flushes the last run. Entirely intra-row, zero
+    * exchanges, but the per-doc sort is O(n log n) and the fold lambda
+    * evaluates interpreted per element — which is why the native
+    * expression exists (CharEntropySpec asserts the plan and
+    * cross-checks a Scala histogram; planted frames cover the empty /
+    * single-char / uniform edges).
+    */
+  private[graft] def charEntropyHof(d: DataFrame): DataFrame = {
     def qln(x: Column): Column =
       round(log(x.cast("double")) * 1000000).cast("long")
     def flush(acc: Column): Column =
@@ -1869,7 +1893,7 @@ object Text {
     // engines agree bit-for-bit; the oracle computes the same histogram
     // the relational way (unnest + GROUP BY — oracles need not scale).
     Q("txt_char_entropy",
-      (s, dir) => charEntropy(docs(s, dir)),
+      (s, dir) => charEntropy(s, docs(s, dir)),
       Some("""
         WITH ch AS (
           SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c

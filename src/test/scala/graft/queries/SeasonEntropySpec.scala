@@ -40,7 +40,7 @@ class SeasonEntropySpec extends SparkSpec {
   test("charEntropy edges: empty, single char, degenerate, two-symbol") {
     val planted = Seq((1L, ""), (2L, "a"), (3L, "aaaa"), (4L, "ab"),
       (5L, "aabb")).toDF("doc_id", "text")
-    val got = Text.charEntropy(planted)
+    val got = Text.charEntropy(spark, planted)
       .select("doc_id", "n_chars_text", "n_distinct", "ent_micro")
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     // the empty doc yields NO row (n = 0 has no defined entropy)
@@ -53,12 +53,25 @@ class SeasonEntropySpec extends SparkSpec {
     assert(got(3)._4 === 693147L)
   }
 
-  test("txt_char_entropy plans ZERO exchanges (intra-row fold)") {
-    val exchanges = run("txt_char_entropy")
-      .queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.Exchange => e
-      }
-    assert(exchanges.isEmpty, exchanges.mkString(","))
+  test("txt_char_entropy plans ZERO data shuffles (intra-row fold)") {
+    // AQE's AdaptiveSparkPlanExec is opaque to collect — plan with it
+    // OFF so the assertion actually sees the tree (the PlanAuditSpec
+    // sibling-test pattern). The only exchange allowed is
+    // Tables.sharded's documented fixture-only round-robin.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val exchanges = run("txt_char_entropy")
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec
+              if !e.outputPartitioning
+                .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+                  .RoundRobinPartitioning] => e
+        }
+      assert(exchanges.isEmpty, exchanges.mkString(","))
+    } finally spark.conf.set(aqeKey, aqeWas)
   }
 
   test("ev_seasonality matches a java.time UTC recomputation") {
