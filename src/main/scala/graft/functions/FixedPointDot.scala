@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.codegen.{
   CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fixed-point dot product over two ARRAY<BIGINT> columns — the hot
   * inner loop of every similarity query (VectorOps quantizes embeddings to
@@ -108,6 +109,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "dhash60 takes exactly 1 argument")
         Dhash60(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("phrase_positions"),
+      new ExpressionInfo(classOf[PhrasePositions].getName,
+        "phrase_positions"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "phrase_positions takes (text, term_a, term_b)")
+        // the phrase terms are compile-time constants (PhraseA/PhraseB
+        // literals) — extract them so the expression stays unary
+        def lit(e: Expression): String = e match {
+          case org.apache.spark.sql.catalyst.expressions
+                .Literal(v: UTF8String, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"phrase_positions terms must be string literals, got $other")
+        }
+        PhrasePositions(args.head, lit(args(1)), lit(args(2)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("char_entropy_packed"),

@@ -37,12 +37,40 @@ object Retrieval {
   private[graft] val PhraseA = "the"
   private[graft] val PhraseB = "table"
 
-  /** txt_phrase_search's lineage over any (doc_id, text) frame — one
-    * higher-order-function pass per document, no exchange anywhere
-    * (PhraseSearchSpec asserts both the plan and a naive sliding-window
-    * cross-check, plus the 0/1-token edge cases on planted frames).
+  /** txt_phrase_search's lineage over any (doc_id, text) frame —
+    * session-aware dispatch (the MultimodalQ.dhash discipline): the
+    * native one-byte-walk kernel (functions.PhrasePositions — tokens as
+    * `[a-z0-9]` byte runs over the lowercased payload, span-compared
+    * against the constant terms, no token array, no interpreted
+    * per-position lambda) when the running session registered
+    * GraftExtensions, the portable HOF form otherwise.
+    * PhrasePositionsSpec pins value-equality of the two forms; either
+    * way the plan is intra-row — no exchange anywhere.
     */
-  private[graft] def phraseHits(d: DataFrame): DataFrame = {
+  private[graft] def phraseHits(s: SparkSession, d: DataFrame): DataFrame =
+    if (s.catalog.functionExists("phrase_positions"))
+      d.select(col("doc_id"),
+          call_function("phrase_positions", col("text"),
+            lit(PhraseA), lit(PhraseB)).as("hits"))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"),
+          size(col("hits")).cast("long").as("n_hits"),
+          element_at(col("hits"), 1).as("first_pos"),
+          concat_ws(",", transform(col("hits"), _.cast("string")))
+            .as("positions"))
+    else phraseHitsHof(d)
+
+  /** Portable built-in-only form of [[phraseHits]] (works on any
+    * session, and the parity reference the native kernel is pinned to):
+    * one higher-order-function pass per document — tokenize, then a
+    * transform over sequence(1, n−1) probing element_at(i)/(i+1) —
+    * no exchange anywhere, but the probe lambda evaluates interpreted
+    * per position over a materialized token array, which is why the
+    * native expression exists (PhraseSearchSpec asserts the plan and a
+    * naive sliding-window cross-check, plus the 0/1-token edge cases on
+    * planted frames).
+    */
+  private[graft] def phraseHitsHof(d: DataFrame): DataFrame = {
     val (a, b) = (PhraseA, PhraseB)
     d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -504,7 +532,7 @@ object Retrieval {
     // (512-token fixture invariant, Verify-checked) and 1-based list
     // indexing mirrors element_at.
     Q("txt_phrase_search",
-      (s, dir) => phraseHits(docs(s, dir)),
+      (s, dir) => phraseHits(s, docs(s, dir)),
       Some(s"""
         WITH t AS (
           SELECT doc_id,

@@ -105,7 +105,7 @@ class EvalDqCardsSpec extends SparkSpec {
       (5L, "the table"), // the whole doc IS the phrase (trailing match)
       (6L, "the table the table the")) // two matches + dangling head
       .toDF("doc_id", "text")
-    val got = Retrieval.phraseHits(planted)
+    val got = Retrieval.phraseHits(spark, planted)
       .select("doc_id", "n_hits", "first_pos", "positions")
       .as[(Long, Long, Long, String)].collect().sortBy(_._1)
     assert(got.map(_._1).toSeq === Seq(4L, 5L, 6L))
