@@ -2705,7 +2705,7 @@ object Events {
     // after the scan at any event volume. Spark's dayofweek is
     // 1-based-Sunday; minus 1 aligns it with DuckDB's 0-based-Sunday
     // so both engines bucket identically.
-    Q("ev_seasonality",
+    Q("ev_seasonality_week",
       (s, dir) => {
         val e = Tables.events(s, dir)
         val cells = e

@@ -7,5 +7,5 @@ object Groups {
   def all: Seq[Q] =
     Relational.qs ++ Events.qs ++ Reference.qs ++
       Dedup.qs ++ Text.qs ++ Similarity.qs ++ MultimodalQ.qs ++
-      Retrieval.qs ++ EntityRes.qs
+      Retrieval.qs ++ EntityRes.qs ++ Web.qs
 }

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.warc.WarcIO
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-archive ingestion — the front door of a crawl-scale training
+  * pipeline: documents round-trip through REAL WARC containers (ISO
+  * 28500, the Common Crawl format; one gzip member per record, the
+  * splittable convention) written distributively and read back through
+  * the `warc` DataSource V2 table (sources.WarcSource — payload
+  * pruning into the reader, warc_type pushdown, listing-level filename
+  * pruning). Every query reconstructs its expectation from the
+  * `documents` parquet in DuckDB, so byte fidelity, pruned-scan
+  * aggregates, and the HTML→text extraction all hash-gate.
+  *
+  * The corpus wrap is deliberately deterministic: a fixed HTML template
+  * around `text`, a fixed WARC-Date, URIs keyed by doc_id — the oracle
+  * rebuilds the exact same string, and md5 ties the two ends together.
+  */
+object Web {
+
+  private[graft] val Shards = 4
+  private[graft] val FixedDate = "2026-01-01T00:00:00Z"
+  private[graft] val UriPrefix = "http://corpus.local/doc/"
+
+  /** warcinfo payload every shard file leads with (WARC convention:
+    * file-level metadata record). Fixed bytes → oracle-computable.
+    */
+  private[graft] val WinfoPayload =
+    "software: graft-warc/1.0\r\nformat: WARC file version 1.1\r\n"
+
+  private val HtmlPre = "<html><head><title>doc "
+  private val HtmlMid = "</title></head><body><p>"
+  private val HtmlPost = "</p></body></html>"
+
+  /** The html wrap as a Spark column over (doc_id, text). */
+  private def htmlCol =
+    concat(lit(HtmlPre), col("doc_id").cast("string"),
+      lit(HtmlMid), col("text"), lit(HtmlPost))
+
+  /** The SAME wrap in DuckDB (BIGINT || VARCHAR concatenation prints
+    * the integer without a decimal point, matching the Spark cast).
+    */
+  private val htmlSql =
+    s"'$HtmlPre' || doc_id || '$HtmlMid' || text || '$HtmlPost'"
+
+  /** Write the documents table as a `Shards`-file `.warc.gz` corpus
+    * under a fresh temp dir and return the dir. Distributed write
+    * (foreachPartition, one file per partition — empty partitions still
+    * write their warcinfo-only shard, so the file count is exactly
+    * `Shards`, never data-dependent); one gzip member per record.
+    */
+  private[graft] def writeCorpus(s: SparkSession, dir: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    val date = FixedDate
+    val uriPrefix = UriPrefix
+    val winfo = WinfoPayload
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), htmlCol.as("html"))
+      .repartition(Shards, col("doc_id"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = f"$out/part-$pid%05d.warc.gz"
+        val head = Iterator(WarcIO.WarcRecord("warcinfo", "", date,
+          "application/warc-fields",
+          winfo.length.toLong,
+          winfo.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val body = it.map { r =>
+          val html = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          WarcIO.WarcRecord("resource", uriPrefix + r.getLong(0), date,
+            "text/html", html.length.toLong, html)
+        }
+        WarcIO.writeFile(f, head ++ body)
+      }
+    out
+  }
+
+  private def readCorpus(s: SparkSession, dir: String): DataFrame =
+    s.read.format("warc").load(writeCorpus(s, dir))
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- WARC byte-fidelity roundtrip --------------------------------------
+    // Documents → distributed .warc.gz write → DSv2 read with the
+    // warc_type filter PUSHED (warcinfo payloads skip unallocated) →
+    // per-doc md5 over the payload BYTES vs DuckDB's md5 over the
+    // reconstructed string — the whole container stack (writer framing,
+    // gzip members, header parse, payload extraction) hash-gated.
+    Q("web_warc_roundtrip",
+      (s, dir) => readCorpus(s, dir)
+        .filter(col("warc_type") === "resource")
+        .select(
+          regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content_length"),
+          md5(col("payload")).as("payload_md5")),
+      Some(s"""
+        WITH h AS (SELECT doc_id, $htmlSql AS html FROM documents)
+        SELECT doc_id, CAST(strlen(html) AS BIGINT) AS content_length,
+               md5(html) AS payload_md5
+        FROM h""")),
+
+    // ---- pruned-scan census -------------------------------------------------
+    // The type/length census a crawl audit starts with — payload is
+    // never requested, so the reader skips every payload byte
+    // (WarcSourceSpec proves the counter); the aggregate sees exactly
+    // the record headers. Oracle rebuilds both strata from documents +
+    // the fixed warcinfo constants.
+    Q("web_warc_stats",
+      (s, dir) => readCorpus(s, dir)
+        .groupBy(col("warc_type"), col("content_type"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"),
+          min(col("content_length")).as("min_bytes"),
+          max(col("content_length")).as("max_bytes")),
+      Some(s"""
+        WITH h AS (SELECT doc_id, $htmlSql AS html FROM documents)
+        SELECT 'resource' AS warc_type, 'text/html' AS content_type,
+               count(*) AS n_records,
+               CAST(sum(strlen(html)) AS BIGINT) AS total_bytes,
+               CAST(min(strlen(html)) AS BIGINT) AS min_bytes,
+               CAST(max(strlen(html)) AS BIGINT) AS max_bytes
+        FROM h
+        UNION ALL
+        SELECT 'warcinfo', 'application/warc-fields',
+               CAST($Shards AS BIGINT),
+               CAST(${Shards * WinfoPayload.length} AS BIGINT),
+               CAST(${WinfoPayload.length} AS BIGINT),
+               CAST(${WinfoPayload.length} AS BIGINT)""")),
+
+    // ---- HTML → text extraction --------------------------------------------
+    // The ingestion step itself: strip tags (the txt_boilerplate
+    // regex discipline), retokenize, and fingerprint the extracted
+    // text — proving WARC payloads flow back into the SAME token
+    // stream the text family computes on documents directly.
+    Q("web_extract_text",
+      (s, dir) => readCorpus(s, dir)
+        .filter(col("warc_type") === "resource")
+        .select(
+          regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_replace(col("payload").cast("string"),
+            "<[^>]*>", " ").as("stripped"))
+        .select(col("doc_id"),
+          size(graft.text.TextOps.tokens(col("stripped")))
+            .cast("long").as("n_tokens"),
+          md5(col("stripped").cast("binary")).as("text_md5")),
+      Some(s"""
+        WITH h AS (SELECT doc_id, $htmlSql AS html FROM documents),
+        x AS (
+          SELECT doc_id,
+                 regexp_replace(html, '<[^>]*>', ' ', 'g') AS stripped
+          FROM h)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(stripped),
+                 '${graft.text.TextOps.TokenRegex}')) AS BIGINT)
+                 AS n_tokens,
+               md5(stripped) AS text_md5
+        FROM x"""))
+  )
+}

@@ -74,7 +74,7 @@ class SeasonEntropySpec extends SparkSpec {
     } finally spark.conf.set(aqeKey, aqeWas)
   }
 
-  test("ev_seasonality matches a java.time UTC recomputation") {
+  test("ev_seasonality_week matches a java.time UTC recomputation") {
     import java.time.{Instant, ZoneOffset}
     val micros = graft.Tables.events(spark, sfDir)
       .select(unix_micros(col("ts"))).as[Long].collect()
@@ -84,7 +84,7 @@ class SeasonEntropySpec extends SparkSpec {
       (t.getDayOfWeek.getValue % 7L, t.getHour.toLong) // Sunday → 0
     }.map { case (k, v) => k -> v.length.toLong }
     val total = micros.length.toLong
-    val got = run("ev_seasonality")
+    val got = run("ev_seasonality_week")
       .select("dow", "hr", "n", "load_pm", "peak", "trough")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(got.map(r => (r._1, r._2) -> r._3).toMap === ref)

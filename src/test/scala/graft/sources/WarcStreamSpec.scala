@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.warc.WarcIO
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The `warc` table's MICRO_BATCH_READ path: shards landing in a dir
+  * stream through record-for-record identically to a batch scan of the
+  * final dir — including shards that land AFTER the stream started
+  * (the incremental crawl-ingestion contract), with the file-count
+  * offset advancing monotonically over the name-sorted listing.
+  */
+class WarcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeShard(dir: String, f: Int, recs: Int): Unit =
+    WarcIO.writeFile(f"$dir/part-$f%05d.warc.gz",
+      (0 until recs).iterator.map { i =>
+        val p = s"shard $f rec $i".getBytes
+        WarcIO.WarcRecord("resource", s"http://t.local/f$f/r$i",
+          "2026-01-01T00:00:00Z", "text/plain", p.length.toLong, p)
+      })
+
+  test("stream ≡ batch, including shards landing mid-stream") {
+    val dir = Files.createTempDirectory("warc_stream").toString
+    val ckpt = Files.createTempDirectory("warc_ckpt").toString
+    writeShard(dir, 0, 5)
+    writeShard(dir, 1, 7)
+
+    val q = spark.readStream.format("warc").load(dir)
+      .select("filename", "target_uri", "content_length", "payload")
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterTwo = spark.table("warc_stream").count()
+      assert(afterTwo === 12L)
+      // two more shards LAND while the stream is live
+      writeShard(dir, 2, 3)
+      writeShard(dir, 3, 4)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("target_uri"), col("content_length"),
+        md5(col("payload")).as("m"))
+      .as[(String, Long, String)].collect().toSet
+
+    val got = rows(spark.table("warc_stream"))
+    val want = rows(spark.read.format("warc").load(dir))
+    assert(want.size === 19)
+    assert(got === want) // nothing withheld, nothing duplicated
+  }
+}
