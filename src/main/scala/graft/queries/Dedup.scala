@@ -1348,6 +1348,34 @@ object Dedup {
                  ELSE 0.0 END AS clustering
         FROM deg d LEFT JOIN tpn t ON t.doc_id = d.doc_id""")),
 
+    // ---- k-core of the near-dup graph --------------------------------------
+    // The density rung after components/PageRank/triangles: the 2-core
+    // keeps exactly the docs with ≥2 near-dup neighbors INSIDE the
+    // surviving subgraph — template farms and boilerplate rings (near-
+    // cliques) survive the peel, chains of coincidental LSH pairs do
+    // not. Bounded 3-round peel (ops.KCore: per round two KEY-ONLY
+    // semi-joins + one combinable degree aggregate, per-round
+    // materialization — the Components contract), exactly unrolled in
+    // the oracle; KCoreSpec pins convergence (round 3 ≡ round 4) on
+    // the fixture and planted peel/survive structure at scale.
+    Q("dd_kcore",
+      (s, dir) => {
+        val pairs = TextOps
+          .lshCandidates(docs(s, dir), ShingleN, K, RowsPerBand)
+        graft.ops.KCore.survivors(pairs, k = 2, rounds = 3)
+          .select(col("node").as("doc_id"),
+            col("deg").cast("long").as("core_deg"))
+      },
+      Some(s"""
+        WITH bands AS (${DocSql.bandsSql(ShingleN, K, RowsPerBand)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        ${graft.ops.KCore.survivorsSql(k = 2, rounds = 3)}
+        SELECT node AS doc_id, CAST(deg AS BIGINT) AS core_deg
+        FROM n3""")),
+
     // ---- END-TO-END corpus cleaning (the capstone composition) -------------
     // The whole LLM-training-corpus cleaning pipeline as ONE lineage —
     // what a user actually runs nightly: (1) Gopher-style quality gate
