@@ -46,19 +46,54 @@ object Web {
   private val htmlSql =
     s"'$HtmlPre' || doc_id || '$HtmlMid' || text || '$HtmlPost'"
 
+  /** Deterministic status for the HTTP-response corpus: a sprinkle of
+    * 404s keyed off doc_id (Common Crawl responses are NOT all 200 —
+    * the census and the extraction filter must handle that).
+    */
+  private val StatusSqlExpr =
+    "CASE WHEN doc_id % 10 = 3 THEN '404' ELSE '200' END"
+  private def statusCol =
+    when(col("doc_id") % 10 === 3, "404").otherwise("200")
+
+  /** The HTTP/1.1 envelope around the html body — WARC-Type `response`
+    * records store the full protocol message (the actual Common Crawl
+    * shape), so readers must parse the envelope to reach the content.
+    */
+  private def httpCol =
+    concat(lit("HTTP/1.1 "), statusCol, lit(" OK\r\nContent-Type: "),
+      lit("text/html\r\nX-Doc: "), col("doc_id").cast("string"),
+      lit("\r\n\r\n"), htmlCol)
+
+  /** The SAME envelope in DuckDB (escape-free string literals: CRLF
+    * spelled chr(13)||chr(10)).
+    */
+  private val httpSql = {
+    val crlf = "chr(13) || chr(10)"
+    s"'HTTP/1.1 ' || $StatusSqlExpr || ' OK' || $crlf ||" +
+      s" 'Content-Type: text/html' || $crlf ||" +
+      s" 'X-Doc: ' || doc_id || $crlf || $crlf || ($htmlSql)"
+  }
+
   /** Write the documents table as a `Shards`-file `.warc.gz` corpus
     * under a fresh temp dir and return the dir. Distributed write
     * (foreachPartition, one file per partition — empty partitions still
     * write their warcinfo-only shard, so the file count is exactly
     * `Shards`, never data-dependent); one gzip member per record.
+    * `http = true` wraps each payload in the HTTP/1.1 envelope as a
+    * WARC-Type `response` record (the Common Crawl shape); `false`
+    * writes bare html `resource` records.
     */
-  private[graft] def writeCorpus(s: SparkSession, dir: String): String = {
+  private[graft] def writeCorpus(s: SparkSession, dir: String,
+      http: Boolean = false): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_warc").toString
     val date = FixedDate
     val uriPrefix = UriPrefix
     val winfo = WinfoPayload
+    val (wtype, ctype) =
+      if (http) ("response", "application/http; msgtype=response")
+      else ("resource", "text/html")
     Tables(s, dir, "documents")
-      .select(col("doc_id"), htmlCol.as("html"))
+      .select(col("doc_id"), (if (http) httpCol else htmlCol).as("body"))
       .repartition(Shards, col("doc_id"))
       .foreachPartition { (it: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -68,18 +103,19 @@ object Web {
           winfo.length.toLong,
           winfo.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         val body = it.map { r =>
-          val html = r.getString(1)
+          val b = r.getString(1)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          WarcIO.WarcRecord("resource", uriPrefix + r.getLong(0), date,
-            "text/html", html.length.toLong, html)
+          WarcIO.WarcRecord(wtype, uriPrefix + r.getLong(0), date,
+            ctype, b.length.toLong, b)
         }
         WarcIO.writeFile(f, head ++ body)
       }
     out
   }
 
-  private def readCorpus(s: SparkSession, dir: String): DataFrame =
-    s.read.format("warc").load(writeCorpus(s, dir))
+  private def readCorpus(s: SparkSession, dir: String,
+      http: Boolean = false): DataFrame =
+    s.read.format("warc").load(writeCorpus(s, dir, http))
 
   def qs: Seq[Q] = Seq(
 
@@ -130,6 +166,61 @@ object Web {
                CAST(${Shards * WinfoPayload.length} AS BIGINT),
                CAST(${WinfoPayload.length} AS BIGINT),
                CAST(${WinfoPayload.length} AS BIGINT)""")),
+
+    // ---- HTTP response census ----------------------------------------------
+    // WARC-Type `response` records carry the full HTTP/1.1 message
+    // (the actual Common Crawl shape) — the status census every crawl
+    // audit starts with. The status parses out of the payload's first
+    // line with one anchored regex in the scan projection; everything
+    // aggregates combinably on the ≤|statuses| key.
+    Q("web_http_status",
+      (s, dir) => readCorpus(s, dir, http = true)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("payload").cast("string"),
+            "^HTTP/1\\.1 ([0-9]{3}) ", 1).as("status"),
+          col("content_length"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("content_length")).as("total_bytes")),
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id, $StatusSqlExpr AS status, $httpSql AS msg
+          FROM documents)
+        SELECT status, count(*) AS n,
+               CAST(sum(strlen(msg)) AS BIGINT) AS total_bytes
+        FROM h GROUP BY status""")),
+
+    // ---- HTTP body extraction ----------------------------------------------
+    // Envelope parsing: split the message at the FIRST blank line
+    // (header/body boundary), keep 200s only, and fingerprint the body
+    // — which must be byte-identical to the html the oracle rebuilds
+    // directly from documents. The X-Doc header doubles as an
+    // integrity cross-check on the envelope parse.
+    Q("web_http_extract",
+      (s, dir) => readCorpus(s, dir, http = true)
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"),
+          col("payload").cast("string").as("msg"))
+        .select(col("target_uri"),
+          regexp_extract(col("msg"), "^HTTP/1\\.1 ([0-9]{3}) ", 1)
+            .as("status"),
+          regexp_extract(col("msg"), "\\r\\nX-Doc: ([0-9]+)\\r\\n", 1)
+            .cast("long").as("hdr_doc_id"),
+          expr("substring(msg, instr(msg, '\r\n\r\n') + 4)").as("body"))
+        .filter(col("status") === "200")
+        .select(
+          regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("hdr_doc_id"),
+          length(col("body")).cast("long").as("body_chars"),
+          md5(col("body").cast("binary")).as("body_md5")),
+      Some(s"""
+        WITH h AS (SELECT doc_id, $htmlSql AS html FROM documents)
+        SELECT doc_id, doc_id AS hdr_doc_id,
+               CAST(length(html) AS BIGINT) AS body_chars,
+               md5(html) AS body_md5
+        FROM h WHERE doc_id % 10 <> 3""")),
 
     // ---- HTML → text extraction --------------------------------------------
     // The ingestion step itself: strip tags (the txt_boilerplate
