@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Materialize._
 import graft.warc.WarcIO
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,7 +24,18 @@ object Web {
 
   private[graft] val Shards = 4
   private[graft] val FixedDate = "2026-01-01T00:00:00Z"
-  private[graft] val UriPrefix = "http://corpus.local/doc/"
+
+  /** URIs spread docs across `Hosts` deterministic vhosts — the
+    * per-host frontier card needs host variety, and a real crawl's URI
+    * space is exactly this shape. doc_id stays extractable from the
+    * path tail, so host choice is invisible to the roundtrip queries.
+    */
+  private[graft] val Hosts = 7
+
+  /** Politeness budget: URLs fetched from one host per scheduling
+    * round — the frontier card's unit of crawl time.
+    */
+  private[graft] val PoliteBatch = 50
 
   /** warcinfo payload every shard file leads with (WARC convention:
     * file-level metadata record). Fixed bytes → oracle-computable.
@@ -87,7 +99,7 @@ object Web {
       http: Boolean = false): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_warc").toString
     val date = FixedDate
-    val uriPrefix = UriPrefix
+    val hosts = Hosts
     val winfo = WinfoPayload
     val (wtype, ctype) =
       if (http) ("response", "application/http; msgtype=response")
@@ -105,7 +117,9 @@ object Web {
         val body = it.map { r =>
           val b = r.getString(1)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          WarcIO.WarcRecord(wtype, uriPrefix + r.getLong(0), date,
+          WarcIO.WarcRecord(wtype,
+            s"http://h${r.getLong(0) % hosts}.corpus.local" +
+              s"/doc/${r.getLong(0)}", date,
             ctype, b.length.toLong, b)
         }
         WarcIO.writeFile(f, head ++ body)
@@ -221,6 +235,48 @@ object Web {
                CAST(length(html) AS BIGINT) AS body_chars,
                md5(html) AS body_md5
         FROM h WHERE doc_id % 10 <> 3""")),
+
+    // ---- per-host crawl frontier (politeness scheduling card) ---------------
+    // The card a crawler's scheduler reads: per-host URL counts and
+    // byte mass from a PRUNED warc scan (host parses out of the WARC
+    // header's target URI — no payload byte is ever touched), plus the
+    // politeness arithmetic — at PoliteBatch URLs per fetch round, how
+    // many rounds does each host take, and which host gates the crawl
+    // (share per-mille vs the 1-row total, the dq_freshness cross).
+    Q("web_host_frontier",
+      (s, dir) => {
+        val perHost = readCorpus(s, dir)
+          .filter(col("warc_type") === "resource")
+          .select(
+            regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+              .as("host"),
+            col("content_length"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            sum(col("content_length")).as("total_bytes"))
+          .materialize() // two consumers: rows + the 1-row total
+        val total = perHost.agg(sum(col("n_urls")).as("t"))
+        perHost.crossJoin(total)
+          .select(col("host"), col("n_urls"), col("total_bytes"),
+            expr(s"(n_urls + ${PoliteBatch - 1}) div $PoliteBatch")
+              .as("fetch_rounds"),
+            expr("(n_urls * 1000) div t").as("share_pm"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT 'h' || (doc_id % $Hosts) || '.corpus.local' AS host,
+                 strlen($htmlSql) AS len
+          FROM documents),
+        ph AS (
+          SELECT host, count(*) AS n_urls,
+                 CAST(sum(len) AS BIGINT) AS total_bytes
+          FROM u GROUP BY 1),
+        t AS (SELECT CAST(sum(n_urls) AS BIGINT) AS t FROM ph)
+        SELECT host, n_urls, total_bytes,
+               (n_urls + ${PoliteBatch - 1}) // $PoliteBatch
+                 AS fetch_rounds,
+               (n_urls * 1000) // t AS share_pm
+        FROM ph CROSS JOIN t""")),
 
     // ---- HTML → text extraction --------------------------------------------
     // The ingestion step itself: strip tags (the txt_boilerplate

@@ -101,7 +101,10 @@ class PlanAuditSpec extends SparkSpec {
       "txt_stopword_discovery",
       // the 1-row broadcast event total crossing the ≤168-cell weekly
       // load profile (the dq_freshness corpus-frontier shape)
-      "ev_seasonality_week")
+      "ev_seasonality_week",
+      // the 1-row broadcast URL total crossing the ≤|hosts| frontier
+      // card (same shape)
+      "web_host_frontier")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

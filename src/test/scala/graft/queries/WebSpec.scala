@@ -41,6 +41,25 @@ class WebSpec extends SparkSpec {
     assert(m.keySet === Set("200", "404"))
   }
 
+  test("web_host_frontier: conserves URLs, politeness arithmetic holds") {
+    val skipped0 = graft.sources.WarcSource.payloadBytesSkipped.get()
+    val mat0 = graft.sources.WarcSource.payloadsMaterialized.get()
+    val rows = run("web_host_frontier")
+      .select("host", "n_urls", "fetch_rounds", "share_pm")
+      .as[(String, Long, Long, Long)].collect()
+    // pruned scan: the frontier card never touches a payload byte
+    assert(graft.sources.WarcSource.payloadsMaterialized.get() === mat0)
+    assert(graft.sources.WarcSource.payloadBytesSkipped.get() > skipped0)
+    val docs = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum === docs)
+    assert(rows.length <= Web.Hosts)
+    rows.foreach { case (h, n, fr, pm) =>
+      assert(h.matches("h[0-6]\\.corpus\\.local"))
+      assert(fr === (n + Web.PoliteBatch - 1) / Web.PoliteBatch)
+      assert(pm === n * 1000 / docs)
+    }
+  }
+
   test("the response scan skips warcinfo payloads unallocated") {
     val skipped0 = graft.sources.WarcSource.payloadBytesSkipped.get()
     run("web_http_status").collect()
