@@ -278,6 +278,41 @@ object Web {
                (n_urls * 1000) // t AS share_pm
         FROM ph CROSS JOIN t""")),
 
+    // ---- CDX-style archive index --------------------------------------------
+    // The web-archive random-access index (the CDX convention): one row
+    // per record with a SURT urlkey — host components REVERSED
+    // (local,corpus,h3)/path — so one host's records collate together
+    // under a plain lexicographic sort regardless of subdomain depth, a
+    // 14-digit timestamp, and the payload digest. Urlkey derives from
+    // the WARC header uri with array ops (split → reverse → join); the
+    // digest is the one column that needs payload bytes. At archive
+    // scale the index materializes via repartitionByRange(urlkey) +
+    // sortWithinPartitions — range-partitioned sorted shards, binary-
+    // searchable per shard, never a single global sort.
+    Q("web_cdx_index",
+      (s, dir) => readCorpus(s, dir)
+        .filter(col("warc_type") === "resource")
+        .select(col("target_uri"), col("content_length"), col("payload"))
+        .select(
+          concat(
+            concat_ws(",", reverse(split(
+              regexp_extract(col("target_uri"), "^http://([^/]+)/", 1),
+              "\\."))),
+            lit(")"),
+            regexp_extract(col("target_uri"), "^http://[^/]+(/.*)$", 1))
+            .as("urlkey"),
+          lit("20260101000000").as("ts14"),
+          md5(col("payload")).as("digest"),
+          col("content_length").as("rec_bytes")),
+      Some(s"""
+        WITH h AS (SELECT doc_id, $htmlSql AS html FROM documents)
+        SELECT 'local,corpus,h' || (doc_id % $Hosts) || ')/doc/' || doc_id
+                 AS urlkey,
+               '20260101000000' AS ts14,
+               md5(html) AS digest,
+               CAST(strlen(html) AS BIGINT) AS rec_bytes
+        FROM h""")),
+
     // ---- HTML → text extraction --------------------------------------------
     // The ingestion step itself: strip tags (the txt_boilerplate
     // regex discipline), retokenize, and fingerprint the extracted
