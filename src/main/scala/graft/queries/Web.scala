@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.Materialize._
-import graft.warc.WarcIO
+import graft.warc.{RobotsRules, WarcIO}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,21 @@ object Web {
     * round — the frontier card's unit of crawl time.
     */
   private[graft] val PoliteBatch = 50
+
+  /** The crawler's product token for robots evaluation. */
+  private[graft] val CrawlerAgent = "graftbot"
+
+  /** Deterministic per-host robots.txt bodies (hosts not listed publish
+    * none): h0 the classic allow-all idiom (empty Disallow), h3 a
+    * blanket `*` disallow of /doc/, h5 an agent-SPECIFIC group whose
+    * Allow/Disallow pair exercises longest-match — plus a decoy `*`
+    * blanket that must LOSE to the exact-agent group.
+    */
+  private[graft] val RobotsBodies: Map[Int, String] = Map(
+    0 -> "User-agent: *\nDisallow:\n",
+    3 -> "# staging host\nUser-agent: *\nDisallow: /doc/\n",
+    5 -> ("User-agent: " + CrawlerAgent + "\nAllow: /doc/1\n" +
+      "Disallow: /doc/\n\nUser-agent: *\nDisallow: /\n"))
 
   /** warcinfo payload every shard file leads with (WARC convention:
     * file-level metadata record). Fixed bytes → oracle-computable.
@@ -96,11 +111,12 @@ object Web {
     * writes bare html `resource` records.
     */
   private[graft] def writeCorpus(s: SparkSession, dir: String,
-      http: Boolean = false): String = {
+      http: Boolean = false, robots: Boolean = false): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_warc").toString
     val date = FixedDate
     val hosts = Hosts
     val winfo = WinfoPayload
+    val robotsBodies = if (robots) RobotsBodies else Map.empty[Int, String]
     val (wtype, ctype) =
       if (http) ("response", "application/http; msgtype=response")
       else ("resource", "text/html")
@@ -114,6 +130,15 @@ object Web {
           "application/warc-fields",
           winfo.length.toLong,
           winfo.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        // shard 0 additionally carries the per-host robots.txt records
+        val robo =
+          if (pid != 0) Iterator.empty
+          else robotsBodies.iterator.map { case (h, bodyStr) =>
+            val b = bodyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            WarcIO.WarcRecord("resource",
+              s"http://h$h.corpus.local/robots.txt", date,
+              "text/plain", b.length.toLong, b)
+          }
         val body = it.map { r =>
           val b = r.getString(1)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -122,7 +147,7 @@ object Web {
               s"/doc/${r.getLong(0)}", date,
             ctype, b.length.toLong, b)
         }
-        WarcIO.writeFile(f, head ++ body)
+        WarcIO.writeFile(f, head ++ robo ++ body)
       }
     out
   }
@@ -312,6 +337,75 @@ object Web {
                md5(html) AS digest,
                CAST(strlen(html) AS BIGINT) AS rec_bytes
         FROM h""")),
+
+    // ---- robots.txt compliance gate -----------------------------------------
+    // The compliance half of the crawl-ops trio (frontier, robots,
+    // index): per-host robots.txt records parsed with the REAL RFC 9309
+    // group parser (warc/RobotsRules — agent-specific groups beat `*`,
+    // longest prefix wins, ties to Allow, empty Disallow = allow-all),
+    // then every doc URL gated distributively: the ≤|hosts|×|rules|
+    // rules table (model-sized — robots bodies are the one thing a
+    // crawler legitimately holds in memory) broadcast-joins the URL
+    // stream, a per-URL max(struct(prefix_len, allow)) applies
+    // longest-match-ties-to-Allow as a plain combinable aggregate, and
+    // the per-host card rolls up. Oracle: the planted bodies reduce to
+    // closed forms (h3 blanket-blocked; h5 blocked unless the path
+    // starts /doc/1 — the exact-agent group beats its decoy `*`
+    // blanket; h0's empty Disallow and the robots-less hosts allow).
+    Q("web_robots_gate",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = s.read.format("warc")
+          .load(writeCorpus(s, dir, robots = true))
+          .filter(col("warc_type") === "resource")
+        // model-sized: one body per publishing host
+        val rules = corpus
+          .filter(col("target_uri").endsWith("/robots.txt"))
+          .select(
+            regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+              .as("host"),
+            col("payload").cast("string").as("body"))
+          .as[(String, String)].collect()
+          .flatMap { case (host, body) =>
+            RobotsRules.parse(body, CrawlerAgent).map(r =>
+              (host, r.prefix, r.prefix.length.toLong,
+                if (r.allow) 1L else 0L))
+          }.toSeq.toDF("host", "prefix", "plen", "r_allow")
+        val urls = corpus
+          .filter(!col("target_uri").endsWith("/robots.txt"))
+          .select(
+            regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+              .as("host"),
+            regexp_extract(col("target_uri"), "^http://[^/]+(/.*)$", 1)
+              .as("path"))
+        urls
+          .join(broadcast(rules),
+            urls("host") === rules("host") &&
+              col("path").startsWith(col("prefix")), "left")
+          .groupBy(urls("host").as("host"), col("path"))
+          .agg(max(struct(col("plen"), col("r_allow"))).as("best"))
+          .select(col("host"),
+            coalesce(col("best.r_allow"), lit(1L)).as("allow"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            sum(lit(1L) - col("allow")).as("n_blocked"))
+          .select(col("host"), col("n_urls"), col("n_blocked"),
+            expr("(n_blocked * 1000) div n_urls").as("blocked_pm"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, 'h' || (doc_id % $Hosts) || '.corpus.local'
+                   AS host,
+                 CASE WHEN doc_id % $Hosts = 3 THEN 1
+                      WHEN doc_id % $Hosts = 5 AND
+                           NOT (CAST(doc_id AS VARCHAR) LIKE '1%') THEN 1
+                      ELSE 0 END AS blocked
+          FROM documents)
+        SELECT host, count(*) AS n_urls,
+               CAST(sum(blocked) AS BIGINT) AS n_blocked,
+               (CAST(sum(blocked) AS BIGINT) * 1000) // count(*)
+                 AS blocked_pm
+        FROM d GROUP BY host""")),
 
     // ---- HTML → text extraction --------------------------------------------
     // The ingestion step itself: strip tags (the txt_boilerplate
