@@ -156,6 +156,24 @@ object Web {
       http: Boolean = false): DataFrame =
     s.read.format("warc").load(writeCorpus(s, dir, http))
 
+  /** The frontier's per-host reduction over any warc-schema frame —
+    * every column a commutative, combinable aggregate over the host
+    * key, so the SAME definition folds identically in the batch card
+    * (web_host_frontier) and incrementally under Structured Streaming
+    * (streaming.StreamingFrontier: ≤|hosts| rows of state at any rate).
+    * Host parses from the WARC header's uri; payload never touched.
+    */
+  private[graft] def hostAgg(records: DataFrame): DataFrame =
+    records
+      .filter(col("warc_type") === "resource")
+      .select(
+        regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+          .as("host"),
+        col("content_length"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("content_length")).as("total_bytes"))
+
   def qs: Seq[Q] = Seq(
 
     // ---- WARC byte-fidelity roundtrip --------------------------------------
@@ -270,15 +288,7 @@ object Web {
     // (share per-mille vs the 1-row total, the dq_freshness cross).
     Q("web_host_frontier",
       (s, dir) => {
-        val perHost = readCorpus(s, dir)
-          .filter(col("warc_type") === "resource")
-          .select(
-            regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
-              .as("host"),
-            col("content_length"))
-          .groupBy(col("host"))
-          .agg(count(lit(1)).as("n_urls"),
-            sum(col("content_length")).as("total_bytes"))
+        val perHost = hostAgg(readCorpus(s, dir))
           .materialize() // two consumers: rows + the 1-row total
         val total = perHost.agg(sum(col("n_urls")).as("t"))
         perHost.crossJoin(total)
