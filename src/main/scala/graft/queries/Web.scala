@@ -111,7 +111,8 @@ object Web {
     * writes bare html `resource` records.
     */
   private[graft] def writeCorpus(s: SparkSession, dir: String,
-      http: Boolean = false, robots: Boolean = false): String = {
+      http: Boolean = false, robots: Boolean = false,
+      docsOverride: DataFrame => DataFrame = identity): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_warc").toString
     val date = FixedDate
     val hosts = Hosts
@@ -120,7 +121,7 @@ object Web {
     val (wtype, ctype) =
       if (http) ("response", "application/http; msgtype=response")
       else ("resource", "text/html")
-    Tables(s, dir, "documents")
+    docsOverride(Tables(s, dir, "documents"))
       .select(col("doc_id"), (if (http) httpCol else htmlCol).as("body"))
       .repartition(Shards, col("doc_id"))
       .foreachPartition { (it: Iterator[Row]) =>
@@ -416,6 +417,45 @@ object Web {
                (CAST(sum(blocked) AS BIGINT) * 1000) // count(*)
                  AS blocked_pm
         FROM d GROUP BY host""")),
+
+    // ---- crawl snapshot delta (re-crawl economics) ---------------------------
+    // Two crawl GENERATIONS of the same URL space diffed by content
+    // digest — the card that prices a re-crawl: how many URLs vanished,
+    // how many pages actually changed (must re-process), how many are
+    // byte-identical (skip). Generation B deterministically drops every
+    // 11th doc and edits every 5th, so the oracle is closed-form. Per
+    // side one digest projection; ONE full-outer merge on the URL key
+    // (the only exchange that matters — it carries uri + 32-char digest,
+    // never payloads); status classification and the ≤4-row rollup are
+    // free. At 100 TB this is exactly the shape: digests travel,
+    // content never does.
+    Q("web_crawl_delta",
+      (s, dir) => {
+        def side(d: DataFrame, tag: String): DataFrame = d
+          .filter(col("warc_type") === "resource")
+          .select(col("target_uri").as(s"uri_$tag"),
+            md5(col("payload")).as(s"dig_$tag"))
+        val a = side(readCorpus(s, dir), "a")
+        val b = side(s.read.format("warc").load(writeCorpus(s, dir,
+          docsOverride = d => d.filter(col("doc_id") % 11 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 5 === 0,
+                concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text"))))), "b")
+        a.join(b, a("uri_a") === b("uri_b"), "full_outer")
+          .select(
+            when(col("uri_a").isNull, "added")
+              .when(col("uri_b").isNull, "removed")
+              .when(col("dig_a") =!= col("dig_b"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n_urls"))
+      },
+      Some(s"""
+        SELECT CASE WHEN doc_id % 11 = 0 THEN 'removed'
+                    WHEN doc_id % 5 = 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               count(*) AS n_urls
+        FROM documents GROUP BY 1""")),
 
     // ---- HTML → text extraction --------------------------------------------
     // The ingestion step itself: strip tags (the txt_boilerplate
