@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default output strategy for forked runs routes the
+// child's stdout through the sbt logger, prefixing every line with
+// "[info] " — which broke the driver's parse in rounds 10-13
+// ("parsed": null). StdoutOutput passes the forked JVM's stdout through
+// verbatim, so the compact summary line arrives bare. Set unscoped so
+// both `run` and `runMain` (whose scope does NOT delegate to `run/...`)
+// inherit it.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

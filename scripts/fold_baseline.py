@@ -1,15 +1,36 @@
 #!/usr/bin/env python3
-"""Fold a bench_out.json's per-query mins into bench_baseline.json.
+"""Maintain bench_baseline.json as TRAILING-WINDOW floors.
 
-Policy (see BASELINE.md "Baseline repin policy"):
-- min-fold: a query's baseline only ever decreases, and new queries are
-  added at their first measured min;
-- EXCEPT through --repin, the audited escape hatch for a baseline whose
-  recording context no longer exists (e.g. a min folded when the query
-  surface was materially smaller, unreachable at the current surface).
-  A repin REPLACES the stored min (up or down) and must carry --evidence;
-  both are recorded in the file's "repinned" section so the judge can
-  audit every non-monotone edit.
+Policy (BASELINE.md "Round 14: trailing-window floors" — the standing
+decision rule recorded in round 13): a query's floor is the MIN over the
+last K (default 5) FULL-SURFACE runs, not the all-time min. Rationale:
+three rounds of evidence show per-QUERY-CLASS host drift (the md5/
+tight-CPU-loop class stopped reproducing floors set in earlier windows
+while scan/agg floors still reproduced), so an all-time min-fold demands
+hand-audited "environment repins" every time the host character shifts;
+a scalar environment factor would be wrong (it would penalize at-floor
+classes to excuse drifted ones). A trailing window absorbs per-class
+drift automatically while still catching real regressions: a code
+slowdown breaches against floors set in the SAME host era.
+
+Mechanics:
+- bench_history.json holds the last K full runs' per-query times
+  ({"k": K, "runs": [{"source": str, "n": int, "queries": {...}}]}).
+- Each fold appends the new run, trims to K, and REGENERATES
+  bench_baseline.json "queries" = per-query min over the window (a query
+  missing from some runs takes the min over the runs that measured it).
+- Subset guard: a run measuring < 90% of the window's max query count is
+  refused (it would rotate a full run out of the window without
+  replacing its coverage). Override with --subset-ok only for a
+  deliberate surface shrink.
+- --repin NAME=VALUE --evidence "...": the audited escape, now reserved
+  for KEYSPACE fixes (e.g. the r13 ev_seasonality name collision). It
+  overwrites the floor directly and records the audit trail; the next
+  fold that measures the query recomputes it from the window, so a repin
+  is self-healing rather than permanent.
+- --drop-query NAME --evidence "...": purge a query's samples from every
+  window run (the keyspace-fix primitive: after a collision, the old
+  samples describe a different query). Next fold re-adds it clean.
 
 The "repinned" section is written BEFORE "queries" and holds only string
 values: graft.Bench.readBaseline scans name:number pairs after the
@@ -18,11 +39,15 @@ into the parsed baseline.
 
 Usage:
   fold_baseline.py [--bench bench_out.json] [--baseline bench_baseline.json]
-                   [--source "text"]
+                   [--history bench_history.json] [--k 5]
+                   [--source "text"] [--subset-ok]
   fold_baseline.py --repin name=value --evidence "why" [--baseline ...]
+  fold_baseline.py --drop-query name --evidence "why" [--history ...]
+  fold_baseline.py --seed run1.json run2.json ... --source "text"
 """
 import argparse
 import json
+import os
 import sys
 
 
@@ -31,7 +56,7 @@ def load(path):
         return json.load(f)
 
 
-def dump(path, base):
+def dump_baseline(path, base):
     # key order matters: source, repinned (strings only), then queries
     # last so readBaseline's scan-after-"queries" sees numbers only
     out = {"source": base.get("source", "")}
@@ -43,26 +68,61 @@ def dump(path, base):
         f.write("\n")
 
 
+def dump_history(path, hist):
+    with open(path, "w") as f:
+        json.dump(hist, f, indent=1)
+        f.write("\n")
+
+
+def window_floors(hist):
+    floors = {}
+    for run in hist["runs"]:
+        for name, v in run["queries"].items():
+            if name not in floors or v < floors[name]:
+                floors[name] = v
+    return floors
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bench", default="bench_out.json")
     ap.add_argument("--baseline", default="bench_baseline.json")
+    ap.add_argument("--history", default="bench_history.json")
+    ap.add_argument("--k", type=int, default=5,
+                    help="window size: floors = min over last K full runs")
     ap.add_argument("--source", default=None,
-                    help="replacement for the baseline's source line")
+                    help="label for this run / the baseline's source line")
+    ap.add_argument("--subset-ok", action="store_true",
+                    help="fold a run covering <90%% of the window surface")
     ap.add_argument("--repin", action="append", default=[],
                     metavar="NAME=VALUE",
-                    help="replace NAME's baseline with VALUE (needs --evidence)")
+                    help="overwrite NAME's floor (keyspace fixes; needs "
+                         "--evidence; superseded at NAME's next fold)")
+    ap.add_argument("--drop-query", action="append", default=[],
+                    metavar="NAME",
+                    help="purge NAME's samples from the history window "
+                         "(needs --evidence)")
+    ap.add_argument("--seed", nargs="*", default=None,
+                    metavar="RUN.json",
+                    help="initialize the history from existing full-run "
+                         "bench files (oldest first), then regenerate")
     ap.add_argument("--evidence", default=None,
-                    help="audit trail for --repin, recorded in the file")
+                    help="audit trail for --repin/--drop-query, recorded "
+                         "in the baseline's repinned section")
     args = ap.parse_args()
 
-    base = load(args.baseline)
+    base = load(args.baseline) if os.path.exists(args.baseline) else {}
     base.setdefault("queries", {})
     base.setdefault("repinned", {})
+    hist = (load(args.history) if os.path.exists(args.history)
+            else {"k": args.k, "runs": []})
+    hist["k"] = args.k
+
+    if (args.repin or args.drop_query) and not args.evidence:
+        sys.exit("--repin/--drop-query require --evidence "
+                 "(the audit trail is the point)")
 
     if args.repin:
-        if not args.evidence:
-            sys.exit("--repin requires --evidence (the audit trail is the point)")
         for spec in args.repin:
             name, _, val = spec.partition("=")
             if not val:
@@ -72,23 +132,57 @@ def main():
             base["repinned"][name] = (
                 f"{old} -> {float(val)}: {args.evidence}")
             print(f"repinned {name}: {old} -> {val}")
+        dump_baseline(args.baseline, base)
+        return
+
+    if args.drop_query:
+        for name in args.drop_query:
+            n = sum(1 for run in hist["runs"] if run["queries"].pop(name, None)
+                    is not None)
+            base["repinned"][name] = (
+                f"dropped {n} window samples: {args.evidence}")
+            print(f"dropped {name} from {n} window runs")
+        base["queries"] = window_floors(hist)
+        dump_history(args.history, hist)
+        dump_baseline(args.baseline, base)
+        return
+
+    if args.seed is not None:
+        hist["runs"] = []
+        for path in args.seed:
+            bench = load(path)
+            hist["runs"].append({"source": os.path.basename(path),
+                                 "n": len(bench["queries"]),
+                                 "queries": bench["queries"]})
+        hist["runs"] = hist["runs"][-args.k:]
     else:
         bench = load(args.bench)
-        folded = added = 0
-        for name, v in bench["queries"].items():
-            cur = base["queries"].get(name)
-            if cur is None:
-                base["queries"][name] = v
-                added += 1
-            elif v < cur:
-                base["queries"][name] = v
-                folded += 1
-        print(f"folded {folded} improved, added {added} new "
-              f"(of {len(bench['queries'])} measured)")
+        n = len(bench["queries"])
+        surface = max((r["n"] for r in hist["runs"]), default=0)
+        if hist["runs"] and n < 0.9 * surface and not args.subset_ok:
+            sys.exit(f"refusing to fold a {n}-query run into a "
+                     f"{surface}-query window (subset would rotate out a "
+                     f"full run); pass --subset-ok to override")
+        hist["runs"].append({"source": args.source or args.bench,
+                             "n": n, "queries": bench["queries"]})
+        hist["runs"] = hist["runs"][-args.k:]
+
+    old = dict(base["queries"])
+    base["queries"] = window_floors(hist)
+    up = sum(1 for q, v in base["queries"].items()
+             if q in old and v > old[q] + 1e-12)
+    down = sum(1 for q, v in base["queries"].items()
+               if q in old and v < old[q] - 1e-12)
+    added = sum(1 for q in base["queries"] if q not in old)
+    gone = sum(1 for q in old if q not in base["queries"])
+    print(f"window={len(hist['runs'])}/{hist['k']} runs; floors: "
+          f"{down} lowered, {up} raised (window rotation), {added} added, "
+          f"{gone} left surface")
 
     if args.source:
         base["source"] = args.source
-    dump(args.baseline, base)
+    dump_history(args.history, hist)
+    dump_baseline(args.baseline, base)
 
 
 if __name__ == "__main__":

@@ -194,6 +194,7 @@ object Bench {
     val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietAllowlistedWarnings()
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

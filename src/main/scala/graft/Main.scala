@@ -201,6 +201,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietAllowlistedWarnings()
     // --input_dir points at real files (distributed glob, the reference's
     // --input_dir); otherwise the fixture listing is synthesized from sfDir
     val (listing, decoder) = cli.inputDir match {

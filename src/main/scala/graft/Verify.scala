@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietAllowlistedWarnings()
     // The text/dedup oracle SQL explodes token positions with a
     // constant-bound generate_series(1, 512, …) and char-pair positions
     // with generate_series(1, 16) (DuckDB rejects lateral column
