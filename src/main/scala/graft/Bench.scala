@@ -213,7 +213,12 @@ object Bench {
     // re-inferred downstream from a ≥30-query heuristic a biased subset
     // could satisfy — only a genuinely full run may median-normalize or
     // confirm/clear the standing fleet verdict in trendJson.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // SPARK_GRAFT_HEADLINE=1 benches the fixed per-family Headline set
+    // (the sf1.0 scaling mode, scripts/bench_sf1.sh) — a subset, so it
+    // never median-normalizes or touches the fleet verdict either.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").orElse(
+      if (sys.env.contains("SPARK_GRAFT_HEADLINE"))
+        Some(Headline.mkString(",")) else None)
     val fullSurface = only.isEmpty
     val names = only match {
       case Some(list) => list.split(',').map(_.trim).filter(_.nonEmpty).toSeq

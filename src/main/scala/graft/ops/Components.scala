@@ -56,6 +56,73 @@ object Components {
     labels
   }
 
+  /** [[labelUntilConverged]]'s result: final labels plus the evidence a
+    * caller needs to never truncate silently — how many rounds ran and
+    * whether the fixpoint was actually reached within `maxRounds` (the
+    * er_blocking cap discipline: a cap may bind, but it must SAY so).
+    */
+  final case class LabelResult(labels: DataFrame, rounds: Int,
+      converged: Boolean)
+
+  /** CONVERGENCE-GATED min-label propagation with pointer doubling —
+    * the variant for graphs whose diameter is unknown (round-14 task:
+    * at 100 TB a high-diameter near-dup graph would silently
+    * under-merge under a fixed round count).
+    *
+    * Two differences from [[label]]:
+    *  - each round ALSO folds in label-of-label (`labels ⋈ labels` on
+    *    cluster_id = doc_id — pointer doubling / path compression), so
+    *    a diameter-d path converges in O(log d) rounds instead of d;
+    *    correctness is unchanged because a cluster_id is always the id
+    *    of a node in the same component, so its label is reachable too
+    *    and the per-node min only ever decreases toward the component
+    *    minimum;
+    *  - after each round the CHANGED-LABEL set is probed (isEmpty on
+    *    the materialized old⋈new diff — a limit-1 probe, not a count
+    *    scan) and iteration stops at the fixpoint. `maxRounds` is the
+    *    runaway cap; hitting it without convergence is SURFACED in the
+    *    returned flag, never silent.
+    *
+    * Per-round cost is still O(|edges| + |labels|) shuffle work and the
+    * per-round lineage is still truncated (the [[label]] discipline),
+    * so the 100 TB contract holds: rounds × linear passes, rounds now
+    * log-bounded by the true diameter rather than guessed.
+    */
+  def labelUntilConverged(pairs: DataFrame, maxRounds: Int): LabelResult = {
+    val p = pairs.materialize()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .materialize()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .materialize()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      // pointer doubling: my label's label
+      val l2 = labels.select(col("doc_id").as("ptr"),
+        col("cluster_id").as("cluster2"))
+      val viaPointer = labels
+        .join(l2, labels("cluster_id") === l2("ptr"))
+        .select(col("doc_id"), col("cluster2").as("cluster_id"))
+      val next = labels.union(viaNeighbors).union(viaPointer)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .materialize()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    LabelResult(labels, round, converged)
+  }
+
   /** DuckDB mirror of [[label]]: same bounded rounds over a `cand`
     * CTE with (doc_a, doc_b) columns.
     */

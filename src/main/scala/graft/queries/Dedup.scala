@@ -897,6 +897,40 @@ object Dedup {
         ${graft.ops.Components.labelSql(4)}
         SELECT doc_id, cluster_id FROM l4""")),
 
+    // ---- convergence-gated clustering (high-diameter safety) ---------------
+    // dd_clusters' fixed 4 rounds are right for LSH cliques (diameter
+    // ≤2), but a 100 TB near-dup graph can hide HIGH-DIAMETER chains
+    // (A≈B≈C≈… transitive near-dups) that a fixed bound silently
+    // under-merges. This variant runs Components.labelUntilConverged:
+    // pointer-doubling min-label propagation that stops at the measured
+    // fixpoint (per-round changed-label probe) under a surfaced cap.
+    // The candidate set is a PLANTED LONG-PATH corpus — consecutive
+    // doc ids chained in runs of 16 (diameter 15, far past dd_clusters'
+    // bound; pointer doubling closes it in ~⌈log₂15⌉+1 rounds) — built
+    // by an existence-checked self-join, so the pairs are derived from
+    // data, not assumed. The oracle is the chain's closed form. A
+    // non-converged result FAILS the query (require), never returns
+    // truncated labels as if complete.
+    Q("dd_clusters_converged",
+      (s, dir) => {
+        val ids = docs(s, dir).select(col("doc_id"))
+        val pairs = ids.filter(col("doc_id") % 16 =!= 15)
+          .select(col("doc_id").as("doc_a"))
+          .join(ids.select(col("doc_id").as("doc_b")),
+            col("doc_b") === col("doc_a") + 1)
+        val res = graft.ops.Components.labelUntilConverged(pairs,
+          maxRounds = 12)
+        require(res.converged,
+          s"component labeling hit the ${res.rounds}-round cap without " +
+            "converging — labels would be silently under-merged")
+        res.labels
+      },
+      Some("""
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+        SELECT doc_id, (doc_id // 16) * 16 AS cluster_id
+        FROM documents, mx
+        WHERE NOT (doc_id % 16 = 0 AND doc_id = m)""")),
+
     // ---- train/eval contamination detection --------------------------------
     // Decontamination (the C4/GPT eval-overlap check): which held-out
     // docs (source src0) share a 5-gram with any training doc (every

@@ -49,6 +49,45 @@ object Text {
   // txt_token_budget: the fixed training-token budget being allocated
   private[graft] val TokenBudget = 100000L
 
+  /** txt_bpe_batch geometry: rounds × merges-per-round. One corpus pass
+    * per ROUND (not per merge) — the parallel-BPE trick: each round
+    * selects up to [[BpeBatchM]] pairs with pairwise-DISTINCT LEADING
+    * CHARACTERS (an SQL-expressible disjointness criterion) and applies
+    * them as one chained projection, so a 30k-merge tokenizer costs
+    * 30k/M passes instead of 30k. Selection and application order are
+    * both total-ordered (count desc, pair asc), so the oracle mirrors
+    * exactly.
+    */
+  private[graft] val BpeBatchRounds = 3
+  private[graft] val BpeBatchM = 4
+  private[graft] val BpeBatchMarks: Seq[Seq[String]] = Seq(
+    Seq("#", "%", "@", "&"), Seq("*", "+", "=", "!"),
+    Seq("~", "^", "?", "<")) // all outside [a-z0-9]: never collide
+
+  /** One batched-BPE round's winners over a (doc_id, token) frame:
+    * rank pairs by (count desc, pair asc), keep the best pair per
+    * leading character (the disjointness screen), take the top `m`.
+    * Returned in rank order — the application order. A driver-side
+    * ≤m-row model collect per ROUND (merges/m per tokenizer), not per
+    * merge: the round-14 scale fix over txt_bpe_encode's one collect
+    * per merge.
+    */
+  private[graft] def bpeBatchWinners(t: DataFrame, m: Int): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = t.filter(length(col("token")) >= 2)
+      .select(explode(sequence(lit(1), length(col("token")) - 1))
+        .as("i"), col("token"))
+      .select(col("token").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val perLead = Window.partitionBy(col("pair").substr(1, 1))
+      .orderBy(col("n").desc, col("pair").asc)
+    pairs.withColumn("lr", row_number().over(perLead))
+      .filter(col("lr") === 1)
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(m)
+      .select(col("pair")).collect().map(_.getString(0)).toSeq
+  }
+
   /** The classifier's feature projection: weak label y = [lang = 'en']
     * plus three char-statistic features (scaled length, whitespace
     * ratio, vowel ratio), every value a single IEEE division over exact
@@ -1188,6 +1227,113 @@ object Text {
         FROM agg"""
       }),
 
+    // ---- BPE at real merge counts: batched rounds ---------------------------
+    // txt_bpe_encode's one-collect-per-merge loop validates the kernel
+    // but costs 30k corpus passes at a real tokenizer's 30k merges.
+    // This is the batched variant (the parallel-BPE trick): each ROUND
+    // counts pairs once, selects up to BpeBatchM winners whose LEADING
+    // CHARACTERS are pairwise distinct (a deterministic, SQL-mirrorable
+    // disjointness screen), and applies them in one chained projection
+    // in rank order — merges accrue M per pass, so rounds = merges/M
+    // (BpeBatchSpec proves >rounds merges per run and round-count
+    // independence from merge count). Missing winner slots (fewer
+    // leading chars than M) no-op via a chr(1) needle on the oracle
+    // side and simply truncate the fold on the Spark side — both ends
+    // apply the identical replace chain.
+    Q("txt_bpe_batch",
+      (s, dir) => {
+        val toks0 = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        // same oracle-exactness guard as txt_bpe_encode (constant
+        // pair-position bound in the DuckDB mirror), riding the final
+        // projection instead of its own scan
+        val guarded = when(length(col("token")) > BpeMaxTokenLen,
+          raise_error(concat(
+            lit(s"txt_bpe_batch oracle is exact only for tokens of <= " +
+              s"$BpeMaxTokenLen chars; corpus has a "),
+            length(col("token")).cast("string"), lit("-char token"))))
+          .otherwise(col("token")).as("token")
+        var t = toks0
+        var allMerges = Seq.empty[(String, String)]
+        for (r <- 0 until BpeBatchRounds) {
+          val ws = bpeBatchWinners(t, BpeBatchM)
+          require(ws.nonEmpty,
+            s"txt_bpe_batch round $r: no pair to merge")
+          val batch = ws.zip(BpeBatchMarks(r))
+          val applied = batch.foldLeft(col("token")) {
+            case (c, (p, mk)) =>
+              call_function("replace", c, lit(p), lit(mk))
+          }
+          t = t.select(col("doc_id"), applied.as("token"))
+          allMerges ++= batch
+        }
+        val enc = allMerges.foldLeft(col("token")) {
+          case (c, (p, mk)) => call_function("replace", c, lit(p), lit(mk))
+        }
+        toks0.select(col("doc_id"), guarded)
+          .select(col("doc_id"),
+            length(col("token")).cast("long").as("raw_len"),
+            length(enc).cast("long").as("enc_len"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("raw_len")).as("raw_chars"),
+            sum(col("enc_len")).as("enc_symbols"))
+          .withColumn("saved_milli", call_function("div",
+            (col("raw_chars") - col("enc_symbols")) * 1000,
+            col("raw_chars")))
+      },
+      Some {
+        // winners of one round over `src`: best pair per leading char,
+        // top-M by (n desc, pair asc), rank = application order
+        def wSql(src: String) = s"""
+          SELECT pair, row_number() OVER (ORDER BY n DESC, pair ASC) AS rk
+          FROM (
+            SELECT pair, n FROM (
+              SELECT pair, n, row_number() OVER (
+                  PARTITION BY substr(pair, 1, 1)
+                  ORDER BY n DESC, pair ASC) AS lr
+              FROM (
+                SELECT substr(token, CAST(g.i AS INTEGER), 2) AS pair,
+                       count(*) AS n
+                FROM $src
+                CROSS JOIN generate_series(1, $BpePairPositions) AS g(i)
+                WHERE length(token) >= 2 AND g.i <= length(token) - 1
+                GROUP BY 1))
+            WHERE lr = 1)
+          QUALIFY rk <= $BpeBatchM"""
+        // chained application in rank order; absent slots no-op via a
+        // control-char needle that [a-z0-9]+ tokens can never contain
+        def applySql(src: String, w: String, r: Int): String = {
+          val chain = (1 to BpeBatchM).foldLeft("token") { (acc, k) =>
+            s"""replace($acc, coalesce(
+              (SELECT pair FROM $w WHERE rk = $k), chr(1)),
+              '${BpeBatchMarks(r)(k - 1)}')"""
+          }
+          s"SELECT doc_id, $chain AS token FROM $src"
+        }
+        val rounds = (0 until BpeBatchRounds).map { r =>
+          s"w$r AS (${wSql(s"tok$r")}), tok${r + 1} AS " +
+            s"(${applySql(s"tok$r", s"w$r", r)})"
+        }.mkString(",\n")
+        s"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest(tokens) AS token FROM (${DocSql.toksSql})),
+        $rounds,
+        agg AS (
+          SELECT r.doc_id, r.n_tokens, r.raw_chars, e.enc_symbols
+          FROM (SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(length(token)) AS BIGINT) AS raw_chars
+                FROM tok0 GROUP BY 1) r
+          JOIN (SELECT doc_id,
+                       CAST(sum(length(token)) AS BIGINT) AS enc_symbols
+                FROM tok$BpeBatchRounds GROUP BY 1) e
+            ON e.doc_id = r.doc_id)
+        SELECT doc_id, n_tokens, raw_chars, enc_symbols,
+               CAST(((raw_chars - enc_symbols) * 1000) // raw_chars AS BIGINT)
+                 AS saved_milli
+        FROM agg"""
+      }),
+
     // ---- sequence packing (concat-and-chunk) --------------------------------
     // The LM-training packing step: concatenate documents per language
     // stream in a deterministic order and chunk into 1024-token context
@@ -1896,7 +2042,11 @@ object Text {
       (s, dir) => charEntropy(s, docs(s, dir)),
       Some("""
         WITH ch AS (
-          SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+          -- (?s) so '.' matches newline too: the Spark side (HOF split
+          -- and the native kernel) counts EVERY code point, so the
+          -- oracle must not silently drop '\n' (round-14 ADVICE fix —
+          -- parity previously depended on the fixture being newline-free)
+          SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
           FROM documents),
         g AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
         d AS (

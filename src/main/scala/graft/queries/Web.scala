@@ -101,6 +101,30 @@ object Web {
       s" 'X-Doc: ' || doc_id || $crlf || $crlf || ($htmlSql)"
   }
 
+  /** One corpus per (sfDir, flavor) per session: the queries re-running
+    * under bench passes must not regenerate (and leak) a fresh temp
+    * corpus each execution (round-14 ADVICE fix). Only the default
+    * docsOverride is cacheable — an override's output is caller-defined.
+    */
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Boolean),
+      String]()
+  private val corpusDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+  locally { // best-effort temp hygiene: delete generated corpora at exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      corpusDirs.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+  }
+
   /** Write the documents table as a `Shards`-file `.warc.gz` corpus
     * under a fresh temp dir and return the dir. Distributed write
     * (foreachPartition, one file per partition — empty partitions still
@@ -109,11 +133,35 @@ object Web {
     * `http = true` wraps each payload in the HTTP/1.1 envelope as a
     * WARC-Type `response` record (the Common Crawl shape); `false`
     * writes bare html `resource` records.
+    *
+    * Commit protocol: each task writes a task-attempt-unique temp file
+    * and atomically renames into place on success, so a speculative or
+    * retried duplicate attempt can never interleave bytes into a live
+    * shard — last rename wins with a complete file either way (the
+    * FileOutputCommitter v2 discipline, on the local FS). This fixture
+    * generator is local-mode by design (executors share the driver
+    * filesystem on local[k]); a cluster deployment would keep the same
+    * attempt-temp + rename protocol on a shared Hadoop FS.
     */
+  /** Stable default-override marker: eta-expanding `identity` allocates
+    * a fresh lambda per call, so reference equality needs one shared
+    * instance to compare against.
+    */
+  private val DefaultDocs: DataFrame => DataFrame = df => df
+
   private[graft] def writeCorpus(s: SparkSession, dir: String,
       http: Boolean = false, robots: Boolean = false,
-      docsOverride: DataFrame => DataFrame = identity): String = {
+      docsOverride: DataFrame => DataFrame = DefaultDocs): String =
+    if (docsOverride eq DefaultDocs) // cache only the default
+      corpusCache.computeIfAbsent((dir, http, robots),
+        _ => writeCorpusUncached(s, dir, http, robots, DefaultDocs))
+    else writeCorpusUncached(s, dir, http, robots, docsOverride)
+
+  private def writeCorpusUncached(s: SparkSession, dir: String,
+      http: Boolean, robots: Boolean,
+      docsOverride: DataFrame => DataFrame): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    corpusDirs.add(out)
     val date = FixedDate
     val hosts = Hosts
     val winfo = WinfoPayload
@@ -125,8 +173,17 @@ object Web {
       .select(col("doc_id"), (if (http) httpCol else htmlCol).as("body"))
       .repartition(Shards, col("doc_id"))
       .foreachPartition { (it: Iterator[Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val f = f"$out/part-$pid%05d.warc.gz"
+        // attempt-unique temp + atomic rename = the task-commit protocol
+        // (a speculative duplicate writes its own temp; renames are
+        // whole-file atomic, so the shard is never interleaved/corrupt).
+        // The temp KEEPS the .warc.gz suffix (writeFile selects gzip
+        // framing by suffix) and is dot-prefixed (the Hadoop hidden-file
+        // convention) so a dead attempt's leftover is never listed.
+        val tmp =
+          f"$out/.part-$pid%05d-attempt${tc.taskAttemptId()}.warc.gz"
         val head = Iterator(WarcIO.WarcRecord("warcinfo", "", date,
           "application/warc-fields",
           winfo.length.toLong,
@@ -148,7 +205,12 @@ object Web {
               s"/doc/${r.getLong(0)}", date,
             ctype, b.length.toLong, b)
         }
-        WarcIO.writeFile(f, head ++ robo ++ body)
+        WarcIO.writeFile(tmp, head ++ robo ++ body)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(f),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
     out
   }
@@ -389,10 +451,17 @@ object Web {
               .as("host"),
             regexp_extract(col("target_uri"), "^http://[^/]+(/.*)$", 1)
               .as("path"))
+        // RFC 9309 pattern semantics ('*'/'$'/percent-normalization)
+        // via the same kernel the driver-side parser uses; a UDF is
+        // acceptable here because it runs only inside the broadcast
+        // join against the model-sized rules table, never over a
+        // shuffled pair space
+        val ruleMatch = udf((pat: String, path: String) =>
+          RobotsRules.ruleMatches(pat, path))
         urls
           .join(broadcast(rules),
             urls("host") === rules("host") &&
-              col("path").startsWith(col("prefix")), "left")
+              ruleMatch(col("prefix"), col("path")), "left")
           .groupBy(urls("host").as("host"), col("path"))
           .agg(max(struct(col("plen"), col("r_allow"))).as("best"))
           .select(col("host"),

@@ -60,8 +60,14 @@ object WarcSource {
     StructField("content_length", LongType, nullable = false),
     StructField("payload", BinaryType)))
 
+  /** Listable corpus files: warc suffixes, excluding dot/underscore
+    * prefixes (the Hadoop hidden-file convention) — in-flight or dead
+    * task-attempt temps and _SUCCESS-style markers must never be read
+    * as records.
+    */
   private[sources] val WarcExts: String => Boolean =
-    n => n.endsWith(".warc") || n.endsWith(".warc.gz")
+    n => (n.endsWith(".warc") || n.endsWith(".warc.gz")) &&
+      !n.startsWith(".") && !n.startsWith("_")
 
   /** Test observability: payload bytes skipped (never allocated) by
     * pruned or type-filtered reads in this JVM.
@@ -180,10 +186,43 @@ final class WarcScanBuilder(
       relist = () => listFiles(keepFile))
 }
 
-/** File-count offset: `n` name-sorted files fully processed. */
-final case class WarcOffset(n: Int)
+/** Offset = `n` name-sorted files fully processed, ANCHORED by the
+  * name of the n-th file (`last`). The count alone relied on an
+  * unchecked monotonic-naming convention: a late file sorting before a
+  * processed position, or a deletion, would silently remap the
+  * committed range to DIFFERENT files on the next (re)plan — replayed
+  * or skipped data with no error (round-14 ADVICE fix). The anchor
+  * makes the convention checkable: planInputPartitions re-lists and
+  * fails loudly if the listing's file at position n-1 is no longer
+  * `last`, for both endpoints of the batch.
+  *
+  * `last` is empty for n=0 and for offsets restored from a legacy
+  * bare-int checkpoint (which then validates count-only, once, and
+  * re-anchors at the next latestOffset).
+  */
+final case class WarcOffset(n: Int, last: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String =
+    s"""{"n":$n,"last":"${WarcOffset.escape(last)}"}"""
+}
+
+object WarcOffset {
+  private[sources] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private[sources] def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private val Shape = """\{"n":(\d+),"last":"(.*)"\}""".r
+
+  def parse(json: String): WarcOffset = json.trim match {
+    case Shape(n, last) => WarcOffset(n.toInt, unescape(last))
+    // legacy bare-int checkpoints (pre-anchor format)
+    case bare => WarcOffset(bare.toInt)
+  }
+
+  /** The anchored offset for a fully-processed `listing`. */
+  def of(listing: Array[String]): WarcOffset =
+    WarcOffset(listing.length, if (listing.isEmpty) "" else listing.last)
 }
 
 final class WarcMicroBatchStream(relist: () => Array[String],
@@ -193,16 +232,39 @@ final class WarcMicroBatchStream(relist: () => Array[String],
 
   override def initialOffset(): Offset = WarcOffset(0)
 
-  override def latestOffset(): Offset = WarcOffset(relist().length)
+  override def latestOffset(): Offset = WarcOffset.of(relist())
 
   override def deserializeOffset(json: String): Offset =
-    WarcOffset(json.trim.toInt)
+    WarcOffset.parse(json)
+
+  /** Committed position `o` must still describe `listing`: enough files,
+    * and the same file at position n-1. Throws (fails the query — the
+    * honest outcome) instead of silently remapping the range.
+    */
+  private def validate(listing: Array[String], o: WarcOffset): Unit = {
+    if (listing.length < o.n)
+      throw new IllegalStateException(
+        s"warc stream: committed offset ${o.n} but only " +
+          s"${listing.length} files remain in the listing — a processed " +
+          "file was deleted; cannot restart without replay/gap")
+    if (o.n > 0 && o.last.nonEmpty && listing(o.n - 1) != o.last)
+      throw new IllegalStateException(
+        s"warc stream: committed offset ${o.n} anchored at '${o.last}' " +
+          s"but the listing now has '${listing(o.n - 1)}' at that " +
+          "position — a file landed out of name order (or was removed); " +
+          "the monotonic-name convention this source documents is " +
+          "violated and the committed range no longer maps to the same " +
+          "files")
+  }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[WarcOffset].n,
-      end.asInstanceOf[WarcOffset].n)
-    val batch = relist().slice(s, e)
+    val (so, eo) = (start.asInstanceOf[WarcOffset],
+      end.asInstanceOf[WarcOffset])
+    val listing = relist()
+    validate(listing, so); validate(listing, eo)
+    val (s, e) = (so.n, eo.n)
+    val batch = listing.slice(s, e)
     if (batch.isEmpty) Array.empty
     else {
       val slices = math.max(1, math.min(batch.length,

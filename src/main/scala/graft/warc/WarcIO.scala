@@ -43,11 +43,24 @@ object WarcIO {
 
   // ---------------------------------------------------------------- write
 
+  /** Deterministic `urn:uuid` record id (ISO 28500 makes
+    * WARC-Record-ID mandatory on every record): a name-based (type-3)
+    * UUID over the record's identity fields. Deterministic by design —
+    * the writer's byte output stays a pure function of the record, the
+    * property the fixed-bytes oracles and the dedup digests rely on —
+    * while still unique within a corpus whose URIs key the documents.
+    */
+  def recordId(r: WarcRecord): String =
+    "urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
+      (r.warcType + "\n" + r.targetUri + "\n" + r.date + "\n" +
+        r.payload.length).getBytes(UTF_8))
+
   /** Serialize one record to `out` (headers + payload + boundary). */
   def writeRecord(out: OutputStream, r: WarcRecord): Unit = {
     val sb = new StringBuilder
     sb.append("WARC/1.1\r\n")
     sb.append("WARC-Type: ").append(r.warcType).append("\r\n")
+    sb.append("WARC-Record-ID: <").append(recordId(r)).append(">\r\n")
     if (r.targetUri != null && r.targetUri.nonEmpty)
       sb.append("WARC-Target-URI: ").append(r.targetUri).append("\r\n")
     sb.append("WARC-Date: ").append(r.date).append("\r\n")

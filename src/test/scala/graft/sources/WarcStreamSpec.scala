@@ -91,4 +91,46 @@ class WarcStreamSpec extends SparkSpec {
     assert(rows.length === 19, s"expected 19 rows, got ${rows.length}")
     assert(rows.toSet.size === 19, "a replayed record would duplicate")
   }
+
+  // ---- anchored offsets (round-14 ADVICE fix) ------------------------------
+
+  test("offset json round-trips the filename anchor; legacy bare-int parses") {
+    val o = WarcOffset(3, """/data/part-00002 "odd" \name.warc.gz""")
+    assert(WarcOffset.parse(o.json()) === o)
+    assert(WarcOffset.parse("7") === WarcOffset(7, "")) // legacy checkpoint
+    assert(WarcOffset.parse(WarcOffset(0).json()) === WarcOffset(0, ""))
+  }
+
+  test("a committed range that no longer maps to the same files fails " +
+      "loudly instead of silently remapping") {
+    def stream(listing: Array[String]) =
+      new WarcMicroBatchStream(() => listing,
+        Array("target_uri"), _ => true)
+
+    val processed = Array("/d/part-00000.gz", "/d/part-00001.gz")
+    val committed = WarcOffset.of(processed)
+
+    // happy path: same listing plus a NEW file sorting after → plans
+    val grown = processed :+ "/d/part-00002.gz"
+    assert(stream(grown).planInputPartitions(
+      committed, WarcOffset.of(grown)).nonEmpty)
+
+    // a file LANDS BEFORE the committed position (violates the
+    // monotonic-name convention): the anchor catches the remap
+    val outOfOrder = Array("/d/part-00000.gz", "/d/part-00000a.gz",
+      "/d/part-00001.gz")
+    val e1 = intercept[IllegalStateException] {
+      stream(outOfOrder).planInputPartitions(
+        committed, WarcOffset.of(outOfOrder))
+    }
+    assert(e1.getMessage.contains("name order"))
+
+    // a processed file DELETED: count shrinks below the committed offset
+    val shrunk = Array("/d/part-00000.gz")
+    val e2 = intercept[IllegalStateException] {
+      stream(shrunk).planInputPartitions(
+        committed, WarcOffset.of(shrunk))
+    }
+    assert(e2.getMessage.contains("deleted"))
+  }
 }

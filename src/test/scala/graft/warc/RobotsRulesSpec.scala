@@ -61,4 +61,55 @@ class RobotsRulesSpec extends AnyFunSuite {
     assert(allowed(Seq(Rule(false, "/p"), Rule(true, "/p")), "/p/x"))
     assert(allowed(rules, "/elsewhere")) // no rule matches → allowed
   }
+
+  // ---- RFC 9309 §2.2.3 special characters (round-14 ADVICE fix) ----
+
+  test("'*' matches any run including '/' and empty") {
+    val rules = Seq(Rule(false, "/*.php"))
+    assert(!allowed(rules, "/index.php"))
+    assert(!allowed(rules, "/a/b/index.php"))
+    assert(!allowed(rules, "/.php")) // '*' may match empty
+    assert(!allowed(rules, "/x.php?q=1")) // prefix match past pattern end
+    assert(allowed(rules, "/index.phtml")) // '.php' never aligns fully
+    assert(allowed(rules, "/php")) // no '.' before php
+  }
+
+  test("'$' anchors to end of path") {
+    val rules = Seq(Rule(false, "/private$"))
+    assert(!allowed(rules, "/private"))
+    assert(allowed(rules, "/private/")) // not end-anchored match
+    assert(allowed(rules, "/privateer"))
+    // star + anchor compose: block exactly *.php, allow trailing data
+    val px = Seq(Rule(false, "/*.php$"))
+    assert(!allowed(px, "/deep/path/x.php"))
+    assert(allowed(px, "/x.php?q=1"))
+    // backtracking: the star must be able to retry later alignments
+    assert(!allowed(Seq(Rule(false, "/a*b$")), "/abxb"))
+  }
+
+  test("most-specific still wins with patterns, ties to Allow") {
+    val rules = Seq(Rule(false, "/*.php"), Rule(true, "/shared/*.php"))
+    assert(!allowed(rules, "/x.php"))
+    assert(allowed(rules, "/shared/x.php")) // longer pattern wins
+  }
+
+  test("percent-encoding normalization: unreserved decodes, reserved stays") {
+    // %61 = 'a' (unreserved) decodes in both pattern and path
+    assert(!allowed(Seq(Rule(false, "/p%61th")), "/path"))
+    assert(!allowed(Seq(Rule(false, "/path")), "/p%61th"))
+    // %2F (reserved '/') must NOT decode into a path separator,
+    // and lowercase hex canonicalizes to uppercase so both sides agree
+    assert(!allowed(Seq(Rule(false, "/a%2Fb")), "/a%2fb"))
+    assert(allowed(Seq(Rule(false, "/a%2Fb")), "/a/b"))
+    // an encoded '*' (%2A) stays encoded and is never a wildcard: it
+    // matches the same encoded octets (any hex case), not arbitrary runs
+    assert(!allowed(Seq(Rule(false, "/x%2Ay")), "/x%2ay"))
+    assert(allowed(Seq(Rule(false, "/x%2Ay")), "/xZZZy"))
+    ()
+  }
+
+  test("parse normalizes pattern escapes once") {
+    val body = "User-agent: *\nDisallow: /p%61th\n"
+    assert(parse(body, "bot") === Seq(Rule(false, "/path")))
+  }
 }

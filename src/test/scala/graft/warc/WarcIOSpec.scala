@@ -57,6 +57,26 @@ class WarcIOSpec extends AnyFunSuite {
     assert(members >= 25, s"expected >=25 gzip members, found $members")
   }
 
+  test("every written record carries a mandatory, deterministic " +
+      "WARC-Record-ID (ISO 28500; round-14 ADVICE fix)") {
+    def bytesOf(r: WarcRecord): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      WarcIO.writeRecord(bos, r)
+      bos.toByteArray
+    }
+    val header = new String(bytesOf(rec(1)), UTF_8)
+      .split("\r\n\r\n", 2)(0)
+    val idLine = header.split("\r\n").find(_.startsWith("WARC-Record-ID: "))
+    assert(idLine.isDefined, s"no WARC-Record-ID in: $header")
+    // spec shape: angle-bracketed urn:uuid
+    assert(idLine.get.matches(
+      "WARC-Record-ID: <urn:uuid:[0-9a-f-]{36}>"))
+    // deterministic: same record → byte-identical output (the fixed-
+    // bytes oracle property); distinct URIs → distinct ids
+    assert(bytesOf(rec(1)).toSeq === bytesOf(rec(1)).toSeq)
+    assert(WarcIO.recordId(rec(1)) !== WarcIO.recordId(rec(2)))
+  }
+
   test("empty payloads and an empty file are legal") {
     val d = java.nio.file.Files.createTempDirectory("warcio").toString
     WarcIO.writeFile(s"$d/e.warc", Iterator(rec(1, ""), rec(2, "x")))
