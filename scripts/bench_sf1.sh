@@ -27,5 +27,6 @@ SPARK_GRAFT_SF_DIR="$DIR" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 SPARK_GRAFT_SHUFFLE="${SPARK_GRAFT_SHUFFLE:-64}" \
 SPARK_GRAFT_HEADLINE=1 \
+SPARK_GRAFT_OUT_PREFIX=sf1_ \
 SPARK_GRAFT_BENCH_PASSES="${SPARK_GRAFT_BENCH_PASSES:-1}" \
 sbt -batch "runMain graft.Bench"

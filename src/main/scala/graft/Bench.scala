@@ -200,13 +200,20 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_OUT_PREFIX namespaces the output artifacts (e.g. the
+    // sf1.0 scaling mode writes sf1_bench_out.json) so an off-scale run
+    // never clobbers the sf0.1 trend chain — bench_trend.json carries
+    // the STANDING two-run suspect evidence, which an overwrite at
+    // another sf would silently wipe.
+    val prefix = sys.env.getOrElse("SPARK_GRAFT_OUT_PREFIX", "")
+    val outPath = Paths.get(s"${prefix}bench_out.json")
+    val trendPath = Paths.get(s"${prefix}bench_trend.json")
     // prior suspects feed the two-run regression confirmation — read
     // BEFORE the delete below discards the previous run's evidence
-    val priorSuspects =
-      readPriorSuspects(Paths.get("bench_trend.json"), sfDir)
+    val priorSuspects = readPriorSuspects(trendPath, sfDir)
     // a crash below must never leave a previous run's results parseable
-    Files.deleteIfExists(Paths.get("bench_out.json"))
-    Files.deleteIfExists(Paths.get("bench_trend.json"))
+    Files.deleteIfExists(outPath)
+    Files.deleteIfExists(trendPath)
 
     // dev affordance: SPARK_GRAFT_ONLY=q1_agg,dd_jaccard benches a subset.
     // Full-surface status is decided HERE (the env var's absence), not
@@ -278,8 +285,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""variance":$vars,"passes":$passes,""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
-    Files.writeString(Paths.get("bench_trend.json"),
+    Files.writeString(outPath, json + "\n")
+    Files.writeString(trendPath,
       trendJson(ok, readBaseline(Paths.get("bench_baseline.json")),
         priorSuspects, sfDir, fullSurface = fullSurface) + "\n")
     // The driver captures only the TAIL (~2 KB) of stdout: the full
@@ -290,7 +297,8 @@ object Bench {
     // plus a fixed per-family headline subset at 3 decimals, bounded
     // ≤ ~1 KB by BenchLineSpec) as the LAST print; bench_out.json stays
     // the full-resolution channel.
-    println(compactLine(total, ok, failed, passes, sfDir))
+    println(compactLine(total, ok, failed, passes, sfDir,
+      s"${prefix}bench_out.json"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -312,7 +320,8 @@ object Bench {
     "ref_crop_video", "ref_tfrecord_roundtrip")
 
   private[graft] def compactLine(total: Double, ok: Seq[(String, Double)],
-      failed: Seq[String], passes: Int, sfDir: String): String = {
+      failed: Seq[String], passes: Int, sfDir: String,
+      detail: String = "bench_out.json"): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val byName = ok.toMap
     val head = Headline.filter(byName.contains)
@@ -320,6 +329,6 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$head,"n_queries":${ok.size},"passes":$passes,""" +
-      s""""errors":$errs,"detail":"bench_out.json","sf":"$sfDir"}"""
+      s""""errors":$errs,"detail":"$detail","sf":"$sfDir"}"""
   }
 }

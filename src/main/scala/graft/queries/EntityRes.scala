@@ -513,6 +513,78 @@ object EntityRes {
                largest_entity
         FROM blocks_a CROSS JOIN pairs_a CROSS JOIN ent_a""")),
 
+    // ---- the linkage card on the CAPPED lineage (the 100 TB path) ----------
+    // er_report composes the UNCAPPED scored lineage — measured at
+    // scaling exponent ~1.46 in the sf1.0 bench (BASELINE.md "sf1.0
+    // scaling"): Σ|block|² under a fixed-selectivity blocking key is
+    // quadratic in corpus size by construction. This is the same card
+    // over the BlockCap-capped lineage (measured exponent 0.26) — the
+    // path a production run takes when key selectivity can't be
+    // trusted — with the truncation economics IN the card (n_kept /
+    // n_capped_out), so the cap is never silent: capped-out records are
+    // accounted as singletons, exactly the cappedKeyed contract.
+    Q("er_report_capped",
+      (s, dir) => {
+        val k = keyed(records(s, dir))
+        val ck = cappedKeyed(k).materialize()
+        val sp = scoredPairsOf(ck).materialize()
+        val blocks = k.agg(count(lit(1)).as("n_records"),
+          countDistinct(col("bk")).as("n_blocks"))
+        val kept = ck.agg(count(lit(1)).as("n_kept"))
+        val pairsAgg = sp.agg(count(lit(1)).as("n_candidates"),
+          sum(col("is_match")).as("n_matches"))
+        val entAgg = graft.ops.Components.label(
+            sp.filter(col("is_match") === 1)
+              .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b")),
+            rounds = 3)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_entities_multi"),
+            sum(col("sz")).as("n_linked_records"),
+            max(col("sz")).as("largest_entity"))
+        blocks.crossJoin(kept).crossJoin(pairsAgg).crossJoin(entAgg)
+          .select(col("n_records"), col("n_blocks"), col("n_kept"),
+            (col("n_records") - col("n_kept")).as("n_capped_out"),
+            col("n_candidates"), col("n_matches"),
+            col("n_entities_multi"), col("n_linked_records"),
+            (col("n_records") - col("n_linked_records"))
+              .as("n_singletons"),
+            col("largest_entity"))
+      },
+      Some(s"""
+        WITH $recordsSql, $keyedSql, ${cappedKeyedSql()},
+        pairs AS (
+          SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT)
+                   AS is_match
+          FROM ckeyed a JOIN ckeyed b
+            ON a.bk = b.bk AND a.rec_id < b.rec_id),
+        blocks_a AS (
+          SELECT count(*) AS n_records, count(DISTINCT bk) AS n_blocks
+          FROM keyed),
+        kept_a AS (SELECT count(*) AS n_kept FROM ckeyed),
+        pairs_a AS (
+          SELECT count(*) AS n_candidates,
+                 CAST(sum(is_match) AS BIGINT) AS n_matches
+          FROM pairs),
+        cand AS (
+          SELECT rec_a AS doc_a, rec_b AS doc_b FROM pairs
+          WHERE is_match = 1),
+        ${graft.ops.Components.labelSql(3)},
+        szs AS (SELECT cluster_id, count(*) AS sz FROM l3 GROUP BY 1),
+        ent_a AS (
+          SELECT count(*) AS n_entities_multi,
+                 CAST(sum(sz) AS BIGINT) AS n_linked_records,
+                 max(sz) AS largest_entity
+          FROM szs)
+        SELECT n_records, n_blocks, n_kept,
+               n_records - n_kept AS n_capped_out,
+               n_candidates, n_matches, n_entities_multi,
+               n_linked_records,
+               n_records - n_linked_records AS n_singletons,
+               largest_entity
+        FROM blocks_a CROSS JOIN kept_a CROSS JOIN pairs_a
+        CROSS JOIN ent_a""")),
+
     // ---- match-threshold operating curve ------------------------------------
     // The knob-selection discipline (mm_hamming_curve / sim_tau_curve /
     // dd_jaccard_curve) applied to the ER decision threshold: precision

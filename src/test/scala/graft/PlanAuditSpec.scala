@@ -50,6 +50,9 @@ class PlanAuditSpec extends SparkSpec {
       // three 1-row aggregate sides (blocking, pairs, entities) crossing
       // into the one-row linkage data card (same shape)
       "er_report",
+      // the same card over the capped lineage: four 1-row sides
+      // (blocking, kept-count, pairs, entities) crossing into one row
+      "er_report_capped",
       // the 1-row digit-total broadcast crossing the ≤9-row digit table
       // (the txt_collocations corpus-total shape)
       "dq_benford",

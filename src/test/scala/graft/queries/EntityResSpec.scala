@@ -106,6 +106,34 @@ class EntityResSpec extends SparkSpec {
       m.getAs[Long]("tp") + m.getAs[Long]("fp"))
   }
 
+  test("er_report_capped: the scale-path card is coherent and accounts " +
+      "its truncation (round 14)") {
+    val r = run("er_report_capped").collect().head
+    val full = run("er_report").collect().head
+    // record/block census is the UNCAPPED corpus — the card reports the
+    // world, then says how much of it the cap kept
+    assert(r.getAs[Long]("n_records") === full.getAs[Long]("n_records"))
+    assert(r.getAs[Long]("n_blocks") === full.getAs[Long]("n_blocks"))
+    assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_capped_out") ===
+      r.getAs[Long]("n_records"))
+    assert(r.getAs[Long]("n_capped_out") > 0,
+      "fixture blocks exceed BlockCap by construction — a zero here " +
+        "means the cap lineage was not exercised")
+    // the cap can only SHRINK candidate volume, and every capped pair
+    // count matches a first-principles recompute of the capped lineage
+    assert(r.getAs[Long]("n_candidates") <=
+      full.getAs[Long]("n_candidates"))
+    val sp = EntityRes.scoredPairsOf(EntityRes.cappedKeyed(
+      EntityRes.keyed(EntityRes.records(spark, sfDir))))
+    assert(r.getAs[Long]("n_candidates") === sp.count())
+    assert(r.getAs[Long]("n_matches") ===
+      sp.filter(col("is_match") === 1).count())
+    // conservation: linked + singletons = records (capped-out records
+    // are singletons by the cappedKeyed contract)
+    assert(r.getAs[Long]("n_linked_records") +
+      r.getAs[Long]("n_singletons") === r.getAs[Long]("n_records"))
+  }
+
   test("er_threshold_curve at t=1 equals er_match (the shipped rule)") {
     val curve = run("er_threshold_curve").filter(col("t") === 1)
       .select(col("tp"), col("fp"), col("fn"), col("precision_pm"),
