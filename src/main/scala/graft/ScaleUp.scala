@@ -41,8 +41,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args
-    val factor = factorS.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,6 +50,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    amplifyTo(spark, srcDir, outDir, factorS.toInt)
+    spark.stop()
+  }
+
+  /** The amplification itself, callable from any session (ScaleUpSpec
+    * drives it with the test session).
+    */
+  def amplifyTo(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
 
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def write(t: String, df: DataFrame): Unit = {
@@ -88,6 +96,6 @@ object ScaleUp {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_SCALED"),
       s"src=$srcDir factor=$factor\n")
-    spark.stop()
+    ()
   }
 }

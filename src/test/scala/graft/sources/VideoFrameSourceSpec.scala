@@ -140,6 +140,27 @@ class VideoFrameSourceSpec extends SparkSpec {
     assert(VideoFrameSource.pixelDecodes.get() === before)
   }
 
+  test("a real ISO-BMFF mp4 REAL-decodes through the source (round 14)") {
+    import graft.pipeline.{AviMjpegFrameDecoder, Mp4FrameDecoder}
+    val dir = Files.createTempDirectory("vfsrc_mp4").toString
+    // a genuine MJPEG-in-mp4 (solid blue) under a LYING .mkv extension —
+    // routing is by ftyp magic, exactly as the other containers
+    val blue = Array.tabulate(4 * 4 * 3)(i =>
+      if (i % 3 == 2) 0.9f else 0.05f)
+    Files.write(java.nio.file.Path.of(dir, "blue.mkv"),
+      Mp4FrameDecoder.write(4, 4, 2, 1,
+        Seq(AviMjpegFrameDecoder.encodeJpeg(blue, 4, 4))))
+    val rows = spark.read.format("videoframes").load(dir)
+      .select(col("height"), col("width"),
+        element_at(col("image"), 1).as("r0"),
+        element_at(col("image"), 3).as("b0"))
+      .as[(Int, Int, Float, Float)].collect()
+    assert(rows.length === 1)
+    assert(rows.head._1 === 4 && rows.head._2 === 4)
+    assert(rows.head._3 < 0.15f) // dark red channel
+    assert(rows.head._4 > 0.8f) // bright blue channel — real pixels
+  }
+
   test("filenamePredicate compiles only exactly-evaluable shapes") {
     import org.apache.spark.sql.sources._
     def p(f: Filter) = VideoFrameSource.filenamePredicate(f)
