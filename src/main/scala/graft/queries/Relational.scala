@@ -1239,6 +1239,62 @@ object Relational {
           UNION ALL SELECT 'n_chars', n_rows, null_n_chars,
                  CAST(0 AS BIGINT) FROM a)""")),
 
+    // ---- join-key skew card (the "when to salt" measurement) ---------------
+    // Every shuffle in this engine keys on one of a handful of columns;
+    // at 100 TB the difference between a clean plan and a melted
+    // executor is whether any ONE key owns too large a share of its
+    // table. This card measures exactly that for the star schema's
+    // join/group keys: rows, distinct keys, the heaviest key's row
+    // count, its per-mille share, and its multiple of the mean key
+    // (milli) — the number an operator compares against the reducer
+    // budget before choosing ops/Salt (two-phase salted aggregation) or
+    // AQE skew-join handling. One groupBy + one 1-row fold per
+    // relation; only (key, count) pairs ever shuffle, and the heaviest
+    // key's IDENTITY is deliberately not reported (max over counts is
+    // deterministic; an arg-max tie would not be).
+    Q("dq_skew",
+      (s, dir) => {
+        def card(table: String, key: String) =
+          Tables(s, dir, table)
+            .groupBy(col(key)).agg(count(lit(1)).as("n"))
+            .agg(sum(col("n")).as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              max(col("n")).as("top1_n"))
+            .select(lit(s"$table.$key").as("relation"),
+              col("n_rows"), col("n_keys"), col("top1_n"),
+              expr("(top1_n * 1000) div n_rows").as("top1_pm"),
+              expr("(top1_n * n_keys * 1000) div n_rows")
+                .as("skew_x_milli"))
+        Seq(
+          card("orders", "o_custkey"),
+          card("lineitem", "l_orderkey"),
+          card("lineitem", "l_partkey"),
+          card("lineitem", "l_suppkey"),
+          card("events", "user_id"),
+          card("events", "event_type"),
+          card("documents", "source")).reduce(_.unionByName(_))
+      },
+      Some {
+        def cardSql(table: String, key: String) = s"""
+          SELECT '$table.$key' AS relation,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys,
+                 CAST(max(n) AS BIGINT) AS top1_n,
+                 (CAST(max(n) AS BIGINT) * 1000) // CAST(sum(n) AS BIGINT)
+                   AS top1_pm,
+                 (CAST(max(n) AS BIGINT) * count(*) * 1000) //
+                   CAST(sum(n) AS BIGINT) AS skew_x_milli
+          FROM (SELECT $key, count(*) AS n FROM $table GROUP BY 1)"""
+        Seq(
+          cardSql("orders", "o_custkey"),
+          cardSql("lineitem", "l_orderkey"),
+          cardSql("lineitem", "l_partkey"),
+          cardSql("lineitem", "l_suppkey"),
+          cardSql("events", "user_id"),
+          cardSql("events", "event_type"),
+          cardSql("documents", "source")).mkString(" UNION ALL ")
+      }),
+
     // ---- referential-integrity card (FK orphans + parent coverage) ---------
     // The cross-TABLE data-quality gate dq_expectations (row predicates)
     // and dq_completeness (field nulls) cannot express: for each foreign
