@@ -92,6 +92,46 @@ class WarcStreamSpec extends SparkSpec {
     assert(rows.toSet.size === 19, "a replayed record would duplicate")
   }
 
+  test("e2e restart with an out-of-order landing FAILS the query instead " +
+      "of silently remapping the committed range") {
+    val dir = Files.createTempDirectory("warc_ooo").toString
+    val ckpt = Files.createTempDirectory("warc_ooo_ckpt").toString
+    val sink = Files.createTempDirectory("warc_ooo_out").toString
+    writeShard(dir, 0, 3)
+    writeShard(dir, 2, 4) // names part-00000, part-00002
+
+    def start() = spark.readStream.format("warc").load(dir)
+      .select("target_uri", "content_length")
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(sink).count() === 7L)
+
+    // a shard lands BETWEEN the two processed names — under the old
+    // count-only offset the restart would silently re-map "2 files
+    // processed" onto {00000, 00001} and re-emit 00002 while never
+    // emitting 00001's place in the committed range correctly
+    writeShard(dir, 1, 5)
+
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(10000)
+    }
+    try q2.stop() catch { case _: Throwable => () }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("name order")),
+      s"wrong failure: ${causes(e)}")
+    // and nothing was duplicated or invented before the loud stop
+    assert(spark.read.parquet(sink).count() === 7L)
+  }
+
   // ---- anchored offsets (round-14 ADVICE fix) ------------------------------
 
   test("offset json round-trips the filename anchor; legacy bare-int parses") {
