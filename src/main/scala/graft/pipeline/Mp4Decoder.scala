@@ -167,17 +167,31 @@ object Mp4FrameDecoder {
     val w = u16(b, entryOff + 8 + 24)
     val h = u16(b, entryOff + 8 + 26)
 
+    // Totality guards throughout: every table's claimed entry count is
+    // REQUIRED to fit inside its own box payload, and the stts
+    // expansion is capped by the file size, BEFORE any allocation — a
+    // crawl-scale population includes mutated/hostile files, and a
+    // lying count field must produce a typed error, never a
+    // gigabyte allocation or an out-of-bounds walk.
+
     // stts → per-sample start times
     val stts = find(filename, b, stbl._1, stbl._2, "stts")
       .getOrElse(return None)
     val sttsN = u32(b, stts._1 + 4).toInt
-    val starts = Array.newBuilder[Long]
-    var clock = 0L
+    require(sttsN >= 0 && 8L + sttsN * 8L <= stts._2,
+      s"$filename: stts claims $sttsN entries in a ${stts._2}-byte box")
+    val maxSamples = math.max(b.length, 1024) // a sample is ≥0 bytes,
+    val starts = Array.newBuilder[Long] // but counts beyond the file
+    var clock = 0L // size are structurally absurd
+    var total = 0L
     var i = 0
     while (i < sttsN) {
-      val cnt = u32(b, stts._1 + 8 + i * 8).toInt
+      val cnt = u32(b, stts._1 + 8 + i * 8)
       val delta = u32(b, stts._1 + 12 + i * 8)
-      var k = 0
+      total += cnt
+      require(total <= maxSamples,
+        s"$filename: stts claims $total samples in a ${b.length}-byte file")
+      var k = 0L
       while (k < cnt) { starts += clock; clock += delta; k += 1 }
       i += 1
     }
@@ -191,6 +205,8 @@ object Mp4FrameDecoder {
     val stszN = u32(b, stsz._1 + 8).toInt
     require(stszN == nSamples,
       s"$filename: stsz counts $stszN samples but stts counts $nSamples")
+    require(fixedSize != 0 || 12L + nSamples * 4L <= stsz._2,
+      s"$filename: stsz table overruns its ${stsz._2}-byte box")
     val sizes = Array.tabulate(nSamples)(s =>
       if (fixedSize != 0) fixedSize.toInt
       else u32(b, stsz._1 + 12 + s * 4).toInt)
@@ -198,18 +214,24 @@ object Mp4FrameDecoder {
     // stco/co64 + stsc → absolute per-sample offsets
     val (chunkOffs, nChunks) =
       find(filename, b, stbl._1, stbl._2, "stco") match {
-        case Some((o, _)) =>
+        case Some((o, l)) =>
           val n = u32(b, o + 4).toInt
+          require(n >= 0 && 8L + n * 4L <= l,
+            s"$filename: stco claims $n chunks in a $l-byte box")
           (Array.tabulate(n)(c => u32(b, o + 8 + c * 4)), n)
         case None =>
-          val (o, _) = find(filename, b, stbl._1, stbl._2, "co64")
+          val (o, l) = find(filename, b, stbl._1, stbl._2, "co64")
             .getOrElse(return None)
           val n = u32(b, o + 4).toInt
+          require(n >= 0 && 8L + n * 8L <= l,
+            s"$filename: co64 claims $n chunks in a $l-byte box")
           (Array.tabulate(n)(c => u64(b, o + 8 + c * 8)), n)
       }
     val stsc = find(filename, b, stbl._1, stbl._2, "stsc")
       .getOrElse(return None)
     val stscN = u32(b, stsc._1 + 4).toInt
+    require(stscN >= 0 && 8L + stscN * 12L <= stsc._2,
+      s"$filename: stsc claims $stscN runs in a ${stsc._2}-byte box")
     val runs = Array.tabulate(stscN) { e =>
       (u32(b, stsc._1 + 8 + e * 12).toInt, // first_chunk (1-based)
         u32(b, stsc._1 + 12 + e * 12).toInt) // samples_per_chunk
@@ -302,6 +324,13 @@ object Mp4FrameDecoder {
       else fallback.decodeMeta(filename, content, sampleRateMs)
     }
     require(track.samples.nonEmpty, s"$filename: mp4 video track is empty")
+    // totality: a mutated stts delta can claim days of duration per
+    // sample; the tick loop must fail typed, not spin — 10M ticks at
+    // the default 500 ms is ~58 days of video, far past any real clip
+    require(track.durationUnits / math.max(track.timescale, 1L) * 1000L /
+        math.max(sampleRateMs, 1L) <= 10000000L,
+      s"$filename: absurd duration ${track.durationUnits} units at " +
+        s"timescale ${track.timescale}")
     val fps = FrameDecoder.effectiveFps(sampleRateMs)
     val emitted = Iterator.from(0)
       .map { i =>
@@ -354,7 +383,8 @@ object Mp4FrameDecoder {
     */
   def write(w: Int, h: Int, fpsNum: Long, fpsDen: Long,
       jpegFrames: Seq[Array[Byte]],
-      samplesPerChunk: Int = 1): Array[Byte] = {
+      samplesPerChunk: Int = 1,
+      useCo64: Boolean = false): Array[Byte] = {
     require(samplesPerChunk >= 1, "samplesPerChunk must be >= 1")
     val n = jpegFrames.length
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
@@ -416,8 +446,16 @@ object Mp4FrameDecoder {
       be32(1) ++ be32(1) ++ be32(samplesPerChunk) ++ be32(1))
     val stsz = fullBox("stsz", be32(0) ++ be32(n) ++
       jpegFrames.toArray.flatMap(j => be32(j.length.toLong)))
-    val stco = fullBox("stco",
-      be32(offsets.length) ++ offsets.flatMap(be32))
+    // co64 is the >4 GiB form (64-bit chunk offsets) — a petabyte-scale
+    // archive's mdat routinely crosses 4 GiB, so the read path supports
+    // it and the writer can emit it for coverage
+    def be64(v: Long): Array[Byte] =
+      ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(v).array()
+    val stco =
+      if (useCo64) fullBox("co64",
+        be32(offsets.length) ++ offsets.flatMap(be64))
+      else fullBox("stco",
+        be32(offsets.length) ++ offsets.flatMap(be32))
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val minf = box("minf", vmhd ++ dinf ++ stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)

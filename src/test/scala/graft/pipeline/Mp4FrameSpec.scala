@@ -114,12 +114,65 @@ class Mp4FrameSpec extends SparkSpec {
       .toSeq.head.width === 4)
   }
 
+  test("co64 (64-bit chunk offsets, the >4 GiB form) parses identically") {
+    val grad = Array.tabulate(4 * 4 * 3)(i => (i * 7 % 256) / 255f)
+    val jpeg = AviMjpegFrameDecoder.encodeJpeg(grad, 4, 4)
+    val small = Mp4FrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg, jpeg))
+    val big = Mp4FrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg, jpeg),
+      useCo64 = true)
+    assert(new String(big, "ISO-8859-1").contains("co64"))
+    assert(!new String(big, "ISO-8859-1").contains("stco"))
+    val a = new Mp4FrameDecoder().decode("a.mp4", small, 500).toSeq
+    val b = new Mp4FrameDecoder().decode("b.mp4", big, 500).toSeq
+    assert(a.map(_.timestampMs) === b.map(_.timestampMs))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.image.toSeq === y.image.toSeq)
+    }
+  }
+
   test("malformed containers fail loudly") {
     val dec = new Mp4FrameDecoder()
     intercept[IllegalArgumentException](
       dec.decode("x", "garbage, not ISO-BMFF".getBytes, 500))
     val truncated = mp4Of(Seq(solidRgb(0.5f, 0.5f, 0.5f))).dropRight(3)
     intercept[IllegalArgumentException](dec.decode("x", truncated, 500).toSeq)
+  }
+
+  test("fuzz: arbitrary mutations of a valid mp4 never hang or mis-" +
+      "succeed silently — they parse, or they throw a typed error") {
+    // a 100 TB crawl's mp4 population includes every corruption; the
+    // box walker must be total: bounded time, typed failure. Seeded,
+    // deterministic.
+    val good = mp4Of(Seq(solidRgb(0.3f, 0.6f, 0.9f),
+      solidRgb(0.9f, 0.6f, 0.3f)))
+    val rnd = new scala.util.Random(42)
+    val dec = new Mp4FrameDecoder(fallback = new SyntheticFrameDecoder())
+    var parsed = 0; var failed = 0
+    for (_ <- 1 to 200) {
+      val bytes = good.clone()
+      // 1-4 random byte mutations anywhere (including size fields)
+      for (_ <- 1 to 1 + rnd.nextInt(4))
+        bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+      try {
+        val fs = dec.decode("fuzz.mp4", bytes, 500).toSeq
+        fs.foreach(f => assert(f.height > 0 && f.width > 0))
+        parsed += 1
+      } catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+            _: java.lang.IndexOutOfBoundsException |
+            _: java.lang.NegativeArraySizeException => failed += 1
+      }
+    }
+    assert(parsed + failed === 200)
+    // truncations at every prefix length are equally total
+    for (n <- 1 until good.length by 97) {
+      try { dec.decode("t.mp4", good.take(n), 500).toSeq; () }
+      catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+            _: java.lang.IndexOutOfBoundsException |
+            _: java.lang.NegativeArraySizeException => ()
+      }
+    }
   }
 
   test("AutoFrameDecoder routes mp4 by ftyp magic, not extension") {
