@@ -91,12 +91,18 @@ object AviMjpegFrameDecoder {
     var sawVids = false
     val frames = Array.newBuilder[(Int, Int)]
 
-    def movi(off: Int, len: Int): Unit =
+    // depth-bounded: real AVIs nest `rec ` interleave groups ONE level;
+    // a hostile file can nest thousands (12 bytes of overhead per
+    // level), which would blow the stack instead of failing typed
+    def movi(off: Int, len: Int, depth: Int = 0): Unit = {
+      require(depth <= 8,
+        s"$filename: movi 'rec ' lists nested past depth 8 — corrupt")
       chunks(filename, b, off, off + len) { (fcc, lt, o, l) =>
-        if (fcc == "LIST" && lt == "rec ") movi(o, l) // interleave groups
+        if (fcc == "LIST" && lt == "rec ") movi(o, l, depth + 1)
         else if ((fcc.endsWith("dc") || fcc.endsWith("db")) && l > 0)
           frames += ((o, l))
       }
+    }
 
     def strl(off: Int, len: Int): Unit =
       chunks(filename, b, off, off + len) { (fcc, _, o, l) =>

@@ -67,9 +67,13 @@ object Y4MFrameDecoder {
       (t.charAt(0), t.substring(1)) match {
         case ('W', v) => w = v.toInt
         case ('H', v) => h = v.toInt
-        case ('F', v) =>
-          val Array(n, d) = v.split(':')
-          num = n.toLong; den = d.toLong
+        case ('F', v) => v.split(':') match {
+          // typed failure on a malformed tag (fuzz finding r14: the
+          // destructuring bind threw an untyped MatchError on 'F21')
+          case Array(n, d) => num = n.toLong; den = d.toLong
+          case _ => throw new IllegalArgumentException(
+            s"$filename: malformed y4m frame-rate tag 'F$v'")
+        }
         case ('C', v) => cs = v
         case _ => // I (interlace), A (aspect), X (extensions): ignored
       }

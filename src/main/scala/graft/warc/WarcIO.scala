@@ -120,12 +120,18 @@ object WarcIO {
       private var done = false
 
       private def readLine(): String = {
-        // ASCII header line up to CRLF; WARC headers are never long
+        // ASCII header line up to CRLF; WARC headers are never long.
+        // Totality bound: a corrupted (or hostile) stream with no CR in
+        // sight must fail typed after 64 KiB, not grow a builder until
+        // the heap dies — crawl-scale inputs include every corruption.
         val sb = new java.lang.StringBuilder(64)
         var b = in.read()
         if (b < 0) return null // clean EOF before a record
         while (b != '\r') {
           if (b < 0) throw new EOFException("WARC: EOF inside header line")
+          if (sb.length >= 65536)
+            throw new IOException(
+              "WARC: header line exceeds 64 KiB — corrupt stream")
           sb.append(b.toChar)
           b = in.read()
         }

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import java.io.ByteArrayInputStream
+
+import graft.warc.WarcIO
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Totality of every pure-JVM container parser under hostile bytes —
+  * the Mp4FrameSpec fuzz discipline applied to the rest of the decode
+  * surface. A 100 TB crawl's file population includes every mutation
+  * and truncation of every format; a parser in that path must be
+  * TOTAL: bounded time, bounded memory, typed failure. Seeded and
+  * deterministic. (The mp4 twin lives in Mp4FrameSpec.)
+  */
+class ContainerFuzzSpec extends AnyFunSuite {
+
+  private def totalOrTyped(body: => Unit): Boolean =
+    try { body; true }
+    catch {
+      case _: IllegalArgumentException | _: java.io.IOException |
+          _: java.lang.IndexOutOfBoundsException |
+          _: java.lang.NegativeArraySizeException |
+          _: NumberFormatException => false
+    }
+
+  private def fuzz(name: String, good: Array[Byte])(
+      parse: Array[Byte] => Unit): Unit = {
+    val rnd = new scala.util.Random(4242)
+    var ok = 0; var rejected = 0
+    for (_ <- 1 to 200) {
+      val bytes = good.clone()
+      for (_ <- 1 to 1 + rnd.nextInt(4))
+        bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+      if (totalOrTyped(parse(bytes))) ok += 1 else rejected += 1
+    }
+    assert(ok + rejected === 200, name)
+    for (n <- 1 until good.length by 61)
+      totalOrTyped(parse(good.take(n)))
+  }
+
+  test("AVI: mutations and truncations are total; hostile rec-nesting " +
+      "fails typed, not with a blown stack") {
+    val gray = Array.fill(4 * 4 * 3)(0.5f)
+    val jpeg = AviMjpegFrameDecoder.encodeJpeg(gray, 4, 4)
+    val good = AviMjpegFrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg))
+    val dec = new AviMjpegFrameDecoder()
+    fuzz("avi", good)(b => dec.decode("f.avi", b, 500).foreach(_ => ()))
+
+    // deep 'rec ' nesting: craft movi payload nesting 64 levels
+    def list(lt: String, payload: Array[Byte]): Array[Byte] = {
+      val sz = payload.length + 4
+      Array[Byte]('L', 'I', 'S', 'T',
+        (sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+        ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte) ++
+        lt.getBytes("US-ASCII") ++ payload
+    }
+    var inner = Array.emptyByteArray
+    for (_ <- 1 to 64) inner = list("rec ", inner)
+    val moviList = list("movi", inner)
+    // rebuild a minimal RIFF with the original hdrl + the evil movi
+    val s = new String(good, "ISO-8859-1")
+    val hdrlStart = s.indexOf("LIST")
+    // the movi LIST header starts 8 bytes before its type tag (hdrl
+    // itself nests a "LIST strl", so "second LIST" would cut hdrl short)
+    val moviStart = s.indexOf("movi") - 8
+    val hdrl = good.slice(hdrlStart, moviStart)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ moviList
+    val sz = body.length
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+      (sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+      ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte) ++ body
+    val e = intercept[IllegalArgumentException](
+      dec.decode("evil.avi", evil, 500).foreach(_ => ()))
+    assert(e.getMessage.contains("depth"))
+  }
+
+  test("Y4M: mutations and truncations are total") {
+    val frame = new Array[Byte](2 * 2 + 2 * 1)
+    java.util.Arrays.fill(frame, 0, 4, 100.toByte)
+    frame(4) = 128.toByte; frame(5) = 128.toByte
+    val good = Y4MFrameDecoder.write(2, 2, 2, 1, "420mpeg2",
+      Seq(frame, frame))
+    val dec = new Y4MFrameDecoder()
+    fuzz("y4m", good)(b => dec.decode("f.y4m", b, 500).foreach(_ => ()))
+  }
+
+  test("WARC: mutations and truncations are total; an unterminated " +
+      "header fails typed at the 64 KiB bound, not at heap death") {
+    val bos = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until 3) {
+      val p = s"payload $i".getBytes
+      WarcIO.writeRecord(bos, WarcIO.WarcRecord("resource",
+        s"http://t.local/$i", "2026-01-01T00:00:00Z", "text/plain",
+        p.length.toLong, p))
+    }
+    val good = bos.toByteArray
+    fuzz("warc", good) { b =>
+      WarcIO.readStream(new ByteArrayInputStream(b),
+        materializePayload = true).foreach(_ => ())
+    }
+    // CR-free garbage: must stop at the documented bound
+    val noCr = ("WARC/1.1\r\n" + "x" * 100000).getBytes
+    val e = intercept[java.io.IOException](
+      WarcIO.readStream(new ByteArrayInputStream(noCr),
+        materializePayload = true).foreach(_ => ()))
+    assert(e.getMessage.contains("64 KiB"))
+  }
+}
