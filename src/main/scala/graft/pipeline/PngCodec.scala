@@ -130,11 +130,18 @@ object PngCodec {
       pos += 12 + len
     }
     require(width > 0 && height > 0 && colorType >= 0, "PNG missing IHDR")
+    // totality bound (r14 fuzz discipline): an IHDR with a valid CRC
+    // can still CLAIM gigapixel dimensions, and the scanline buffer is
+    // allocated before the inflater produces a byte — cap pixels (and
+    // compute the buffer size in Long) so a hostile header fails typed
+    // instead of attempting a multi-GiB allocation or overflowing Int
+    require(width.toLong * height <= (1L << 26),
+      s"PNG claims ${width}x$height — beyond the 64M-pixel decode bound")
     val bpp = if (colorType == 6) 4 else 3
     val stride = bpp * width
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
-    val raw = new Array[Byte](height * (1 + stride))
+    val raw = new Array[Byte]((height.toLong * (1 + stride)).toInt)
     var off = 0
     while (!inflater.finished() && off < raw.length) {
       val n = inflater.inflate(raw, off, raw.length - off)

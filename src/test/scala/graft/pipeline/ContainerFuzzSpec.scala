@@ -84,6 +84,45 @@ class ContainerFuzzSpec extends AnyFunSuite {
     fuzz("y4m", good)(b => dec.decode("f.y4m", b, 500).foreach(_ => ()))
   }
 
+  test("PNG: mutations and truncations are total; a valid-CRC gigapixel " +
+      "IHDR fails typed at the pixel bound, not at a multi-GiB alloc") {
+    val px = Array.tabulate(6 * 5)(i => (i * 41 % 256) * 65793)
+    val good = PngCodec.encode(6, 5, px)
+    fuzz("png", good)(b => { PngCodec.decode(b); () })
+    // craft: rewrite IHDR width/height to 60000x60000 and FIX the CRC —
+    // the mutation fuzz can't reach this (chunk CRCs reject it)
+    val evil = good.clone()
+    def be(v: Int, at: Int): Unit = {
+      evil(at) = (v >> 24).toByte; evil(at + 1) = (v >> 16).toByte
+      evil(at + 2) = (v >> 8).toByte; evil(at + 3) = v.toByte
+    }
+    be(60000, 16); be(60000, 20) // IHDR data starts at byte 16
+    val crc = new java.util.zip.CRC32()
+    crc.update(evil, 12, 4 + 13) // type + IHDR payload
+    be(crc.getValue.toInt, 12 + 4 + 13)
+    val e = intercept[IllegalArgumentException](PngCodec.decode(evil))
+    assert(e.getMessage.contains("pixel"))
+  }
+
+  test("WAV: mutations and truncations are total") {
+    val good = WavCodec.encode(
+      Array.tabulate[Short](64)(i => (i * 321 - 9000).toShort), 8000)
+    fuzz("wav", good)(b => { WavCodec.decode(b); () })
+  }
+
+  test("TFRecord: mutations and truncations are total (CRC validates " +
+      "the length BEFORE any allocation)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until 4)
+      graft.tfrecord.TFRecordIO.writeRecord(bos,
+        Array.tabulate[Byte](40 + i)(j => (j * 7 + i).toByte))
+    val good = bos.toByteArray
+    fuzz("tfrecord", good) { b =>
+      graft.tfrecord.TFRecordIO.readRecords(new ByteArrayInputStream(b))
+        .foreach(_ => ())
+    }
+  }
+
   test("WARC: mutations and truncations are total; an unterminated " +
       "header fails typed at the 64 KiB bound, not at heap death") {
     val bos = new java.io.ByteArrayOutputStream()
