@@ -70,6 +70,20 @@ object ProtoWire {
     def this(buf: Array[Byte]) = this(buf, 0, buf.length)
     private var pos = start
 
+    /** Length prefix, validated as a LONG before the Int narrowing: a
+      * hostile varint like 2^33+5 would otherwise truncate to 5 and
+      * silently mis-frame the rest of the message (r14 fuzz
+      * discipline — misparse must be a typed error, never quiet).
+      */
+    private def readLen(): Int = {
+      val len = readVarint()
+      if (len < 0 || len > end - pos)
+        throw new java.io.EOFException(
+          s"truncated or mis-framed protobuf: length $len at $pos, " +
+            s"message ends at $end")
+      len.toInt
+    }
+
     def hasNext: Boolean = pos < end
 
     private def require(n: Int): Unit =
@@ -100,16 +114,14 @@ object ProtoWire {
 
     /** returns a sub-reader positioned over a length-delimited field body */
     def readDelimited(): Reader = {
-      val len = readVarint().toInt
-      require(len)
+      val len = readLen()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
 
     def readDelimitedBytes(): Array[Byte] = {
-      val len = readVarint().toInt
-      require(len)
+      val len = readLen()
       val r = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       r
@@ -140,8 +152,7 @@ object ProtoWire {
       * accounting hook (a skip is free; the caller wants to PROVE it).
       */
     def skipDelimited(): Int = {
-      val len = readVarint().toInt
-      require(len)
+      val len = readLen()
       pos += len
       len
     }
@@ -149,7 +160,7 @@ object ProtoWire {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => require(8); pos += 8
-      case 2 => val len = readVarint().toInt; require(len); pos += len
+      case 2 => pos += readLen()
       case 5 => require(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }

@@ -123,6 +123,40 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("protobuf (SequenceExample): mutations and truncations are total; " +
+      "oversized varint lengths fail typed instead of mis-framing") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("frame_total", DoubleType),
+      StructField("timestamp_ms", ArrayType(LongType))))
+    val codec = new graft.tfrecord.ExampleCodec(schema,
+      sequenceMode = true)
+    val good = codec.encode(new GenericInternalRow(Array[Any](
+      UTF8String.fromString("gs://corpus/a.mp4"), 7.5,
+      new GenericArrayData(Array(0L, 500L, 1000L)))))
+    val rnd = new scala.util.Random(777)
+    for (_ <- 1 to 300) {
+      val bytes = good.clone()
+      for (_ <- 1 to 1 + rnd.nextInt(3))
+        bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+      totalOrTyped { codec.decode(bytes); () }
+    }
+    for (n <- 0 until good.length)
+      totalOrTyped { codec.decode(good.take(n)); () }
+    // the specific hole the Long-validated length prefix closes: a
+    // 2^33+2 varint length used to NARROW to 2 and silently mis-frame
+    val evil = Array[Byte](0x0a.toByte, // field 1, wire type 2
+      0x82.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+      0x20.toByte, // varint 2^33 + 2
+      1, 2)
+    val e = intercept[java.io.EOFException](codec.decode(evil))
+    assert(e.getMessage.contains("length"))
+  }
+
   test("WARC: mutations and truncations are total; an unterminated " +
       "header fails typed at the 64 KiB bound, not at heap death") {
     val bos = new java.io.ByteArrayOutputStream()
