@@ -131,7 +131,17 @@ def main():
             base["queries"][name] = float(val)
             base["repinned"][name] = (
                 f"{old} -> {float(val)}: {args.evidence}")
-            print(f"repinned {name}: {old} -> {val}")
+            # a repin declares the window's existing samples for this
+            # query WRONG (keyspace fix) — purge them, or the very next
+            # fold would regenerate the floor from the same bad samples
+            # and silently undo the repin (r15 ADVICE fix). The pin then
+            # stands until the query is next MEASURED, which is the
+            # documented self-healing.
+            n = sum(1 for run in hist["runs"]
+                    if run["queries"].pop(name, None) is not None)
+            print(f"repinned {name}: {old} -> {val} "
+                  f"(+ dropped {n} window samples)")
+        dump_history(args.history, hist)
         dump_baseline(args.baseline, base)
         return
 
@@ -169,6 +179,22 @@ def main():
 
     old = dict(base["queries"])
     base["queries"] = window_floors(hist)
+    # re-apply still-standing repins: a pinned query with NO sample left
+    # in the window (its bad samples were purged at repin time) keeps
+    # its pinned floor until it is next measured; without this it would
+    # vanish from the baseline — and before r15 it was silently
+    # clobbered by the first regeneration after the repin.
+    import re
+    repins_held = 0
+    for name, note in base.get("repinned", {}).items():
+        if name in base["queries"]:
+            continue
+        m = re.search(r"-> ([0-9.eE+-]+):", note)
+        if m:
+            base["queries"][name] = float(m.group(1))
+            repins_held += 1
+    if repins_held:
+        print(f"{repins_held} repin(s) held (query not yet re-measured)")
     up = sum(1 for q, v in base["queries"].items()
              if q in old and v > old[q] + 1e-12)
     down = sum(1 for q, v in base["queries"].items()

@@ -128,6 +128,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PhrasePositions(args.head, lit(args(1)), lit(args(2)))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("char_pairs"),
+      new ExpressionInfo(classOf[CharPairs].getName, "char_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_pairs takes exactly 1 argument")
+        CharPairs(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("char_entropy_packed"),
       new ExpressionInfo(classOf[CharEntropyPacked].getName,
         "char_entropy_packed"),

@@ -30,11 +30,15 @@ import javax.imageio.ImageIO
   * the AVI path exploits).
   *
   * A real-codec mp4 (`avc1`/`hev1`/`vp09`/`mp4v` …) is NOT silently
-  * mis-decoded: the constructor takes the same fallback the routing
-  * seam uses, so H.264 content still reaches JavaCV where present (and
-  * the deterministic synthetic decoder where not) — the documented
-  * env-gated boundary, now scoped to the CODEC rather than the whole
-  * container format.
+  * mis-decoded: for PIXELS the constructor takes the same fallback the
+  * routing seam uses, so H.264 content still reaches JavaCV where
+  * present (and the deterministic synthetic decoder where not) — the
+  * documented env-gated boundary, now scoped to pixel decode of a
+  * non-JPEG codec and nothing else. METADATA (`decodeMeta`) is served
+  * from the sample tables for ANY sample entry: stts/stsz/stco give
+  * timestamps, fps and frame_total codec-free, which is what the
+  * reference's metadata columns (preprocess.py:181-185) need on the
+  * H.264-led corpora real crawls consist of.
   *
   * Frame sampling mirrors the other decoders: one tick per
   * `sampleRateMs` of video time; each tick emits the sample whose
@@ -264,6 +268,13 @@ object Mp4FrameDecoder {
 
   private def jpegToRgb(filename: String, b: Array[Byte], off: Long,
       len: Int, w: Int, h: Int): Array[Float] = {
+    // totality: stco/co64 offsets are attacker-controlled file content —
+    // an offset past the buffer (or a co64 value that would wrap the
+    // Int narrowing below) must fail typed like every other table
+    // guard, never surface as a raw ArrayIndexOutOfBounds from b(o)
+    require(off >= 0 && len >= 0 && off + len <= b.length,
+      s"$filename: mp4 sample [$off, ${off + len}) overruns the " +
+        s"${b.length}-byte file")
     val o = off.toInt
     require(len >= 2 && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xff) == 0xd8,
       s"$filename: mp4 sample at byte $off is not a JPEG")
@@ -317,11 +328,15 @@ object Mp4FrameDecoder {
     val track = parseVideoTrack(filename, bytes).getOrElse(
       throw new IllegalArgumentException(
         s"$filename: mp4 has no video track"))
-    if (!JpegEntries.contains(track.codec.toLowerCase)) {
-      // real codec (avc1/hev1/…): the env-gated seam owns it — never
-      // mis-decode, never silently fabricate here
-      return if (withPixels) fallback.decode(filename, content, sampleRateMs)
-      else fallback.decodeMeta(filename, content, sampleRateMs)
+    if (withPixels && !JpegEntries.contains(track.codec.toLowerCase)) {
+      // real codec (avc1/hev1/…): PIXELS need the env-gated seam — never
+      // mis-decode, never silently fabricate here. METADATA does not:
+      // the stbl tables (stts/stsz/stco) already yield timestamps, fps
+      // and frame_total for ANY sample entry, codec-free — so the meta
+      // path below serves avc1/hev1/vp09 corpora (what real crawls lead
+      // with) without JavaCV, matching the reference's metadata columns
+      // (preprocess.py:181-185) offline.
+      return fallback.decode(filename, content, sampleRateMs)
     }
     require(track.samples.nonEmpty, s"$filename: mp4 video track is empty")
     // totality: a mutated stts delta can claim days of duration per
@@ -384,8 +399,10 @@ object Mp4FrameDecoder {
   def write(w: Int, h: Int, fpsNum: Long, fpsDen: Long,
       jpegFrames: Seq[Array[Byte]],
       samplesPerChunk: Int = 1,
-      useCo64: Boolean = false): Array[Byte] = {
+      useCo64: Boolean = false,
+      sampleEntry: String = "jpeg"): Array[Byte] = {
     require(samplesPerChunk >= 1, "samplesPerChunk must be >= 1")
+    require(sampleEntry.length == 4, "sample entry must be a fourcc")
     val n = jpegFrames.length
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
       "isommp41".getBytes("US-ASCII"))
@@ -431,8 +448,9 @@ object Mp4FrameDecoder {
         4)) // url box with self-contained flag
     val dinf = box("dinf", dref)
 
-    // VisualSampleEntry 'jpeg'
-    val entry = box("jpeg",
+    // VisualSampleEntry ('jpeg' by default; 'avc1'-class fourccs let
+    // tests exercise the codec-free metadata path on a real-codec stbl)
+    val entry = box(sampleEntry,
       Array.fill(6)(0.toByte) ++ be16(1) ++ // reserved, data_ref_idx
         be16(0) ++ be16(0) ++ Array.fill(12)(0.toByte) ++ // pre_defined
         be16(w) ++ be16(h) ++

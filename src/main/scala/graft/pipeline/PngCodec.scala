@@ -90,11 +90,25 @@ object PngCodec {
       .putInt(crc.getValue.toInt).array())
   }
 
+  /** Default decode byte budget: 1 GiB of reconstructed scanlines
+    * (≈ 256M RGB / 192M RGBA pixels — a 16000×16000 crawl photograph
+    * decodes; a hostile gigapixel IHDR still fails typed). Overridable
+    * per call site because "too big to decode" is a POLICY, not a
+    * format property: a thumbnailing pass wants a small budget, an
+    * archival re-encode a large one.
+    */
+  val DefaultMaxDecodeBytes: Long = 1L << 30
+
   /** PNG bytes → (width, height, row-major packed 0xRRGGBB). Fails
     * loudly on anything outside 8-bit color type 2/6 (no silent pixel
-    * fabrication — the AutoFrameDecoder observability rule).
+    * fabrication — the AutoFrameDecoder observability rule), and on
+    * images whose reconstructed pixel buffer would exceed
+    * `maxDecodeBytes` (the rejection class is the BUFFER, not a pixel
+    * count: an RGBA image hits the budget earlier than an RGB one).
     */
-  def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+  def decode(bytes: Array[Byte],
+      maxDecodeBytes: Long = DefaultMaxDecodeBytes)
+      : (Int, Int, Array[Int]) = {
     require(sniff(bytes), "not a PNG stream (bad signature)")
     var pos = 8
     var width = 0
@@ -132,12 +146,21 @@ object PngCodec {
     require(width > 0 && height > 0 && colorType >= 0, "PNG missing IHDR")
     // totality bound (r14 fuzz discipline): an IHDR with a valid CRC
     // can still CLAIM gigapixel dimensions, and the scanline buffer is
-    // allocated before the inflater produces a byte — cap pixels (and
-    // compute the buffer size in Long) so a hostile header fails typed
-    // instead of attempting a multi-GiB allocation or overflowing Int
-    require(width.toLong * height <= (1L << 26),
-      s"PNG claims ${width}x$height — beyond the 64M-pixel decode bound")
+    // allocated before the inflater produces a byte — bound the
+    // allocation by a BYTE budget computed in Long (both the filtered
+    // scanline buffer and the packed-pixel output), so a hostile
+    // header fails typed instead of attempting a multi-GiB allocation
+    // or overflowing Int. The budget is a caller policy (r14 advice:
+    // a fixed 64M-pixel cap silently rejected legitimate large crawl
+    // photographs); the default admits ~256M RGB pixels.
     val bpp = if (colorType == 6) 4 else 3
+    val budget = math.min(maxDecodeBytes, Int.MaxValue.toLong)
+    val needed = math.max(
+      height.toLong * (1L + bpp.toLong * width), // filtered scanlines
+      4L * width * height) // packed 0xRRGGBB output
+    require(needed <= budget,
+      s"PNG claims ${width}x$height (type $colorType): needs $needed " +
+        s"bytes, beyond the $budget-byte decode budget")
     val stride = bpp * width
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)

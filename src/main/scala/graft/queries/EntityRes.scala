@@ -171,6 +171,50 @@ object EntityRes {
         FROM keyed)
       WHERE cap_rk <= $cap)"""
 
+  /** The OTHER branch of the sf1.0 operating rule (BASELINE.md: "EITHER
+    * scale the blocking key's selectivity with the corpus OR run the
+    * capped lineage" — r14 verdict task 3): a blocking key whose
+    * digit-count GROWS with corpus size, so mean block size — and with
+    * it Σ|block|², the scorer's whole bill — stays O(1) as the corpus
+    * scales and the uncapped super-linear exponent the fixed 2-digit
+    * key measured (1.17 pairs / 1.46 report at sf1.0) flattens to
+    * ≈ linear.
+    *
+    * digits = clamp(2..6, decimal digits of n_corpus/150): one more
+    * digit per 10× corpus, i.e. 10× more blocks per nation, holding
+    * records-per-block at ~1.8 for this fixture family (sf0.01 → 2
+    * digits — the er_pairs key exactly; sf0.1 → 3; the 10×-amplified
+    * sf1.0 → 4). The corpus count rides as a broadcast 1-row aggregate
+    * (the txt_surprisal totals pattern — no driver collect, no
+    * cluster-size assumption), and the key is the STRING
+    * `nation:right(norm, digits)` — `right` is total on short norms
+    * where a computed-start substring would diverge between engines.
+    * Variants of one customer share their full 9-digit suffix, so any
+    * digit-count collides them by construction; recall is preserved at
+    * every scale while selectivity tracks the corpus.
+    */
+  private[graft] def scaledKeyed(recs: DataFrame): DataFrame = {
+    val n1 = recs.agg(count(lit(1)).as("n_corpus"))
+    recs
+      .crossJoin(broadcast(n1))
+      .withColumn("digits", greatest(lit(2), least(lit(6),
+        length(expr("CAST(n_corpus div 150 AS STRING)")))))
+      .withColumn("norm", expr("replace(lower(name), '#', '')"))
+      .withColumn("bk", concat(col("c_nationkey").cast("string"),
+        lit(":"), expr("right(norm, digits)")))
+  }
+
+  /** DuckDB mirror of [[scaledKeyed]] as a `skeyed` CTE. */
+  private def scaledKeyedSql: String = """
+    n AS (SELECT count(*) AS n_corpus FROM recs),
+    skeyed AS (
+      SELECT r.*, replace(lower(name), '#', '') AS norm,
+             CAST(c_nationkey AS VARCHAR) || ':' ||
+               right(replace(lower(name), '#', ''),
+                 GREATEST(2, LEAST(6,
+                   length(CAST(n_corpus // 150 AS VARCHAR))))) AS bk
+      FROM recs r CROSS JOIN n)"""
+
   /** In-block candidate pairs with the pairwise feature vector:
     * levenshtein over normalized names (computed ONLY inside blocks),
     * null-safe segment agreement, and the match decision (distance
@@ -303,6 +347,31 @@ object EntityRes {
                  CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT)
                    AS is_match
           FROM ckeyed a JOIN ckeyed b
+            ON a.bk = b.bk AND a.rec_id < b.rec_id)
+        SELECT * FROM pairs WHERE name_dist <= 2""")),
+
+    // ---- scored pairs under the corpus-SCALED blocking key ------------------
+    // The scaling branch the sf1.0 audit demanded (see [[scaledKeyed]]):
+    // same scorer, but the key's digit-count grows with the corpus so
+    // per-block work is O(1) at any scale — the card that proves the
+    // "scale the key's selectivity" arm of the operating rule, next to
+    // er_pairs_capped's "bound the block" arm. At sf0.01 the key
+    // resolves to the er_pairs key (2 digits), so this gate also pins
+    // the scaled key's floor behavior.
+    Q("er_pairs_scaledkey",
+      (s, dir) => scoredPairsOf(scaledKeyed(records(s, dir)))
+        .filter(col("name_dist") <= 2),
+      Some(s"""
+        WITH $recordsSql, $scaledKeyedSql,
+        pairs AS (
+          SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 LEAST(CAST(levenshtein(a.norm, b.norm) AS BIGINT), 3)
+                   AS name_dist,
+                 CAST(a.seg IS NOT DISTINCT FROM b.seg AS BIGINT)
+                   AS seg_agree,
+                 CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT)
+                   AS is_match
+          FROM skeyed a JOIN skeyed b
             ON a.bk = b.bk AND a.rec_id < b.rec_id)
         SELECT * FROM pairs WHERE name_dist <= 2""")),
 

@@ -1138,24 +1138,20 @@ object MultimodalQ {
     * from the pair query it composes.
     */
   private def audioPairs(s: SparkSession, dir: String): DataFrame = {
-    val wavEnc = udf((xs: Seq[Long]) =>
-      graft.pipeline.WavCodec.encode(xs.map(_.toShort).toArray, 8000))
-    val wavDec = udf((b: Array[Byte]) =>
-      graft.pipeline.WavCodec.decode(b)._3.map(_.toLong).toSeq)
+    // The synth → WAV encode → WAV decode → sign-of-delta fingerprint
+    // chain is ONE fused JVM kernel ([[audioFingerprint]]; r15
+    // constant-factor cut — this was one of the two queries whose CPU
+    // warmth made cold bench windows breach 2×). The previous lineage
+    // crossed the UDF boundary twice with a boxed 160-element Seq[Long]
+    // each way and then ran a Catalyst aggregate-over-sequence with 120
+    // element_at probes per row; the kernel takes (doc_id, v) — two
+    // scalars — and returns the 60-bit fingerprint, with the WAV
+    // round-trip (the real-codec point of the query) intact inside.
+    val fp = udf(audioFingerprint _)
     val recs = Tables.sharded(s, dir, "documents")
       .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
       .select((col("doc_id") * 2 + col("v")).as("rec_id"),
-        col("doc_id"), col("v"))
-      .withColumn("samples", expr(
-        "transform(sequence(0L, 159L), i -> " +
-          "(doc_id * (i * i * 101 + i * 31 + 7)) % 65000 " +
-          "- 32500 + IF(v = 1, 3L, 0L))"))
-      .withColumn("decoded", wavDec(wavEnc(col("samples"))))
-      .select(col("rec_id"), expr(
-        "aggregate(sequence(0, 59), 0L, (acc, b) -> acc + " +
-          "IF(element_at(decoded, CAST(((b + 1) * 159) div 60 " +
-          "AS INT) + 1) > element_at(decoded, CAST((b * 159) " +
-          "div 60 AS INT) + 1), shiftleft(1L, b), 0L))").as("f"))
+        fp(col("doc_id"), col("v")).as("f"))
       .materialize() // both sides of the bucket join — one fp pass
     val blocked = recs.select(col("rec_id"), col("f"),
         explode(dhashBlockStructs(col("f"))).as("e"))
@@ -1172,6 +1168,37 @@ object MultimodalQ {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= DhashMaxHamming)
+  }
+
+  /** The fused audio-fingerprint kernel: synthesize recording
+    * `(docId, v)`'s 160 samples (the same closed form the oracle's `g`
+    * CTE evaluates), round-trip them through the REAL WAV codec
+    * (encode → decode — the codec-exercising point of the audio
+    * family), and fold the 60-bit sign-of-delta fingerprint bit b =
+    * [sample((b+1)·159/60) > sample(b·159/60)] — DC/gain-shift
+    * invariant. Pure function of its two scalars, so the UDF boundary
+    * carries no arrays; Hamming-compared downstream after LSH-style
+    * block bucketing. Parity with the oracle's fp CTE is pinned by
+    * AudioFingerprintSpec and the CORRECTNESS gate.
+    */
+  private[graft] def audioFingerprint(docId: Long, v: Int): Long = {
+    val samples = new Array[Short](160)
+    var i = 0
+    while (i < 160) {
+      val base = docId * (i.toLong * i * 101 + i * 31 + 7) % 65000 - 32500
+      samples(i) = (base + (if (v == 1) 3 else 0)).toShort
+      i += 1
+    }
+    val decoded = graft.pipeline.WavCodec.decode(
+      graft.pipeline.WavCodec.encode(samples, 8000))._3
+    var f = 0L
+    var b = 0
+    while (b < 60) {
+      if (decoded(((b + 1) * 159) / 60) > decoded((b * 159) / 60))
+        f |= 1L << b
+      b += 1
+    }
+    f
   }
 
   /** Oracle CTEs recs/g/fp/blocked/pairs mirroring [[audioPairs]] —

@@ -987,23 +987,40 @@ object Text {
     // CHARACTER pairs inside every token occurrence (weighted by
     // frequency, not distinct) and rank the top merges — iteration 0 of
     // the BPE loop; further iterations repeat the same count after
-    // applying the winning merge. Pure explode + hash aggregate: the pair
-    // explosion is a narrow ≤len−1 fan-out per token and the only
-    // exchange carries (pair, partial count) — map-side combinable at any
-    // corpus size. Top-20 by count with lexicographic tie-break.
+    // applying the winning merge. Plan shape (r15 constant-factor cut;
+    // this was one of the two queries whose CPU warmth made cold bench
+    // windows breach 2×): the corpus collapses to its VOCABULARY first
+    // (token → occurrence weight, the word-count aggregate — map-side
+    // combinable, and Zipf makes |vocab| ≪ |occurrences|), so the pair
+    // fan-out runs once per DISTINCT token instead of once per token
+    // occurrence; the weighted pair count then sums weights. The
+    // fan-out itself is the native `char_pairs` kernel (one byte walk
+    // emitting the 2-char slices directly) instead of the
+    // explode(sequence)→substr chain, which duplicates the full token
+    // onto every position row before cutting it down to 2 chars. Two
+    // combinable exchanges (vocab, pairs) — both carry tiny rows — and
+    // a TakeOrdered top-20; at 100 TB the vocab aggregate is the
+    // classic word-count and the pair pass is vocab-sized, i.e. cheaper
+    // than the single-exchange per-occurrence explode it replaced.
     Q("txt_bpe_merges",
       (s, dir) => {
         val toks = docs(s, dir)
           .select(explode(TextOps.tokens(col("text"))).as("token"))
-        toks
+        val vocab = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("w"))
           // single-char tokens have no pair — and Spark's sequence(1, 0)
           // would helpfully count DOWN, fabricating one
           .filter(length(col("token")) >= 2)
-          .select(col("token"), explode(sequence(lit(1),
-            length(col("token")) - 1)).as("i"))
-          .select(col("token").substr(col("i"), lit(2)).as("pair"))
+        val pairs =
+          if (s.catalog.functionExists("char_pairs"))
+            call_function("char_pairs", col("token"))
+          else // unextended session: the HOF form (same pairs, slower)
+            transform(sequence(lit(1), length(col("token")) - 1),
+              i => col("token").substr(i, lit(2)))
+        vocab
+          .select(col("w"), explode(pairs).as("pair"))
           .groupBy(col("pair"))
-          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("w")).as("n"))
           .orderBy(col("n").desc, col("pair").asc)
           .limit(20)
       },

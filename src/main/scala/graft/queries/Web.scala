@@ -152,10 +152,25 @@ object Web {
   private[graft] def writeCorpus(s: SparkSession, dir: String,
       http: Boolean = false, robots: Boolean = false,
       docsOverride: DataFrame => DataFrame = DefaultDocs): String =
-    if (docsOverride eq DefaultDocs) // cache only the default
-      corpusCache.computeIfAbsent((dir, http, robots),
-        _ => writeCorpusUncached(s, dir, http, robots, DefaultDocs))
-    else writeCorpusUncached(s, dir, http, robots, docsOverride)
+    if (docsOverride eq DefaultDocs) { // cache only the default
+      // check-then-publish with putIfAbsent, NOT computeIfAbsent: the
+      // mapping function runs a whole Spark write job, and
+      // computeIfAbsent would hold the map's bin lock for its full
+      // duration — blocking unrelated keys that hash to the same bin
+      // and breaking (IllegalStateException/deadlock) on any
+      // re-entrant call (r15 ADVICE fix). The race this admits is a
+      // concurrent duplicate generation of one corpus: the loser's
+      // temp dir is unreferenced and already registered in
+      // `corpusDirs`, so the shutdown hook reclaims it.
+      val key = (dir, http, robots)
+      val hit = corpusCache.get(key)
+      if (hit != null) hit
+      else {
+        val fresh = writeCorpusUncached(s, dir, http, robots, DefaultDocs)
+        val prior = corpusCache.putIfAbsent(key, fresh)
+        if (prior == null) fresh else prior
+      }
+    } else writeCorpusUncached(s, dir, http, robots, docsOverride)
 
   private def writeCorpusUncached(s: SparkSession, dir: String,
       http: Boolean, robots: Boolean,

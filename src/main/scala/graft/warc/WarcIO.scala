@@ -45,15 +45,21 @@ object WarcIO {
 
   /** Deterministic `urn:uuid` record id (ISO 28500 makes
     * WARC-Record-ID mandatory on every record): a name-based (type-3)
-    * UUID over the record's identity fields. Deterministic by design —
-    * the writer's byte output stays a pure function of the record, the
-    * property the fixed-bytes oracles and the dedup digests rely on —
-    * while still unique within a corpus whose URIs key the documents.
+    * UUID over the record's identity fields PLUS an md5 of the payload
+    * bytes. Deterministic by design — the writer's byte output stays a
+    * pure function of the record, the property the fixed-bytes oracles
+    * and the dedup digests rely on — and the payload digest keeps it
+    * globally unique as the spec demands: two captures of the same URI
+    * at the same instant whose content changed without changing LENGTH
+    * (the re-crawl case a length-only id collides on) digest apart.
     */
-  def recordId(r: WarcRecord): String =
+  def recordId(r: WarcRecord): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pd = java.util.Base64.getEncoder.encodeToString(md.digest(r.payload))
     "urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
       (r.warcType + "\n" + r.targetUri + "\n" + r.date + "\n" +
-        r.payload.length).getBytes(UTF_8))
+        pd).getBytes(UTF_8))
+  }
 
   /** Serialize one record to `out` (headers + payload + boundary). */
   def writeRecord(out: OutputStream, r: WarcRecord): Unit = {

@@ -47,6 +47,10 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row TP/FP/FN aggregate crossing the 1-row true-pair total
       // into the single evaluation-card row (the dq_expectations shape)
       "er_match",
+      // the 1-row broadcast corpus-count total crossing the records
+      // frame to size the scaled blocking key's digit count (the
+      // txt_surprisal corpus-total shape)
+      "er_pairs_scaledkey",
       // three 1-row aggregate sides (blocking, pairs, entities) crossing
       // into the one-row linkage data card (same shape)
       "er_report",

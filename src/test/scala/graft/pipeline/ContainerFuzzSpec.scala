@@ -97,11 +97,26 @@ class ContainerFuzzSpec extends AnyFunSuite {
       evil(at + 2) = (v >> 8).toByte; evil(at + 3) = v.toByte
     }
     be(60000, 16); be(60000, 20) // IHDR data starts at byte 16
-    val crc = new java.util.zip.CRC32()
-    crc.update(evil, 12, 4 + 13) // type + IHDR payload
-    be(crc.getValue.toInt, 12 + 4 + 13)
+    def fixCrc(): Unit = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(evil, 12, 4 + 13) // type + IHDR payload
+      be(crc.getValue.toInt, 12 + 4 + 13)
+    }
+    fixCrc()
     val e = intercept[IllegalArgumentException](PngCodec.decode(evil))
-    assert(e.getMessage.contains("pixel"))
+    assert(e.getMessage.contains("decode budget"))
+    // the budget is a caller POLICY (r14 advice: the old fixed 64M-pixel
+    // cap silently rejected legitimate large crawl photographs): a
+    // 9000x8000 = 72M-pixel claim now clears the default budget — the
+    // decode proceeds past the allocation gate and fails on the (tiny)
+    // IDAT instead of being rejected at the header
+    be(9000, 16); be(8000, 20); fixCrc()
+    val big = intercept[IllegalArgumentException](PngCodec.decode(evil))
+    assert(!big.getMessage.contains("decode budget"))
+    // ... while a thumbnailing caller can still pin a tight budget
+    val tight = intercept[IllegalArgumentException](
+      PngCodec.decode(good, maxDecodeBytes = 64))
+    assert(tight.getMessage.contains("decode budget"))
   }
 
   test("WAV: mutations and truncations are total") {

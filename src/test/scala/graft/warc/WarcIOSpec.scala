@@ -75,6 +75,13 @@ class WarcIOSpec extends AnyFunSuite {
     // bytes oracle property); distinct URIs → distinct ids
     assert(bytesOf(rec(1)).toSeq === bytesOf(rec(1)).toSeq)
     assert(WarcIO.recordId(rec(1)) !== WarcIO.recordId(rec(2)))
+    // global uniqueness folds the payload DIGEST, not just its length
+    // (r15 ADVICE fix): a re-crawl of the same URI/date whose content
+    // changed but whose byte COUNT did not must still id apart
+    val a = rec(1, "same-length-A")
+    val b = a.copy(payload = "same-length-B".getBytes(UTF_8))
+    assert(a.payload.length === b.payload.length)
+    assert(WarcIO.recordId(a) !== WarcIO.recordId(b))
   }
 
   test("empty payloads and an empty file are legal") {
