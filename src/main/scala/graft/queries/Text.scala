@@ -989,38 +989,35 @@ object Text {
     // the BPE loop; further iterations repeat the same count after
     // applying the winning merge. Plan shape (r15 constant-factor cut;
     // this was one of the two queries whose CPU warmth made cold bench
-    // windows breach 2×): the corpus collapses to its VOCABULARY first
-    // (token → occurrence weight, the word-count aggregate — map-side
-    // combinable, and Zipf makes |vocab| ≪ |occurrences|), so the pair
-    // fan-out runs once per DISTINCT token instead of once per token
-    // occurrence; the weighted pair count then sums weights. The
-    // fan-out itself is the native `char_pairs` kernel (one byte walk
-    // emitting the 2-char slices directly) instead of the
-    // explode(sequence)→substr chain, which duplicates the full token
-    // onto every position row before cutting it down to 2 chars. Two
-    // combinable exchanges (vocab, pairs) — both carry tiny rows — and
-    // a TakeOrdered top-20; at 100 TB the vocab aggregate is the
-    // classic word-count and the pair pass is vocab-sized, i.e. cheaper
-    // than the single-exchange per-occurrence explode it replaced.
+    // windows breach 2×): the pair fan-out is the native `char_pairs`
+    // kernel (one byte walk emitting the 2-char slices directly)
+    // instead of the explode(sequence)→substr chain, which materialized
+    // an (token, position) row — full token string included — per pair
+    // before cutting it down to 2 chars. ONE combinable aggregate
+    // remains the whole distributed story: the pair DOMAIN (~|alphabet|²)
+    // is tiny, so map-side partial aggregation collapses each task to
+    // ~1.3k rows and the only exchange carries (pair, partial count) —
+    // which is also why a vocabulary pre-aggregation would be a
+    // pessimization here (measured 1.9× at sf0.1): it swaps this
+    // domain-bounded shuffle for a vocab-sized one. TakeOrdered top-20,
+    // no global sort.
     Q("txt_bpe_merges",
       (s, dir) => {
         val toks = docs(s, dir)
           .select(explode(TextOps.tokens(col("text"))).as("token"))
-        val vocab = toks.groupBy(col("token"))
-          .agg(count(lit(1)).as("w"))
-          // single-char tokens have no pair — and Spark's sequence(1, 0)
-          // would helpfully count DOWN, fabricating one
-          .filter(length(col("token")) >= 2)
         val pairs =
           if (s.catalog.functionExists("char_pairs"))
             call_function("char_pairs", col("token"))
-          else // unextended session: the HOF form (same pairs, slower)
-            transform(sequence(lit(1), length(col("token")) - 1),
-              i => col("token").substr(i, lit(2)))
-        vocab
-          .select(col("w"), explode(pairs).as("pair"))
+          else // unextended session: the HOF form (same pairs, slower);
+            // single-char tokens yield an empty array either way
+            when(length(col("token")) >= 2,
+              transform(sequence(lit(1), length(col("token")) - 1),
+                i => col("token").substr(i, lit(2))))
+              .otherwise(array().cast("array<string>"))
+        toks
+          .select(explode(pairs).as("pair"))
           .groupBy(col("pair"))
-          .agg(sum(col("w")).as("n"))
+          .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair").asc)
           .limit(20)
       },
