@@ -27,7 +27,12 @@ import javax.imageio.ImageIO
   * chunks, non-uniform `stts` runs, and `co64` — and decodes `jpeg` /
   * `mjpg` / `mjpa` sample entries with the JRE's own ImageIO (every
   * frame an independent JPEG, the same embarrassingly-parallel property
-  * the AVI path exploits).
+  * the AVI path exploits). FRAGMENTED files (DASH/CMAF: empty stbl,
+  * placement in `moof/traf/trun` run boxes per spec §8.8 — the layout
+  * streaming corpora actually ship) read through the same surface:
+  * when the moov tables are empty the sample table is rebuilt from the
+  * fragments (tfhd defaults, trex fallbacks, tfdt decode-time anchors,
+  * signed trun data offsets against the moof base).
   *
   * A real-codec mp4 (`avc1`/`hev1`/`vp09`/`mp4v` …) is NOT silently
   * mis-decoded: for PIXELS the constructor takes the same fallback the
@@ -133,11 +138,148 @@ object Mp4FrameDecoder {
     val moov = find(filename, b, 0, b.length, "moov").getOrElse(
       throw new IllegalArgumentException(s"$filename: mp4 has no moov box"))
     var result: Option[Track] = None
+    var trackId = 0L
     boxes(filename, b, moov._1, moov._1 + moov._2) { (t, to, tl) =>
-      if (t == "trak" && result.isEmpty)
+      if (t == "trak" && result.isEmpty) {
         result = parseTrak(filename, b, to, tl)
+        if (result.isDefined) trackId = trakId(filename, b, to, tl)
+      }
     }
-    result
+    // FRAGMENTED mp4 (DASH/CMAF — the layout streaming corpora actually
+    // ship): the moov's sample tables are empty and placement lives in
+    // moof/traf/trun run boxes paired with their mdat. Same public spec
+    // (14496-12 §8.8), same totality discipline.
+    result match {
+      case Some(tr) if tr.samples.isEmpty =>
+        val defaults = trexDefaults(filename, b, moov, trackId)
+        val frag = parseFragments(filename, b, trackId, defaults)
+        if (frag.samples.nonEmpty)
+          Some(tr.copy(samples = frag.samples, starts = frag.starts,
+            durationUnits = frag.durationUnits))
+        else result
+      case other => other
+    }
+  }
+
+  /** tkhd track_id (payload: version/flags, ctime/mtime — 4/4 bytes at
+    * v0, 8/8 at v1 — then track_id).
+    */
+  private def trakId(filename: String, b: Array[Byte], off: Int,
+      len: Int): Long = {
+    val tkhd = find(filename, b, off, len, "tkhd").getOrElse(return 0L)
+    val v = b(tkhd._1) & 0xff
+    u32(b, tkhd._1 + (if (v == 1) 20 else 12))
+  }
+
+  /** Per-track defaults a fragment may omit (moov/mvex/trex). */
+  private final case class FragDefaults(duration: Long, size: Long)
+
+  private def trexDefaults(filename: String, b: Array[Byte],
+      moov: (Int, Int), trackId: Long): FragDefaults = {
+    find(filename, b, moov._1, moov._2, "mvex") match {
+      case Some((mo, ml)) =>
+        var d = FragDefaults(0L, 0L)
+        boxes(filename, b, mo, mo + ml) { (t, o, l) =>
+          // trex: version/flags, track_id, default_sample_description_
+          // index, default_sample_duration, default_sample_size, flags
+          if (t == "trex" && l >= 24 && u32(b, o + 4) == trackId)
+            d = FragDefaults(u32(b, o + 12), u32(b, o + 16))
+        }
+        d
+      case None => FragDefaults(0L, 0L)
+    }
+  }
+
+  private final case class FragSamples(samples: Array[(Long, Int)],
+      starts: Array[Long], durationUnits: Long)
+
+  /** Walk every top-level `moof`, collecting this track's sample
+    * placement from traf(tfhd, tfdt, trun). Supported addressing: an
+    * explicit tfhd base-data-offset, or the default-base-is-moof /
+    * first-traf implicit base (both resolve to the moof's first byte —
+    * the layout every CMAF/DASH packager emits). Decode times come
+    * from tfdt where present and accumulate across fragments otherwise.
+    */
+  private def parseFragments(filename: String, b: Array[Byte],
+      trackId: Long, defaults: FragDefaults): FragSamples = {
+    val maxSamples = math.max(b.length, 1024)
+    val samples = Array.newBuilder[(Long, Int)]
+    val starts = Array.newBuilder[Long]
+    var clock = 0L
+    var total = 0L
+    boxes(filename, b, 0, b.length) { (typ, moofPayload, moofLen) =>
+      if (typ == "moof") {
+        val moofStart = moofPayload - 8L // box header precedes payload
+        boxes(filename, b, moofPayload, moofPayload + moofLen) {
+          (t2, trafOff, trafLen) =>
+            if (t2 == "traf") {
+              val tfhd = find(filename, b, trafOff, trafLen, "tfhd")
+                .getOrElse(throw new IllegalArgumentException(
+                  s"$filename: traf without tfhd"))
+              val tfFlags = u32(b, tfhd._1) & 0xffffff
+              if (u32(b, tfhd._1 + 4) == trackId) {
+                // optional tfhd fields, in flag order
+                var p = tfhd._1 + 8
+                var base = moofStart
+                if ((tfFlags & 1) != 0) { base = u64(b, p); p += 8 }
+                if ((tfFlags & 2) != 0) p += 4 // sample_desc_index
+                var defDur = defaults.duration
+                if ((tfFlags & 8) != 0) { defDur = u32(b, p); p += 4 }
+                var defSize = defaults.size
+                if ((tfFlags & 0x10) != 0) { defSize = u32(b, p); p += 4 }
+                find(filename, b, trafOff, trafLen, "tfdt").foreach {
+                  case (o, _) =>
+                    clock = if ((b(o) & 0xff) == 1) u64(b, o + 4)
+                      else u32(b, o + 4)
+                }
+                var cur = base
+                boxes(filename, b, trafOff, trafOff + trafLen) {
+                  (t3, o, l) =>
+                    if (t3 == "trun") {
+                      val fl = u32(b, o) & 0xffffff
+                      val n = u32(b, o + 4).toInt
+                      total += n
+                      require(n >= 0 && total <= maxSamples,
+                        s"$filename: trun claims $total samples in a " +
+                          s"${b.length}-byte file")
+                      var q = o + 8
+                      if ((fl & 1) != 0) { // SIGNED data offset
+                        cur = base + u32(b, q).toInt; q += 4
+                      }
+                      if ((fl & 4) != 0) q += 4 // first_sample_flags
+                      val perDur = (fl & 0x100) != 0
+                      val perSize = (fl & 0x200) != 0
+                      val perFlags = (fl & 0x400) != 0
+                      val perCto = (fl & 0x800) != 0
+                      val stride = Seq(perDur, perSize, perFlags, perCto)
+                        .count(identity) * 4
+                      require(q - o + n.toLong * stride <= l,
+                        s"$filename: trun table overruns its $l-byte box")
+                      var k = 0
+                      while (k < n) {
+                        val dur = if (perDur) { val v = u32(b, q); q += 4; v }
+                          else defDur
+                        val sz = if (perSize) { val v = u32(b, q); q += 4; v }
+                          else defSize
+                        if (perFlags) q += 4
+                        if (perCto) q += 4
+                        require(sz >= 0 && sz <= b.length,
+                          s"$filename: trun sample of $sz bytes in a " +
+                            s"${b.length}-byte file")
+                        samples += ((cur, sz.toInt))
+                        starts += clock
+                        cur += sz
+                        clock += dur
+                        k += 1
+                      }
+                    }
+                }
+              }
+            }
+        }
+      }
+    }
+    FragSamples(samples.result(), starts.result(), clock)
   }
 
   private def parseTrak(filename: String, b: Array[Byte], off: Int,
@@ -480,5 +622,102 @@ object Mp4FrameDecoder {
     val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Minimal valid FRAGMENTED mp4 (the DASH/CMAF layout): `ftyp` +
+    * `moov` whose stbl tables are EMPTY (stsd still names the codec
+    * and frame size) + `mvex/trex` defaults + one `moof`+`mdat` pair
+    * per fragment — tfhd carries default-base-is-moof, tfdt the
+    * decode-time anchor, trun per-sample sizes with the tfhd default
+    * duration. Exercises exactly the §8.8 read path [[parseFragments]]
+    * implements.
+    */
+  def writeFragmented(w: Int, h: Int, fpsNum: Long, fpsDen: Long,
+      jpegFrames: Seq[Array[Byte]],
+      framesPerFragment: Int = 2,
+      sampleEntry: String = "jpeg"): Array[Byte] = {
+    require(framesPerFragment >= 1, "framesPerFragment must be >= 1")
+    require(sampleEntry.length == 4, "sample entry must be a fourcc")
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+      "iso5dash".getBytes("US-ASCII"))
+    def emptyFull(typ: String, payload: Array[Byte]): Array[Byte] =
+      fullBox(typ, payload)
+    // rebuild moov from the progressive file's trak with empty stbl:
+    // simplest correct form — regenerate via write() pieces is not
+    // exposed, so build the few boxes directly
+    val duration = jpegFrames.length.toLong * fpsDen
+    val mvhd = fullBox("mvhd", be32(0) ++ be32(0) ++
+      be32(fpsNum) ++ be32(duration) ++
+      be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++
+      be32(0) ++ be32(0) ++
+      be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000) ++
+      Array.fill(6 * 4)(0.toByte) ++ be32(2))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration) ++
+      be32(0) ++ be32(0) ++
+      be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = fullBox("mdhd", be32(0) ++ be32(0) ++
+      be32(fpsNum) ++ be32(duration) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = fullBox("hdlr", be32(0) ++
+      "vide".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte) ++
+      "graft ".getBytes("US-ASCII"))
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1) ++
+      be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
+    val dref = fullBox("dref", be32(1) ++
+      fullBox("url ", Array.emptyByteArray).patch(8,
+        Array[Byte](0, 0, 0, 1), 4))
+    val dinf = box("dinf", dref)
+    val entry = box(sampleEntry,
+      Array.fill(6)(0.toByte) ++ be16(1) ++
+        be16(0) ++ be16(0) ++ Array.fill(12)(0.toByte) ++
+        be16(w) ++ be16(h) ++
+        be32(0x00480000) ++ be32(0x00480000) ++
+        be32(0) ++ be16(1) ++
+        Array.fill(32)(0.toByte) ++
+        be16(24) ++ be16(0xffff))
+    val stsd = fullBox("stsd", be32(1) ++ entry)
+    val stbl = box("stbl", stsd ++
+      emptyFull("stts", be32(0)) ++
+      emptyFull("stsc", be32(0)) ++
+      emptyFull("stsz", be32(0) ++ be32(0)) ++
+      emptyFull("stco", be32(0)))
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val trex = fullBox("trex", be32(1) ++ // track_id
+      be32(1) ++ be32(fpsDen) ++ be32(0) ++ be32(0))
+    val mvex = box("mvex", trex)
+    val moov = box("moov", mvhd ++ trak ++ mvex)
+
+    val fragments = jpegFrames.zipWithIndex
+      .grouped(framesPerFragment).zipWithIndex.map {
+        case (frames, seq) =>
+          val payload = frames.map(_._1).toArray.flatten
+          val tfhd = fullBox("tfhd", be32(1) ++ be32(fpsDen))
+            // flags: default-base-is-moof | default-sample-duration
+            .patch(9, Array[Byte](0x02, 0x00, 0x08), 3)
+          val tfdt = fullBox("tfdt",
+            be32(frames.head._2.toLong * fpsDen))
+          val trunFlags = Array[Byte](0x00, 0x02, 0x01) // size + offset
+          val trunSamples = frames.flatMap(f => be32(f._1.length.toLong))
+          // data_offset = full moof size + mdat header; moof size is
+          // fixed once trun length is known: compute via two passes
+          def trunOf(dataOff: Long): Array[Byte] =
+            fullBox("trun", be32(frames.length.toLong) ++ be32(dataOff) ++
+              trunSamples.toArray).patch(9, trunFlags, 3)
+          def moofOf(trun: Array[Byte]): Array[Byte] =
+            box("moof", fullBox("mfhd", be32(seq + 1L)) ++
+              box("traf", tfhd ++ tfdt ++ trun))
+          val moofSize = moofOf(trunOf(0)).length
+          val moof = moofOf(trunOf(moofSize + 8L))
+          moof ++ box("mdat", payload)
+      }.toSeq
+    ftyp ++ moov ++ fragments.flatten.toArray
   }
 }

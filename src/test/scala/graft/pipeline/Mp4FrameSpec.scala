@@ -159,6 +159,64 @@ class Mp4FrameSpec extends SparkSpec {
     }
   }
 
+  test("fragmented mp4 (DASH/CMAF: moof/trun placement, empty stbl) " +
+      "decodes identically to the progressive layout") {
+    val levels = Seq(0.1f, 0.3f, 0.5f, 0.7f, 0.9f)
+    val jpegs = levels.map(v =>
+      AviMjpegFrameDecoder.encodeJpeg(solidRgb(v, v, v), 4, 4))
+    val prog = Mp4FrameDecoder.write(4, 4, 2, 1, jpegs)
+    // 2-frame fragments (last one ragged) exercises multi-moof walking
+    val frag = Mp4FrameDecoder.writeFragmented(4, 4, 2, 1, jpegs,
+      framesPerFragment = 2)
+    assert(new String(frag, "ISO-8859-1").contains("moof"))
+    val dec = new Mp4FrameDecoder()
+    val a = dec.decode("p.mp4", prog, 250).toSeq
+    val b = dec.decode("f.mp4", frag, 250).toSeq
+    assert(a.map(_.timestampMs) === b.map(_.timestampMs))
+    assert(a.map(_.frameTotal) === b.map(_.frameTotal))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.image.toSeq === y.image.toSeq)
+    }
+    // metadata path: codec-free even for a real-codec fragmented file
+    // (the CMAF case: an avc1 DASH segment still yields its timing)
+    val payload = Array.tabulate[Byte](48)(_.toByte)
+    val avcFrag = Mp4FrameDecoder.writeFragmented(4, 4, 2, 1,
+      Seq(payload, payload, payload), framesPerFragment = 2,
+      sampleEntry = "avc1")
+    val meta = new Mp4FrameDecoder(fallback = new SyntheticFrameDecoder())
+      .decodeMeta("seg.mp4", avcFrag, 500).toSeq
+    assert(meta.map(_.timestampMs) === Seq(0L, 500L, 1000L))
+    assert(meta.forall(f => f.width == 4 && f.frameTotal == 3.0))
+  }
+
+  test("fuzz: fragmented-layout mutations are equally total") {
+    val jpegs = Seq(solidRgb(0.2f, 0.4f, 0.6f), solidRgb(0.6f, 0.4f, 0.2f),
+      solidRgb(0.5f, 0.5f, 0.5f))
+      .map(AviMjpegFrameDecoder.encodeJpeg(_, 4, 4))
+    val good = Mp4FrameDecoder.writeFragmented(4, 4, 2, 1, jpegs)
+    val rnd = new scala.util.Random(1815)
+    val dec = new Mp4FrameDecoder(fallback = new SyntheticFrameDecoder())
+    for (_ <- 1 to 200) {
+      val bytes = good.clone()
+      for (_ <- 1 to 1 + rnd.nextInt(4))
+        bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+      try { dec.decode("fz.mp4", bytes, 500).foreach(_ => ()) }
+      catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+            _: java.lang.IndexOutOfBoundsException |
+            _: java.lang.NegativeArraySizeException => ()
+      }
+    }
+    for (n <- 1 until good.length by 89) {
+      try { dec.decode("t.mp4", good.take(n), 500).toSeq; () }
+      catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+            _: java.lang.IndexOutOfBoundsException |
+            _: java.lang.NegativeArraySizeException => ()
+      }
+    }
+  }
+
   test("malformed containers fail loudly") {
     val dec = new Mp4FrameDecoder()
     intercept[IllegalArgumentException](
