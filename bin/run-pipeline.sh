@@ -34,7 +34,9 @@ cd "$(dirname "$0")/.."
 deploy="${1:?usage: run-pipeline.sh local|cluster <input> <output> [mode]}"
 input="${2:?missing input dir}"
 output="${3:?missing output dir}"
-mode="${4:-single_frame}"
+# mode is optional even when extra args follow: a literal -- in the
+# mode position means "default mode, extras start here"
+if [ "${4:-}" = "--" ] || [ -z "${4:-}" ]; then mode=single_frame; else mode="$4"; fi
 shift $(( $# > 4 ? 4 : $# ))
 [ "${1:-}" = "--" ] && shift
 
@@ -56,7 +58,7 @@ case "$deploy" in
       --master "local[${GRAFT_LOCAL_CORES:-*}]" \
       --conf spark.sql.shuffle.partitions="${GRAFT_SHUFFLE_PARTITIONS:-32}" \
       "${COMMON[@]}" "$@" \
-      "$JAR" "$input" "$output" --mode "$mode"
+      "$JAR" --input_dir "$input" --output_dir "$output" --mode "$mode"
     ;;
   cluster)
     # master/deploy-mode come from the caller's extra args or their
@@ -70,7 +72,7 @@ case "$deploy" in
       --conf spark.dynamicAllocation.shuffleTracking.enabled=true \
       --conf spark.graft.checkpointDir="${GRAFT_CHECKPOINT_DIR:?cluster runs need a cluster-visible GRAFT_CHECKPOINT_DIR}" \
       "${COMMON[@]}" "$@" \
-      "$JAR" "$input" "$output" --mode "$mode"
+      "$JAR" --input_dir "$input" --output_dir "$output" --mode "$mode"
     ;;
   *)
     echo "unknown deploy type '$deploy' (want local|cluster)" >&2

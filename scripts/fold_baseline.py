@@ -183,16 +183,29 @@ def main():
     # in the window (its bad samples were purged at repin time) keeps
     # its pinned floor until it is next measured; without this it would
     # vanish from the baseline — and before r15 it was silently
-    # clobbered by the first regeneration after the repin.
+    # clobbered by the first regeneration after the repin. The hold is
+    # BOUNDED at k folds (tracked as "[held N]" in the audit note): a
+    # query unmeasured for a full window has left the bench surface
+    # (renamed/retired), and an unbounded hold would carry its phantom
+    # floor forever.
     import re
     repins_held = 0
-    for name, note in base.get("repinned", {}).items():
+    for name, note in list(base.get("repinned", {}).items()):
         if name in base["queries"]:
             continue
         m = re.search(r"-> ([0-9.eE+-]+):", note)
-        if m:
-            base["queries"][name] = float(m.group(1))
-            repins_held += 1
+        if not m:
+            continue
+        hm = re.search(r" \[held (\d+)\]$", note)
+        held = int(hm.group(1)) if hm else 0
+        if held >= hist["k"]:
+            print(f"repin for {name} expired after {held} folds "
+                  f"unmeasured (left the surface); floor dropped")
+            continue
+        base["queries"][name] = float(m.group(1))
+        stripped = note[:hm.start()] if hm else note
+        base["repinned"][name] = f"{stripped} [held {held + 1}]"
+        repins_held += 1
     if repins_held:
         print(f"{repins_held} repin(s) held (query not yet re-measured)")
     up = sum(1 for q, v in base["queries"].items()

@@ -280,7 +280,13 @@ object Bench {
       // driver's gate would flag.
       val extraPasses = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
         .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2).max(0)
-      val floors = readBaseline(Paths.get("bench_baseline.json"))
+      // floors are sf0.1 numbers: in an off-scale run (prefixed output,
+      // e.g. the sf1.0 scaling bench) EVERY query sits above them, and
+      // the floor arm would top-up the whole cheap fleet — compare only
+      // when this run feeds the same trend chain the floors came from
+      val floors =
+        if (prefix.isEmpty) readBaseline(Paths.get("bench_baseline.json"))
+        else Map.empty[String, Double]
       val volatile = names.filter { n =>
         val xs = base(n)
         !failed.contains(n) && xs.min < 1.2 &&

@@ -23,11 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exact-parity contract with the substr form (CharPairsSpec pins it):
   * pairs are CHARACTER pairs, not byte pairs — the walk advances by
-  * UTF-8 code-point boundaries, so multi-byte text slices exactly
-  * where `substr(i, 2)` does. (The BPE queries only ever feed it
-  * `[a-z0-9]+` tokens, where chars and bytes coincide, but the
-  * expression must not silently corrupt anything else.) A 0- or
-  * 1-char input yields an empty array; NULL propagates.
+  * UTF-8 code-point boundaries USING SPARK'S OWN BYTE TABLE
+  * (`numBytesForFirstByte`, so invalid 0xF5-0xFF leads and stray
+  * continuation bytes slice exactly where `substr(i, 2)` does; Spark
+  * never validates strings, and binary-cast data reaches expressions
+  * verbatim). One deliberate divergence, also pinned: a TRUNCATED
+  * multi-byte tail, where `UTF8String.substring`'s own walk steps past
+  * the string and copies adjacent row-buffer bytes — undefined,
+  * layout-dependent output — while this kernel clamps to the token's
+  * final byte. (The BPE queries only ever feed it `[a-z0-9]+` tokens,
+  * where chars and bytes coincide.) A 0- or 1-char input yields an
+  * empty array; NULL propagates.
   */
 case class CharPairs(child: Expression) extends UnaryExpression {
 
@@ -57,18 +63,16 @@ case class CharPairs(child: Expression) extends UnaryExpression {
 
 object CharPairs {
 
-  /** Bytes a UTF-8 sequence spans given its first byte (ASCII 1,
-    * continuation-safe: malformed leads clamp to 1 so the walk always
-    * advances and stays total on hostile bytes).
+  /** Bytes a UTF-8 sequence spans given its first byte — SPARK'S OWN
+    * table (`UTF8String.numBytesForFirstByte`), not a re-derivation:
+    * exact parity with `substr` demands the identical walk on INVALID
+    * leads too (0xF5-0xFF are not UTF-8, but Spark never validates —
+    * binary payloads cast to string reach expressions verbatim — and a
+    * hand-rolled `>= 0xf0 → 4` silently slices differently there).
+    * Clamped to ≥1 so the walk always advances and stays total.
     */
-  private def charLen(first: Byte): Int = {
-    val b = first & 0xff
-    if (b < 0x80) 1
-    else if (b >= 0xf0) 4
-    else if (b >= 0xe0) 3
-    else if (b >= 0xc0) 2
-    else 1 // stray continuation byte: advance one, never loop
-  }
+  private def charLen(first: Byte): Int =
+    math.max(UTF8String.numBytesForFirstByte(first), 1)
 
   def compute(s: UTF8String): ArrayData = {
     val n = s.numBytes()

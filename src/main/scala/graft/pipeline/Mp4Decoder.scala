@@ -97,10 +97,13 @@ object Mp4FrameDecoder {
     new String(b, off, 4, "US-ASCII")
 
   /** Walk the box run in [from, to), calling `f(type, payloadOff,
-    * payloadLen)`. Handles 64-bit largesize and size-0 (to end of run).
+    * payloadLen, boxStart)`. Handles 64-bit largesize and size-0 (to
+    * end of run). `boxStart` is the box's FIRST byte — the anchor
+    * fragmented addressing (default-base-is-moof) is defined against,
+    * which differs from payloadOff − 8 when the box uses largesize.
     */
-  private def boxes(filename: String, b: Array[Byte], from: Int, to: Int)(
-      f: (String, Int, Int) => Unit): Unit = {
+  private def boxesWithStart(filename: String, b: Array[Byte], from: Int,
+      to: Int)(f: (String, Int, Int, Int) => Unit): Unit = {
     var pos = from
     while (pos + 8 <= to) {
       val size0 = u32(b, pos)
@@ -118,10 +121,14 @@ object Mp4FrameDecoder {
             s"$filename: box $typ at byte $pos overruns its parent")
           (pos + 8, pos + size0.toInt)
         }
-      f(typ, payload, end - payload)
+      f(typ, payload, end - payload, pos)
       pos = end
     }
   }
+
+  private def boxes(filename: String, b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Unit): Unit =
+    boxesWithStart(filename, b, from, to)((t, o, l, _) => f(t, o, l))
 
   /** First box of `typ` in the run, as (payloadOff, payloadLen). */
   private def find(filename: String, b: Array[Byte], from: Int, len: Int,
@@ -207,9 +214,10 @@ object Mp4FrameDecoder {
     val starts = Array.newBuilder[Long]
     var clock = 0L
     var total = 0L
-    boxes(filename, b, 0, b.length) { (typ, moofPayload, moofLen) =>
+    boxesWithStart(filename, b, 0, b.length) {
+      (typ, moofPayload, moofLen, boxStart) =>
       if (typ == "moof") {
-        val moofStart = moofPayload - 8L // box header precedes payload
+        val moofStart = boxStart.toLong // exact even under largesize
         boxes(filename, b, moofPayload, moofPayload + moofLen) {
           (t2, trafOff, trafLen) =>
             if (t2 == "traf") {
@@ -410,12 +418,14 @@ object Mp4FrameDecoder {
 
   private def jpegToRgb(filename: String, b: Array[Byte], off: Long,
       len: Int, w: Int, h: Int): Array[Float] = {
-    // totality: stco/co64 offsets are attacker-controlled file content —
-    // an offset past the buffer (or a co64 value that would wrap the
-    // Int narrowing below) must fail typed like every other table
-    // guard, never surface as a raw ArrayIndexOutOfBounds from b(o)
-    require(off >= 0 && len >= 0 && off + len <= b.length,
-      s"$filename: mp4 sample [$off, ${off + len}) overruns the " +
+    // totality: stco/co64/tfhd offsets are attacker-controlled file
+    // content — an offset past the buffer (or a value that would wrap
+    // the Int narrowing below) must fail typed like every other table
+    // guard, never surface as a raw ArrayIndexOutOfBounds from b(o).
+    // Subtraction form, NOT `off + len <= b.length`: a near-Long.Max
+    // offset would overflow the sum negative and sail through.
+    require(off >= 0 && len >= 0 && off <= b.length - len,
+      s"$filename: mp4 sample [$off, +$len) overruns the " +
         s"${b.length}-byte file")
     val o = off.toInt
     require(len >= 2 && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xff) == 0xd8,

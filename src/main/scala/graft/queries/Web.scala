@@ -220,7 +220,11 @@ object Web {
               s"/doc/${r.getLong(0)}", date,
             ctype, b.length.toLong, b)
         }
-        WarcIO.writeFile(tmp, head ++ robo ++ body)
+        // idSeed = the FINAL shard name, not the attempt-unique temp:
+        // ids (and so shard bytes) stay deterministic across retries,
+        // while per-shard warcinfo leads id apart across shards
+        WarcIO.writeFile(tmp, head ++ robo ++ body,
+          idSeed = f"part-$pid%05d")
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
           java.nio.file.Paths.get(f),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,

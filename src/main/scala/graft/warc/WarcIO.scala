@@ -53,20 +53,30 @@ object WarcIO {
     * at the same instant whose content changed without changing LENGTH
     * (the re-crawl case a length-only id collides on) digest apart.
     */
-  def recordId(r: WarcRecord): String = {
+  def recordId(r: WarcRecord, discriminator: String = ""): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val pd = java.util.Base64.getEncoder.encodeToString(md.digest(r.payload))
     "urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
       (r.warcType + "\n" + r.targetUri + "\n" + r.date + "\n" +
-        pd).getBytes(UTF_8))
+        pd + "\n" + discriminator).getBytes(UTF_8))
   }
 
-  /** Serialize one record to `out` (headers + payload + boundary). */
-  def writeRecord(out: OutputStream, r: WarcRecord): Unit = {
+  /** Serialize one record to `out` (headers + payload + boundary).
+    * `discriminator` (a stable corpus position: shard name + ordinal,
+    * threaded by [[writeFile]]) keeps ids unique even for BYTE-IDENTICAL
+    * records — a corpus's per-shard warcinfo leads, or the same page
+    * captured twice at one timestamp, are distinct records under ISO
+    * 28500 and must not share one "unique" id (r15 review fix). Still
+    * a pure function of (record, position), so shard bytes stay
+    * deterministic across task retries.
+    */
+  def writeRecord(out: OutputStream, r: WarcRecord,
+      discriminator: String = ""): Unit = {
     val sb = new StringBuilder
     sb.append("WARC/1.1\r\n")
     sb.append("WARC-Type: ").append(r.warcType).append("\r\n")
-    sb.append("WARC-Record-ID: <").append(recordId(r)).append(">\r\n")
+    sb.append("WARC-Record-ID: <").append(recordId(r, discriminator))
+      .append(">\r\n")
     if (r.targetUri != null && r.targetUri.nonEmpty)
       sb.append("WARC-Target-URI: ").append(r.targetUri).append("\r\n")
     sb.append("WARC-Date: ").append(r.date).append("\r\n")
@@ -79,9 +89,14 @@ object WarcIO {
   }
 
   /** Write records to `path`; `.gz` suffix selects one-gzip-member-per-
-    * record framing (the splittable Common Crawl layout).
+    * record framing (the splittable Common Crawl layout). `idSeed`
+    * names the record ids' corpus position (pass the FINAL shard name
+    * when writing through an attempt-temp, so retried tasks produce
+    * byte-identical shards); each record also folds its ordinal, so
+    * byte-identical records in one file id apart.
     */
-  def writeFile(path: String, records: Iterator[WarcRecord]): Unit = {
+  def writeFile(path: String, records: Iterator[WarcRecord],
+      idSeed: String = ""): Unit = {
     val raw = new BufferedOutputStream(
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
     try {
@@ -90,12 +105,14 @@ object WarcIO {
         val shield = new FilterOutputStream(raw) {
           override def close(): Unit = flush() // member close must not
         }                                      // close the file stream
-        records.foreach { r =>
+        records.zipWithIndex.foreach { case (r, i) =>
           val gz = new GZIPOutputStream(shield)
-          writeRecord(gz, r)
+          writeRecord(gz, r, s"$idSeed#$i")
           gz.finish(); gz.close()
         }
-      } else records.foreach(writeRecord(raw, _))
+      } else records.zipWithIndex.foreach { case (r, i) =>
+        writeRecord(raw, r, s"$idSeed#$i")
+      }
     } finally raw.close()
   }
 

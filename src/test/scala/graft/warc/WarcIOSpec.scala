@@ -82,6 +82,22 @@ class WarcIOSpec extends AnyFunSuite {
     val b = a.copy(payload = "same-length-B".getBytes(UTF_8))
     assert(a.payload.length === b.payload.length)
     assert(WarcIO.recordId(a) !== WarcIO.recordId(b))
+    // BYTE-IDENTICAL records are still distinct records (ISO 28500):
+    // the per-shard warcinfo lead is the live case — writeFile folds
+    // (idSeed, ordinal), so duplicates id apart within a file and the
+    // same lead record ids apart across shards; same (seed, ordinal)
+    // stays deterministic (the retry byte-identity contract)
+    def idsOf(path: String, seed: String): Seq[String] = {
+      WarcIO.writeFile(path, Iterator(rec(9), rec(9)), idSeed = seed)
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), UTF_8)
+      "<urn:uuid:[0-9a-f-]{36}>".r.findAllIn(raw).toSeq
+    }
+    val d = java.nio.file.Files.createTempDirectory("warcid").toString
+    val s0 = idsOf(s"$d/p0.warc", "part-0")
+    assert(s0.distinct.size === 2, s"duplicate ids in one shard: $s0")
+    assert(idsOf(s"$d/p0b.warc", "part-0") === s0) // deterministic
+    assert(idsOf(s"$d/p1.warc", "part-1").intersect(s0).isEmpty)
   }
 
   test("empty payloads and an empty file are legal") {
