@@ -216,17 +216,20 @@ object Main {
     // --input_dir points at real files (distributed glob, the reference's
     // --input_dir); otherwise the fixture listing is synthesized from sfDir
     val (listing, decoder) = cli.inputDir match {
-      // real files: distributed glob + the load-if-present FFmpeg seam.
-      // When FFmpeg will actually decode, carry binaryFile's lazy
-      // `content` so executors get the bytes through Hadoop (FFmpeg
-      // cannot open hdfs:// or s3a:// URIs itself); the synthetic
-      // fallback needs no bytes, so it keeps the metadata-only listing
+      // real files: distributed glob + the content-magic router. The
+      // pure-JVM decoders (y4m, MJPEG-AVI, MJPEG-mp4 incl. fragmented,
+      // PNG, codec-free mp4 metadata) real-decode what they recognize;
+      // only an unrecognized container / real codec reaches the
+      // env-gated FFmpeg-or-synthetic seam — previously the CLI
+      // bypassed the routers entirely and a JavaCV-less JVM silently
+      // fed SYNTHETIC frames for corpora the engine can actually
+      // decode (r15 fix). Bytes ride binaryFile's lazy `content` so
+      // executors read through Hadoop (hdfs:// and s3a:// work; no
+      // local-path assumption), and content never crosses a shuffle —
+      // the decode runs in the scan stage.
       case Some(glob) =>
-        val listing =
-          if (FfmpegFrameDecoder.available)
-            Ingest.listFilesWithContent(spark, glob)
-          else Ingest.listFiles(spark, glob)
-        (listing, FfmpegFrameDecoder.orSynthetic())
+        (Ingest.listFilesWithContent(spark, glob),
+          new AutoFrameDecoder(): FrameDecoder)
       // fixture listing synthesizes names with no bytes behind them —
       // only the synthetic decoder can "decode" those
       case None => (fixtureListing(spark, cli.sfDir),
