@@ -192,6 +192,15 @@ def main():
     repins_held = 0
     for name, note in list(base.get("repinned", {}).items()):
         if name in base["queries"]:
+            # re-measured: the window floor now regenerates from fresh
+            # samples, so the repin governs nothing — drop it. Keeping
+            # it would leave a stale "[held N]" suffix that makes a
+            # LATER unmeasured stretch resume the bounded hold at N
+            # (expiring early) and would park the repin note in the
+            # audit section forever.
+            del base["repinned"][name]
+            print(f"repin for {name} retired (re-measured; window floor "
+                  f"is fresh)")
             continue
         m = re.search(r"-> ([0-9.eE+-]+):", note)
         if not m:

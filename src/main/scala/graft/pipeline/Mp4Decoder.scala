@@ -174,8 +174,12 @@ object Mp4FrameDecoder {
   private def trakId(filename: String, b: Array[Byte], off: Int,
       len: Int): Long = {
     val tkhd = find(filename, b, off, len, "tkhd").getOrElse(return 0L)
+    require(tkhd._2 >= 4, s"$filename: tkhd payload is ${tkhd._2} bytes")
     val v = b(tkhd._1) & 0xff
-    u32(b, tkhd._1 + (if (v == 1) 20 else 12))
+    val idOff = if (v == 1) 20 else 12
+    require(tkhd._2 >= idOff + 4,
+      s"$filename: tkhd v$v payload is ${tkhd._2} bytes (need ${idOff + 4})")
+    u32(b, tkhd._1 + idOff)
   }
 
   /** Per-track defaults a fragment may omit (moov/mvex/trex). */
@@ -204,8 +208,14 @@ object Mp4FrameDecoder {
     * placement from traf(tfhd, tfdt, trun). Supported addressing: an
     * explicit tfhd base-data-offset, or the default-base-is-moof /
     * first-traf implicit base (both resolve to the moof's first byte —
-    * the layout every CMAF/DASH packager emits). Decode times come
-    * from tfdt where present and accumulate across fragments otherwise.
+    * the layout every CMAF/DASH packager emits). A NON-first traf with
+    * neither form fails typed: per 14496-12 §8.8.7 its implicit base is
+    * the previous traf's data end, which this reader does not model —
+    * silently anchoring it at the moof would decode wrong bytes. Decode
+    * times come from tfdt where present and accumulate across fragments
+    * otherwise; every fixed field is length-guarded against its own box
+    * payload before the read (same fail-typed discipline as the stbl
+    * tables — a truncated hostile box must never surface a raw AIOOBE).
     */
   private def parseFragments(filename: String, b: Array[Byte],
       trackId: Long, defaults: FragDefaults): FragSamples = {
@@ -218,15 +228,34 @@ object Mp4FrameDecoder {
       (typ, moofPayload, moofLen, boxStart) =>
       if (typ == "moof") {
         val moofStart = boxStart.toLong // exact even under largesize
+        var trafIdx = 0
         boxes(filename, b, moofPayload, moofPayload + moofLen) {
           (t2, trafOff, trafLen) =>
             if (t2 == "traf") {
+              val firstTraf = trafIdx == 0
+              trafIdx += 1
               val tfhd = find(filename, b, trafOff, trafLen, "tfhd")
                 .getOrElse(throw new IllegalArgumentException(
                   s"$filename: traf without tfhd"))
+              require(tfhd._2 >= 8,
+                s"$filename: tfhd payload is ${tfhd._2} bytes (need 8)")
               val tfFlags = u32(b, tfhd._1) & 0xffffff
               if (u32(b, tfhd._1 + 4) == trackId) {
-                // optional tfhd fields, in flag order
+                // optional tfhd fields, in flag order — their combined
+                // width must fit the payload BEFORE any read
+                val optBytes = (if ((tfFlags & 1) != 0) 8 else 0) +
+                  (if ((tfFlags & 2) != 0) 4 else 0) +
+                  (if ((tfFlags & 8) != 0) 4 else 0) +
+                  (if ((tfFlags & 0x10) != 0) 4 else 0) +
+                  (if ((tfFlags & 0x20) != 0) 4 else 0)
+                require(8 + optBytes <= tfhd._2,
+                  s"$filename: tfhd flags 0x${tfFlags.toHexString} claim " +
+                    s"$optBytes optional bytes in a ${tfhd._2}-byte payload")
+                require(firstTraf || (tfFlags & 1) != 0 ||
+                    (tfFlags & 0x020000) != 0,
+                  s"$filename: non-first traf in a moof without explicit " +
+                    "base-data-offset or default-base-is-moof (14496-12 " +
+                    "§8.8.7 previous-traf-end addressing is unsupported)")
                 var p = tfhd._1 + 8
                 var base = moofStart
                 if ((tfFlags & 1) != 0) { base = u64(b, p); p += 8 }
@@ -236,15 +265,24 @@ object Mp4FrameDecoder {
                 var defSize = defaults.size
                 if ((tfFlags & 0x10) != 0) { defSize = u32(b, p); p += 4 }
                 find(filename, b, trafOff, trafLen, "tfdt").foreach {
-                  case (o, _) =>
-                    clock = if ((b(o) & 0xff) == 1) u64(b, o + 4)
-                      else u32(b, o + 4)
+                  case (o, l) =>
+                    val v1 = (b(o) & 0xff) == 1
+                    require(l >= (if (v1) 12 else 8),
+                      s"$filename: tfdt v${if (v1) 1 else 0} payload is " +
+                        s"$l bytes")
+                    clock = if (v1) u64(b, o + 4) else u32(b, o + 4)
                 }
                 var cur = base
                 boxes(filename, b, trafOff, trafOff + trafLen) {
                   (t3, o, l) =>
                     if (t3 == "trun") {
+                      require(l >= 8,
+                        s"$filename: trun payload is $l bytes (need 8)")
                       val fl = u32(b, o) & 0xffffff
+                      require(8 + (if ((fl & 1) != 0) 4 else 0) +
+                          (if ((fl & 4) != 0) 4 else 0) <= l,
+                        s"$filename: trun flags 0x${fl.toHexString} " +
+                          s"overrun the $l-byte payload before the table")
                       val n = u32(b, o + 4).toInt
                       total += n
                       require(n >= 0 && total <= maxSamples,
@@ -287,7 +325,18 @@ object Mp4FrameDecoder {
         }
       }
     }
-    FragSamples(samples.result(), starts.result(), clock)
+    val startArr = starts.result()
+    // sampleAt's binary search assumes non-decreasing starts; a hostile
+    // tfdt that rewinds the clock between fragments would otherwise make
+    // frame selection silently return wrong samples — fail typed instead
+    var si = 1
+    while (si < startArr.length) {
+      require(startArr(si) >= startArr(si - 1),
+        s"$filename: fragment decode times rewind at sample $si " +
+          s"(${startArr(si)} < ${startArr(si - 1)})")
+      si += 1
+    }
+    FragSamples(samples.result(), startArr, clock)
   }
 
   private def parseTrak(filename: String, b: Array[Byte], off: Int,
@@ -296,13 +345,17 @@ object Mp4FrameDecoder {
     val hdlr = find(filename, b, mdia._1, mdia._2, "hdlr")
       .getOrElse(return None)
     // HandlerBox: version/flags(4) pre_defined(4) handler_type(4cc)
+    require(hdlr._2 >= 12, s"$filename: hdlr payload is ${hdlr._2} bytes")
     if (fourcc(b, hdlr._1 + 8) != "vide") return None
 
     val mdhd = find(filename, b, mdia._1, mdia._2, "mdhd")
       .getOrElse(return None)
+    require(mdhd._2 >= 4, s"$filename: mdhd payload is ${mdhd._2} bytes")
     val mdhdV = b(mdhd._1) & 0xff
-    val timescale =
-      if (mdhdV == 1) u32(b, mdhd._1 + 20) else u32(b, mdhd._1 + 12)
+    val tsOff = if (mdhdV == 1) 20 else 12
+    require(mdhd._2 >= tsOff + 4,
+      s"$filename: mdhd v$mdhdV payload is ${mdhd._2} bytes")
+    val timescale = u32(b, mdhd._1 + tsOff)
     require(timescale > 0, s"$filename: mdhd timescale is zero")
 
     val minf = find(filename, b, mdia._1, mdia._2, "minf")
@@ -315,6 +368,9 @@ object Mp4FrameDecoder {
     // at payload offsets 24/26)
     val stsd = find(filename, b, stbl._1, stbl._2, "stsd")
       .getOrElse(return None)
+    // header(8) + entry size/4cc(8) + VisualSampleEntry through w/h(28)
+    require(stsd._2 >= 44,
+      s"$filename: stsd payload is ${stsd._2} bytes (need 44)")
     require(u32(b, stsd._1 + 4) >= 1, s"$filename: empty stsd")
     val entryOff = stsd._1 + 8
     val codec = fourcc(b, entryOff + 4)
@@ -331,6 +387,7 @@ object Mp4FrameDecoder {
     // stts → per-sample start times
     val stts = find(filename, b, stbl._1, stbl._2, "stts")
       .getOrElse(return None)
+    require(stts._2 >= 8, s"$filename: stts payload is ${stts._2} bytes")
     val sttsN = u32(b, stts._1 + 4).toInt
     require(sttsN >= 0 && 8L + sttsN * 8L <= stts._2,
       s"$filename: stts claims $sttsN entries in a ${stts._2}-byte box")
@@ -355,6 +412,7 @@ object Mp4FrameDecoder {
     // stsz → per-sample byte lengths
     val stsz = find(filename, b, stbl._1, stbl._2, "stsz")
       .getOrElse(return None)
+    require(stsz._2 >= 12, s"$filename: stsz payload is ${stsz._2} bytes")
     val fixedSize = u32(b, stsz._1 + 4)
     val stszN = u32(b, stsz._1 + 8).toInt
     require(stszN == nSamples,
@@ -369,6 +427,7 @@ object Mp4FrameDecoder {
     val (chunkOffs, nChunks) =
       find(filename, b, stbl._1, stbl._2, "stco") match {
         case Some((o, l)) =>
+          require(l >= 8, s"$filename: stco payload is $l bytes")
           val n = u32(b, o + 4).toInt
           require(n >= 0 && 8L + n * 4L <= l,
             s"$filename: stco claims $n chunks in a $l-byte box")
@@ -376,6 +435,7 @@ object Mp4FrameDecoder {
         case None =>
           val (o, l) = find(filename, b, stbl._1, stbl._2, "co64")
             .getOrElse(return None)
+          require(l >= 8, s"$filename: co64 payload is $l bytes")
           val n = u32(b, o + 4).toInt
           require(n >= 0 && 8L + n * 8L <= l,
             s"$filename: co64 claims $n chunks in a $l-byte box")
@@ -383,6 +443,7 @@ object Mp4FrameDecoder {
       }
     val stsc = find(filename, b, stbl._1, stbl._2, "stsc")
       .getOrElse(return None)
+    require(stsc._2 >= 8, s"$filename: stsc payload is ${stsc._2} bytes")
     val stscN = u32(b, stsc._1 + 4).toInt
     require(stscN >= 0 && 8L + stscN * 12L <= stsc._2,
       s"$filename: stsc claims $stscN runs in a ${stsc._2}-byte box")

@@ -139,4 +139,68 @@ class Mp4FragmentFormsSpec extends SparkSpec {
       assert(g.image.toSeq === w.image.toSeq)
     }
   }
+
+  test("hostile fragment boxes fail TYPED: truncated tfhd/tfdt, a non-" +
+      "first traf with implicit previous-traf-end addressing, and a " +
+      "tfdt that rewinds the clock between fragments") {
+    val frames = Seq(jpeg(0.2f), jpeg(0.5f), jpeg(0.8f))
+    val template = Mp4FrameDecoder.writeFragmented(4, 4, 2, 1, frames,
+      framesPerFragment = 2)
+    val moofAt = {
+      val pat = "moof".getBytes("US-ASCII")
+      (0 until template.length - 4).find(i => pat.indices.forall(j =>
+        template(i + j) == pat(j))).get - 4
+    }
+    val prefix = template.take(moofAt)
+    val dec = new Mp4FrameDecoder(fallback = new SyntheticFrameDecoder())
+
+    // (a) tfhd whose flags claim a base-data-offset the payload lacks:
+    // must be the typed flag/payload mismatch, never a raw AIOOBE
+    val shortTfhd = fullBox("tfhd", 0x000001, be32(1)) // no u64 base
+    val moofShort = box("moof", fullBox("mfhd", 0, be32(1)) ++
+      box("traf", shortTfhd ++ fullBox("tfdt", 0, be32(0)) ++
+        fullBox("trun", 0x000201, be32(1) ++ be32(0) ++ be32(64))))
+    val eA = intercept[IllegalArgumentException](
+      dec.decode("short.mp4", prefix ++ moofShort, 500).toSeq)
+    assert(eA.getMessage.contains("optional bytes"))
+
+    // (b) v1 tfdt with a v0-sized payload
+    val shortTfdt = box("tfdt", Array[Byte](1, 0, 0, 0) ++ be32(0))
+    val moofTfdt = box("moof", fullBox("mfhd", 0, be32(1)) ++
+      box("traf", fullBox("tfhd", 0x020000, be32(1)) ++ shortTfdt ++
+        fullBox("trun", 0x000201, be32(1) ++ be32(0) ++ be32(64))))
+    val eB = intercept[IllegalArgumentException](
+      dec.decode("tfdt.mp4", prefix ++ moofTfdt, 500).toSeq)
+    assert(eB.getMessage.contains("tfdt"))
+
+    // (c) second traf in one moof with NEITHER base-data-offset nor
+    // default-base-is-moof: per 14496-12 §8.8.7 its implicit base is
+    // the previous traf's data end — unsupported, so it must fail
+    // typed, not silently anchor at the moof and decode wrong bytes
+    def traf(flags: Int) = box("traf",
+      fullBox("tfhd", flags, be32(1)) ++ fullBox("tfdt", 0, be32(0)) ++
+        fullBox("trun", 0x000201,
+          be32(1) ++ be32(0) ++ be32(frames.head.length.toLong)))
+    val moofTwo = box("moof", fullBox("mfhd", 0, be32(1)) ++
+      traf(0x020000) ++ traf(0))
+    val eC = intercept[IllegalArgumentException](
+      dec.decode("two.mp4", prefix ++ moofTwo ++
+        box("mdat", frames.head), 500).toSeq)
+    assert(eC.getMessage.contains("non-first traf"))
+
+    // (d) a tfdt rewinding the clock between fragments: the sample
+    // selector's binary search needs monotone starts, so the parse
+    // must reject it rather than silently return wrong frames
+    val rewound = template.clone()
+    val pat = "tfdt".getBytes("US-ASCII")
+    val tfdtIdx = (0 until rewound.length - 4).filter(i =>
+      pat.indices.forall(j => rewound(i + j) == pat(j)))
+    assert(tfdtIdx.length === 2)
+    // second fragment's decode time (payload u32 after 4cc + v/f) → 0,
+    // which is BEFORE fragment 1's last sample start
+    for (j <- 0 until 4) rewound(tfdtIdx(1) + 8 + j) = 0
+    val eD = intercept[IllegalArgumentException](
+      dec.decode("rewind.mp4", rewound, 500).toSeq)
+    assert(eD.getMessage.contains("rewind"))
+  }
 }
