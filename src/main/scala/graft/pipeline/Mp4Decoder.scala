@@ -477,7 +477,9 @@ object Mp4FrameDecoder {
   private def clamp01(v: Double): Float =
     if (v <= 0) 0f else if (v >= 1) 1f else v.toFloat
 
-  private def jpegToRgb(filename: String, b: Array[Byte], off: Long,
+  // private[pipeline]: the Matroska decoder's V_MJPEG path shares the
+  // same guarded JPEG-sample decode (one independent JPEG per frame)
+  private[pipeline] def jpegToRgb(filename: String, b: Array[Byte], off: Long,
       len: Int, w: Int, h: Int): Array[Float] = {
     // totality: stco/co64/tfhd offsets are attacker-controlled file
     // content — an offset past the buffer (or a value that would wrap

@@ -238,11 +238,12 @@ final class AutoFrameDecoder(
   private val y4m = new Y4MFrameDecoder
   private val avi = new AviMjpegFrameDecoder
   private val png = new PngFrameDecoder
-  // mp4 shares the SAME fallback: an ISO-BMFF container routes here on
-  // its ftyp magic, and a non-JPEG codec inside it (avc1/hev1/…) then
-  // delegates codec-level, keeping the env-gated JavaCV/synthetic
-  // boundary at the narrowest possible seam
+  // mp4 and mkv share the SAME fallback: an ISO-BMFF container routes
+  // here on its ftyp magic (Matroska/WebM on the EBML magic), and a
+  // non-JPEG codec inside then delegates codec-level, keeping the
+  // env-gated JavaCV/synthetic boundary at the narrowest possible seam
   private val mp4 = new Mp4FrameDecoder(fallback)
+  private val mkv = new MkvFrameDecoder(fallback)
 
   /** File-path decode (content == null, the DSv2 source's shape) sniffs
     * the stream head FROM DISK — same magic rules as in-memory content,
@@ -275,6 +276,7 @@ final class AutoFrameDecoder(
     if (Y4MFrameDecoder.sniff(probe)) y4m
     else if (AviMjpegFrameDecoder.sniff(probe)) avi
     else if (Mp4FrameDecoder.sniff(probe)) mp4 // ftyp at bytes 4-7
+    else if (MkvFrameDecoder.sniff(probe)) mkv // EBML magic 1A45DFA3
     else if (PngCodec.sniff(probe)) png // an image is a 1-frame video
     else fallback
   }

@@ -74,6 +74,41 @@ class ContainerFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("depth"))
   }
 
+  test("MKV: mutations and truncations are total, with the TIGHT bound " +
+      "(typed IllegalArgument/IO only — every EBML read is guarded, so " +
+      "no raw IndexOutOfBounds tolerance like the legacy decoders)") {
+    val gray = Array.fill(4 * 4 * 3)(0.5f)
+    val jpeg = AviMjpegFrameDecoder.encodeJpeg(gray, 4, 4)
+    val dec = new MkvFrameDecoder(fallback = new SyntheticFrameDecoder())
+    // both a plain and a laced+grouped layout, so mutations exercise the
+    // lace-size and BlockGroup walks too
+    for ((good, seed) <- Seq(
+        (MkvFrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg, jpeg)), 99),
+        (MkvFrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg, jpeg),
+          framesPerCluster = 3, lacing = 1, blockGroups = true), 100))) {
+      val rnd = new scala.util.Random(seed)
+      for (_ <- 1 to 200) {
+        val bytes = good.clone()
+        for (_ <- 1 to 1 + rnd.nextInt(4))
+          bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+        try { dec.decode("fz.mkv", bytes, 500).foreach(_ => ()) }
+        catch {
+          case _: IllegalArgumentException | _: java.io.IOException => ()
+        }
+        try { dec.decodeMeta("fz.mkv", bytes, 500).foreach(_ => ()) }
+        catch {
+          case _: IllegalArgumentException | _: java.io.IOException => ()
+        }
+      }
+      for (n <- 1 until good.length by 53) {
+        try { dec.decode("t.mkv", good.take(n), 500).toSeq; () }
+        catch {
+          case _: IllegalArgumentException | _: java.io.IOException => ()
+        }
+      }
+    }
+  }
+
   test("Y4M: mutations and truncations are total") {
     val frame = new Array[Byte](2 * 2 + 2 * 1)
     java.util.Arrays.fill(frame, 0, 4, 100.toByte)
