@@ -220,9 +220,20 @@ object EntityRes {
     * null-safe segment agreement, and the match decision (distance
     * ≤ 1). Shared by er_pairs / er_match / er_entities / er_golden so
     * the decision rule cannot drift between the views.
+    *
+    * Blocking key: [[scaledKeyed]] — the DEFAULT family lineage is the
+    * scale-safe one (r15 verdict: "a user who reaches for er_report at
+    * scale gets the quadratic plan today"). The fixed 2-digit key's
+    * measured super-linear exponents (1.17 pairs / 1.46 report at
+    * sf1.0, Σ|block|² under fixed selectivity) live on as the
+    * explicitly-named `er_*_fixedkey_demo` demonstration cards. On the
+    * fixture every norm ends in digits, so at sf ≤ 0.01 (digits = 2)
+    * the scaled key blocks IDENTICALLY to the old fixed key — same
+    * candidate set, same oracle rows — while sf ≥ 0.1 gets the finer
+    * key the corpus size demands.
     */
   private[graft] def scoredPairs(s: SparkSession, dir: String): DataFrame =
-    scoredPairsOf(keyed(records(s, dir)))
+    scoredPairsOf(scaledKeyed(records(s, dir)))
 
   /** The same blocked scorer over ANY keyed records frame — the seam the
     * 90k-record scale smoke and the streaming twin drive, so they
@@ -268,7 +279,7 @@ object EntityRes {
 
   private def scoredPairsSql: String = s"""
     $recordsSql,
-    $keyedSql,
+    $scaledKeyedSql,
     pairs AS (
       -- LEAST(…, 3) mirrors Spark's THRESHOLDED levenshtein exactly:
       -- the Spark side maps every past-threshold distance to 3, so the
@@ -280,7 +291,7 @@ object EntityRes {
                AS name_dist,
              CAST(a.seg IS NOT DISTINCT FROM b.seg AS BIGINT) AS seg_agree,
              CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT) AS is_match
-      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id)"""
+      FROM skeyed a JOIN skeyed b ON a.bk = b.bk AND a.rec_id < b.rec_id)"""
 
   val qs: Seq[Q] = Seq(
 
@@ -350,19 +361,19 @@ object EntityRes {
             ON a.bk = b.bk AND a.rec_id < b.rec_id)
         SELECT * FROM pairs WHERE name_dist <= 2""")),
 
-    // ---- scored pairs under the corpus-SCALED blocking key ------------------
-    // The scaling branch the sf1.0 audit demanded (see [[scaledKeyed]]):
-    // same scorer, but the key's digit-count grows with the corpus so
-    // per-block work is O(1) at any scale — the card that proves the
-    // "scale the key's selectivity" arm of the operating rule, next to
-    // er_pairs_capped's "bound the block" arm. At sf0.01 the key
-    // resolves to the er_pairs key (2 digits), so this gate also pins
-    // the scaled key's floor behavior.
-    Q("er_pairs_scaledkey",
-      (s, dir) => scoredPairsOf(scaledKeyed(records(s, dir)))
+    // ---- scored pairs under the FIXED 2-digit key: a DEMONSTRATION ----------
+    // The known-quadratic failure mode, kept as an explicitly-named demo
+    // (r15 verdict task 2): Σ|block|² under a fixed-selectivity key is
+    // super-linear in corpus size by construction — measured exponent
+    // 1.17 at the sf1.0 amplification (BASELINE.md "sf1.0 scaling").
+    // The DEFAULT er_pairs below runs the corpus-scaled key; this card
+    // exists so the failure mode stays measured and teachable, never
+    // reachable under a default name.
+    Q("er_pairs_fixedkey_demo",
+      (s, dir) => scoredPairsOf(keyed(records(s, dir)))
         .filter(col("name_dist") <= 2),
       Some(s"""
-        WITH $recordsSql, $scaledKeyedSql,
+        WITH $recordsSql, $keyedSql,
         pairs AS (
           SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
                  LEAST(CAST(levenshtein(a.norm, b.norm) AS BIGINT), 3)
@@ -371,7 +382,7 @@ object EntityRes {
                    AS seg_agree,
                  CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT)
                    AS is_match
-          FROM skeyed a JOIN skeyed b
+          FROM keyed a JOIN keyed b
             ON a.bk = b.bk AND a.rec_id < b.rec_id)
         SELECT * FROM pairs WHERE name_dist <= 2""")),
 
@@ -380,7 +391,11 @@ object EntityRes {
     // to near pairs (distance ≤ 2) so the output is decision-sized:
     // matches, plus the distance-2 near-misses a threshold review would
     // look at. Levenshtein runs ONLY on in-block pairs — the blocked
-    // join IS the guard that keeps the quadratic scorer affordable.
+    // join IS the guard that keeps the quadratic scorer affordable —
+    // and the block key is the corpus-SCALED one ([[scaledKeyed]]): its
+    // digit-count grows with the corpus so per-block work is O(1) at
+    // any scale (measured envelope 0.33/1.00 across the sf1.0 segments,
+    // vs 1.17 for the fixed key now demoted to er_pairs_fixedkey_demo).
     Q("er_pairs",
       (s, dir) => scoredPairs(s, dir).filter(col("name_dist") <= 2),
       Some(s"""
@@ -528,14 +543,14 @@ object EntityRes {
     // One row a pipeline owner reads after a linkage run: corpus size,
     // blocking fan-in, candidate/match volume, entity formation, and the
     // largest merged entity (the FP-chain alarm). Composed from the SAME
-    // keyed/scoredPairs/Components definitions as the detail views —
+    // scaledKeyed/scoredPairs/Components definitions as the detail views —
     // coherence with er_blocking/er_entities is spec-enforced — so the
     // card cannot disagree with the tables it summarizes. Three
     // model-sized aggregate sides cross into the single row (the
     // allowlisted dq_expectations shape).
     Q("er_report",
       (s, dir) => {
-        val k = keyed(records(s, dir))
+        val k = scaledKeyed(records(s, dir))
         val sp = scoredPairsOf(k).materialize()
         val blocks = k.agg(count(lit(1)).as("n_records"),
           countDistinct(col("bk")).as("n_blocks"))
@@ -561,6 +576,69 @@ object EntityRes {
         WITH $scoredPairsSql,
         blocks_a AS (
           SELECT count(*) AS n_records, count(DISTINCT bk) AS n_blocks
+          FROM skeyed),
+        pairs_a AS (
+          SELECT count(*) AS n_candidates,
+                 CAST(sum(is_match) AS BIGINT) AS n_matches
+          FROM pairs),
+        cand AS (
+          SELECT rec_a AS doc_a, rec_b AS doc_b FROM pairs
+          WHERE is_match = 1),
+        ${graft.ops.Components.labelSql(3)},
+        szs AS (SELECT cluster_id, count(*) AS sz FROM l3 GROUP BY 1),
+        ent_a AS (
+          SELECT count(*) AS n_entities_multi,
+                 CAST(sum(sz) AS BIGINT) AS n_linked_records,
+                 max(sz) AS largest_entity
+          FROM szs)
+        SELECT n_records, n_blocks, n_candidates, n_matches,
+               n_entities_multi, n_linked_records,
+               n_records - n_linked_records AS n_singletons,
+               largest_entity
+        FROM blocks_a CROSS JOIN pairs_a CROSS JOIN ent_a""")),
+
+    // ---- the linkage card on the FIXED 2-digit key: a DEMONSTRATION --------
+    // The old er_report lineage, demoted to an explicitly-named demo
+    // (r15 verdict task 2): the UNCAPPED scorer under the fixed key
+    // measured scaling exponent ~1.46 at the sf1.0 amplification
+    // (BASELINE.md "sf1.0 scaling") — Σ|block|² under fixed selectivity
+    // is quadratic in corpus size by construction. Kept so the failure
+    // mode stays measured; the default er_report above runs the
+    // corpus-scaled key.
+    Q("er_report_fixedkey_demo",
+      (s, dir) => {
+        val k = keyed(records(s, dir))
+        val sp = scoredPairsOf(k).materialize()
+        val blocks = k.agg(count(lit(1)).as("n_records"),
+          countDistinct(col("bk")).as("n_blocks"))
+        val pairsAgg = sp.agg(count(lit(1)).as("n_candidates"),
+          sum(col("is_match")).as("n_matches"))
+        val entAgg = graft.ops.Components.label(
+            sp.filter(col("is_match") === 1)
+              .select(col("rec_a").as("doc_a"), col("rec_b").as("doc_b")),
+            rounds = 3)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_entities_multi"),
+            sum(col("sz")).as("n_linked_records"),
+            max(col("sz")).as("largest_entity"))
+        blocks.crossJoin(pairsAgg).crossJoin(entAgg)
+          .select(col("n_records"), col("n_blocks"), col("n_candidates"),
+            col("n_matches"), col("n_entities_multi"),
+            col("n_linked_records"),
+            (col("n_records") - col("n_linked_records"))
+              .as("n_singletons"),
+            col("largest_entity"))
+      },
+      Some(s"""
+        WITH $recordsSql, $keyedSql,
+        pairs AS (
+          SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 CAST(levenshtein(a.norm, b.norm) <= 1 AS BIGINT)
+                   AS is_match
+          FROM keyed a JOIN keyed b
+            ON a.bk = b.bk AND a.rec_id < b.rec_id),
+        blocks_a AS (
+          SELECT count(*) AS n_records, count(DISTINCT bk) AS n_blocks
           FROM keyed),
         pairs_a AS (
           SELECT count(*) AS n_candidates,
@@ -583,15 +661,13 @@ object EntityRes {
         FROM blocks_a CROSS JOIN pairs_a CROSS JOIN ent_a""")),
 
     // ---- the linkage card on the CAPPED lineage (the 100 TB path) ----------
-    // er_report composes the UNCAPPED scored lineage — measured at
-    // scaling exponent ~1.46 in the sf1.0 bench (BASELINE.md "sf1.0
-    // scaling"): Σ|block|² under a fixed-selectivity blocking key is
-    // quadratic in corpus size by construction. This is the same card
-    // over the BlockCap-capped lineage (measured exponent 0.26) — the
-    // path a production run takes when key selectivity can't be
-    // trusted — with the truncation economics IN the card (n_kept /
-    // n_capped_out), so the cap is never silent: capped-out records are
-    // accounted as singletons, exactly the cappedKeyed contract.
+    // The same card over the BlockCap-capped lineage (measured exponent
+    // 0.26) — the path a production run takes when key selectivity
+    // can't be trusted (the OTHER arm of the operating rule next to the
+    // scaled key the default er_report now runs) — with the truncation
+    // economics IN the card (n_kept / n_capped_out), so the cap is
+    // never silent: capped-out records are accounted as singletons,
+    // exactly the cappedKeyed contract.
     Q("er_report_capped",
       (s, dir) => {
         val k = keyed(records(s, dir))

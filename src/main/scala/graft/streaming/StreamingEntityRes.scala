@@ -37,6 +37,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * output appends BEFORE the index grows, so an at-least-once replay
   * re-links against a pre-batch index and re-appends the same rows
   * (removed by the standard idempotent-consumer `dropDuplicates`).
+  *
+  * BLOCKING-KEY CONTRACT under a growing corpus (r15 verdict task 6):
+  * the batch family's default key is the corpus-SCALED one
+  * ([[EntityRes.scaledKeyed]] — digit-count grows with corpus size),
+  * but this streaming path deliberately runs the FIXED
+  * [[EntityRes.keyed]]. A scaled key is a function of n_corpus; in a
+  * stream the corpus GROWS, so at every digit-threshold crossing every
+  * previously-assigned block id becomes stale — and an APPEND-ONLY
+  * first-come index cannot re-block without rewriting committed
+  * history (the one thing this design promises never to do). The
+  * consequences, pinned by StreamingEntityResSpec's crossing test:
+  *   - assignments are STABLE across a crossing (batch-1 rows keep
+  *     their entities no matter how large the corpus grows);
+  *   - refinement holds against the batch FIXED-key lineage at any
+  *     corpus size (streamed edges use exactly the fixed-key blocked
+  *     predicate);
+  *   - past a crossing the batch SCALED-key clustering can be strictly
+  *     finer: a pair sharing the fixed 2-digit block at distance ≤ 1
+  *     but differing in the 3rd digit streams into one entity while
+  *     the scaled batch keeps them apart. A deployment therefore picks
+  *     this path's key selectivity A PRIORI for the expected final
+  *     corpus (more digits / composite fields), or bounds per-block
+  *     cost with the capped lineage — it never re-keys a live index.
   */
 object StreamingEntityRes {
 

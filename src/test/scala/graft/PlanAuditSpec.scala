@@ -49,11 +49,13 @@ class PlanAuditSpec extends SparkSpec {
       "er_match",
       // the 1-row broadcast corpus-count total crossing the records
       // frame to size the scaled blocking key's digit count (the
-      // txt_surprisal corpus-total shape)
-      "er_pairs_scaledkey",
+      // txt_surprisal corpus-total shape) — the DEFAULT family lineage
+      // since r16, so every scoredPairs consumer carries it
+      "er_pairs", "er_entities", "er_golden",
       // three 1-row aggregate sides (blocking, pairs, entities) crossing
-      // into the one-row linkage data card (same shape)
-      "er_report",
+      // into the one-row linkage data card (same shape; the fixed-key
+      // demo card keeps the old report's aggregate-cross shape)
+      "er_report", "er_report_fixedkey_demo",
       // the same card over the capped lineage: four 1-row sides
       // (blocking, kept-count, pairs, entities) crossing into one row
       "er_report_capped",

@@ -65,16 +65,17 @@ class Round15OpsInvariantsSpec extends SparkSpec {
       s"max block grew $mS → $mB under the scaled key")
   }
 
-  test("er_pairs_scaledkey at sf0.001 resolves to the er_pairs key " +
-      "(digits=2) and finds the same pairs") {
+  test("the default er_pairs (scaled key) at sf0.001 resolves to the " +
+      "fixed-key demo's 2-digit key and finds the same pairs") {
     val sfDir = "/root/testdata/sf0.001"
-    val scaled = graft.SparkEntry.queries("er_pairs_scaledkey")(
+    val scaled = graft.SparkEntry.queries("er_pairs")(
       spark, sfDir).select("rec_a", "rec_b")
       .as[(Long, Long)].collect().toSet
-    val fixed = graft.SparkEntry.queries("er_pairs")(spark, sfDir)
+    val fixed = graft.SparkEntry.queries("er_pairs_fixedkey_demo")(
+      spark, sfDir)
       .select("rec_a", "rec_b").as[(Long, Long)].collect().toSet
     // at this corpus size the formula yields 2 digits — the exact
-    // er_pairs key — so the pair sets must coincide (the "floor
+    // fixed key — so the pair sets must coincide (the "floor
     // behavior pinned by the oracle gate" claim in the scaladoc)
     assert(scaled === fixed)
     assert(scaled.nonEmpty)
