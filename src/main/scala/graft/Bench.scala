@@ -82,8 +82,7 @@ object Bench {
     val medianMilli =
       if (fullRun) { val s = millis.sorted; s(s.size / 2) }
       else 1000L
-    val effThreshold = math.max(thresholdMilli,
-      thresholdMilli * math.max(medianMilli, 1000L) / 1000L)
+    val effThreshold = effectiveThreshold(thresholdMilli, medianMilli)
     val suspectNames = rows.collect {
       case (n, _, Some(m)) if m >= effThreshold => n
     }
@@ -125,6 +124,60 @@ object Bench {
       s""""improved":${improved.mkString("[", ",", "]")},""" +
       s""""new":${fresh.mkString("[", ",", "]")},""" +
       s""""queries":${rows.map(_._2).mkString("{", ",", "}")}}"""
+  }
+
+  private[graft] def effectiveThreshold(thresholdMilli: Long,
+      medianMilli: Long): Long =
+    math.max(thresholdMilli,
+      thresholdMilli * math.max(medianMilli, 1000L) / 1000L)
+
+  /** This run's newly-flagged suspects with their per-mille ratios —
+    * the same computation trendJson records, exposed so main can
+    * auto-adjudicate them (r15 verdict task 4) without re-parsing the
+    * trend artifact.
+    */
+  private[graft] def freshSuspects(cur: Seq[(String, Double)],
+      base: Map[String, Double], thresholdMilli: Long = 1500L,
+      fullSurface: Boolean = true): Seq[(String, Long)] = {
+    val ratios = cur.flatMap { case (n, v) =>
+      base.get(n).filter(_ > 0).map(b => n -> (v * 1000 / b).toLong)
+    }
+    val fullRun = fullSurface && ratios.size >= 30
+    val medianMilli =
+      if (fullRun) { val s = ratios.map(_._2).sorted; s(s.size / 2) }
+      else 1000L
+    val eff = effectiveThreshold(thresholdMilli, medianMilli)
+    ratios.filter(_._2 >= eff).sortBy(-_._2)
+  }
+
+  /** The probe.sh adjudication rule as a pure function (spec-pinned):
+    * the window's environment factor is the median control
+    * ratio-to-floor; a suspect whose fresh re-measured ratio divided by
+    * that factor still breaches 2.0× is CONFIRMed as code, anything
+    * less is the window. Returns the probe artifact JSON.
+    */
+  private[graft] def adjudicationJson(
+      suspects: Seq[(String, Double, Double)], // (name, freshMin, floor)
+      controlRatios: Seq[Double], sf: String): String = {
+    val sortedCtl = controlRatios.sorted
+    val env =
+      if (sortedCtl.isEmpty) 1.0 else sortedCtl(sortedCtl.size / 2)
+    val rows = suspects.map { case (n, fresh, floor) =>
+      val raw = if (floor > 0) fresh / floor else 0.0
+      val adj = raw / math.max(env, 0.01)
+      val verdict = if (adj >= 2.0) "CONFIRM" else "clear"
+      "\"" + n + "\":{\"fresh_min\":" + fresh + ",\"floor\":" + floor +
+        ",\"raw_milli\":" + (raw * 1000).toLong +
+        ",\"adj_milli\":" + (adj * 1000).toLong +
+        ",\"verdict\":\"" + verdict + "\"}"
+    }
+    val confirmed = suspects.count { case (_, fresh, floor) =>
+      floor > 0 && fresh / floor / math.max(env, 0.01) >= 2.0
+    }
+    s"""{"sf":"$sf","env_factor_milli":${(env * 1000).toLong},""" +
+      s""""n_controls":${controlRatios.size},""" +
+      s""""verdict":"${if (confirmed > 0) "CONFIRMED" else "all-clear"}",""" +
+      s""""suspects":${rows.mkString("{", ",", "}")}}"""
   }
 
   /** Previous run's suspect set from the bench_trend.json about to be
@@ -323,9 +376,56 @@ object Bench {
         s""""variance":$vars,"passes":$passes,""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(outPath, json + "\n")
+    val baselineNow = readBaseline(Paths.get("bench_baseline.json"))
     Files.writeString(trendPath,
-      trendJson(ok, readBaseline(Paths.get("bench_baseline.json")),
-        priorSuspects, sfDir, fullSurface = fullSurface) + "\n")
+      trendJson(ok, baselineNow, priorSuspects, sfDir,
+        fullSurface = fullSurface) + "\n")
+    // ---- suspect auto-adjudication (r15 verdict task 4) -------------------
+    // A full run that flags suspects used to leave adjudication to a
+    // by-hand probe.sh next session; the closing artifact then carried
+    // unexplained ≥2× flags. Now the run adjudicates itself: re-measure
+    // the flagged queries INTERLEAVED with stable controls in this same
+    // JVM (a fresh sample ~minutes after the main passes — a transient
+    // burst that inflated the main sample has usually moved on), divide
+    // out the window's environment factor (median control
+    // ratio-to-floor), and write the verdict beside the trend. Bounded:
+    // ≤8 worst suspects, 6 controls, 2 passes. Only for the real sf0.1
+    // chain (prefix empty) on a full surface; SPARK_GRAFT_PROBE=0 skips.
+    val probeOn = fullSurface && prefix.isEmpty && failed.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_PROBE").contains("0")
+    if (probeOn) {
+      val fresh = freshSuspects(ok, baselineNow, fullSurface = fullSurface)
+      if (fresh.nonEmpty) {
+        val targets = fresh.take(8).map(_._1)
+        val targetSet = targets.toSet
+        val controls = baselineNow.toSeq
+          .filter { case (n, v) =>
+            !targetSet(n) && v >= 0.2 && v <= 1.0 &&
+              SparkEntry.queries.contains(n)
+          }
+          .map(_._1).sorted match {
+            case cands =>
+              val step = math.max(1, cands.size / 6)
+              cands.grouped(step).map(_.head).take(6).toSeq
+          }
+        def time(name: String): Double = {
+          val t0 = System.nanoTime()
+          try materialize(name) catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val order = targets ++ controls
+        val probeSamples = (1 to 2).map(_ => order.map(n => n -> time(n)))
+          .flatten.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+        val ctlRatios = controls.flatMap(c =>
+          baselineNow.get(c).filter(_ > 0).map(f => probeSamples(c) / f))
+        val probeJson = adjudicationJson(
+          targets.map(t => (t, probeSamples(t), baselineNow.getOrElse(t, 0.0))),
+          ctlRatios, sfDir)
+        Files.writeString(Paths.get(s"${prefix}probe_adjudication.json"),
+          probeJson + "\n")
+        System.err.println(s"[bench] probe adjudication: $probeJson")
+      } else Files.deleteIfExists(Paths.get(s"${prefix}probe_adjudication.json"))
+    }
     // The driver captures only the TAIL (~2 KB) of stdout: the full
     // per-query line above is ~25 KB, so its head — and with it the
     // {"metric": prefix the parser keys on — fell outside the window in
@@ -348,11 +448,17 @@ object Bench {
   private[graft] val Headline: Seq[String] = Seq(
     "q1_agg", "q25_profile", "q27_bloom_join",
     "dd_lsh_sweep", "dd_clean_corpus", "dd_minhash_lsh", "dd_exact",
-    "er_report", "er_entities", "er_pairs_scaledkey",
+    // r16: dd_substring joins the scaling set — the 50-token rolling-
+    // hash dedup is the text family's likeliest hidden super-linear term
+    "dd_substring",
+    "er_report", "er_entities", "er_pairs",
     "sim_ivfpq", "sim_mmr",
     "txt_bigram_lm", "txt_bm25",
     "ev_sessionize", "ev_asof_native",
     "mm_audio_clusters", "mm_asset_dedup",
+    // r16: the DF-capped inverted-index video alignment — the structure
+    // most likely to hide a super-linear term under a hot frame-hash
+    "mm_video_neardup",
     "dq_expectations",
     "ref_crop_video", "ref_tfrecord_roundtrip")
 

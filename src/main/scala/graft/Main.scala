@@ -218,7 +218,8 @@ object Main {
     val (listing, decoder) = cli.inputDir match {
       // real files: distributed glob + the content-magic router. The
       // pure-JVM decoders (y4m, MJPEG-AVI, MJPEG-mp4 incl. fragmented,
-      // PNG, codec-free mp4 metadata) real-decode what they recognize;
+      // Matroska/WebM, PNG, codec-free mp4+mkv metadata) real-decode
+      // what they recognize;
       // only an unrecognized container / real codec reaches the
       // env-gated FFmpeg-or-synthetic seam — previously the CLI
       // bypassed the routers entirely and a JavaCV-less JVM silently

@@ -36,7 +36,13 @@ object Components {
     // `pairs` twice, and without truncation the (expensive) candidate-
     // generation DAG upstream would execute once per reference.
     val p = pairs.materialize()
-    // symmetric edge list + self-loops (keeps isolated-after-dedup rows)
+    // symmetric edge list + self-loops (keeps isolated-after-dedup rows).
+    // Deliberately NOT pre-partitioned on dst like labelUntilConverged's:
+    // measured r16 A/B (PLAN_AUDIT.md) — with only `rounds` fixed
+    // iterations over the near-dup-pair-sized frames this function sees,
+    // the upfront exchange is a wash-to-slight-regression (dd_clusters
+    // control-adjusted 1.05× WORSE), because AQE can broadcast the label
+    // side and then the edges never needed a shuffle at all.
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .materialize()
@@ -95,9 +101,26 @@ object Components {
     */
   def labelUntilConverged(pairs: DataFrame, maxRounds: Int): LabelResult = {
     val p = pairs.materialize()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .materialize()
+    val spark = p.sparkSession
+    // Pre-partition the (round-invariant) edge list on the join key ONCE
+    // — r15 verdict nit: without a pinned dst partitioning every
+    // pointer-doubling round re-exchanges the edges, the loop's largest
+    // frame. Under AQE the checkpoint's LogicalRDD loses the
+    // partitioning (it is captured from the not-yet-finalized adaptive
+    // plan → UnknownPartitioning, measured — Round16OpsInvariantsSpec),
+    // so it is re-claimed through the bridge with exactly the (cols, n)
+    // just materialized; each round's neighbor join then sees
+    // hash(dst, N) satisfied and only the (unavoidable, changes-every-
+    // round) label side exchanges. EXPLICIT count, not repartition(col):
+    // AQE would size-coalesce the few-MB edge frame blind to the join
+    // fan-out downstream (the er scorer lesson).
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = org.apache.spark.sql.GraftBridge.reclaimHashPartitioning(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(n, col("dst"))
+        .materialize(),
+      Seq("dst"), n)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))

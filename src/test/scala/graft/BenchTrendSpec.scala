@@ -251,6 +251,45 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.readBaseline(p) === Map("q_slow" -> 0.6, "q_fast" -> 0.2))
   }
 
+  test("freshSuspects mirrors trendJson's flagging: fleet-median-" +
+      "relative on full runs, absolute on subsets, worst first") {
+    // 30 baselined queries at ratio 1.0 + two breachers → median 1000,
+    // eff threshold 1500 → both flagged, worst first
+    val base = (1 to 30).map(i => s"q$i" -> 1.0).toMap +
+      ("slow_a" -> 1.0) + ("slow_b" -> 1.0)
+    val cur = (1 to 30).map(i => s"q$i" -> 1.0) ++
+      Seq("slow_a" -> 1.6, "slow_b" -> 2.4)
+    val got = Bench.freshSuspects(cur, base)
+    assert(got.map(_._1) === Seq("slow_b", "slow_a"))
+    // a uniformly-inflated window (every query 1.6×) flags NOTHING on a
+    // full run (median normalizes) ...
+    val noisy = (1 to 30).map(i => s"q$i" -> 1.6) :+ ("slow_a" -> 1.6)
+    assert(Bench.freshSuspects(noisy, base).isEmpty)
+    // ... but a subset keeps the absolute threshold
+    assert(Bench.freshSuspects(Seq("slow_a" -> 1.6), base,
+      fullSurface = false).map(_._1) === Seq("slow_a"))
+  }
+
+  test("adjudicationJson applies the probe.sh rule: divide the fresh " +
+      "ratio by the median control factor, CONFIRM only past 2x") {
+    // window env 1.6× (controls), suspect A re-measures at 1.8× raw
+    // (window noise → clear), suspect B at 4.0× raw (2.5× adjusted →
+    // CONFIRM)
+    val json = Bench.adjudicationJson(
+      Seq(("a", 1.8, 1.0), ("b", 4.0, 1.0)),
+      Seq(1.5, 1.6, 1.7), "/sf")
+    assert(json.contains(""""env_factor_milli":1600"""))
+    assert(json.contains(""""a":{"fresh_min":1.8,"floor":1.0,""" +
+      """"raw_milli":1800,"adj_milli":1125,"verdict":"clear"}"""))
+    assert(json.contains(""""b":{"fresh_min":4.0,"floor":1.0,""" +
+      """"raw_milli":4000,"adj_milli":2500,"verdict":"CONFIRM"}"""))
+    assert(json.contains(""""verdict":"CONFIRMED""""))
+    // all-clear shape, and no controls → env 1.0
+    val clear = Bench.adjudicationJson(Seq(("a", 1.8, 1.0)), Nil, "/sf")
+    assert(clear.contains(""""env_factor_milli":1000"""))
+    assert(clear.contains(""""verdict":"all-clear""""))
+  }
+
   test("the committed baseline covers the live query surface") {
     val m = Bench.readBaseline(Paths.get("bench_baseline.json"))
     assert(m.nonEmpty)
