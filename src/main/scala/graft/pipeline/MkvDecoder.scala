@@ -85,6 +85,7 @@ object MkvFrameDecoder {
   private val IdVideo = 0xe0L
   private val IdPixelWidth = 0xb0L
   private val IdPixelHeight = 0xbaL
+  private val IdColourSpace = 0x2eb524L
   private val IdCluster = 0x1f43b675L
   private val IdClusterTs = 0xe7L
   private val IdSimpleBlock = 0xa3L
@@ -92,7 +93,7 @@ object MkvFrameDecoder {
   private val IdBlock = 0xa1L
 
   private final case class Track(w: Int, h: Int, codecId: String,
-      trackNum: Long, defaultDurationNs: Long,
+      colourSpace: String, trackNum: Long, defaultDurationNs: Long,
       samples: Array[(Long, Int)], // (absolute offset, byte length)
       starts: Array[Long], // start time per frame, NANOSECONDS
       durationNs: Long)
@@ -194,12 +195,12 @@ object MkvFrameDecoder {
   }
 
   private final case class TrackHeader(num: Long, codecId: String,
-      w: Int, h: Int, defaultDurationNs: Long)
+      colourSpace: String, w: Int, h: Int, defaultDurationNs: Long)
 
   private def parseTrackEntry(filename: String, b: Array[Byte], off: Int,
       len: Int): Option[TrackHeader] = {
     var num = 0L; var typ = 0L; var codec = ""; var defDur = 0L
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var cspace = ""
     walk(filename, b, off, off + len) { (id, o, l) =>
       id match {
         case IdTrackNumber => num = uint(filename, b, o, l)
@@ -210,11 +211,14 @@ object MkvFrameDecoder {
           walk(filename, b, o, o + l) { (vid, vo, vl) =>
             if (vid == IdPixelWidth) w = uint(filename, b, vo, vl).toInt
             else if (vid == IdPixelHeight) h = uint(filename, b, vo, vl).toInt
+            else if (vid == IdColourSpace)
+              cspace = new String(b, vo, vl, "US-ASCII").trim
           }
         case _ => ()
       }
     }
-    if (typ == 1) Some(TrackHeader(num, codec, w, h, defDur)) else None
+    if (typ == 1) Some(TrackHeader(num, codec, cspace, w, h, defDur))
+    else None
   }
 
   /** One block's frames: append (offset, len, startNs) per laced frame.
@@ -367,6 +371,7 @@ object MkvFrameDecoder {
           val tr = track.getOrElse(throw new IllegalArgumentException(
             s"$filename: mkv Cluster before any video TrackEntry"))
           var clusterTs = 0L
+          var blockSeen = false
           walk(filename, b, o, o + l) { (cid, co, cl) =>
             cid match {
               // a segment-level id INSIDE a cluster's bounds means an
@@ -380,11 +385,20 @@ object MkvFrameDecoder {
                 throw new IllegalArgumentException(s"$filename: segment-" +
                   "level element inside a Cluster — an unknown-size " +
                   "Cluster followed by a sibling is unsupported")
-              case IdClusterTs => clusterTs = uint(filename, b, co, cl)
+              case IdClusterTs =>
+                // RFC 9559 puts the Timestamp first in its Cluster; a
+                // Timestamp arriving AFTER blocks would mean the blocks
+                // above were silently based on the wrong (zero) cluster
+                // time — fail typed, never mis-time frames
+                require(!blockSeen, s"$filename: Cluster Timestamp " +
+                  "after its blocks — earlier frames would be mis-based")
+                clusterTs = uint(filename, b, co, cl)
               case IdSimpleBlock =>
+                blockSeen = true
                 count = parseBlock(filename, b, co, cl, tr, clusterTs,
                   scaleNs, maxFrames, frames, starts, count)
               case IdBlockGroup =>
+                blockSeen = true
                 walk(filename, b, co, co + cl) { (gid, go, gl) =>
                   if (gid == IdBlock)
                     count = parseBlock(filename, b, go, gl, tr, clusterTs,
@@ -416,8 +430,8 @@ object MkvFrameDecoder {
       else if (startArr.isEmpty) 0L
       else startArr.last +
         (if (th.defaultDurationNs > 0) th.defaultDurationNs else scaleNs)
-    Track(th.w, th.h, th.codecId, th.num, th.defaultDurationNs,
-      frames.result(), startArr, durationNs)
+    Track(th.w, th.h, th.codecId, th.colourSpace, th.num,
+      th.defaultDurationNs, frames.result(), startArr, durationNs)
   }
 
   /** Frame index whose [start, next-start) covers `t` ns — binary
@@ -433,6 +447,24 @@ object MkvFrameDecoder {
     lo
   }
 
+  /** One raw I420 frame → RGB floats, via the y4m converter (the frame
+    * bytes ARE a C420 y4m frame body). Same fail-typed bounds rule as
+    * the JPEG path: offsets are attacker-controlled file content.
+    */
+  private def i420ToRgb(filename: String, b: Array[Byte], off: Long,
+      len: Int, w: Int, h: Int): Array[Float] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"$filename: I420 needs positive even dimensions, got ${w}x$h")
+    val expect = w * h + 2 * ((w / 2) * (h / 2))
+    require(len == expect,
+      s"$filename: I420 frame of $len bytes (expected $expect for ${w}x$h)")
+    require(off >= 0 && off <= b.length - len,
+      s"$filename: mkv frame [$off, +$len) overruns the ${b.length}-byte " +
+        "file")
+    Y4MFrameDecoder.toRgb(b, off.toInt,
+      Y4MFrameDecoder.Header(w, h, 1L, 1L, "420mpeg2", 0))
+  }
+
   private[pipeline] def decode(filename: String, content: Array[Byte],
       sampleRateMs: Long, withPixels: Boolean,
       fallback: FrameDecoder): Iterator[DecodedFrame] = {
@@ -442,7 +474,13 @@ object MkvFrameDecoder {
         filename.stripPrefix("file:")))
     require(sniff(bytes), s"$filename: not an EBML/Matroska stream")
     val track = parseVideoTrack(filename, bytes)
-    if (withPixels && track.codecId != "V_MJPEG") {
+    // pure-JVM pixel paths: independent JPEGs (V_MJPEG) and raw planar
+    // YUV 4:2:0 (V_UNCOMPRESSED with ColourSpace I420 — the y4m frame
+    // body in a Matroska wrapper; same BT.601 limited-range conversion,
+    // shared with Y4MFrameDecoder so the colorspace math has one home)
+    val rawI420 = track.codecId == "V_UNCOMPRESSED" &&
+      track.colourSpace == "I420"
+    if (withPixels && track.codecId != "V_MJPEG" && !rawI420) {
       // real codec (V_MPEG4/ISO/AVC, V_VP9, …): PIXELS need the
       // env-gated seam — never mis-decode, never fabricate here.
       // METADATA does not: the cluster/block timestamps already served
@@ -470,8 +508,11 @@ object MkvFrameDecoder {
         else {
           if (idx != cachedIdx) {
             val (off, len) = track.samples(idx)
-            cached = Mp4FrameDecoder.jpegToRgb(filename, bytes, off, len,
-              track.w, track.h)
+            cached =
+              if (rawI420) i420ToRgb(filename, bytes, off, len,
+                track.w, track.h)
+              else Mp4FrameDecoder.jpegToRgb(filename, bytes, off, len,
+                track.w, track.h)
             cachedIdx = idx
           }
           cached
@@ -525,7 +566,8 @@ object MkvFrameDecoder {
       docType: String = "matroska",
       framesPerCluster: Int = 2,
       lacing: Int = 0,
-      blockGroups: Boolean = false): Array[Byte] = {
+      blockGroups: Boolean = false,
+      colourSpace: String = ""): Array[Byte] = {
     require(framesPerCluster >= 1, "framesPerCluster must be >= 1")
     require(lacing >= 0 && lacing <= 3, "lacing must be 0..3")
     require(lacing != 2 || jpegFrames.map(_.length).distinct.size <= 1,
@@ -554,7 +596,10 @@ object MkvFrameDecoder {
         el(IdDefaultDuration, uintBytes(defaultDurNs)) ++
         el(IdVideo,
           el(IdPixelWidth, uintBytes(w.toLong)) ++
-            el(IdPixelHeight, uintBytes(h.toLong)))))
+            el(IdPixelHeight, uintBytes(h.toLong)) ++
+            (if (colourSpace.isEmpty) Array.emptyByteArray
+             else el(IdColourSpace,
+               colourSpace.getBytes("US-ASCII"))))))
     def tsOf(i: Int): Long = math.round(i * frameMs)
     def simpleBlock(relTs: Long, body: Array[Byte],
         flags: Int): Array[Byte] = {

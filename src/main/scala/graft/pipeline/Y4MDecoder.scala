@@ -43,8 +43,11 @@ object Y4MFrameDecoder {
     content != null && content.length > Magic.length &&
       Magic.indices.forall(i => content(i) == Magic(i))
 
-  private final case class Header(w: Int, h: Int, fpsNum: Long, fpsDen: Long,
-      colorspace: String, bodyStart: Int) {
+  // private[pipeline]: the Matroska V_UNCOMPRESSED path reuses the same
+  // planar-YUV→RGB conversion (an mkv "I420" frame IS a y4m C420 frame
+  // body), so the colorspace math lives in exactly one place
+  private[pipeline] final case class Header(w: Int, h: Int, fpsNum: Long,
+      fpsDen: Long, colorspace: String, bodyStart: Int) {
     val ySize: Int = w * h
     val cSize: Int = colorspace match {
       case "mono" => 0
@@ -120,7 +123,8 @@ object Y4MFrameDecoder {
   /** One frame's planar YUV → interleaved normalized RGB floats.
     * BT.601; limited range (16-235 luma) except the jpeg variant.
     */
-  private def toRgb(content: Array[Byte], off: Int, hdr: Header): Array[Float] = {
+  private[pipeline] def toRgb(content: Array[Byte], off: Int,
+      hdr: Header): Array[Float] = {
     val w = hdr.w; val h = hdr.h
     val px = new Array[Float](w * h * 3)
     val uOff = off + hdr.ySize

@@ -216,6 +216,81 @@ class MkvFrameSpec extends SparkSpec {
       eS.getMessage.contains("runs past"))
   }
 
+  test("V_UNCOMPRESSED/I420 real-decodes raw planar YUV — pixel-" +
+      "identical to the same frame bytes in a y4m wrapper") {
+    // two 4x4 I420 frames: distinguishable luma, fixed neutral chroma
+    def i420(luma: Int): Array[Byte] = {
+      val f = new Array[Byte](4 * 4 + 2 * (2 * 2))
+      java.util.Arrays.fill(f, 0, 16, luma.toByte)
+      java.util.Arrays.fill(f, 16, 24, 128.toByte)
+      f
+    }
+    val frames = Seq(i420(60), i420(190))
+    val mkv = MkvFrameDecoder.write(4, 4, 2, 1, frames,
+      codecId = "V_UNCOMPRESSED", colourSpace = "I420")
+    val y4m = Y4MFrameDecoder.write(4, 4, 2, 1, "420mpeg2", frames)
+    val dec = new MkvFrameDecoder(fallback = new SyntheticFrameDecoder())
+    val got = dec.decode("t.mkv", mkv, 500).toSeq
+    val want = new Y4MFrameDecoder().decode("t.y4m", y4m, 500).toSeq
+    assert(got.size === 2)
+    assert(got.map(_.timestampMs) === want.map(_.timestampMs))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.image.toSeq === w.image.toSeq)
+    }
+    assert(got(1).image(0) > got(0).image(0) + 0.3f)
+    // a V_UNCOMPRESSED track with an UNSUPPORTED fourcc still routes
+    // pixels to the seam instead of mis-decoding; a wrong-size frame
+    // under I420 fails typed
+    val odd = MkvFrameDecoder.write(4, 4, 2, 1, frames,
+      codecId = "V_UNCOMPRESSED", colourSpace = "YUY2")
+    assert(dec.decode("o.mkv", odd, 500).toSeq.head.width === 8) // synth
+    val short = MkvFrameDecoder.write(4, 4, 2, 1,
+      Seq(Array.tabulate[Byte](10)(_.toByte)),
+      codecId = "V_UNCOMPRESSED", colourSpace = "I420")
+    val e = intercept[IllegalArgumentException](
+      dec.decode("s.mkv", short, 500).toSeq)
+    assert(e.getMessage.contains("I420 frame"))
+  }
+
+  test("a Cluster Timestamp AFTER its blocks fails typed (frames would " +
+      "be silently mis-based on cluster time zero)") {
+    // 2 frames in cluster 2 (ts=1000): swap the ClusterTs element and
+    // the first block within the cluster payload — sizes unchanged, so
+    // the container stays structurally valid but the blocks now precede
+    // their timestamp
+    val two = MkvFrameDecoder.write(4, 4, 2, 1,
+      jpegs(Seq(0.2f, 0.4f, 0.6f, 0.8f)), framesPerCluster = 2)
+    val c2 = {
+      val c1 = findPat(two, Array(0x1f, 0x43, 0xb6.toByte, 0x75))
+      findPat(two, Array(0x1f, 0x43, 0xb6.toByte, 0x75), c1 + 4)
+    }
+    val szLen = java.lang.Integer.numberOfLeadingZeros(
+      two(c2 + 4) & 0xff) - 23
+    val tsAt = c2 + 4 + szLen
+    assert((two(tsAt) & 0xff) === 0xe7)
+    val tsLen = 2 + ((two(tsAt + 1) & 0xff) - 0x80) // id + size + payload
+    val blockAt = tsAt + tsLen
+    assert((two(blockAt) & 0xff) === 0xa3)
+    val blkSzFirst = two(blockAt + 1) & 0xff
+    val blkSzLen = java.lang.Integer.numberOfLeadingZeros(blkSzFirst) - 23
+    val blkPayload = {
+      var v = (blkSzFirst & (0xff >>> blkSzLen)).toLong
+      for (j <- 1 until blkSzLen)
+        v = (v << 8) | (two(blockAt + 1 + j) & 0xff)
+      v.toInt
+    }
+    val blkLen = 1 + blkSzLen + blkPayload
+    val swapped = two.take(tsAt) ++
+      two.slice(blockAt, blockAt + blkLen) ++
+      two.slice(tsAt, tsAt + tsLen) ++
+      two.drop(blockAt + blkLen)
+    assert(swapped.length === two.length)
+    val dec = new MkvFrameDecoder(fallback = new SyntheticFrameDecoder())
+    val e = intercept[IllegalArgumentException](
+      dec.decode("swap.mkv", swapped, 500).toSeq)
+    assert(e.getMessage.contains("Timestamp after its blocks"))
+  }
+
   test("AutoFrameDecoder routes mkv by EBML magic, not extension") {
     val auto = new AutoFrameDecoder(fallback = new SyntheticFrameDecoder())
     val mkv = MkvFrameDecoder.write(4, 4, 2, 1, jpegs(Seq(0.9f)))
