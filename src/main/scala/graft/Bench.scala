@@ -77,15 +77,12 @@ object Bench {
     // `fullSurface` is threaded from main (SPARK_GRAFT_ONLY unset), not
     // inferred from size, so a ≥30-query biased subset can neither
     // median-normalize itself nor touch the fleet verdict below.
-    val millis = rows.collect { case (_, _, Some(m)) => m }
-    val fullRun = fullSurface && millis.size >= 30
-    val medianMilli =
-      if (fullRun) { val s = millis.sorted; s(s.size / 2) }
-      else 1000L
-    val effThreshold = effectiveThreshold(thresholdMilli, medianMilli)
-    val suspectNames = rows.collect {
-      case (n, _, Some(m)) if m >= effThreshold => n
-    }
+    val flagging = flag(cur, base, thresholdMilli, fullSurface)
+    val fullRun = fullSurface &&
+      rows.count(_._3.isDefined) >= 30
+    val medianMilli = flagging.medianMilli
+    val effThreshold = flagging.effThreshold
+    val suspectNames = flagging.suspects.map(_._1).sorted
     // The fleet-relative threshold's blind spot: a UNIFORM real
     // regression (a global config / Spark-version change slowing every
     // query ~1.8×) raises the median and flags nothing. Surface it: a
@@ -131,14 +128,18 @@ object Bench {
     math.max(thresholdMilli,
       thresholdMilli * math.max(medianMilli, 1000L) / 1000L)
 
-  /** This run's newly-flagged suspects with their per-mille ratios —
-    * the same computation trendJson records, exposed so main can
-    * auto-adjudicate them (r15 verdict task 4) without re-parsing the
-    * trend artifact.
+  /** ONE home for the flagging pipeline (ratio → fleet median → effective
+    * threshold → suspects): trendJson's artifact fields and main's
+    * auto-adjudication target set both read THIS, so they cannot drift —
+    * a probe that adjudicates a different suspect set than the trend
+    * reports would defeat its purpose.
     */
-  private[graft] def freshSuspects(cur: Seq[(String, Double)],
+  private[graft] final case class Flagging(medianMilli: Long,
+      effThreshold: Long, suspects: Seq[(String, Long)])
+
+  private[graft] def flag(cur: Seq[(String, Double)],
       base: Map[String, Double], thresholdMilli: Long = 1500L,
-      fullSurface: Boolean = true): Seq[(String, Long)] = {
+      fullSurface: Boolean = true): Flagging = {
     val ratios = cur.flatMap { case (n, v) =>
       base.get(n).filter(_ > 0).map(b => n -> (v * 1000 / b).toLong)
     }
@@ -147,8 +148,16 @@ object Bench {
       if (fullRun) { val s = ratios.map(_._2).sorted; s(s.size / 2) }
       else 1000L
     val eff = effectiveThreshold(thresholdMilli, medianMilli)
-    ratios.filter(_._2 >= eff).sortBy(-_._2)
+    Flagging(medianMilli, eff, ratios.filter(_._2 >= eff).sortBy(-_._2))
   }
+
+  /** This run's newly-flagged suspects, worst first — [[flag]]'s
+    * suspect list, the set main auto-adjudicates (r15 verdict task 4).
+    */
+  private[graft] def freshSuspects(cur: Seq[(String, Double)],
+      base: Map[String, Double], thresholdMilli: Long = 1500L,
+      fullSurface: Boolean = true): Seq[(String, Long)] =
+    flag(cur, base, thresholdMilli, fullSurface).suspects
 
   /** The probe.sh adjudication rule as a pure function (spec-pinned):
     * the window's environment factor is the median control
@@ -158,25 +167,36 @@ object Bench {
     */
   private[graft] def adjudicationJson(
       suspects: Seq[(String, Double, Double)], // (name, freshMin, floor)
-      controlRatios: Seq[Double], sf: String): String = {
+      controlRatios: Seq[Double], sf: String,
+      probeErrors: Seq[String] = Nil): String = {
     val sortedCtl = controlRatios.sorted
     val env =
       if (sortedCtl.isEmpty) 1.0 else sortedCtl(sortedCtl.size / 2)
-    val rows = suspects.map { case (n, fresh, floor) =>
+    // the CONFIRM rule is evaluated ONCE per suspect; the top-level
+    // verdict counts these same rows, so the two can never disagree
+    val judged = suspects.map { case (n, fresh, floor) =>
       val raw = if (floor > 0) fresh / floor else 0.0
       val adj = raw / math.max(env, 0.01)
-      val verdict = if (adj >= 2.0) "CONFIRM" else "clear"
+      (n, fresh, floor, raw, adj, if (adj >= 2.0) "CONFIRM" else "clear")
+    }
+    val rows = judged.map { case (n, fresh, floor, raw, adj, verdict) =>
       "\"" + n + "\":{\"fresh_min\":" + fresh + ",\"floor\":" + floor +
         ",\"raw_milli\":" + (raw * 1000).toLong +
         ",\"adj_milli\":" + (adj * 1000).toLong +
         ",\"verdict\":\"" + verdict + "\"}"
     }
-    val confirmed = suspects.count { case (_, fresh, floor) =>
-      floor > 0 && fresh / floor / math.max(env, 0.01) >= 2.0
-    }
+    val confirmed = judged.count(_._6 == "CONFIRM")
+    val errs = probeErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a probe with failures cannot claim all-clear: the failed query's
+    // verdict is UNKNOWN, not clear
+    val verdict =
+      if (confirmed > 0) "CONFIRMED"
+      else if (probeErrors.nonEmpty) "probe-errors"
+      else "all-clear"
     s"""{"sf":"$sf","env_factor_milli":${(env * 1000).toLong},""" +
       s""""n_controls":${controlRatios.size},""" +
-      s""""verdict":"${if (confirmed > 0) "CONFIRMED" else "all-clear"}",""" +
+      s""""probe_errors":$errs,""" +
+      s""""verdict":"$verdict",""" +
       s""""suspects":${rows.mkString("{", ",", "}")}}"""
   }
 
@@ -265,8 +285,11 @@ object Bench {
     // BEFORE the delete below discards the previous run's evidence
     val priorSuspects = readPriorSuspects(trendPath, sfDir)
     // a crash below must never leave a previous run's results parseable
+    // (nor may a run that SKIPS the probe leave the previous run's
+    // adjudication verdict looking current)
     Files.deleteIfExists(outPath)
     Files.deleteIfExists(trendPath)
+    Files.deleteIfExists(Paths.get(s"${prefix}probe_adjudication.json"))
 
     // dev affordance: SPARK_GRAFT_ONLY=q1_agg,dd_jaccard benches a subset.
     // Full-surface status is decided HERE (the env var's absence), not
@@ -408,19 +431,28 @@ object Bench {
               val step = math.max(1, cands.size / 6)
               cands.grouped(step).map(_.head).take(6).toSeq
           }
+        // a probe-time failure must never masquerade as a timing: a
+        // fast-throwing CONTROL would drag the env factor down (false
+        // CONFIRMs), a throwing TARGET would be timed at its
+        // time-to-throw (false clear). Failed queries drop out of the
+        // env estimate / verdict and are listed in the artifact.
+        var probeFailed = Set.empty[String]
         def time(name: String): Double = {
           val t0 = System.nanoTime()
-          try materialize(name) catch { case _: Throwable => () }
+          try materialize(name)
+          catch { case _: Throwable => probeFailed += name }
           (System.nanoTime() - t0) / 1e9
         }
         val order = targets ++ controls
         val probeSamples = (1 to 2).map(_ => order.map(n => n -> time(n)))
           .flatten.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
-        val ctlRatios = controls.flatMap(c =>
+        val ctlRatios = controls.filterNot(probeFailed).flatMap(c =>
           baselineNow.get(c).filter(_ > 0).map(f => probeSamples(c) / f))
         val probeJson = adjudicationJson(
-          targets.map(t => (t, probeSamples(t), baselineNow.getOrElse(t, 0.0))),
-          ctlRatios, sfDir)
+          targets.filterNot(probeFailed)
+            .map(t => (t, probeSamples(t), baselineNow.getOrElse(t, 0.0))),
+          ctlRatios, sfDir,
+          probeErrors = probeFailed.toSeq.sorted)
         Files.writeString(Paths.get(s"${prefix}probe_adjudication.json"),
           probeJson + "\n")
         System.err.println(s"[bench] probe adjudication: $probeJson")

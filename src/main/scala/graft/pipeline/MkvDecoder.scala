@@ -253,6 +253,14 @@ object MkvFrameDecoder {
           "its frame count")
         val n = (b(p) & 0xff) + 1
         p += 1
+        // a lace count byte of 0 (n = 1) is spec-legal: ONE frame, NO
+        // explicit sizes at all — the frame is the whole remainder.
+        // Falling through to the per-mode parsers would emit a 0-byte
+        // frame (Xiph) or misread the frame's own first bytes as a
+        // size VINT (EBML) — silently wrong frames, the one failure
+        // mode this decoder's contract forbids.
+        if (n == 1) Array(end - p)
+        else {
         val out = new Array[Int](n)
         lacing match {
           case 1 => // Xiph: 255-continued u8 sizes for the first n-1
@@ -295,14 +303,14 @@ object MkvFrameDecoder {
             }
             ()
         }
-        if (n > 1) { // last frame = remainder after the explicit sizes
-          val explicit = out.take(n - 1).foldLeft(0L)(_ + _)
-          val last = (end - p) - explicit
-          require(last >= 0, s"$filename: lace sizes overrun the block " +
-            s"by ${-last} bytes")
-          out(n - 1) = last.toInt
-        }
+        // last frame = remainder after the explicit sizes
+        val explicit = out.take(n - 1).foldLeft(0L)(_ + _)
+        val last = (end - p) - explicit
+        require(last >= 0, s"$filename: lace sizes overrun the block " +
+          s"by ${-last} bytes")
+        out(n - 1) = last.toInt
         out
+        }
     }
     var c = count
     var i = 0
@@ -628,18 +636,22 @@ object MkvFrameDecoder {
           case 2 => // fixed-size
             simpleBlock(0, Array((group.length - 1).toByte) ++
               group.toArray.flatMap(_._1), 0x04)
-          case _ => // EBML: first size a VINT, then signed deltas
+          case _ => // EBML: first size a VINT, then signed deltas —
+            // except n = 1, which carries NO explicit sizes (the count
+            // byte alone; the frame is the remainder)
             val sizes = group.map(_._1.length)
             val laceHdr = Array((group.length - 1).toByte) ++
-              vint(sizes.head.toLong) ++
-              sizes.init.zip(sizes.tail.init).flatMap { case (prev, cur) =>
-                // signed VINT: stored = delta + (2^(7·len−1) − 1); a
-                // 2-byte form covers every fixture-scale delta
-                val stored = (cur - prev).toLong + ((1L << 13) - 1)
-                val b = vint(stored)
-                require(b.length == 2, "fixture lace delta out of range")
-                b
-              }
+              (if (group.length == 1) Array.emptyByteArray
+               else vint(sizes.head.toLong) ++
+                sizes.init.zip(sizes.tail.init).flatMap {
+                  case (prev, cur) =>
+                    // signed VINT: stored = delta + (2^(7·len−1) − 1); a
+                    // 2-byte form covers every fixture-scale delta
+                    val stored = (cur - prev).toLong + ((1L << 13) - 1)
+                    val b = vint(stored)
+                    require(b.length == 2, "fixture lace delta out of range")
+                    b
+                })
             simpleBlock(0, laceHdr ++ group.toArray.flatMap(_._1), 0x06)
         }
         el(IdCluster, el(IdClusterTs, uintBytes(clusterTs)) ++ blocks)

@@ -303,7 +303,13 @@ object EntityRes {
     // narrow synthesis pass + one combinable aggregate; nothing here is
     // bigger than the block-key domain.
     Q("er_blocking",
-      (s, dir) => keyed(records(s, dir))
+      // over the corpus-SCALED key since r16 — the card describes the
+      // economics of the key the DEFAULT family lineage actually pays
+      // for (er_report's n_blocks/n_candidates stay coherent with this
+      // card at EVERY sf, not just where the keys coincide); the
+      // fixed-key+cap arm's own truncation economics live in
+      // er_report_capped's n_kept/n_capped_out columns
+      (s, dir) => scaledKeyed(records(s, dir))
         .groupBy(col("bk"))
         .agg(count(lit(1)).as("n_records"))
         .select(col("bk"), col("n_records"),
@@ -324,7 +330,7 @@ object EntityRes {
             s"(least(n_records, $BlockCap) - 1)) div 2")
             .as("n_pairs_dropped")),
       Some(s"""
-        WITH $recordsSql, $keyedSql
+        WITH $recordsSql, $scaledKeyedSql
         SELECT bk, count(*) AS n_records,
                count(*) * (count(*) - 1) // 2 AS n_pairs,
                LEAST(count(*), $BlockCap) AS n_capped,
@@ -333,7 +339,7 @@ object EntityRes {
                count(*) * (count(*) - 1) // 2 -
                  LEAST(count(*), $BlockCap) *
                  (LEAST(count(*), $BlockCap) - 1) // 2 AS n_pairs_dropped
-        FROM keyed GROUP BY bk""")),
+        FROM skeyed GROUP BY bk""")),
 
     // ---- capped scored pairs (the hot-block safety valve) -------------------
     // The SAME blocked scorer over the BlockCap-capped blocks — the

@@ -288,6 +288,16 @@ class BenchTrendSpec extends AnyFunSuite {
     val clear = Bench.adjudicationJson(Seq(("a", 1.8, 1.0)), Nil, "/sf")
     assert(clear.contains(""""env_factor_milli":1000"""))
     assert(clear.contains(""""verdict":"all-clear""""))
+    // a probe-time failure can never masquerade as clear: the failed
+    // query is listed and the top-level verdict says probe-errors
+    val errs = Bench.adjudicationJson(Seq(("a", 1.1, 1.0)),
+      Seq(1.0), "/sf", probeErrors = Seq("b"))
+    assert(errs.contains(""""probe_errors":["b"]"""))
+    assert(errs.contains(""""verdict":"probe-errors""""))
+    // ... unless another suspect genuinely CONFIRMs
+    val mix = Bench.adjudicationJson(Seq(("a", 4.0, 1.0)),
+      Seq(1.0), "/sf", probeErrors = Seq("b"))
+    assert(mix.contains(""""verdict":"CONFIRMED""""))
   }
 
   test("the committed baseline covers the live query surface") {

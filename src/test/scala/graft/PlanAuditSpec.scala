@@ -50,8 +50,9 @@ class PlanAuditSpec extends SparkSpec {
       // the 1-row broadcast corpus-count total crossing the records
       // frame to size the scaled blocking key's digit count (the
       // txt_surprisal corpus-total shape) — the DEFAULT family lineage
-      // since r16, so every scoredPairs consumer carries it
-      "er_pairs", "er_entities", "er_golden",
+      // since r16, so every scoredPairs consumer carries it (er_blocking
+      // moved to the same key so its economics describe the default)
+      "er_pairs", "er_entities", "er_golden", "er_blocking",
       // three 1-row aggregate sides (blocking, pairs, entities) crossing
       // into the one-row linkage data card (same shape; the fixed-key
       // demo card keeps the old report's aggregate-cross shape)

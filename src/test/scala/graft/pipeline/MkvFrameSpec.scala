@@ -216,6 +216,27 @@ class MkvFrameSpec extends SparkSpec {
       eS.getMessage.contains("runs past"))
   }
 
+  test("a SINGLE-frame laced block (lace count byte 0) is spec-legal: " +
+      "no explicit sizes, the frame is the whole remainder — all three " +
+      "laced modes decode it identically to the unlaced form") {
+    val frames = jpegs(Seq(0.3f, 0.7f))
+    val dec = new MkvFrameDecoder()
+    val want = dec.decode("plain.mkv",
+      MkvFrameDecoder.write(4, 4, 2, 1, frames), 500).toSeq
+    for (lace <- 1 to 3) {
+      // framesPerCluster = 1 → each block carries ONE frame but still
+      // sets the lacing flag and a 0 count byte
+      val laced = MkvFrameDecoder.write(4, 4, 2, 1, frames,
+        framesPerCluster = 1, lacing = lace)
+      val got = dec.decode(s"one$lace.mkv", laced, 500).toSeq
+      assert(got.map(_.timestampMs) === want.map(_.timestampMs),
+        s"lacing $lace")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.image.toSeq === w.image.toSeq, s"lacing $lace pixels")
+      }
+    }
+  }
+
   test("V_UNCOMPRESSED/I420 real-decodes raw planar YUV — pixel-" +
       "identical to the same frame bytes in a y4m wrapper") {
     // two 4x4 I420 frames: distinguishable luma, fixed neutral chroma
