@@ -43,6 +43,11 @@ class LauncherSmokeSpec extends AnyFunSuite {
     // real mp4 bytes under a lying .avi extension: magic must route it
     Files.write(corpus.resolve("catB/clips/v3.avi"),
       Mp4FrameDecoder.write(4, 4, 2, 1, Seq(jpeg(0.9f))))
+    // r16: Matroska — the reference filter's FIRST extension — decodes
+    // end-to-end through the same launcher (EBML magic → MkvFrameDecoder)
+    Files.write(corpus.resolve("catB/clips/v4.mkv"),
+      graft.pipeline.MkvFrameDecoder.write(4, 4, 2, 1,
+        Seq(jpeg(0.3f), jpeg(0.4f))))
     Files.write(corpus.resolve("catB/clips/readme.txt"),
       "not a video".getBytes)
 
@@ -54,9 +59,10 @@ class LauncherSmokeSpec extends AnyFunSuite {
     val log = new String(p.getInputStream.readAllBytes())
     val code = p.waitFor()
     assert(code === 0, s"launcher exited $code:\n${log.takeRight(4000)}")
-    // 2 (v1) + 3 (fragmented v2) + 1 (magic-routed v3) frames, one
-    // single_frame sample each; readme.txt filtered by extension
-    assert(log.contains("wrote 6 samples"),
-      s"expected 6 samples in:\n${log.takeRight(2000)}")
+    // 2 (v1) + 3 (fragmented v2) + 1 (magic-routed v3) + 2 (mkv v4)
+    // frames, one single_frame sample each; readme.txt filtered by
+    // extension
+    assert(log.contains("wrote 8 samples"),
+      s"expected 8 samples in:\n${log.takeRight(2000)}")
   }
 }
