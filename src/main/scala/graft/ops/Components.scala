@@ -37,15 +37,25 @@ object Components {
     // generation DAG upstream would execute once per reference.
     val p = pairs.materialize()
     // symmetric edge list + self-loops (keeps isolated-after-dedup rows).
-    // Deliberately NOT pre-partitioned on dst like labelUntilConverged's:
-    // measured r16 A/B (PLAN_AUDIT.md) — with only `rounds` fixed
-    // iterations over the near-dup-pair-sized frames this function sees,
-    // the upfront exchange is a wash-to-slight-regression (dd_clusters
-    // control-adjusted 1.05× WORSE), because AQE can broadcast the label
-    // side and then the edges never needed a shuffle at all.
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // SIZE-ADAPTIVE pre-partitioning (r16 A/B, PLAN_AUDIT.md): claiming
+    // hash(dst, n) on the checkpointed edges (the labelUntilConverged
+    // mechanism) lets every round's neighbor join skip the edge
+    // exchange — measured −18% on er_entities (51k matched pairs at
+    // sf0.1) but +20% on dd_clusters (~500 pairs), where running the
+    // 3-round join at `n` partitions instead of AQE-coalesced few costs
+    // more in per-task overhead than the tiny shuffle saved. The
+    // materialized pair count (a cheap cached-block scan) picks the
+    // branch; at 100 TB every real component input is far above it.
+    val symmetric = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .materialize()
+    val edges =
+      if (p.count() >= 10000L) {
+        val n = p.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        org.apache.spark.sql.GraftBridge.reclaimHashPartitioning(
+          symmetric.repartition(n, col("dst")).materialize(),
+          Seq("dst"), n)
+      } else symmetric.materialize()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
