@@ -78,8 +78,7 @@ object Bench {
     // inferred from size, so a ≥30-query biased subset can neither
     // median-normalize itself nor touch the fleet verdict below.
     val flagging = flag(cur, base, thresholdMilli, fullSurface)
-    val fullRun = fullSurface &&
-      rows.count(_._3.isDefined) >= 30
+    val fullRun = flagging.fullRun
     val medianMilli = flagging.medianMilli
     val effThreshold = flagging.effThreshold
     val suspectNames = flagging.suspects.map(_._1).sorted
@@ -134,8 +133,9 @@ object Bench {
     * a probe that adjudicates a different suspect set than the trend
     * reports would defeat its purpose.
     */
-  private[graft] final case class Flagging(medianMilli: Long,
-      effThreshold: Long, suspects: Seq[(String, Long)])
+  private[graft] final case class Flagging(fullRun: Boolean,
+      medianMilli: Long, effThreshold: Long,
+      suspects: Seq[(String, Long)])
 
   private[graft] def flag(cur: Seq[(String, Double)],
       base: Map[String, Double], thresholdMilli: Long = 1500L,
@@ -148,7 +148,8 @@ object Bench {
       if (fullRun) { val s = ratios.map(_._2).sorted; s(s.size / 2) }
       else 1000L
     val eff = effectiveThreshold(thresholdMilli, medianMilli)
-    Flagging(medianMilli, eff, ratios.filter(_._2 >= eff).sortBy(-_._2))
+    Flagging(fullRun, medianMilli, eff,
+      ratios.filter(_._2 >= eff).sortBy(-_._2))
   }
 
   /** This run's newly-flagged suspects, worst first — [[flag]]'s

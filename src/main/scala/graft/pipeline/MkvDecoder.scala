@@ -380,6 +380,7 @@ object MkvFrameDecoder {
             s"$filename: mkv Cluster before any video TrackEntry"))
           var clusterTs = 0L
           var blockSeen = false
+          var tsSeen = false
           walk(filename, b, o, o + l) { (cid, co, cl) =>
             cid match {
               // a segment-level id INSIDE a cluster's bounds means an
@@ -400,12 +401,20 @@ object MkvFrameDecoder {
                 // time — fail typed, never mis-time frames
                 require(!blockSeen, s"$filename: Cluster Timestamp " +
                   "after its blocks — earlier frames would be mis-based")
+                tsSeen = true
                 clusterTs = uint(filename, b, co, cl)
               case IdSimpleBlock =>
+                // the Timestamp is mandatory (RFC 9559) and must
+                // PRECEDE the blocks it bases — a cluster missing it
+                // would silently time every frame at cluster zero
+                require(tsSeen, s"$filename: Cluster block before any " +
+                  "Timestamp — frames would be silently based at 0")
                 blockSeen = true
                 count = parseBlock(filename, b, co, cl, tr, clusterTs,
                   scaleNs, maxFrames, frames, starts, count)
               case IdBlockGroup =>
+                require(tsSeen, s"$filename: Cluster block before any " +
+                  "Timestamp — frames would be silently based at 0")
                 blockSeen = true
                 walk(filename, b, co, co + cl) { (gid, go, gl) =>
                   if (gid == IdBlock)
@@ -463,8 +472,13 @@ object MkvFrameDecoder {
       len: Int, w: Int, h: Int): Array[Float] = {
     require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
       s"$filename: I420 needs positive even dimensions, got ${w}x$h")
-    val expect = w * h + 2 * ((w / 2) * (h / 2))
-    require(len == expect,
+    // LONG arithmetic: crafted huge PixelWidth/Height must not wrap the
+    // expected size into range (the typed-failure contract), and the
+    // RGB buffer (w·h·3 floats) must stay allocatable
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"$filename: I420 ${w}x$h exceeds the pixel budget")
+    val expect = w.toLong * h + 2L * ((w / 2).toLong * (h / 2))
+    require(len.toLong == expect,
       s"$filename: I420 frame of $len bytes (expected $expect for ${w}x$h)")
     require(off >= 0 && off <= b.length - len,
       s"$filename: mkv frame [$off, +$len) overruns the ${b.length}-byte " +

@@ -136,8 +136,10 @@ object EntityRes {
     * input); the DuckDB mirror needs only the single logical window.
     * Capped-OUT records simply generate no pairs (they surface as
     * singletons downstream) — and the truncation is never silent:
-    * er_blocking carries the capped-economics columns, and
-    * er_pairs_capped gates this exact lineage.
+    * er_report_capped carries THIS lineage's truncation economics
+    * (n_kept / n_capped_out — er_blocking's cap columns describe the
+    * cap against the scaled DEFAULT key since r16, a different key at
+    * sf ≥ 0.1), and er_pairs_capped gates this exact lineage.
     */
   private[graft] def cappedKeyed(k: DataFrame,
       cap: Int = BlockCap): DataFrame = {
@@ -316,11 +318,14 @@ object EntityRes {
           // div, not `/`: Column./ on longs is IEEE double division —
           // the integer quotient is what DuckDB's // yields
           expr("(n_records * (n_records - 1)) div 2").as("n_pairs"),
-          // the hot-block cap's economics, IN the card (truncation is
-          // never silent): records/pairs the BlockCap-capped scorer
-          // actually pays for, and the pairs the cap drops. Pure
-          // arithmetic off n_records — the capped LINEAGE itself is
-          // gated by er_pairs_capped
+          // the hot-block cap's bound IF APPLIED TO THIS (scaled) KEY —
+          // the safety-valve sizing a reader checks before trusting the
+          // default lineage uncapped. NOTE r16: the ACTUAL capped
+          // lineage (er_pairs_capped / er_report_capped) deliberately
+          // runs the FIXED key, and ITS truncation economics live in
+          // er_report_capped's n_kept / n_capped_out columns — this
+          // card's columns no longer describe that lineage at sf where
+          // the keys diverge
           least(col("n_records"), lit(BlockCap.toLong)).as("n_capped"),
           expr(s"(least(n_records, $BlockCap) * " +
             s"(least(n_records, $BlockCap) - 1)) div 2")

@@ -309,7 +309,18 @@ class MkvFrameSpec extends SparkSpec {
     val dec = new MkvFrameDecoder(fallback = new SyntheticFrameDecoder())
     val e = intercept[IllegalArgumentException](
       dec.decode("swap.mkv", swapped, 500).toSeq)
-    assert(e.getMessage.contains("Timestamp after its blocks"))
+    // the block-first guard fires (a block with NO preceding Timestamp);
+    // the symmetric late-Timestamp guard backs it up
+    assert(e.getMessage.contains("block before any Timestamp"))
+    // and a cluster MISSING its Timestamp entirely fails the same way:
+    // drop the ts element instead of swapping it (sizes re-derived by
+    // shrinking the cluster and segment size VINTs is fiddly — simplest
+    // correct form is a 1-byte Void element 0xEC in its place)
+    val voided = two.clone()
+    voided(tsAt) = 0xec.toByte // Void element: id EC, same size byte
+    val e2 = intercept[IllegalArgumentException](
+      dec.decode("void.mkv", voided, 500).toSeq)
+    assert(e2.getMessage.contains("block before any Timestamp"))
   }
 
   test("AutoFrameDecoder routes mkv by EBML magic, not extension") {
