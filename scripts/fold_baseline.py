@@ -15,10 +15,25 @@ slowdown breaches against floors set in the SAME host era.
 
 Mechanics:
 - bench_history.json holds the last K full runs' per-query times
-  ({"k": K, "runs": [{"source": str, "n": int, "queries": {...}}]}).
+  ({"k": K, "probe_samples": [...], "runs": [{"source": str, "n": int,
+  "queries": {...}}]}).
 - Each fold appends the new run, trims to K, and REGENERATES
   bench_baseline.json "queries" = per-query min over the window (a query
   missing from some runs takes the min over the runs that measured it).
+- FLOOR-ADMISSION GUARD (round 17): one anomalously FAST sample is as
+  poisonous as a stale slow floor — r16's run 5 recorded ref_crop_video
+  at 0.60x and web_extract_text at 0.42x their own floors (physically
+  implausible on unchanged code; the same run's fleet median was
+  1.080x), the min-fold admitted both, and every subsequent HONEST
+  measurement read as a 1.7-2.8x breach: two-run-"confirmed" phantom
+  regressions, and in a quiet window the auto-probe would have
+  false-CONFIRMed them as code. Symmetric two-run discipline, mirroring
+  the suspect rule: a candidate floor that undercuts the query's
+  trailing-window MEDIAN by >30% is quarantined until a second sample
+  (a later run, or a probe-provenance sample) lands within 15% of it;
+  until then the floor is the next non-quarantined sample. Quarantined
+  candidates are recorded in the baseline's "quarantined" audit section
+  (strings, written BEFORE "queries" so readBaseline never parses them).
 - Subset guard: a run measuring < 90% of the window's max query count is
   refused (it would rotate a full run out of the window without
   replacing its coverage). Override with --subset-ok only for a
@@ -31,6 +46,15 @@ Mechanics:
 - --drop-query NAME --evidence "...": purge a query's samples from every
   window run (the keyspace-fix primitive: after a collision, the old
   samples describe a different query). Next fold re-adds it clean.
+- --drop-sample NAME@SOURCE_SUBSTR --evidence "...": purge ONE sample —
+  the surgical form for a single poisoned measurement (r16's freak run
+  5 pair); the query's other window samples stay and keep its floor
+  honest instead of blanking it for a fold.
+- --fold-probe FILE --evidence/--source: ingest an auto-probe artifact's
+  fresh_min re-measurements as PROBE-PROVENANCE samples (r17 task 5).
+  They are never floor-eligible on their own — a probe re-measures
+  suspects in one window — but they count as the guard's confirming
+  second sample, so the freshest evidence is visible to the next fold.
 
 The "repinned" section is written BEFORE "queries" and holds only string
 values: graft.Bench.readBaseline scans name:number pairs after the
@@ -57,11 +81,14 @@ def load(path):
 
 
 def dump_baseline(path, base):
-    # key order matters: source, repinned (strings only), then queries
-    # last so readBaseline's scan-after-"queries" sees numbers only
+    # key order matters: source, repinned/quarantined (strings only),
+    # then queries last so readBaseline's scan-after-"queries" sees
+    # numbers only
     out = {"source": base.get("source", "")}
     if base.get("repinned"):
         out["repinned"] = dict(sorted(base["repinned"].items()))
+    if base.get("quarantined"):
+        out["quarantined"] = dict(sorted(base["quarantined"].items()))
     out["queries"] = dict(sorted(base["queries"].items()))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -69,18 +96,80 @@ def dump_baseline(path, base):
 
 
 def dump_history(path, hist):
+    # key order matters: probe_samples BEFORE runs — Bench.readHistory
+    # (trailing medians for the auto-probe) scans name:number pairs
+    # after the "runs" key, so probe samples placed there would leak
+    # into the medians they exist to cross-check
+    out = {"k": hist["k"]}
+    if hist.get("probe_samples"):
+        out["probe_samples"] = hist["probe_samples"]
+    out["runs"] = hist["runs"]
     with open(path, "w") as f:
-        json.dump(hist, f, indent=1)
+        json.dump(out, f, indent=1)
         f.write("\n")
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+# floor-admission guard thresholds (module docstring, round 17): a
+# candidate undercutting the window median by >30% needs a second
+# sample within 15% before it may gate
+UNDERCUT = 0.70
+CONFIRM_TOL = 1.15
+
+
+def admit_floor(run_vals, probe_vals=()):
+    """The guarded floor for one query, plus any quarantined candidates.
+
+    Walk the window samples ascending: a candidate at or above
+    UNDERCUT x window-median is admitted outright; a freak candidate
+    below it is admitted only if a second independent sample — a later
+    window sample or a probe-provenance sample — lands within
+    CONFIRM_TOL of it. Quarantined samples stay in the history (a
+    future confirming run admits them) but never gate. With <3 window
+    samples there is no median to call a freak against: the min stands
+    (a new query's floor converges as its window fills).
+    """
+    vals = sorted(run_vals)
+    if len(vals) < 3:
+        return vals[0], []
+    med = _median(vals)
+    quarantined = []
+    for i, v in enumerate(vals):
+        if v >= UNDERCUT * med or i == len(vals) - 1:
+            return v, quarantined
+        confirm = [e for e in vals[i + 1:] if e <= CONFIRM_TOL * v]
+        confirm += [p for p in probe_vals if p <= CONFIRM_TOL * v]
+        if confirm:
+            return v, quarantined
+        quarantined.append(v)
+    return vals[-1], quarantined  # unreachable: last index admits above
+
+
 def window_floors(hist):
-    floors = {}
+    """Per-query guarded floors over the window; records quarantines."""
+    samples, probes = {}, {}
     for run in hist["runs"]:
         for name, v in run["queries"].items():
-            if name not in floors or v < floors[name]:
-                floors[name] = v
-    return floors
+            samples.setdefault(name, []).append(v)
+    for p in hist.get("probe_samples", []):
+        for name, v in p["queries"].items():
+            probes.setdefault(name, []).append(v)
+    floors, quarantine_notes = {}, {}
+    for name, vals in samples.items():
+        floor, quarantined = admit_floor(vals, probes.get(name, ()))
+        floors[name] = floor
+        if quarantined:
+            quarantine_notes[name] = (
+                f"{quarantined} quarantined (undercut window median "
+                f"{_median(vals):.4g} by >{round((1 - UNDERCUT) * 100)}% "
+                f"with no second sample within "
+                f"{round((CONFIRM_TOL - 1) * 100)}%); floor {floor}")
+    return floors, quarantine_notes
 
 
 def main():
@@ -102,6 +191,15 @@ def main():
                     metavar="NAME",
                     help="purge NAME's samples from the history window "
                          "(needs --evidence)")
+    ap.add_argument("--drop-sample", action="append", default=[],
+                    metavar="NAME@SOURCE_SUBSTR",
+                    help="purge NAME's sample from the window run(s) "
+                         "whose source contains SOURCE_SUBSTR (needs "
+                         "--evidence)")
+    ap.add_argument("--fold-probe", default=None, metavar="PROBE.json",
+                    help="ingest a probe_adjudication.json's fresh_min "
+                         "re-measurements as probe-provenance samples "
+                         "(guard confirmation evidence, never floors)")
     ap.add_argument("--seed", nargs="*", default=None,
                     metavar="RUN.json",
                     help="initialize the history from existing full-run "
@@ -118,8 +216,9 @@ def main():
             else {"k": args.k, "runs": []})
     hist["k"] = args.k
 
-    if (args.repin or args.drop_query) and not args.evidence:
-        sys.exit("--repin/--drop-query require --evidence "
+    if (args.repin or args.drop_query or args.drop_sample) \
+            and not args.evidence:
+        sys.exit("--repin/--drop-query/--drop-sample require --evidence "
                  "(the audit trail is the point)")
 
     if args.repin:
@@ -145,16 +244,52 @@ def main():
         dump_baseline(args.baseline, base)
         return
 
-    if args.drop_query:
+    if args.drop_query or args.drop_sample:
         for name in args.drop_query:
             n = sum(1 for run in hist["runs"] if run["queries"].pop(name, None)
                     is not None)
             base["repinned"][name] = (
                 f"dropped {n} window samples: {args.evidence}")
             print(f"dropped {name} from {n} window runs")
-        base["queries"] = window_floors(hist)
+        for spec in args.drop_sample:
+            name, sep, src = spec.partition("@")
+            if not sep or not src:
+                sys.exit(f"bad --drop-sample {spec!r}: "
+                         "want NAME@SOURCE_SUBSTR")
+            dropped = []
+            for run in hist["runs"]:
+                if src in run["source"] and \
+                        run["queries"].pop(name, None) is not None:
+                    dropped.append(run["source"])
+            if not dropped:
+                sys.exit(f"--drop-sample {spec!r} matched no window "
+                         "sample; nothing dropped")
+            base["repinned"][name] = (
+                f"dropped sample(s) from {dropped}: {args.evidence}")
+            print(f"dropped {name} sample from {dropped}")
+        base["queries"], base["quarantined"] = window_floors(hist)
         dump_history(args.history, hist)
         dump_baseline(args.baseline, base)
+        return
+
+    if args.fold_probe:
+        probe = load(args.fold_probe)
+        qs = {name: row["fresh_min"]
+              for name, row in probe.get("suspects", {}).items()
+              if isinstance(row, dict) and "fresh_min" in row}
+        if not qs:
+            print(f"{args.fold_probe}: no fresh_min samples to fold")
+            return
+        hist.setdefault("probe_samples", []).append({
+            "source": args.source or args.fold_probe, "queries": qs})
+        # bound the provenance list: ~4 probes per window era is plenty
+        # of confirmation evidence, and stale probes from rotated-out
+        # eras would confirm floors the window no longer supports
+        hist["probe_samples"] = hist["probe_samples"][-4:]
+        base["queries"], base["quarantined"] = window_floors(hist)
+        dump_history(args.history, hist)
+        dump_baseline(args.baseline, base)
+        print(f"folded {len(qs)} probe sample(s) from {args.fold_probe}")
         return
 
     if args.seed is not None:
@@ -178,7 +313,7 @@ def main():
         hist["runs"] = hist["runs"][-args.k:]
 
     old = dict(base["queries"])
-    base["queries"] = window_floors(hist)
+    base["queries"], base["quarantined"] = window_floors(hist)
     # re-apply still-standing repins: a pinned query with NO sample left
     # in the window (its bad samples were purged at repin time) keeps
     # its pinned floor until it is next measured; without this it would

@@ -28,12 +28,18 @@ import json, sys
 targets = set(sys.argv[1].split(','))
 floors = json.load(open("bench_baseline.json"))["queries"]
 # stable controls: baselined, cheap (0.2-1.0s floor), not under test;
-# spread deterministically across the alphabet so one family's local
-# noise can't dominate the environment estimate
+# stratified by family prefix (round-robin one per family before a
+# second from any — same rule as Bench's auto-probe) so one family's
+# local noise can't dominate the environment estimate
 cands = sorted(n for n, v in floors.items()
                if n not in targets and 0.2 <= v <= 1.0)
-step = max(1, len(cands) // 6)
-print(','.join(cands[::step][:6]))
+fams = {}
+for n in cands:
+    fams.setdefault(n.split('_', 1)[0], []).append(n)
+rows = [fams[f] for f in sorted(fams)]
+picked = [q for i in range(max(map(len, rows), default=0))
+          for r in rows if i < len(r) for q in [r[i]]][:6]
+print(','.join(picked))
 EOF
 )
 [ -n "$controls" ] || { echo "no eligible controls in $baseline" >&2; exit 1; }
@@ -47,12 +53,25 @@ SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_ONLY="$targets,$controls" \
   }
 
 python3 - "$targets" "$controls" <<'EOF'
-import json, sys
+import json, os, sys
 targets = sys.argv[1].split(',')
 controls = sys.argv[2].split(',')
 out = json.load(open("probe_bench_out.json"))
 floors = json.load(open("bench_baseline.json"))["queries"]
 qs, var = out["queries"], out.get("variance", {})
+# trailing-window medians: the poisoned-floor cross-check (r17) — a
+# freak sample moves a min-folded floor but never the window median
+meds = {}
+if os.path.exists("bench_history.json"):
+    hist = json.load(open("bench_history.json"))
+    acc = {}
+    for run in hist.get("runs", []):
+        for n, v in run["queries"].items():
+            acc.setdefault(n, []).append(v)
+    for n, xs in acc.items():
+        s = sorted(xs)
+        meds[n] = s[len(s) // 2] if len(s) % 2 else \
+            (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
 
 def ratio(n):
     f = floors.get(n)
@@ -69,12 +88,17 @@ for t in targets:
         print(f"  {t}: NO-BASELINE (measured "
               f"{qs.get(t, float('nan')):.3f}s)")
         continue
-    adj = r / max(env, 0.01)
+    # clamp: env normalization excuses a SLOW window, never amplifies
+    adj = r / max(env, 1.0)
+    mr = (qs[t] / meds[t]) if meds.get(t) else None
     v = var.get(t, {})
-    detail = (f"raw {r:.2f}x, env-adj {adj:.2f}x "
-              f"(min {qs[t]:.3f}s vs floor {floors[t]:.3f}s, "
+    detail = (f"raw {r:.2f}x, env-adj {adj:.2f}x"
+              + (f", vs-window-median {mr:.2f}x" if mr else "")
+              + f" (min {qs[t]:.3f}s vs floor {floors[t]:.3f}s, "
               f"spread {v.get('spread', 0):.3f}s)")
-    if adj >= 2.0:
+    # CONFIRM needs BOTH the floor breach and 1.5x the trailing median
+    # (a poisoned floor cannot manufacture a code ruling)
+    if adj >= 2.0 and (mr is None or mr >= 1.5):
         print(f"  {t}: CONFIRM — {detail}")
         rc = 1
     else:

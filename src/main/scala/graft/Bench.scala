@@ -165,11 +165,29 @@ object Bench {
     * ratio-to-floor; a suspect whose fresh re-measured ratio divided by
     * that factor still breaches 2.0× is CONFIRMed as code, anything
     * less is the window. Returns the probe artifact JSON.
+    *
+    * Two r17 hardenings (r16 verdict task 2 + ADVICE):
+    *  - The divisor is clamped at 1.0 — env normalization exists to
+    *    excuse a SLOW window, never to amplify: unclamped, controls
+    *    running 0.85× their floors would convert a raw 1.8× suspect
+    *    into a 2.12× CONFIRM that never breached 2× raw.
+    *  - A poisoned floor cannot convert a quiet window into a false
+    *    code ruling: r16's freak run admitted ref_crop_video /
+    *    web_extract_text floors at 0.60×/0.42× their honest values, and
+    *    floor-ratio-only adjudication would have CONFIRMed the next
+    *    normal measurement in any env≈1.0 window. CONFIRM therefore
+    *    requires BOTH adj ≥ 2.0 against the floor AND fresh ≥ 1.5× the
+    *    query's trailing-window MEDIAN (`trailingMedians`, from
+    *    bench_history.json) — a freak min moves the floor but not the
+    *    median, so the second test refuses the phantom. A query with no
+    *    median history (new this window) falls back to the floor rule
+    *    alone.
     */
   private[graft] def adjudicationJson(
       suspects: Seq[(String, Double, Double)], // (name, freshMin, floor)
       controlRatios: Seq[Double], sf: String,
-      probeErrors: Seq[String] = Nil): String = {
+      probeErrors: Seq[String] = Nil,
+      trailingMedians: Map[String, Double] = Map.empty): String = {
     val sortedCtl = controlRatios.sorted
     val env =
       if (sortedCtl.isEmpty) 1.0 else sortedCtl(sortedCtl.size / 2)
@@ -177,16 +195,22 @@ object Bench {
     // verdict counts these same rows, so the two can never disagree
     val judged = suspects.map { case (n, fresh, floor) =>
       val raw = if (floor > 0) fresh / floor else 0.0
-      val adj = raw / math.max(env, 0.01)
-      (n, fresh, floor, raw, adj, if (adj >= 2.0) "CONFIRM" else "clear")
+      val adj = raw / math.max(env, 1.0)
+      val medRatio = trailingMedians.get(n).filter(_ > 0).map(fresh / _)
+      val confirm = adj >= 2.0 && medRatio.forall(_ >= 1.5)
+      (n, fresh, floor, raw, adj, medRatio,
+        if (confirm) "CONFIRM" else "clear")
     }
-    val rows = judged.map { case (n, fresh, floor, raw, adj, verdict) =>
-      "\"" + n + "\":{\"fresh_min\":" + fresh + ",\"floor\":" + floor +
-        ",\"raw_milli\":" + (raw * 1000).toLong +
-        ",\"adj_milli\":" + (adj * 1000).toLong +
-        ",\"verdict\":\"" + verdict + "\"}"
+    val rows = judged.map {
+      case (n, fresh, floor, raw, adj, medRatio, verdict) =>
+        "\"" + n + "\":{\"fresh_min\":" + fresh + ",\"floor\":" + floor +
+          ",\"raw_milli\":" + (raw * 1000).toLong +
+          ",\"adj_milli\":" + (adj * 1000).toLong +
+          medRatio.fold("")(m =>
+            ",\"ratio_to_trailing_median_milli\":" + (m * 1000).toLong) +
+          ",\"verdict\":\"" + verdict + "\"}"
     }
-    val confirmed = judged.count(_._6 == "CONFIRM")
+    val confirmed = judged.count(_._7 == "CONFIRM")
     val errs = probeErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a probe with failures cannot claim all-clear: the failed query's
     // verdict is UNKNOWN, not clear
@@ -245,6 +269,44 @@ object Bench {
         pair.findAllMatchIn(text.substring(at))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
+    }
+
+  /** bench_history.json → per-query samples across the trailing window's
+    * FULL runs. Same hand-rolled parse discipline as [[readBaseline]]:
+    * scan name:number pairs, but only AFTER the "runs" key — the file
+    * may also carry probe-provenance samples (fold_baseline.py
+    * --fold-probe), which its writer places BEFORE "runs" precisely so
+    * a probe's one-window re-measurements never leak into the medians
+    * they exist to cross-check. The run wrappers' "n" counts parse as a
+    * sample named `n` — excluded by name below (single letters are
+    * outside the engine's `family_name` query keyspace).
+    */
+  private[graft] def readHistory(
+      path: java.nio.file.Path): Map[String, Seq[Double]] =
+    if (!Files.exists(path)) Map.empty
+    else {
+      val text = Files.readString(path)
+      val at = text.indexOf("\"runs\"")
+      if (at < 0) Map.empty
+      else {
+        val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+        pair.findAllMatchIn(text.substring(at)).toSeq
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._1 != "n")
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+      }
+    }
+
+  /** Per-query MEDIAN over the trailing window — the poisoned-floor
+    * cross-check [[adjudicationJson]] confirms against: a single freak
+    * sample can move a min-folded floor but never the window median.
+    */
+  private[graft] def trailingMedians(
+      path: java.nio.file.Path): Map[String, Double] =
+    readHistory(path).map { case (n, xs) =>
+      val s = xs.sorted
+      n -> (if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
     }
 
   def main(args: Array[String]): Unit = {
@@ -422,16 +484,25 @@ object Bench {
       if (fresh.nonEmpty) {
         val targets = fresh.take(8).map(_._1)
         val targetSet = targets.toSet
-        val controls = baselineNow.toSeq
-          .filter { case (n, v) =>
-            !targetSet(n) && v >= 0.2 && v <= 1.0 &&
-              SparkEntry.queries.contains(n)
-          }
-          .map(_._1).sorted match {
-            case cands =>
-              val step = math.max(1, cands.size / 6)
-              cands.grouped(step).map(_.head).take(6).toSeq
-          }
+        // 6 controls, stratified by family prefix (r16 verdict nit +
+        // ADVICE): round-robin one query per family before taking a
+        // second from any — the old `cands.size / 6` stride degenerates
+        // to 1 for pools of 7-11 (first 6 alphabetically, likely one
+        // family) and biases the env factor toward that family's local
+        // noise. Deterministic: families and their members are both
+        // visited in sorted order.
+        val controls = {
+          val cands = baselineNow.toSeq
+            .filter { case (n, v) =>
+              !targetSet(n) && v >= 0.2 && v <= 1.0 &&
+                SparkEntry.queries.contains(n)
+            }
+            .map(_._1).sorted
+          val byFam = cands.groupBy(_.takeWhile(_ != '_'))
+            .toSeq.sortBy(_._1).map(_._2)
+          val deepest = byFam.map(_.size).maxOption.getOrElse(0)
+          (0 until deepest).flatMap(i => byFam.flatMap(_.lift(i))).take(6)
+        }
         // a probe-time failure must never masquerade as a timing: a
         // fast-throwing CONTROL would drag the env factor down (false
         // CONFIRMs), a throwing TARGET would be timed at its
@@ -453,7 +524,8 @@ object Bench {
           targets.filterNot(probeFailed)
             .map(t => (t, probeSamples(t), baselineNow.getOrElse(t, 0.0))),
           ctlRatios, sfDir,
-          probeErrors = probeFailed.toSeq.sorted)
+          probeErrors = probeFailed.toSeq.sorted,
+          trailingMedians = trailingMedians(Paths.get("bench_history.json")))
         Files.writeString(Paths.get(s"${prefix}probe_adjudication.json"),
           probeJson + "\n")
         System.err.println(s"[bench] probe adjudication: $probeJson")
@@ -488,6 +560,11 @@ object Bench {
     "sim_ivfpq", "sim_mmr",
     "txt_bigram_lm", "txt_bm25",
     "ev_sessionize", "ev_asof_native",
+    // r17: the fleet's most expensive floor after the er/dd capstones
+    // and the only headline-class ITERATIVE query — pointer-doubling
+    // components under convergence, the shape most likely to go
+    // super-linear if a round's join stops reusing the edge layout
+    "dd_clusters_converged",
     "mm_audio_clusters", "mm_asset_dedup",
     // r16: the DF-capped inverted-index video alignment — the structure
     // most likely to hide a super-linear term under a hot frame-hash

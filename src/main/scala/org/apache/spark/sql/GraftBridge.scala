@@ -44,9 +44,21 @@ object GraftBridge {
         else {
           val part = catalyst.plans.physical.HashPartitioning(
             attrs.map(_.get), n)
+          // Forward the checkpoint's statistics and constraints instead
+          // of dropping them (r16 ADVICE): with (None, None) the rebuilt
+          // frame fell back to defaultSizeInBytes and CBO's join-strategy
+          // choices could differ from the un-reclaimed frame. The curried
+          // originStats/originConstraints have no public accessors, but
+          // `stats`/`constraints` ARE them when set — localCheckpoint
+          // always passes Some(optimizedPlan.stats)/Some(constraints) —
+          // and when origin* were None the effective values equal what
+          // the unmodified frame reports, so forwarding them changes
+          // only outputPartitioning either way. Output attributes are
+          // unchanged, so the constraint set needs no remapping.
           classic.Dataset.ofRows(ds.sparkSession.asInstanceOf[classic.SparkSession],
             lr.copy(outputPartitioning = part)(
-              ds.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+              ds.sparkSession.asInstanceOf[classic.SparkSession],
+              Some(lr.stats), Some(lr.constraints)))
         }
       case _ => df
     }

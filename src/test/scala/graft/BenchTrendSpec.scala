@@ -300,6 +300,100 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(mix.contains(""""verdict":"CONFIRMED""""))
   }
 
+  test("a poisoned floor cannot CONFIRM in a quiet window: the " +
+      "trailing-median cross-check (r16e replay, both window shapes)") {
+    // the r16 incident verbatim: one freak run admitted ref_crop_video's
+    // floor at 0.2226s (honest window samples 0.37-0.50, median 0.3724);
+    // the next normal measurement at 0.50s reads 2.25x the floor
+    val meds = Map("ref_crop_video" -> 0.3724)
+    // QUIET window (controls at their floors, env 1.0): floor-only
+    // adjudication would CONFIRM at 2.25x — the median check (0.50 /
+    // 0.3724 = 1.34x < 1.5x) must refuse the phantom
+    val quiet = Bench.adjudicationJson(
+      Seq(("ref_crop_video", 0.50, 0.2226)), Seq(0.98, 1.0, 1.02), "/sf",
+      trailingMedians = meds)
+    assert(quiet.contains(""""ratio_to_trailing_median_milli":1342"""),
+      quiet)
+    assert(quiet.contains(""""verdict":"clear""""), quiet)
+    assert(quiet.contains(""""verdict":"all-clear""""), quiet)
+    // DEGRADED window (the r16 driver run, env 1.588): env division
+    // already clears it; the median field still reports
+    val degraded = Bench.adjudicationJson(
+      Seq(("ref_crop_video", 0.50, 0.2226)), Seq(1.5, 1.588, 1.7), "/sf",
+      trailingMedians = meds)
+    assert(degraded.contains(""""verdict":"clear""""), degraded)
+    // a REAL regression still confirms through both tests: fresh 0.90
+    // over an honest floor 0.37 (2.43x) and 2.42x the window median
+    val real = Bench.adjudicationJson(
+      Seq(("ref_crop_video", 0.90, 0.3715)), Seq(0.98, 1.0, 1.02), "/sf",
+      trailingMedians = meds)
+    assert(real.contains(""""verdict":"CONFIRM""""), real)
+    assert(real.contains(""""verdict":"CONFIRMED""""), real)
+    // no median history (query new this window): floor rule alone, and
+    // the row carries no median field rather than a fake 1.0
+    val fresh = Bench.adjudicationJson(
+      Seq(("q_new", 0.50, 0.2226)), Seq(1.0), "/sf")
+    assert(fresh.contains(""""verdict":"CONFIRM""""), fresh)
+    assert(!fresh.contains("ratio_to_trailing_median_milli"), fresh)
+  }
+
+  test("env normalization excuses a slow window but never amplifies: " +
+      "the divisor clamps at 1.0") {
+    // controls running FASTER than their floors (env 0.85) used to
+    // inflate a raw 1.8x into an adjusted 2.12x CONFIRM that never
+    // breached 2x raw (r16 ADVICE)
+    val j = Bench.adjudicationJson(
+      Seq(("a", 1.8, 1.0)), Seq(0.8, 0.85, 0.9), "/sf")
+    assert(j.contains(""""adj_milli":1800"""), j)
+    assert(j.contains(""""verdict":"clear""""), j)
+    assert(j.contains(""""env_factor_milli":850"""), j)
+  }
+
+  test("readHistory/trailingMedians: run samples only — probe " +
+      "provenance and run metadata never leak into the medians") {
+    val p = Files.createTempFile("hist", ".json")
+    // the fold_baseline.py shape: probe_samples BEFORE runs; each run
+    // wrapper carries a numeric "n" field
+    Files.writeString(p,
+      """{"k": 5,
+        | "probe_samples": [{"source": "probe r17a",
+        |                    "queries": {"q_a": 0.05, "q_probe_only": 9.0}}],
+        | "runs": [
+        |  {"source": "run 1", "n": 2, "queries": {"q_a": 1.0, "q_b": 0.4}},
+        |  {"source": "run 2", "n": 2, "queries": {"q_a": 3.0, "q_b": 0.2}},
+        |  {"source": "run 3", "n": 2, "queries": {"q_a": 2.0}}]}""".stripMargin)
+    val meds = Bench.trailingMedians(p)
+    assert(meds("q_a") === 2.0) // median of 1,3,2 — NOT skewed by 0.05
+    assert(math.abs(meds("q_b") - 0.3) < 1e-12) // even count: midpoint of 0.2, 0.4
+    assert(!meds.contains("q_probe_only"), meds)
+    assert(!meds.contains("n") && !meds.contains("k"), meds)
+    assert(Bench.trailingMedians(
+      Paths.get("/nonexistent/h.json")) === Map.empty)
+  }
+
+  test("the committed bench_history.json parses and covers the surface") {
+    val meds = Bench.trailingMedians(Paths.get("bench_history.json"))
+    assert(meds.size >= 200, s"history medians: ${meds.size}")
+    // the two r16-incident queries must carry honest medians the
+    // adjudicator can cross-check against
+    assert(meds.contains("ref_crop_video") && meds.contains("web_extract_text"))
+  }
+
+  test("probe controls stratify across family prefixes") {
+    // the picker logic from main, replicated: with a 7-candidate pool
+    // that is 6/7 one family, the old size/6=1 stride picked 6 dd_* —
+    // round-robin must visit every family before repeating one
+    val cands = Seq("dd_a", "dd_b", "dd_c", "dd_d", "dd_e", "dd_f",
+      "er_a", "mm_a", "txt_a").sorted
+    val byFam = cands.groupBy(_.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1).map(_._2)
+    val deepest = byFam.map(_.size).maxOption.getOrElse(0)
+    val picked = (0 until deepest).flatMap(i => byFam.flatMap(_.lift(i)))
+      .take(6)
+    assert(picked.map(_.takeWhile(_ != '_')).distinct.size === 4, picked)
+    assert(picked.take(4) === Seq("dd_a", "er_a", "mm_a", "txt_a"), picked)
+  }
+
   test("the committed baseline covers the live query surface") {
     val m = Bench.readBaseline(Paths.get("bench_baseline.json"))
     assert(m.nonEmpty)

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The trailing-window fold's FLOOR-ADMISSION GUARD (r16 verdict task 1),
+  * pinned end-to-end against the real `scripts/fold_baseline.py`.
+  *
+  * Why this spec exists: round 16's run 5 recorded two physically
+  * implausible one-run speedups (ref_crop_video 0.60×, web_extract_text
+  * 0.42× their own floors while the same run's fleet median was 1.080×).
+  * The unguarded min-fold admitted both as floors, every subsequent
+  * honest measurement read as a 1.7–2.8× breach, and the two-run trend
+  * rule "confirmed" phantom regressions in a committed artifact. The
+  * guard is the symmetric twin of the suspect rule: a candidate floor
+  * undercutting the query's trailing-window MEDIAN by >30% is
+  * quarantined until a second sample lands within 15% of it.
+  *
+  * The guard lives in Python (the fold is a driver-side script), so the
+  * spec drives the actual script through a subprocess in a temp dir —
+  * the same interface every round's fold uses. Cancels (not fails) where
+  * python3 is unavailable, like the FFmpeg/ONNX smokes.
+  */
+class FoldBaselineSpec extends AnyFunSuite {
+
+  private val script = java.nio.file.Paths
+    .get("scripts/fold_baseline.py").toAbsolutePath
+
+  private def havePython: Boolean =
+    try new ProcessBuilder("python3", "--version").start().waitFor() == 0
+    catch { case _: Exception => false }
+
+  /** Run fold_baseline.py with `args` in `dir`; returns (exit, output). */
+  private def fold(dir: Path, args: String*): (Int, String) = {
+    val pb = new ProcessBuilder(
+      (Seq("python3", script.toString) ++ args): _*)
+    pb.directory(dir.toFile).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    (p.waitFor(), out)
+  }
+
+  private def write(dir: Path, name: String, json: String): Unit =
+    Files.writeString(dir.resolve(name), json)
+
+  private def baseline(dir: Path): Map[String, Double] =
+    Bench.readBaseline(dir.resolve("bench_baseline.json"))
+
+  private def quarantineNotes(dir: Path): String = {
+    val text = Files.readString(dir.resolve("bench_baseline.json"))
+    val at = text.indexOf("\"quarantined\"")
+    if (at < 0) "" else text.substring(at, text.indexOf("\"queries\""))
+  }
+
+  /** A 5-run history where q_freak has one anomalous 0.3s sample in a
+    * 1.0s-median window and q_norm is steady — the r16e shape.
+    */
+  private def seedHistory(dir: Path, freakVals: Seq[Double]): Unit = {
+    val runs = freakVals.zipWithIndex.map { case (v, i) =>
+      s"""{"source": "run ${i + 1}", "n": 2,
+         | "queries": {"q_freak": $v, "q_norm": ${0.5 + i * 0.01}}}"""
+        .stripMargin
+    }
+    write(dir, "bench_history.json",
+      s"""{"k": 5, "runs": [${runs.mkString(",")}]}""")
+  }
+
+  test("a synthetic freak min must NOT become the floor (quarantined " +
+      "until a second sample confirms)") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_guard")
+    seedHistory(dir, Seq(1.00, 1.02, 0.30, 0.98, 1.01))
+    // fold a sixth, honest run; the regen must quarantine the 0.30
+    write(dir, "bench_out.json",
+      """{"queries": {"q_freak": 0.99, "q_norm": 0.55}}""")
+    val (rc, out) = fold(dir, "--source", "guard spec")
+    assert(rc == 0, out)
+    val b = baseline(dir)
+    assert(b("q_freak") == 0.98, s"floor must skip the freak: $b\n$out")
+    assert(b("q_norm") == 0.51, b.toString) // run 1 rotated out of the window
+    assert(quarantineNotes(dir).contains("q_freak"), quarantineNotes(dir))
+    // a SECOND fast sample within 15% admits the min: genuinely faster
+    write(dir, "bench_out.json",
+      """{"queries": {"q_freak": 0.33, "q_norm": 0.55}}""")
+    val (rc2, out2) = fold(dir, "--source", "guard spec 2")
+    assert(rc2 == 0, out2)
+    assert(baseline(dir)("q_freak") == 0.30,
+      s"two confirming samples must admit the floor: ${baseline(dir)}")
+  }
+
+  test("a probe-provenance sample confirms a quarantined min but never " +
+      "floors on its own") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_probe")
+    seedHistory(dir, Seq(1.00, 1.02, 0.30, 0.98, 1.01))
+    // probe re-measured q_freak at 0.32 (within 15% of the freak 0.30)
+    // and q_norm at 0.10 (a probe-only fast sample)
+    write(dir, "probe_adjudication.json",
+      """{"sf": "/sf", "suspects": {
+        |  "q_freak": {"fresh_min": 0.32, "floor": 0.3, "verdict": "clear"},
+        |  "q_norm": {"fresh_min": 0.10, "floor": 0.5, "verdict": "clear"}}}"""
+        .stripMargin)
+    val (rc, out) = fold(dir, "--fold-probe", "probe_adjudication.json",
+      "--source", "probe r17")
+    assert(rc == 0, out)
+    val b = baseline(dir)
+    // the probe sample CONFIRMS the freak min → admitted as floor...
+    assert(b("q_freak") == 0.30, s"$b\n$out")
+    // ...but a probe-only fast sample never becomes a floor itself
+    assert(b("q_norm") == 0.5, b.toString)
+    // provenance is visible in the history for the next fold
+    val hist = Files.readString(dir.resolve("bench_history.json"))
+    assert(hist.contains("probe_samples") && hist.contains("probe r17"),
+      hist)
+    // and Bench's trailing medians ignore it (runs-only parse)
+    assert(Bench.trailingMedians(
+      dir.resolve("bench_history.json"))("q_norm") < 0.6)
+  }
+
+  test("--drop-sample purges exactly one run's sample and regenerates") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_drop")
+    seedHistory(dir, Seq(1.00, 1.02, 0.30, 0.98, 1.01))
+    val (rc, out) = fold(dir, "--drop-sample", "q_freak@run 3",
+      "--evidence", "spec: the freak sample")
+    assert(rc == 0, out)
+    val b = baseline(dir)
+    assert(b("q_freak") == 0.98, b.toString)
+    assert(b("q_norm") == 0.5, b.toString) // untouched query keeps min
+    // a non-matching drop refuses loudly instead of silently no-oping
+    val (rc2, out2) = fold(dir, "--drop-sample", "q_freak@no such run",
+      "--evidence", "spec")
+    assert(rc2 != 0 && out2.contains("matched no window sample"), out2)
+  }
+
+  test("small windows (<3 samples) admit the min: a new query's floor " +
+      "converges as its window fills") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_small")
+    write(dir, "bench_history.json",
+      """{"k": 5, "runs": [
+        | {"source": "run 1", "n": 1, "queries": {"q_new": 1.0}},
+        | {"source": "run 2", "n": 1, "queries": {"q_new": 0.3}}]}"""
+        .stripMargin)
+    write(dir, "bench_out.json", """{"queries": {"q_new": 1.0}}""")
+    val (rc, out) = fold(dir, "--source", "small window")
+    assert(rc == 0, out)
+    // 3 samples now: [0.3, 1.0, 1.0] median 1.0 → 0.3 is a freak with
+    // no confirmation → floor 1.0; before the third run the min stood
+    assert(baseline(dir)("q_new") == 1.0, baseline(dir).toString)
+  }
+}

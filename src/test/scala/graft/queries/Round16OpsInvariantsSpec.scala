@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   *    fleet's most expensive query 1.3× slower.
   * 2. The measured keep-or-revert record lives in PLAN_AUDIT.md: KEPT
   *    for labelUntilConverged (control-adjusted ~1.25× on
-  *    dd_clusters_converged at sf0.1), REVERTED for the fixed-round
-  *    `label` (wash — its frames are near-dup-pair-sized and AQE can
-  *    broadcast the label side, so the upfront exchange buys nothing).
+  *    dd_clusters_converged at sf0.1); for the fixed-round `label` the
+  *    same mechanism is SIZE-ADAPTIVE (r16) — applied from 10k pairs up
+  *    (measured −18% on er_entities), skipped below (measured wash:
+  *    small frames are near-dup-pair-sized and AQE can broadcast the
+  *    label side, so the upfront exchange buys nothing there). Both
+  *    branches are pinned in the size-adaptive test below.
   */
 class Round16OpsInvariantsSpec extends SparkSpec {
   import spark.implicits._
@@ -37,14 +40,25 @@ class Round16OpsInvariantsSpec extends SparkSpec {
     // not-yet-finalized adaptive plan)
     assert(!edgesRaw.queryExecution.executedPlan.outputPartitioning
       .isInstanceOf[HashPartitioning])
-    val edges = GraftBridge.reclaimHashPartitioning(edgesRaw,
-      Seq("dst"), 8)
+    val raw = edgesRaw
+    val edges = GraftBridge.reclaimHashPartitioning(raw, Seq("dst"), 8)
     edges.queryExecution.executedPlan.outputPartitioning match {
       case h: HashPartitioning =>
         assert(h.numPartitions === 8)
         assert(h.expressions.map(_.toString).exists(_.contains("dst")))
       case other => fail(s"bridge did not re-claim the partitioning: $other")
     }
+    // r17 (ADVICE): the rebuild forwards the checkpoint's statistics —
+    // dropping them reset sizeInBytes to defaultSizeInBytes and CBO's
+    // join-strategy choices could differ from the un-reclaimed frame
+    val rawSize = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+    val gotSize = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(gotSize === rawSize,
+      s"reclaim must keep the size estimate ($rawSize), got $gotSize")
+    // the dropped-stats failure mode is specifically the conservative
+    // fallback (defaultSizeInBytes = Long.MaxValue unless overridden)
+    assert(gotSize < BigInt(Long.MaxValue),
+      "size estimate fell back to defaultSizeInBytes — stats dropped")
     // the round join plans an exchange ONLY on the label side — WITH
     // AQE on, the production shape (broadcast off so the join is the
     // shuffled form the corpus-sized case takes); count exchanges in
