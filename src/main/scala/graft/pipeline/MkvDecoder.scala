@@ -23,7 +23,9 @@ package graft.pipeline
   *     EBML) pack multiple frames into one block.
   * This decoder reconstructs the per-frame (offset, length, start-ns)
   * table exactly as the spec prescribes — all four lacing modes, both
-  * block forms, unknown-size Segments (the mkvmerge streaming layout) —
+  * block forms, unknown-size Segments (the mkvmerge streaming layout)
+  * AND unknown-size Clusters followed by siblings (the live-capture
+  * layout, bounded at the first non-child element per RFC 8794 §6.3) —
   * and decodes `V_MJPEG` with the JRE's own ImageIO (every frame an
   * independent JPEG, the same embarrassingly-parallel property the AVI
   * and mp4 MJPEG paths exploit). WebM is the same container with
@@ -92,6 +94,29 @@ object MkvFrameDecoder {
   private val IdBlockGroup = 0xa0L
   private val IdBlock = 0xa1L
 
+  // ---- id classes for bounding an unknown-size Cluster (r17) -------------
+  // RFC 8794 §6.3: an unknown-size element ends at the first element not
+  // a valid child. For a Cluster the discriminating sets are small and
+  // fixed by RFC 9559: its possible SIBLINGS are the Segment-level
+  // elements, its CHILDREN the Cluster schema (+ the global Void/CRC-32,
+  // legal everywhere per RFC 8794 §11.2-11.3).
+  private val IdSeekHead = 0x114d9b74L
+  private val IdCues = 0x1c53bb6bL
+  private val IdChapters = 0x1043a770L
+  private val IdAttachments = 0x1941a469L
+  private val IdTags = 0x1254c367L
+  private val SegmentLevelIds: Set[Long] = Set(IdCluster, IdInfo,
+    IdTracks, IdSeekHead, IdCues, IdChapters, IdAttachments, IdTags)
+  private val IdClusterPosition = 0xa7L
+  private val IdClusterPrevSize = 0xabL
+  private val IdSilentTracks = 0x5854L
+  private val IdEncryptedBlock = 0xafL
+  private val IdVoid = 0xecL
+  private val IdCrc32 = 0xbfL
+  private val ClusterChildIds: Set[Long] = Set(IdClusterTs,
+    IdClusterPosition, IdClusterPrevSize, IdSilentTracks, IdSimpleBlock,
+    IdBlockGroup, IdEncryptedBlock, IdVoid, IdCrc32)
+
   private final case class Track(w: Int, h: Int, codecId: String,
       colourSpace: String, trackNum: Long, defaultDurationNs: Long,
       samples: Array[(Long, Int)], // (absolute offset, byte length)
@@ -143,13 +168,16 @@ object MkvFrameDecoder {
 
   /** Walk the child elements of [from, to), calling
     * `f(id, payloadOff, payloadLen)`. An unknown-size child is only
-    * legal where the spec allows it (Segment, Cluster — `unknownOkFor`)
-    * and extends to the parent's end; RFC 8794's "ends at the next
-    * non-child element" refinement is deliberately unsupported (fail
-    * typed): resolving it needs the full per-doctype schema, and every
-    * real muxer that emits unknown sizes (live-streaming mkvmerge/
-    * ffmpeg) emits them for exactly these two elements, last in their
-    * parent.
+    * legal where the spec allows it (Segment, Cluster — `unknownOkFor`).
+    * An unknown-size SEGMENT extends to the parent's (= file's) end; an
+    * unknown-size CLUSTER is bounded by RFC 8794 §6.3's "ends at the
+    * first element that is not a valid child" rule via
+    * [[boundUnknownCluster]] — the live-capture / streamed-mux layout
+    * (r16 verdict task 3), where every Cluster is emitted unknown-size
+    * and followed by its sibling. For any OTHER unknown-size interior
+    * the typed failure stands: resolving it in general needs the full
+    * per-doctype schema, and real muxers emit unknown sizes for exactly
+    * Segment and Cluster.
     */
   private def walk(filename: String, b: Array[Byte], from: Int, to: Int,
       unknownOkFor: Long => Boolean = _ => false)(
@@ -164,7 +192,9 @@ object MkvFrameDecoder {
           require(unknownOkFor(id), s"$filename: unknown-size EBML " +
             s"element 0x${id.toHexString} (only Segment/Cluster may " +
             "stream); cannot bound its payload")
-          to
+          if (id == IdCluster)
+            boundUnknownCluster(filename, b, payload, to)
+          else to
         } else {
           require(size <= to - payload, s"$filename: EBML element " +
             s"0x${id.toHexString} claims $size bytes past its parent")
@@ -173,6 +203,39 @@ object MkvFrameDecoder {
       f(id, payload, end - payload)
       pos = end
     }
+  }
+
+  /** Payload end of an unknown-size Cluster whose payload starts at
+    * `from` inside a parent bounded by `to`: scan the element stream —
+    * a Segment-level id is the next sibling (the Cluster ends there), a
+    * Cluster-child id is skipped over by its declared size, anything
+    * else fails typed (an id outside both sets means a corrupt or
+    * unschema'd stream this reader cannot bound — silently guessing
+    * would mis-attribute frames). Children of an unknown-size Cluster
+    * must themselves be sized (RFC 9559 gives no streaming form for
+    * them), so a nested unknown size also fails typed. Total: every
+    * step consumes ≥ 1 id byte, and every skip is bounds-checked
+    * against the parent before it moves.
+    */
+  private def boundUnknownCluster(filename: String, b: Array[Byte],
+      from: Int, to: Int): Int = {
+    var pos = from
+    while (pos < to) {
+      val (id, idLen) = readId(filename, b, pos, to)
+      if (SegmentLevelIds(id)) return pos
+      require(ClusterChildIds(id), s"$filename: cannot bound an " +
+        s"unknown-size Cluster: 0x${id.toHexString} is neither a " +
+        "Cluster child nor a Segment-level sibling")
+      val (size, szLen) = readSize(filename, b, pos + idLen, to)
+      require(size != UnknownSize, s"$filename: unknown-size element " +
+        s"0x${id.toHexString} inside an unknown-size Cluster cannot " +
+        "be bounded")
+      val payload = pos + idLen + szLen
+      require(size <= to - payload, s"$filename: EBML element " +
+        s"0x${id.toHexString} claims $size bytes past its parent")
+      pos = payload + size.toInt
+    }
+    to // last Cluster in the stream: bounded by the parent itself
   }
 
   private def uint(filename: String, b: Array[Byte], off: Int,
@@ -383,17 +446,16 @@ object MkvFrameDecoder {
           var tsSeen = false
           walk(filename, b, o, o + l) { (cid, co, cl) =>
             cid match {
-              // a segment-level id INSIDE a cluster's bounds means an
-              // unknown-size Cluster was followed by a sibling (its
-              // payload can only be bounded by the next non-child per
-              // RFC 8794 — doctype-schema resolution this reader
-              // deliberately does not do). Silently skipping would LOSE
-              // the sibling's frames; fail typed instead. A known-size
-              // cluster never contains these ids.
+              // a segment-level id INSIDE a cluster's bounds means a
+              // KNOWN-size Cluster whose declared size swallows its own
+              // sibling (unknown-size Clusters are bounded at the next
+              // sibling by boundUnknownCluster before this walk runs,
+              // r17). Silently skipping would LOSE the sibling's
+              // frames; fail typed instead.
               case IdCluster | IdInfo | IdTracks =>
                 throw new IllegalArgumentException(s"$filename: segment-" +
-                  "level element inside a Cluster — an unknown-size " +
-                  "Cluster followed by a sibling is unsupported")
+                  "level element inside a Cluster — the Cluster's " +
+                  "declared size swallows its sibling")
               case IdClusterTs =>
                 // RFC 9559 puts the Timestamp first in its Cluster; a
                 // Timestamp arriving AFTER blocks would mean the blocks
@@ -579,8 +641,11 @@ object MkvFrameDecoder {
     * (0=none: one block per frame; 1=Xiph; 2=fixed — requires
     * equal-size frames; 3=EBML). `blockGroups` emits the BlockGroup→
     * Block form instead of SimpleBlock (the other block shape the spec
-    * admits). fps = fpsNum/fpsDen with TimestampScale 1 ms and
-    * DefaultDuration set accordingly.
+    * admits). `unknownSizeClusters` writes every Cluster with the
+    * reserved all-ones size VINT — the live-capture / streamed-mux
+    * layout where each Cluster is bounded only by its next sibling
+    * (and the last by the Segment end). fps = fpsNum/fpsDen with
+    * TimestampScale 1 ms and DefaultDuration set accordingly.
     */
   def write(w: Int, h: Int, fpsNum: Long, fpsDen: Long,
       jpegFrames: Seq[Array[Byte]],
@@ -589,7 +654,8 @@ object MkvFrameDecoder {
       framesPerCluster: Int = 2,
       lacing: Int = 0,
       blockGroups: Boolean = false,
-      colourSpace: String = ""): Array[Byte] = {
+      colourSpace: String = "",
+      unknownSizeClusters: Boolean = false): Array[Byte] = {
     require(framesPerCluster >= 1, "framesPerCluster must be >= 1")
     require(lacing >= 0 && lacing <= 3, "lacing must be 0..3")
     require(lacing != 2 || jpegFrames.map(_.length).distinct.size <= 1,
@@ -668,7 +734,11 @@ object MkvFrameDecoder {
                 })
             simpleBlock(0, laceHdr ++ group.toArray.flatMap(_._1), 0x06)
         }
-        el(IdCluster, el(IdClusterTs, uintBytes(clusterTs)) ++ blocks)
+        val payload = el(IdClusterTs, uintBytes(clusterTs)) ++ blocks
+        if (unknownSizeClusters)
+          // 1-byte size VINT with every value bit set = "unknown size"
+          idBytes(IdCluster) ++ Array(0xff.toByte) ++ payload
+        else el(IdCluster, payload)
       }.toArray.flatten
     header ++ el(IdSegment, info ++ tracks ++ clusters)
   }

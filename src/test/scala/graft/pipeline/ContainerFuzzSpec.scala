@@ -85,7 +85,12 @@ class ContainerFuzzSpec extends AnyFunSuite {
     for ((good, seed) <- Seq(
         (MkvFrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg, jpeg)), 99),
         (MkvFrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg, jpeg),
-          framesPerCluster = 3, lacing = 1, blockGroups = true), 100))) {
+          framesPerCluster = 3, lacing = 1, blockGroups = true), 100),
+        // r17: the live-capture layout — unknown-size Clusters bounded
+        // by their next sibling, so mutations also exercise the
+        // boundUnknownCluster scan (id-class checks, lying child sizes)
+        (MkvFrameDecoder.write(4, 4, 2, 1, Seq(jpeg, jpeg, jpeg, jpeg),
+          framesPerCluster = 2, unknownSizeClusters = true), 101))) {
       val rnd = new scala.util.Random(seed)
       for (_ <- 1 to 200) {
         val bytes = good.clone()

@@ -139,10 +139,14 @@ class MkvFrameSpec extends SparkSpec {
       assert(g.image.toSeq === w.image.toSeq)
     }
 
-    // two clusters, FIRST rewritten to unknown size: its bounds can
-    // only be resolved schema-aware, which this reader refuses typed.
-    // (The Segment must go unknown-size too — shrinking a child without
-    // re-deriving the parent's size would fail on the parent instead.)
+    // r17 (r16 verdict task 3): an unknown-size Cluster FOLLOWED BY A
+    // SIBLING — the live-capture layout (RFC 8794 §6.3 bounds it at the
+    // first non-child element). First the hand-mutated form: two
+    // clusters, FIRST rewritten to unknown size inside an unknown-size
+    // Segment (shrinking a child without re-deriving the parent's size
+    // would otherwise fail on the parent). Must decode identically to
+    // the untouched layout — the second cluster's frames were exactly
+    // what the pre-r17 typed failure refused to silently lose.
     val two = MkvFrameDecoder.write(4, 4, 2, 1,
       jpegs(Seq(0.2f, 0.4f, 0.6f, 0.8f)), framesPerCluster = 2)
     val seg2At = findPat(two, Array(0x18, 0x53, 0x80.toByte, 0x67))
@@ -154,11 +158,58 @@ class MkvFrameSpec extends SparkSpec {
     assert(c1 > 0)
     val c1szLen = java.lang.Integer.numberOfLeadingZeros(
       twoStream(c1 + 4) & 0xff) - 23
-    val evil = twoStream.take(c1 + 4) ++ Array(0xff.toByte) ++
+    val mixed = twoStream.take(c1 + 4) ++ Array(0xff.toByte) ++
       twoStream.drop(c1 + 4 + c1szLen)
+    val wantTwo = dec.decode("plain2.mkv", two, 500).toSeq
+    assert(wantTwo.size === 4)
+    val gotMixed = dec.decode("mixed.mkv", mixed, 500).toSeq
+    assert(gotMixed.map(_.timestampMs) === wantTwo.map(_.timestampMs))
+    gotMixed.zip(wantTwo).foreach { case (g, w) =>
+      assert(g.image.toSeq === w.image.toSeq)
+    }
+  }
+
+  test("live-capture layout: EVERY Cluster unknown-size (writer flag), " +
+      "each bounded by its next sibling and the last by the Segment — " +
+      "decode ≡ the known-size layout, both block forms") {
+    val dec = new MkvFrameDecoder()
+    for (groups <- Seq(false, true)) {
+      val frames = jpegs(Seq(0.15f, 0.35f, 0.55f, 0.75f, 0.95f))
+      val known = MkvFrameDecoder.write(4, 4, 2, 1, frames,
+        framesPerCluster = 2, blockGroups = groups)
+      val live = MkvFrameDecoder.write(4, 4, 2, 1, frames,
+        framesPerCluster = 2, blockGroups = groups,
+        unknownSizeClusters = true)
+      assert(!java.util.Arrays.equals(known, live))
+      val want = dec.decode("known.mkv", known, 500).toSeq
+      val got = dec.decode("live.mkv", live, 500).toSeq
+      assert(want.size === 5)
+      assert(got.map(_.timestampMs) === want.map(_.timestampMs))
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.image.toSeq === w.image.toSeq)
+      }
+      // metadata path sees the same frame table
+      val meta = dec.decodeMeta("live.mkv", live, 500).toSeq
+      assert(meta.map(_.timestampMs) === want.map(_.timestampMs))
+      assert(meta.forall(_.frameTotal == 5.0))
+    }
+    // the bound still refuses what it cannot resolve: an id that is
+    // neither a Cluster child nor a Segment-level sibling after an
+    // unknown-size Cluster's last block fails typed (never guesses).
+    // Segment made unknown-size so the appended junk lands INSIDE it,
+    // in the last cluster's bound scan.
+    val live = MkvFrameDecoder.write(4, 4, 2, 1,
+      jpegs(Seq(0.2f, 0.8f)), framesPerCluster = 2,
+      unknownSizeClusters = true)
+    val segAt = findPat(live, Array(0x18, 0x53, 0x80.toByte, 0x67))
+    val segSzLen = java.lang.Integer.numberOfLeadingZeros(
+      live(segAt + 4) & 0xff) - 23
+    val garbage = live.take(segAt + 4) ++ Array(0xff.toByte) ++
+      live.drop(segAt + 4 + segSzLen) ++
+      Array[Byte](0x42, 0x42, 0x42, 0x42)
     val e = intercept[IllegalArgumentException](
-      dec.decode("evil.mkv", evil, 500).toSeq)
-    assert(e.getMessage.contains("unknown-size Cluster"))
+      dec.decode("junk.mkv", garbage, 500).toSeq)
+    assert(e.getMessage.contains("cannot bound"), e.getMessage)
   }
 
   test("hostile forms fail typed: garbage, rewinding cluster timestamps, " +
