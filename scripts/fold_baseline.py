@@ -143,11 +143,32 @@ def admit_floor(run_vals, probe_vals=()):
         if v >= UNDERCUT * med or i == len(vals) - 1:
             return v, quarantined
         confirm = [e for e in vals[i + 1:] if e <= CONFIRM_TOL * v]
-        confirm += [p for p in probe_vals if p <= CONFIRM_TOL * v]
+        # probe confirmation is TWO-sided: a probe sample far BELOW the
+        # candidate is itself anomalous and must not vouch for it (the
+        # window-sample arm above is implicitly two-sided: sorted, e>=v)
+        confirm += [p for p in probe_vals
+                    if abs(p - v) <= (CONFIRM_TOL - 1) * v]
         if confirm:
             return v, quarantined
         quarantined.append(v)
     return vals[-1], quarantined  # unreachable: last index admits above
+
+
+def reapply_held_pins(base):
+    """Re-apply standing repins ('-> VALUE:' notes) whose query has no
+    window sample, WITHOUT advancing the '[held N]' age or retiring
+    notes — the bookkeeping belongs to the real fold path only. The
+    --drop-sample/--fold-probe paths regenerate floors too, and before
+    this helper they silently dropped a pinned-but-unmeasured query's
+    floor until the next full fold.
+    """
+    import re
+    for name, note in base.get("repinned", {}).items():
+        if name in base["queries"]:
+            continue
+        m = re.search(r"-> ([0-9.eE+-]+):", note)
+        if m:
+            base["queries"][name] = float(m.group(1))
 
 
 def window_floors(hist):
@@ -200,6 +221,10 @@ def main():
                     help="ingest a probe_adjudication.json's fresh_min "
                          "re-measurements as probe-provenance samples "
                          "(guard confirmation evidence, never floors)")
+    ap.add_argument("--expect-sf", default="sf0.1",
+                    help="substring the probe artifact's sf must contain "
+                         "before --fold-probe accepts it (scale "
+                         "discipline; default sf0.1, the main chain)")
     ap.add_argument("--seed", nargs="*", default=None,
                     metavar="RUN.json",
                     help="initialize the history from existing full-run "
@@ -268,12 +293,22 @@ def main():
                 f"dropped sample(s) from {dropped}: {args.evidence}")
             print(f"dropped {name} sample from {dropped}")
         base["queries"], base["quarantined"] = window_floors(hist)
+        reapply_held_pins(base)
         dump_history(args.history, hist)
         dump_baseline(args.baseline, base)
         return
 
     if args.fold_probe:
         probe = load(args.fold_probe)
+        # scale discipline (same rule as Bench.readPriorSuspects): a
+        # probe measured at another sf says nothing about this chain's
+        # floors — its ~Nx-different timings must never become
+        # confirmation evidence here
+        sf = probe.get("sf", "")
+        if args.expect_sf not in sf:
+            sys.exit(f"refusing to fold probe at sf={sf!r} into the "
+                     f"{args.expect_sf!r} chain (pass --expect-sf to "
+                     "override for a deliberate off-scale chain)")
         qs = {name: row["fresh_min"]
               for name, row in probe.get("suspects", {}).items()
               if isinstance(row, dict) and "fresh_min" in row}
@@ -281,12 +316,15 @@ def main():
             print(f"{args.fold_probe}: no fresh_min samples to fold")
             return
         hist.setdefault("probe_samples", []).append({
-            "source": args.source or args.fold_probe, "queries": qs})
+            "source": args.source or args.fold_probe, "age": 0,
+            "queries": qs})
         # bound the provenance list: ~4 probes per window era is plenty
-        # of confirmation evidence, and stale probes from rotated-out
-        # eras would confirm floors the window no longer supports
+        # of confirmation evidence (count cap here; ERA expiry — age >=
+        # k full folds — happens in the main fold path, where window
+        # rotation is actually measured)
         hist["probe_samples"] = hist["probe_samples"][-4:]
         base["queries"], base["quarantined"] = window_floors(hist)
+        reapply_held_pins(base)
         dump_history(args.history, hist)
         dump_baseline(args.baseline, base)
         print(f"folded {len(qs)} probe sample(s) from {args.fold_probe}")
@@ -311,6 +349,19 @@ def main():
         hist["runs"].append({"source": args.source or args.bench,
                              "n": n, "queries": bench["queries"]})
         hist["runs"] = hist["runs"][-args.k:]
+
+    # age probe provenance with the window: after k full folds the run
+    # window has fully rotated, and a probe from that dead host era must
+    # not keep confirming floors the current window cannot support
+    if hist.get("probe_samples"):
+        for p in hist["probe_samples"]:
+            p["age"] = p.get("age", 0) + 1
+        expired = [p for p in hist["probe_samples"] if p["age"] >= hist["k"]]
+        hist["probe_samples"] = [p for p in hist["probe_samples"]
+                                 if p["age"] < hist["k"]]
+        for p in expired:
+            print(f"probe sample(s) from {p['source']!r} expired "
+                  f"(window fully rotated)")
 
     old = dict(base["queries"])
     base["queries"], base["quarantined"] = window_floors(hist)

@@ -37,8 +37,8 @@ fams = {}
 for n in cands:
     fams.setdefault(n.split('_', 1)[0], []).append(n)
 rows = [fams[f] for f in sorted(fams)]
-picked = [q for i in range(max(map(len, rows), default=0))
-          for r in rows if i < len(r) for q in [r[i]]][:6]
+picked = [r[i] for i in range(max(map(len, rows), default=0))
+          for r in rows if i < len(r)][:6]
 print(','.join(picked))
 EOF
 )

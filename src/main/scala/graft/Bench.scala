@@ -277,9 +277,11 @@ object Bench {
     * may also carry probe-provenance samples (fold_baseline.py
     * --fold-probe), which its writer places BEFORE "runs" precisely so
     * a probe's one-window re-measurements never leak into the medians
-    * they exist to cross-check. The run wrappers' "n" counts parse as a
-    * sample named `n` — excluded by name below (single letters are
-    * outside the engine's `family_name` query keyspace).
+    * they exist to cross-check. Metadata keys riding in the scanned
+    * region (each run wrapper's "n" count; a hand-edited file could
+    * also place "k" after "runs") are excluded structurally: every
+    * query name is `family_name`-shaped, so only names containing an
+    * underscore are samples (spec-pinned against the live surface).
     */
   private[graft] def readHistory(
       path: java.nio.file.Path): Map[String, Seq[Double]] =
@@ -292,7 +294,7 @@ object Bench {
         val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
         pair.findAllMatchIn(text.substring(at)).toSeq
           .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._1 != "n")
+          .filter(_._1.contains('_'))
           .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
       }
     }
@@ -484,25 +486,12 @@ object Bench {
       if (fresh.nonEmpty) {
         val targets = fresh.take(8).map(_._1)
         val targetSet = targets.toSet
-        // 6 controls, stratified by family prefix (r16 verdict nit +
-        // ADVICE): round-robin one query per family before taking a
-        // second from any — the old `cands.size / 6` stride degenerates
-        // to 1 for pools of 7-11 (first 6 alphabetically, likely one
-        // family) and biases the env factor toward that family's local
-        // noise. Deterministic: families and their members are both
-        // visited in sorted order.
-        val controls = {
-          val cands = baselineNow.toSeq
-            .filter { case (n, v) =>
-              !targetSet(n) && v >= 0.2 && v <= 1.0 &&
-                SparkEntry.queries.contains(n)
-            }
-            .map(_._1).sorted
-          val byFam = cands.groupBy(_.takeWhile(_ != '_'))
-            .toSeq.sortBy(_._1).map(_._2)
-          val deepest = byFam.map(_.size).maxOption.getOrElse(0)
-          (0 until deepest).flatMap(i => byFam.flatMap(_.lift(i))).take(6)
-        }
+        val controls = stratifiedControls(baselineNow.toSeq
+          .filter { case (n, v) =>
+            !targetSet(n) && v >= 0.2 && v <= 1.0 &&
+              SparkEntry.queries.contains(n)
+          }
+          .map(_._1))
         // a probe-time failure must never masquerade as a timing: a
         // fast-throwing CONTROL would drag the env factor down (false
         // CONFIRMs), a throwing TARGET would be timed at its
@@ -543,6 +532,23 @@ object Bench {
       s"${prefix}bench_out.json"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Probe-control picker (spec-pinned): up to `n` controls from the
+    * candidate pool, stratified by family prefix (r16 verdict nit +
+    * ADVICE) — round-robin one query per family before taking a second
+    * from any. The old `cands.size / 6` stride degenerates to 1 for
+    * pools of 7-11 (first 6 alphabetically, likely one family) and
+    * biases the env factor toward that family's local noise.
+    * Deterministic: families and their members are both visited in
+    * sorted order.
+    */
+  private[graft] def stratifiedControls(cands: Seq[String],
+      n: Int = 6): Seq[String] = {
+    val byFam = cands.sorted.groupBy(_.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1).map(_._2)
+    val deepest = byFam.map(_.size).maxOption.getOrElse(0)
+    (0 until deepest).flatMap(i => byFam.flatMap(_.lift(i))).take(n)
   }
 
   /** Representative per-family subset for the compact stdout line: the

@@ -380,18 +380,19 @@ class BenchTrendSpec extends AnyFunSuite {
   }
 
   test("probe controls stratify across family prefixes") {
-    // the picker logic from main, replicated: with a 7-candidate pool
-    // that is 6/7 one family, the old size/6=1 stride picked 6 dd_* —
-    // round-robin must visit every family before repeating one
+    // with a 9-candidate pool that is 6/9 one family, the old size/6=1
+    // stride picked 6 dd_* — the round-robin picker (the REAL one main
+    // calls) must visit every family before repeating one
     val cands = Seq("dd_a", "dd_b", "dd_c", "dd_d", "dd_e", "dd_f",
-      "er_a", "mm_a", "txt_a").sorted
-    val byFam = cands.groupBy(_.takeWhile(_ != '_'))
-      .toSeq.sortBy(_._1).map(_._2)
-    val deepest = byFam.map(_.size).maxOption.getOrElse(0)
-    val picked = (0 until deepest).flatMap(i => byFam.flatMap(_.lift(i)))
-      .take(6)
+      "er_a", "mm_a", "txt_a")
+    val picked = Bench.stratifiedControls(cands)
+    assert(picked.size === 6, picked)
     assert(picked.map(_.takeWhile(_ != '_')).distinct.size === 4, picked)
     assert(picked.take(4) === Seq("dd_a", "er_a", "mm_a", "txt_a"), picked)
+    // determinism is input-order-independent (picker sorts internally)
+    assert(Bench.stratifiedControls(scala.util.Random.shuffle(cands))
+      === picked)
+    assert(Bench.stratifiedControls(Nil) === Nil)
   }
 
   test("the committed baseline covers the live query surface") {

@@ -96,7 +96,7 @@ class FoldBaselineSpec extends AnyFunSuite {
     // probe re-measured q_freak at 0.32 (within 15% of the freak 0.30)
     // and q_norm at 0.10 (a probe-only fast sample)
     write(dir, "probe_adjudication.json",
-      """{"sf": "/sf", "suspects": {
+      """{"sf": "/root/testdata/sf0.1", "suspects": {
         |  "q_freak": {"fresh_min": 0.32, "floor": 0.3, "verdict": "clear"},
         |  "q_norm": {"fresh_min": 0.10, "floor": 0.5, "verdict": "clear"}}}"""
         .stripMargin)
@@ -115,6 +115,69 @@ class FoldBaselineSpec extends AnyFunSuite {
     // and Bench's trailing medians ignore it (runs-only parse)
     assert(Bench.trailingMedians(
       dir.resolve("bench_history.json"))("q_norm") < 0.6)
+  }
+
+  test("probe confirmation is two-sided, scale-checked, and ages out " +
+      "with the window") {
+    assume(havePython, "python3 not on PATH")
+    // TWO-SIDED: a probe sample far BELOW the quarantined candidate is
+    // itself anomalous and must not vouch for it
+    val dir = Files.createTempDirectory("fold_probe2")
+    seedHistory(dir, Seq(1.00, 1.02, 0.30, 0.98, 1.01))
+    write(dir, "probe_adjudication.json",
+      """{"sf": "/root/testdata/sf0.1", "suspects": {
+        |  "q_freak": {"fresh_min": 0.05, "floor": 0.3, "verdict": "clear"}}}"""
+        .stripMargin)
+    val (rc, out) = fold(dir, "--fold-probe", "probe_adjudication.json",
+      "--source", "probe lowball")
+    assert(rc == 0, out)
+    assert(baseline(dir)("q_freak") == 0.98,
+      s"a 0.05 probe must not confirm a 0.30 freak: ${baseline(dir)}")
+    // SCALE-CHECKED: a probe artifact from another sf is refused
+    write(dir, "probe_sf001.json",
+      """{"sf": "/root/testdata/sf0.01", "suspects": {
+        |  "q_freak": {"fresh_min": 0.31, "floor": 0.3, "verdict": "clear"}}}"""
+        .stripMargin)
+    val (rcSf, outSf) = fold(dir, "--fold-probe", "probe_sf001.json")
+    assert(rcSf != 0 && outSf.contains("refusing to fold probe"), outSf)
+    // AGES OUT: after k full folds the probe provenance expires — the
+    // freak stays quarantined once its confirming probe leaves the era
+    for (i <- 1 to 5) {
+      write(dir, "bench_out.json",
+        s"""{"queries": {"q_freak": ${1.0 + i * 0.001}, "q_norm": 0.55}}""")
+      val (rcF, outF) = fold(dir, "--source", s"era fold $i")
+      assert(rcF == 0, outF)
+    }
+    val hist = Files.readString(dir.resolve("bench_history.json"))
+    assert(!hist.contains("probe lowball"),
+      s"probe provenance must expire after k folds: $hist")
+  }
+
+  test("a standing repin survives --drop-sample and --fold-probe " +
+      "regeneration (pinned floor held until re-measured)") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_pin")
+    seedHistory(dir, Seq(1.00, 1.02, 0.99, 0.98, 1.01))
+    // pin a query that has NO window samples (purged at repin time)
+    val (rcPin, outPin) = fold(dir, "--repin", "q_pinned=0.42",
+      "--evidence", "spec: keyspace fix")
+    assert(rcPin == 0, outPin)
+    assert(baseline(dir)("q_pinned") == 0.42, baseline(dir).toString)
+    // --drop-sample regenerates floors; the pin must survive
+    val (rcDrop, outDrop) = fold(dir, "--drop-sample", "q_freak@run 2",
+      "--evidence", "spec")
+    assert(rcDrop == 0, outDrop)
+    assert(baseline(dir)("q_pinned") == 0.42,
+      s"pin lost by --drop-sample regen: ${baseline(dir)}")
+    // --fold-probe regenerates floors; the pin must survive that too
+    write(dir, "probe_adjudication.json",
+      """{"sf": "/root/testdata/sf0.1", "suspects": {
+        |  "q_norm": {"fresh_min": 0.52, "floor": 0.5, "verdict": "clear"}}}"""
+        .stripMargin)
+    val (rcP, outP) = fold(dir, "--fold-probe", "probe_adjudication.json")
+    assert(rcP == 0, outP)
+    assert(baseline(dir)("q_pinned") == 0.42,
+      s"pin lost by --fold-probe regen: ${baseline(dir)}")
   }
 
   test("--drop-sample purges exactly one run's sample and regenerates") {
