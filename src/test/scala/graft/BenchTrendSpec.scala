@@ -239,14 +239,16 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.readBaseline(bad) === Map.empty)
   }
 
-  test("a repinned section never pollutes the parsed baseline") {
-    // fold_baseline.py --repin writes an audit section of STRING values
-    // BEFORE "queries"; the scan-after-"queries" parse must see only the
-    // real numbers (a numeric or post-queries repin entry would leak)
+  test("repinned and quarantined sections never pollute the parsed baseline") {
+    // fold_baseline.py writes its audit sections (repinned, and since
+    // r17 quarantined) as STRING values BEFORE "queries"; the
+    // scan-after-"queries" parse must see only the real numbers (a
+    // numeric or post-queries audit entry would leak)
     val p = Files.createTempFile("baseline_repin", ".json")
     Files.writeString(p,
-      """{"source": "r11",
+      """{"source": "r17",
         | "repinned": {"q_slow": "0.3 -> 0.6: context evidence"},
+        | "quarantined": {"q_fast": "[0.05] quarantined (undercut window median 0.21 by >30% with no second sample within 15%); floor 0.2"},
         | "queries": {"q_slow": 0.6, "q_fast": 0.2}}""".stripMargin)
     assert(Bench.readBaseline(p) === Map("q_slow" -> 0.6, "q_fast" -> 0.2))
   }
