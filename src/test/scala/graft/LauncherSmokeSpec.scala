@@ -48,6 +48,12 @@ class LauncherSmokeSpec extends AnyFunSuite {
     Files.write(corpus.resolve("catB/clips/v4.mkv"),
       graft.pipeline.MkvFrameDecoder.write(4, 4, 2, 1,
         Seq(jpeg(0.3f), jpeg(0.4f))))
+    // r17: the LIVE-CAPTURE Matroska layout — every Cluster unknown-size,
+    // bounded only by its next sibling (RFC 8794 §6.3)
+    Files.write(corpus.resolve("catA/clips/v5.mkv"),
+      graft.pipeline.MkvFrameDecoder.write(4, 4, 2, 1,
+        Seq(jpeg(0.1f), jpeg(0.2f), jpeg(0.3f)), framesPerCluster = 1,
+        unknownSizeClusters = true))
     Files.write(corpus.resolve("catB/clips/readme.txt"),
       "not a video".getBytes)
 
@@ -59,10 +65,10 @@ class LauncherSmokeSpec extends AnyFunSuite {
     val log = new String(p.getInputStream.readAllBytes())
     val code = p.waitFor()
     assert(code === 0, s"launcher exited $code:\n${log.takeRight(4000)}")
-    // 2 (v1) + 3 (fragmented v2) + 1 (magic-routed v3) + 2 (mkv v4)
-    // frames, one single_frame sample each; readme.txt filtered by
-    // extension
-    assert(log.contains("wrote 8 samples"),
-      s"expected 8 samples in:\n${log.takeRight(2000)}")
+    // 2 (v1) + 3 (fragmented v2) + 1 (magic-routed v3) + 2 (mkv v4) +
+    // 3 (live-capture mkv v5) frames, one single_frame sample each;
+    // readme.txt filtered by extension
+    assert(log.contains("wrote 11 samples"),
+      s"expected 11 samples in:\n${log.takeRight(2000)}")
   }
 }
