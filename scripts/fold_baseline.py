@@ -269,6 +269,14 @@ def main():
         dump_baseline(args.baseline, base)
         return
 
+    # the drop/fold-probe branches REGENERATE floors from the window; with
+    # no run history that would wipe the whole baseline on a mis-invocation
+    # (wrong --history path, fresh checkout)
+    if (args.drop_query or args.drop_sample or args.fold_probe) \
+            and not hist["runs"]:
+        sys.exit("no run history at the --history path; refusing to "
+                 "regenerate (this would empty the baseline)")
+
     if args.drop_query or args.drop_sample:
         for name in args.drop_query:
             n = sum(1 for run in hist["runs"] if run["queries"].pop(name, None)

@@ -196,6 +196,23 @@ class FoldBaselineSpec extends AnyFunSuite {
     assert(rc2 != 0 && out2.contains("matched no window sample"), out2)
   }
 
+  test("regeneration refuses an empty run history (a wrong --history " +
+      "path must not wipe the baseline)") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_empty")
+    write(dir, "bench_baseline.json",
+      """{"source": "x", "queries": {"q_a": 1.0}}""")
+    write(dir, "probe_adjudication.json",
+      """{"sf": "/root/testdata/sf0.1", "suspects": {
+        |  "q_a": {"fresh_min": 1.1, "floor": 1.0}}}""".stripMargin)
+    val (rc, out) = fold(dir, "--fold-probe", "probe_adjudication.json")
+    assert(rc != 0 && out.contains("refusing to regenerate"), out)
+    assert(baseline(dir)("q_a") == 1.0, "baseline must be untouched")
+    val (rc2, out2) = fold(dir, "--drop-query", "q_a", "--evidence", "x")
+    assert(rc2 != 0 && out2.contains("refusing to regenerate"), out2)
+    assert(baseline(dir)("q_a") == 1.0, "baseline must be untouched")
+  }
+
   test("small windows (<3 samples) admit the min: a new query's floor " +
       "converges as its window fills") {
     assume(havePython, "python3 not on PATH")
