@@ -85,6 +85,11 @@ def dump_baseline(path, base):
     # then queries last so readBaseline's scan-after-"queries" sees
     # numbers only
     out = {"source": base.get("source", "")}
+    # preserve unknown keys, BEFORE "queries" (which must stay last for
+    # readBaseline's scan-after-"queries" numeric parse)
+    for key, val in base.items():
+        if key not in ("source", "repinned", "quarantined", "queries"):
+            out[key] = val
     if base.get("repinned"):
         out["repinned"] = dict(sorted(base["repinned"].items()))
     if base.get("quarantined"):
@@ -101,6 +106,12 @@ def dump_history(path, hist):
     # after the "runs" key, so probe samples placed there would leak
     # into the medians they exist to cross-check
     out = {"k": hist["k"]}
+    # preserve any keys another tool (or a hand-added note) carries —
+    # BEFORE "runs", where Bench.readHistory's name:number scan never
+    # looks, so an unknown numeric map cannot leak into the medians
+    for key, val in hist.items():
+        if key not in ("k", "probe_samples", "runs"):
+            out[key] = val
     if hist.get("probe_samples"):
         out["probe_samples"] = hist["probe_samples"]
     out["runs"] = hist["runs"]
@@ -313,7 +324,10 @@ def main():
         # floors — its ~Nx-different timings must never become
         # confirmation evidence here
         sf = probe.get("sf", "")
-        if args.expect_sf not in sf:
+        # exact basename match, same discipline as Bench.readPriorSuspects'
+        # equality check — a substring test would admit look-alike dirs
+        # (sf0.12, sf0.1b) whose ~Nx-different timings must not vouch here
+        if os.path.basename(sf.rstrip("/")) != args.expect_sf:
             sys.exit(f"refusing to fold probe at sf={sf!r} into the "
                      f"{args.expect_sf!r} chain (pass --expect-sf to "
                      "override for a deliberate off-scale chain)")
@@ -340,6 +354,13 @@ def main():
 
     if args.seed is not None:
         hist["runs"] = []
+        # seeding replaces the window WHOLESALE — any standing probe
+        # provenance belongs to the era the seed is discarding, and a
+        # dead-era probe must not confirm freak floors in the new
+        # window (the same invariant the age-based expiry enforces one
+        # fold at a time)
+        if hist.pop("probe_samples", None):
+            print("probe sample(s) discarded (seed replaces the era)")
         for path in args.seed:
             bench = load(path)
             hist["runs"].append({"source": os.path.basename(path),
@@ -385,18 +406,24 @@ def main():
     import re
     repins_held = 0
     for name, note in list(base.get("repinned", {}).items()):
+        m = re.search(r"-> ([0-9.eE+-]+):", note)
         if name in base["queries"]:
-            # re-measured: the window floor now regenerates from fresh
-            # samples, so the repin governs nothing — drop it. Keeping
-            # it would leave a stale "[held N]" suffix that makes a
-            # LATER unmeasured stretch resume the bounded hold at N
-            # (expiring early) and would park the repin note in the
-            # audit section forever.
+            # "dropped ..." notes are PERMANENT audit records of a
+            # surgical intervention (--drop-query/--drop-sample) — the
+            # evidence trail is the point, and the query re-appearing
+            # in the window is the expected aftermath of a sample
+            # drop, not a reason to erase why the drop happened.
+            if m is None:
+                continue
+            # re-measured value repin: the window floor now regenerates
+            # from fresh samples, so the pin governs nothing — drop it.
+            # Keeping it would leave a stale "[held N]" suffix that
+            # makes a LATER unmeasured stretch resume the bounded hold
+            # at N (expiring early).
             del base["repinned"][name]
             print(f"repin for {name} retired (re-measured; window floor "
                   f"is fresh)")
             continue
-        m = re.search(r"-> ([0-9.eE+-]+):", note)
         if not m:
             continue
         hm = re.search(r" \[held (\d+)\]$", note)

@@ -299,17 +299,22 @@ object Bench {
       }
     }
 
+  /** Sorted-midpoint median (even sizes interpolate) — ONE home, used
+    * by both [[trailingMedians]] and main's volatility top-up.
+    */
+  private[graft] def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   /** Per-query MEDIAN over the trailing window — the poisoned-floor
     * cross-check [[adjudicationJson]] confirms against: a single freak
     * sample can move a min-folded floor but never the window median.
     */
   private[graft] def trailingMedians(
       path: java.nio.file.Path): Map[String, Double] =
-    readHistory(path).map { case (n, xs) =>
-      val s = xs.sorted
-      n -> (if (s.size % 2 == 1) s(s.size / 2)
-            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
-    }
+    readHistory(path).map { case (n, xs) => n -> medianOf(xs) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -441,10 +446,6 @@ object Bench {
         base ++ volatile.map(n => n -> (base(n) ++ extra.map(_(n))))
       }
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val results = names.map(n => n -> samples(n).min)
     val ok = results.filterNot { case (n, _) => failed.contains(n) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
@@ -454,7 +455,7 @@ object Bench {
     // falsifiable — a regression is a moved min with a small spread.
     val vars = ok.map { case (k, _) =>
       val xs = samples(k)
-      "\"" + k + "\":{\"min\":" + xs.min + ",\"median\":" + median(xs) +
+      "\"" + k + "\":{\"min\":" + xs.min + ",\"median\":" + medianOf(xs) +
         ",\"spread\":" + (xs.max - xs.min) + "}"
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -213,6 +213,105 @@ class FoldBaselineSpec extends AnyFunSuite {
     assert(baseline(dir)("q_a") == 1.0, "baseline must be untouched")
   }
 
+  test("a --drop-sample audit note persists across subsequent folds " +
+      "(the evidence trail is the point)") {
+    assume(havePython, "python3 not on PATH")
+    // pre-fix, the repin-retirement loop deleted drop audits as soon as
+    // the query re-measured — observed live: the r17 baseline lost both
+    // r16e drop notes on the very next fold while CHANGELOG claimed
+    // they were "audit in the baseline"
+    val dir = Files.createTempDirectory("fold_audit")
+    seedHistory(dir, Seq(1.00, 1.02, 0.30, 0.98, 1.01))
+    val (rcD, outD) = fold(dir, "--drop-sample", "q_freak@run 3",
+      "--evidence", "spec: freak purge")
+    assert(rcD == 0, outD)
+    // the query re-measures on the next fold; the note must survive
+    write(dir, "bench_out.json",
+      """{"queries": {"q_freak": 0.99, "q_norm": 0.55}}""")
+    val (rcF, outF) = fold(dir, "--source", "post-drop fold")
+    assert(rcF == 0, outF)
+    val text = Files.readString(dir.resolve("bench_baseline.json"))
+    assert(text.contains("spec: freak purge"),
+      s"drop audit erased by the next fold: $text")
+    // a VALUE repin for a re-measured query still retires (the note
+    // would otherwise park a stale [held N] hold in the audit)
+    assert(!outF.contains("repin for q_freak retired"), outF)
+  }
+
+  test("--seed discards prior-era probe provenance (a dead-era probe " +
+      "must not confirm floors in the seeded window)") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_seed")
+    seedHistory(dir, Seq(1.00, 1.02, 0.99, 0.98, 1.01))
+    write(dir, "probe_adjudication.json",
+      """{"sf": "/root/testdata/sf0.1", "suspects": {
+        |  "q_freak": {"fresh_min": 0.31, "floor": 0.3}}}""".stripMargin)
+    val (rcP, outP) = fold(dir, "--fold-probe", "probe_adjudication.json",
+      "--source", "old-era probe")
+    assert(rcP == 0, outP)
+    write(dir, "seed_a.json",
+      """{"queries": {"q_freak": 0.30, "q_norm": 0.50}}""")
+    write(dir, "seed_b.json",
+      """{"queries": {"q_freak": 1.00, "q_norm": 0.50}}""")
+    write(dir, "seed_c.json",
+      """{"queries": {"q_freak": 1.01, "q_norm": 0.50}}""")
+    val (rcS, outS) = fold(dir, "--seed", "seed_a.json", "seed_b.json",
+      "seed_c.json", "--source", "seeded era")
+    assert(rcS == 0, outS)
+    val hist = Files.readString(dir.resolve("bench_history.json"))
+    assert(!hist.contains("old-era probe"),
+      s"seed must discard prior-era probes: $hist")
+    // and the seeded window's own freak stays quarantined: the dead
+    // probe's 0.31 can no longer vouch for the 0.30
+    assert(baseline(dir)("q_freak") == 1.00,
+      s"dead-era probe confirmed a freak floor: ${baseline(dir)}")
+  }
+
+  test("the probe scale check is an exact basename match, not a " +
+      "substring (sf0.12 must not fold into the sf0.1 chain)") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_sfexact")
+    seedHistory(dir, Seq(1.00, 1.02, 0.99, 0.98, 1.01))
+    write(dir, "probe_lookalike.json",
+      """{"sf": "/root/testdata/sf0.12", "suspects": {
+        |  "q_norm": {"fresh_min": 5.0, "floor": 0.5}}}""".stripMargin)
+    val (rc, out) = fold(dir, "--fold-probe", "probe_lookalike.json")
+    assert(rc != 0 && out.contains("refusing to fold probe"), out)
+    // a trailing slash on the genuine dir is still accepted
+    write(dir, "probe_slash.json",
+      """{"sf": "/root/testdata/sf0.1/", "suspects": {
+        |  "q_norm": {"fresh_min": 0.52, "floor": 0.5}}}""".stripMargin)
+    val (rc2, out2) = fold(dir, "--fold-probe", "probe_slash.json")
+    assert(rc2 == 0, out2)
+  }
+
+  test("unknown keys in the history and baseline survive a fold " +
+      "(placed where the name:number scanners never look)") {
+    assume(havePython, "python3 not on PATH")
+    val dir = Files.createTempDirectory("fold_keys")
+    write(dir, "bench_history.json",
+      """{"k": 5, "note": "why this window was seeded", "runs": [
+        | {"source": "run 1", "n": 2,
+        |  "queries": {"q_freak": 1.0, "q_norm": 0.5}},
+        | {"source": "run 2", "n": 2,
+        |  "queries": {"q_freak": 1.0, "q_norm": 0.5}},
+        | {"source": "run 3", "n": 2,
+        |  "queries": {"q_freak": 1.0, "q_norm": 0.5}}]}""".stripMargin)
+    write(dir, "bench_out.json",
+      """{"queries": {"q_freak": 1.0, "q_norm": 0.5}}""")
+    val (rc, out) = fold(dir, "--source", "keys fold")
+    assert(rc == 0, out)
+    val hist = Files.readString(dir.resolve("bench_history.json"))
+    assert(hist.contains("why this window was seeded"),
+      s"fold dropped a hand-added history key: $hist")
+    // BEFORE "runs": anything after it is scanned as name:number samples
+    assert(hist.indexOf("\"note\"") < hist.indexOf("\"runs\""), hist)
+    // trailing medians still parse only the runs (the note is upstream
+    // of the scan window, so it cannot pollute)
+    assert(Bench.trailingMedians(
+      dir.resolve("bench_history.json"))("q_norm") == 0.5)
+  }
+
   test("small windows (<3 samples) admit the min: a new query's floor " +
       "converges as its window fills") {
     assume(havePython, "python3 not on PATH")
