@@ -48,6 +48,12 @@ object Dedup {
   // (the uncapped row is the lost-pair baseline).
   private val ShingleDfCaps: Seq[Long] = Seq(2L, 5L, 1000000L)
 
+  // dd_lsh_bucket_cap's per-bucket membership caps: tight, moderate,
+  // effectively-uncapped-at-test-scale (the loose row is the recall
+  // baseline the truncation economics read against; at 10x corpus it
+  // starts truncating the hot buckets, which is the point).
+  private val LshBucketCaps: Seq[Long] = Seq(2L, 8L, 64L)
+
   /** Exact shingle-Jaccard over LSH candidate pairs — ONE definition
     * consumed by dd_jaccard (the scored pairs) and dd_jaccard_curve
     * (the threshold-selection histogram over the same scores), so the
@@ -799,6 +805,139 @@ object Dedup {
         $configCtes
         $configSelects"""
       }),
+
+    // ---- LSH bucket-occupancy cap: the candidate-side scale mitigation ------
+    // dd_shingle_cap bounds the TRUTH side (inverted-index df cap); this
+    // bounds the CANDIDATE side. Within-bucket pair enumeration costs
+    // Σ n_b² over bucket occupancies n_b, and on a duplicate-heavy
+    // corpus occupancy grows WITH the corpus: the r17 three-point
+    // measurement (sf0.1/0.3/1.0, one window, one harness) put
+    // dd_lsh_sweep's upper-segment exponent at 1.09 while every other
+    // query in the set amortized DOWN (0.02–0.26) — candidate volume is
+    // the sweep's own output complexity, and it is the one term that
+    // grows super-linearly. The standard mitigation truncates each
+    // bucket at a fixed occupancy cap (near-duplicates collide in MANY
+    // bands, so a pair lost to truncation in one bucket usually
+    // survives in another — the exact redundancy banding exists to
+    // provide). This query MEASURES that trade on the chosen 4×3
+    // config: per cap — buckets truncated, candidate pairs kept, and
+    // recall against the same jaccard≥0.5 ground truth the sweep uses.
+    // All caps share ONE bucket aggregate (the caps multiplex through a
+    // literal-array explode over the bucket-count-sized frame), one
+    // pair-distinct, and one union-tag aggregate — the dd_lsh_sweep
+    // plan shape, with the cap as a third grouping key. The truncation
+    // rule (keep the cap SMALLEST doc_ids of the sorted bucket) is
+    // deterministic, so the DuckDB mirror (row_number ≤ cap) agrees
+    // exactly and a recomputed lost partition reproduces it at 100 TB.
+    Q("dd_lsh_bucket_cap",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sh = TextOps.explodedShingles(d, ShingleN).distinct()
+          .materialize()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val truth = shingleIntersections(sh)
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+            "doc_b")
+          .filter(col("n_inter") * 2 >=
+            col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
+          .select(col("doc_a"), col("doc_b"))
+          .materialize()
+        val capsArr = array(LshBucketCaps.map(c => lit(c)): _*)
+        val buckets = TextOps
+          .bandedRows(TextOps.minhashFromShingles(sh, K), K, RowsPerBand)
+          .groupBy(col("band"), col("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .materialize() // bucket-count sized; feeds every cap below
+        val bucketCaps = buckets
+          .select(explode(capsArr).as("cap"), col("ids"))
+        val overStats = bucketCaps.groupBy(col("cap"))
+          .agg(sum(when(size(col("ids")) > col("cap"), 1L).otherwise(0L))
+            .as("n_buckets_over"))
+        val cand = bucketCaps
+          .select(col("cap"),
+            slice(col("ids"), lit(1), col("cap").cast("int")).as("kept"))
+          .select(col("cap"),
+            explode(flatten(transform(col("kept"), (a, i) =>
+              transform(slice(col("kept"), i + lit(2), size(col("kept"))),
+                b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+          .select(col("cap"), col("p.doc_a").as("doc_a"),
+            col("p.doc_b").as("doc_b"))
+          .distinct()
+        val truthTagged = truth
+          .select(explode(capsArr).as("cap"), col("doc_a"), col("doc_b"))
+        cand.select(col("cap"), col("doc_a"), col("doc_b"),
+            lit(1L).as("is_cand"), lit(0L).as("is_truth"))
+          .unionByName(truthTagged.select(col("cap"), col("doc_a"),
+            col("doc_b"), lit(0L).as("is_cand"), lit(1L).as("is_truth")))
+          .groupBy(col("cap"), col("doc_a"), col("doc_b"))
+          .agg(max(col("is_cand")).as("c"), max(col("is_truth")).as("t"))
+          .groupBy(col("cap"))
+          .agg(sum(col("c")).as("n_candidates"),
+            sum(col("t")).as("n_truth"),
+            sum(col("c") * col("t")).as("n_found"))
+          .join(overStats, Seq("cap")) // model-sized ⋈ model-sized
+          .select(col("cap"), col("n_buckets_over"), col("n_candidates"),
+            col("n_truth"), col("n_found"),
+            (col("n_found").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""
+        WITH sh AS (SELECT DISTINCT doc_id, shingle
+                    FROM (${DocSql.shinglesSql(ShingleN)})),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        tr0 AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON b.shingle = a.shingle
+                             AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        tj AS (
+          SELECT t.doc_a, t.doc_b
+          FROM tr0 t
+          JOIN sz sa ON sa.doc_id = t.doc_a
+          JOIN sz sb ON sb.doc_id = t.doc_b
+          WHERE t.n_inter * 2 >= sa.sz + sb.sz - t.n_inter),
+        sig AS (${DocSql.minhashSql(ShingleN, K)}),
+        bands AS (${DocSql.bandsFromSigSql(K / RowsPerBand, RowsPerBand)}),
+        ranked AS (
+          SELECT doc_id, band, bh,
+                 row_number() OVER (PARTITION BY band, bh
+                                    ORDER BY doc_id) AS rn
+          FROM bands),
+        caps AS (SELECT CAST(cap AS BIGINT) AS cap
+                 FROM (VALUES ${LshBucketCaps.map(c => s"($c)")
+                   .mkString(",")}) t(cap)),
+        bsz AS (SELECT band, bh, max(rn) AS n FROM ranked GROUP BY 1, 2),
+        over_c AS (
+          SELECT c.cap, count(*) AS n_buckets_over
+          FROM caps c JOIN bsz b ON b.n > c.cap
+          GROUP BY 1),
+        cand AS (
+          SELECT c.cap, a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM caps c
+          JOIN ranked a ON a.rn <= c.cap
+          JOIN ranked b ON b.band = a.band AND b.bh = a.bh
+                       AND b.doc_id > a.doc_id AND b.rn <= c.cap
+          GROUP BY 1, 2, 3),
+        nc AS (SELECT cap, count(*) AS n FROM cand GROUP BY 1),
+        nf AS (SELECT c.cap, count(*) AS n
+               FROM cand c JOIN tj t ON t.doc_a = c.doc_a
+                                    AND t.doc_b = c.doc_b
+               GROUP BY 1)
+        SELECT c.cap,
+               CAST(coalesce(o.n_buckets_over, 0) AS BIGINT)
+                 AS n_buckets_over,
+               CAST(coalesce(nc.n, 0) AS BIGINT) AS n_candidates,
+               (SELECT count(*) FROM tj) AS n_truth,
+               CAST(coalesce(nf.n, 0) AS BIGINT) AS n_found,
+               CAST(coalesce(nf.n, 0) AS DOUBLE) /
+                 (SELECT count(*) FROM tj) AS recall
+        FROM caps c
+        LEFT JOIN over_c o ON o.cap = c.cap
+        LEFT JOIN nc ON nc.cap = c.cap
+        LEFT JOIN nf ON nf.cap = c.cap""")),
 
     // ---- shingle document-frequency cap: the web-scale cost mitigation ------
     // dd_lsh_recall's inverted-index ground truth costs Σ df² per shingle
