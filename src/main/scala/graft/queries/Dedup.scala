@@ -128,6 +128,24 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
 
+  /** Jaccard ≥ 0.5 ground-truth pairs from a distinct (doc_id, shingle)
+    * table, retaining the intersection/size columns the threshold is
+    * computed from — ONE definition consumed by dd_lsh_recall,
+    * dd_lsh_sweep, and dd_lsh_bucket_cap, so the three cards cannot
+    * silently measure against diverged ground truths.
+    */
+  private def truthPairsAtHalf(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    shingleIntersections(sh)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .filter(col("n_inter") * 2 >=
+        col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
+  }
+
   /** Merge duplicated n-gram starts (doc_id, start) into maximal covered
     * spans — the gaps-and-islands window shared by dd_substring and
     * dd_substring_clean (one definition so the cut ledger cannot diverge
@@ -645,14 +663,7 @@ object Dedup {
         // over distinct shingles)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
           .materialize()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val truth = shingleIntersections(sh)
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-            "doc_b")
-          .filter(col("n_inter") * 2 >=
-            col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
+        val truth = truthPairsAtHalf(sh)
         val cand = TextOps.lshCandidatesFromSigs(
             TextOps.minhashFromShingles(sh, K), K, RowsPerBand)
           .withColumn("found", lit(1L))
@@ -712,14 +723,7 @@ object Dedup {
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
           .materialize()
         val sigs = TextOps.minhashFromShingles(sh, K).materialize()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val truthPairs = shingleIntersections(sh)
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-            "doc_b")
-          .filter(col("n_inter") * 2 >=
-            col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
+        val truthPairs = truthPairsAtHalf(sh)
           .select(col("doc_a"), col("doc_b"))
           .materialize()
         val cfgKeys = Seq(col("bands"), col("rows_per_band"))
@@ -729,19 +733,13 @@ object Dedup {
               lit(r.toLong).as("rows_per_band"),
               col("doc_id"), col("band"), col("bh"))
         }.reduce(_.unionByName(_))
-        val cand = banded
-          .groupBy(cfgKeys :+ col("band") :+ col("bh"): _*)
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-          // ordered pairs (i < j) from the sorted bucket membership — the
-          // lshCandidatesFromSigs idiom with the config keys retained
-          .select(cfgKeys :+
-            explode(flatten(transform(col("ids"), (a, i) =>
-              transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-                struct(a.as("doc_a"), b.as("doc_b")))))).as("p"): _*)
-          .select(cfgKeys :+ col("p.doc_a").as("doc_a") :+
-            col("p.doc_b").as("doc_b"): _*)
-          .distinct()
+        // TextOps.orderedPairs with the config keys retained
+        val cand = TextOps.orderedPairs(
+          banded
+            .groupBy(cfgKeys :+ col("band") :+ col("bh"): _*)
+            .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+            .filter(size(col("ids")) >= 2),
+          "ids", Seq("bands", "rows_per_band"))
         val cfgLit = explode(array(SweepConfigs.map { case (b, r) =>
           struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"))
         }: _*))
@@ -834,14 +832,7 @@ object Dedup {
         val d = docs(s, dir)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
           .materialize()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val truth = shingleIntersections(sh)
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-            "doc_b")
-          .filter(col("n_inter") * 2 >=
-            col("sz_a") + col("sz_b") - col("n_inter")) // jaccard >= 0.5
+        val truth = truthPairsAtHalf(sh)
           .select(col("doc_a"), col("doc_b"))
           .materialize()
         val capsArr = array(LshBucketCaps.map(c => lit(c)): _*)
@@ -856,16 +847,10 @@ object Dedup {
         val overStats = bucketCaps.groupBy(col("cap"))
           .agg(sum(when(size(col("ids")) > col("cap"), 1L).otherwise(0L))
             .as("n_buckets_over"))
-        val cand = bucketCaps
-          .select(col("cap"),
-            slice(col("ids"), lit(1), col("cap").cast("int")).as("kept"))
-          .select(col("cap"),
-            explode(flatten(transform(col("kept"), (a, i) =>
-              transform(slice(col("kept"), i + lit(2), size(col("kept"))),
-                b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-          .select(col("cap"), col("p.doc_a").as("doc_a"),
-            col("p.doc_b").as("doc_b"))
-          .distinct()
+        val cand = TextOps.orderedPairs(
+          bucketCaps.select(col("cap"),
+            slice(col("ids"), lit(1), col("cap").cast("int")).as("kept")),
+          "kept", Seq("cap"))
         val truthTagged = truth
           .select(explode(capsArr).as("cap"), col("doc_a"), col("doc_b"))
         cand.select(col("cap"), col("doc_a"), col("doc_b"),
@@ -878,9 +863,13 @@ object Dedup {
           .agg(sum(col("c")).as("n_candidates"),
             sum(col("t")).as("n_truth"),
             sum(col("c") * col("t")).as("n_found"))
-          .join(overStats, Seq("cap")) // model-sized ⋈ model-sized
-          .select(col("cap"), col("n_buckets_over"), col("n_candidates"),
-            col("n_truth"), col("n_found"),
+          // LEFT: an empty bucket frame (no full-band collision at tiny
+          // scale) must not drop the truth-only rows the oracle's caps
+          // LEFT JOIN keeps
+          .join(overStats, Seq("cap"), "left") // model-sized ⋈ model-sized
+          .select(col("cap"),
+            coalesce(col("n_buckets_over"), lit(0L)).as("n_buckets_over"),
+            col("n_candidates"), col("n_truth"), col("n_found"),
             (col("n_found").cast("double") / col("n_truth").cast("double"))
               .as("recall"))
       },

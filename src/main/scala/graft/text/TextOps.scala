@@ -201,16 +201,32 @@ object TextOps {
     */
   def lshCandidatesFromSigs(sigs: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame =
-    bandedRows(sigs, k, rowsPerBand)
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      // ordered pairs (i < j) from the sorted bucket membership
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    orderedPairs(
+      bandedRows(sigs, k, rowsPerBand)
+        .groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2),
+      "ids", Nil)
+
+  /** Distinct ordered pairs (doc_a < doc_b) from a SORTED
+    * bucket-membership array column, carrying `keys` through — the one
+    * home of the i<j enumeration rule. [[lshCandidatesFromSigs]], the
+    * dd_lsh_sweep config multiplex, and the dd_lsh_bucket_cap
+    * truncation card all bucket differently but pair identically;
+    * keeping the slice arithmetic here means an off-by-one fix reaches
+    * every consumer.
+    */
+  def orderedPairs(buckets: DataFrame, idsCol: String,
+      keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    buckets
+      .select(keyCols :+ explode(flatten(transform(col(idsCol), (a, i) =>
+        transform(slice(col(idsCol), i + lit(2), size(col(idsCol))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"): _*)
+      .select(keyCols :+ col("p.doc_a").as("doc_a") :+
+        col("p.doc_b").as("doc_b"): _*)
       .distinct()
+  }
 
   /** (doc_id, band, bh) banded signature rows — the LSH INDEX layout.
     * This is exactly the table a production index persists (partitioned/

@@ -78,6 +78,38 @@ class Round7OpsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dd_lsh_bucket_cap: monotone in the cap; loose cap equals the " +
+      "uncapped candidate set") {
+    val rows = run("dd_lsh_bucket_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows.map(_._4).distinct.length === 1) // one ground truth
+    rows.zip(rows.tail).foreach {
+      case ((_, o1, c1, _, f1, r1), (_, o2, c2, _, f2, r2)) =>
+        // a looser cap truncates fewer buckets and keeps more pairs
+        assert(o1 >= o2 && c1 <= c2 && f1 <= f2 && r1 <= r2,
+          s"bucket-cap trade not monotone: ${rows.toSeq}")
+    }
+    rows.foreach { case (_, _, c, t, f, rec) =>
+      assert(f <= math.min(c, t) && rec >= 0.0 && rec <= 1.0)
+    }
+    // the loosest cap truncates nothing at fixture scale, so its
+    // candidate set IS lshCandidatesFromSigs over the same 4×3 config —
+    // the "lossless above the duplicate-group size" claim the card
+    // stakes (and an oracle-symmetric truncation bug, where both Spark
+    // and SQL drift the same way, cannot fake this cross-check)
+    val (_, over64, cand64, _, _, _) = rows.last
+    assert(over64 === 0L, s"cap=64 should not truncate at sf0.001: $over64")
+    val sh = graft.text.TextOps.explodedShingles(
+      graft.Tables.sharded(spark, sfDir, "documents"), 3).distinct()
+    val uncapped = graft.text.TextOps.lshCandidatesFromSigs(
+      graft.text.TextOps.minhashFromShingles(sh, 12), 12, 3).count()
+    assert(cand64 === uncapped,
+      s"cap=64 candidates $cand64 != uncapped $uncapped")
+  }
+
   test("sim_ivfpq_refine: exact-cosine top-5 never scores below plain ADC") {
     import graft.similarity.VectorOps
     val emb = graft.Tables.sharded(spark, sfDir, "embeddings")
