@@ -327,12 +327,28 @@ object Bench {
     val localDir =
       if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-bench")
       else None
+    // r18: AQE's parallelismFirst coalescing floors post-shuffle
+    // partitions at minPartitionSize (default 1 MB) — size-based and
+    // blind to CPU density (guide §2.5). This engine's reducers are
+    // CPU-dense on few bytes (PQ-encode argmins, levenshtein scoring,
+    // pair explosion), so a few-MB shuffle coalesces to 1-2 partitions
+    // and the heavy compute runs serially; materialize() then FREEZES
+    // that 1-partition layout into the checkpoint for every downstream
+    // consumer (measured: sim_ivfpq's 0.45 s encode stage on 1 of 32
+    // cores). A 64 KB floor keeps such stages at width while still
+    // coalescing genuinely empty partitions; at production scale
+    // post-shuffle partitions are MBs+ and the floor is inert.
+    // Parameterized (SPARK_GRAFT_MIN_SPLIT) so a cluster profile can
+    // retune it without a code change.
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_SPLIT", "64k")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minPart)
       .config("spark.ui.enabled", "false")
     val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()

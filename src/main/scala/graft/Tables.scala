@@ -112,7 +112,7 @@ object Tables {
     * the scan yields ONE input partition and everything narrow downstream
     * (regex tokenization, per-shingle hashing, fixed-point vector math,
     * window explosion) would run on one core while the rest idle. One
-    * round-robin repartition of the pruned scan output buys full-width
+    * pk-hash repartition of the pruned scan output buys full-width
     * parallelism for the compute-heavy stage that follows.
     *
     * Scale note: this is the "cheap input, expensive transform" pattern —
@@ -125,14 +125,83 @@ object Tables {
     *
     * Measured boundary (sf0.1, local[32]): this wins only where per-row
     * compute dominates — the md5/shingle and fixed-point-vector families
-    * (~1.5-7× per query). The wide relational fact tables LOSE with it
-    * (q2 1.8s→7.9s): sort-before-repartition serializes 600k full rows
-    * through the single scan task, costing more than the parallel
-    * aggregation saves. Fact-table queries therefore stay on [[apply]].
+    * (~1.5-7× per query). The wide relational fact tables LOSE with the
+    * r1-r17 round-robin form (q2 1.8s→7.9s): sort-before-repartition
+    * serializes 600k full rows through the single scan task, costing
+    * more than the parallel aggregation saves. Fact-table queries use
+    * [[apply]], or [[widened]] where a measured serial stage justifies
+    * the exchange.
     */
+  /** r18: the spread key. Keyless round-robin `repartition(n)` pays
+    * sortBeforeRepartition (SPARK-23207) — the single scan task sorts
+    * and serializes the whole table before the exchange, a measured
+    * ~0.1-0.4 s SERIAL stage per scan at sf0.1 (guide §2.5). Hashing a
+    * content key instead needs no pre-sort AND is deterministic under
+    * task retry at 100 TB (round-robin needs the sort precisely to fake
+    * that); xxhash64 over the table's dense unique pk spreads evenly at
+    * any width. Measured: same subset 23.6 → 22.5 s (median 0.93×),
+    * no query outside noise in either direction.
+    */
+  private val shardKey = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    // non-query callers (streaming lookup specs, Catalog) shard other
+    // tables too — every fixture table has a spread key
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id")
+
   def sharded(spark: SparkSession, dir: String, name: String): DataFrame =
     apply(spark, dir, name)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism,
+        xxhash64(col(shardKey(name))))
+
+  /** SCAN-WIDTH-ADAPTIVE widening for "cheap input, expensive transform"
+    * queries over the FACT tables (guide §2: derive partitioning from
+    * input size, never from a constant tuned to one deployment). The
+    * fixture fact tables are single-row-group parquet, so their scan is
+    * ONE real task and any per-row-heavy stage fused onto it (Expand
+    * profiling, per-event regex/sketch updates) runs serially while the
+    * rest of the machine idles — measured 2.9 → 1.8 s on q25_profile.
+    *
+    * The widening is gated on the INPUT's actual size: it fires only
+    * when the table's on-disk bytes are too small for the scan to ever
+    * reach cluster width (size < defaultParallelism × one 4 MB
+    * open-cost split — below that Spark cannot schedule a full-width
+    * scan no matter how it packs splits, and a single-row-group file
+    * cannot even use the splits it gets). On a production lake every
+    * fact table is orders of magnitude past the gate and this is a
+    * no-op — the plan is byte-identical to [[apply]] — so the knob
+    * cannot pessimize at scale.
+    *
+    * Like [[sharded]], the exchange hashes a CONTENT key (xxhash64 of
+    * `key`) rather than going round-robin (whose sortBeforeRepartition
+    * made q2 lose 4×): deterministic under task retry (SPARK-38388 — a
+    * recomputed partition reproduces identical row placement at
+    * 100 TB), no pre-sort, and every consumer downstream is
+    * keyed/partitioning-agnostic so results are unchanged. Pick a
+    * high-cardinality key so hashing spreads evenly at any width.
+    */
+  def widened(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    widen(spark, dir, name, df, key)
+  }
+
+  /** The [[widened]] gate + exchange over an already-loaded frame —
+    * shared with [[events]] consumers, which have their own loader.
+    */
+  def widen(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, key: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    val bytes =
+      try java.nio.file.Files.size(p)
+      catch { case _: Exception => Long.MaxValue } // non-local path: no-op
+    val par = spark.sparkContext.defaultParallelism
+    if (bytes < par.toLong * 4L * 1024 * 1024)
+      df.repartition(par, xxhash64(col(key)))
+    else df
+  }
 
   /** The events table's `ts` encoding has varied across fixture
     * generations — parquet TIMESTAMP(NANOS) (read as a nanosecond long via
@@ -169,4 +238,7 @@ object Tables {
     }
     raw.withColumn("ems", ems)
       .withColumn("ts", timestamp_millis(col("ems")))
+    // NOT widened (r18 A/B): the ev family shuffles by user/key right
+    // after the scan, so a widening exchange is pure added cost —
+    // measured +20% over 15 representative ev queries.
   }}

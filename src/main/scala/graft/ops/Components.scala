@@ -83,7 +83,10 @@ object Components {
       labels = labels.union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .materialize()
+        .materialize() // per-round truncation: the r18 A/B re-measured the
+        // single-plan alternative (AQE stage reuse does NOT dedupe the
+        // repeated round subtrees) at 1.4-2.9× WORSE on the ≥10k-pair er
+        // graphs — the checkpoint stays
     }
     labels
   }

@@ -44,4 +44,31 @@ object Materialize {
       }
     }
   }
+
+  /** Materialize INDEPENDENT frames concurrently (guide §2.6: actions
+    * are only sequential because the driver calls them sequentially).
+    * Each checkpoint is its own Spark job; submitting them from a small
+    * thread pool lets the second job's tasks back-fill executors idled
+    * by the first job's tail — the two LSH passes that share one
+    * shingle checkpoint (signatures, ground-truth pairs) overlap this
+    * way. Callers must pass frames with NO dependency on each other's
+    * materialization (both may share already-materialized upstreams).
+    * FIFO scheduling preserves back-fill; results return in input
+    * order; a failure in any job rethrows.
+    */
+  def materializeAll(dfs: DataFrame*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    if (dfs.sizeIs <= 1) dfs.map(_.materialize())
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(dfs.size)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(dfs.map(df => Future(df.materialize()))),
+        Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
 }

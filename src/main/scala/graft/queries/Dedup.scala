@@ -722,10 +722,12 @@ object Dedup {
         val d = docs(s, dir)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
           .materialize()
-        val sigs = TextOps.minhashFromShingles(sh, K).materialize()
-        val truthPairs = truthPairsAtHalf(sh)
-          .select(col("doc_a"), col("doc_b"))
-          .materialize()
+        // signatures and ground truth are independent given the shingle
+        // checkpoint — materialize them CONCURRENTLY (guide §2.6) so the
+        // md5 signature pass back-fills the truth self-join's tail
+        val Seq(sigs, truthPairs) = graft.ops.Materialize.materializeAll(
+          TextOps.minhashFromShingles(sh, K),
+          truthPairsAtHalf(sh).select(col("doc_a"), col("doc_b")))
         val cfgKeys = Seq(col("bands"), col("rows_per_band"))
         val banded = SweepConfigs.map { case (b, r) =>
           TextOps.bandedRows(sigs, b * r, r)
@@ -832,16 +834,17 @@ object Dedup {
         val d = docs(s, dir)
         val sh = TextOps.explodedShingles(d, ShingleN).distinct()
           .materialize()
-        val truth = truthPairsAtHalf(sh)
-          .select(col("doc_a"), col("doc_b"))
-          .materialize()
         val capsArr = array(LshBucketCaps.map(c => lit(c)): _*)
-        val buckets = TextOps
-          .bandedRows(TextOps.minhashFromShingles(sh, K), K, RowsPerBand)
-          .groupBy(col("band"), col("bh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-          .materialize() // bucket-count sized; feeds every cap below
+        // truth pass and bucket aggregate are independent given the
+        // shingle checkpoint — overlap them (the dd_lsh_sweep pattern)
+        val Seq(truth, buckets) = graft.ops.Materialize.materializeAll(
+          truthPairsAtHalf(sh).select(col("doc_a"), col("doc_b")),
+          TextOps
+            .bandedRows(TextOps.minhashFromShingles(sh, K), K, RowsPerBand)
+            .groupBy(col("band"), col("bh"))
+            .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+            .filter(size(col("ids")) >= 2))
+        // buckets: bucket-count sized; feeds every cap below
         val bucketCaps = buckets
           .select(explode(capsArr).as("cap"), col("ids"))
         val overStats = bucketCaps.groupBy(col("cap"))

@@ -1261,8 +1261,12 @@ object Events {
         // batchReference row-for-row (StreamingLatenessSpec), and this
         // query is the 1-minute-bucket instantiation the oracle pins.
         import graft.streaming.StreamingLateness
-        val a = Tables.events(s, dir).select(col("event_type"),
-          col("ems"), arrivalMs.as("arr_ms"))
+        // widened BEFORE the md5 arrival synthesis: the per-row md5 +
+        // watermark join otherwise fuse onto the single-row-group scan
+        // and run serially (measured 0.47 s of the query's 1.4 s)
+        val a = Tables.widen(s, dir, "events", Tables.events(s, dir),
+            "event_id")
+          .select(col("event_type"), col("ems"), arrivalMs.as("arr_ms"))
         StreamingLateness.sizingTable(
           StreamingLateness.batchReference(a, bucketMs = 60000L))
       },
@@ -1896,6 +1900,11 @@ object Events {
             byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .select(col("user_id"), col("session_id"), col("event_type"))
           .distinct()
+          // r18: FOUR consumers (both pair sides, types, total) — without
+          // truncation the sessionize window + distinct re-executes per
+          // consumer (exchange reuse shares only the map side); measured
+          // 4 serial ~0.2-0.4 s window stages in one run
+          .materialize()
         val pairs = sess.select(col("user_id"), col("session_id"),
             col("event_type").as("type_a"))
           .join(sess.select(col("user_id"), col("session_id"),

@@ -883,10 +883,21 @@ object MultimodalQ {
     // the dq_expectations verdict-card shape, per modality.
     Q("mm_dedup_report",
       (s, dir) => {
-        def card(modality: String, pairs: DataFrame, ca: String,
-            cb: String): DataFrame = {
-          val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
-            .materialize() // two aggregates below — one lineage run
+        // r18: the four modality pair pipelines are fully independent —
+        // materialize them CONCURRENTLY (guide §2.6) so each pipeline's
+        // straggler tail back-fills with the next modality's work,
+        // instead of four sequential decode-heavy job chains
+        val Seq(pAudio, pImage, pDhash, pVideo) =
+          graft.ops.Materialize.materializeAll(
+            audioPairs(s, dir).select(col("rec_a").as("a"),
+              col("rec_b").as("b")),
+            imagePairs(s, dir).select(col("rec_a").as("a"),
+              col("rec_b").as("b")),
+            dhashPairs(s, dir).select(col("asset_a").as("a"),
+              col("asset_b").as("b")),
+            videoNearDup(s, Tables.sharded(s, dir, "documents"))
+              .select(col("rec_a").as("a"), col("rec_b").as("b")))
+        def card(modality: String, p: DataFrame): DataFrame = {
           val members = p.select(col("a").as("m"))
             .unionByName(p.select(col("b").as("m")))
           p.agg(count(lit(1)).as("n_pairs"))
@@ -895,14 +906,10 @@ object MultimodalQ {
             .select(lit(modality).as("modality"), col("n_pairs"),
               col("n_dup_records"))
         }
-        card("audio_fingerprint", audioPairs(s, dir), "rec_a", "rec_b")
-          .unionByName(card("image_png_dhash", imagePairs(s, dir),
-            "rec_a", "rec_b"))
-          .unionByName(card("image_stub_dhash", dhashPairs(s, dir),
-            "asset_a", "asset_b"))
-          .unionByName(card("video_alignment",
-            videoNearDup(s, Tables.sharded(s, dir, "documents")),
-            "rec_a", "rec_b"))
+        card("audio_fingerprint", pAudio)
+          .unionByName(card("image_png_dhash", pImage))
+          .unionByName(card("image_stub_dhash", pDhash))
+          .unionByName(card("video_alignment", pVideo))
       },
       Some {
         def block(modality: String, ctes: String, sel: String,

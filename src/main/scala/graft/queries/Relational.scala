@@ -773,7 +773,11 @@ object Relational {
     // collapses away) when ±2% is acceptable — same plan otherwise.
     Q("q25_profile",
       (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
+        // widened: the Expand(×7)+partial-agg stage fuses onto the scan
+        // and is the whole cost of this query — serial on the fixture's
+        // single-row-group file (guide §2.6 starved-scan shape; measured
+        // 2.9 → 1.8 s at sf0.1, no-op on a real lake)
+        val li = Tables.widened(s, dir, "lineitem", "l_orderkey")
         // one spec row per profiled column — (name, numeric-bound expr or
         // None for strings) — drives BOTH the aggregate list and the
         // stack() unpivot, so a label can never transpose onto another
@@ -1389,8 +1393,15 @@ object Relational {
           "events" -> Seq("event_id"),
           "documents" -> Seq("doc_id"),
           "embeddings" -> Seq("vec_id"))
+        // widened on the three big tables: the countDistinct Expand +
+        // partial agg fuses onto the single-row-group scan and runs
+        // serially (the q25_profile shape); the small dimension tables
+        // are not worth an exchange
+        val wideKey = Map("lineitem" -> "l_orderkey",
+          "orders" -> "o_orderkey", "events" -> "event_id")
         tabs.map { case (t, pks) =>
-          Tables(s, dir, t)
+          wideKey.get(t).fold(Tables(s, dir, t))(k =>
+            Tables.widened(s, dir, t, k))
             .agg(count(lit(1)).as("n_rows"),
               countDistinct(pks.head, pks.tail: _*).as("n_keys"))
             .select(lit(t).as("table_name"),

@@ -314,6 +314,49 @@ object Similarity {
     * DataFrame — the query itself and the recall evaluation both consume
     * exactly this definition.
     */
+  /** The per-probe MMR greedy kernel (r18) — selection over a probe's
+    * bounded candidate set (MmrCand entries) and pairwise fixed-point
+    * sims, as one local pass: step 1 is the relevance argmax; each later
+    * step maximizes lam·rel − (1000−lam)·max(msim, 0) over the
+    * remaining candidates, msim = max sim to the already-selected set;
+    * every tie breaks to the smallest cand_id. Exactly the arithmetic
+    * of the pre-r18 MmrK-round distributed unroll (the unchanged DuckDB
+    * oracle is the equivalence proof); factored out so MmrGreedySpec
+    * can pin the kernel against hand-computed selections.
+    */
+  private[graft] def mmrGreedy(pid: Long,
+      candIt: Iterator[(Long, Long)],
+      simIt: Iterator[((Long, Long), Long)],
+      lam: Long, k: Int): Iterator[(Long, Long, Long, Long, Long)] = {
+    val cands = candIt.toArray.sortBy(_._1) // cand_id asc = tie order
+    val sim = new java.util.HashMap[(Long, Long), Long]()
+    simIt.foreach { case (key, v) => sim.put(key, v) }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    (1 to k).foreach { step =>
+      val remaining = cands.filterNot(c => selected.contains(c._1))
+      if (remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel) =>
+          val mmr =
+            if (step == 1) lam * rel
+            else {
+              val msim = selected.iterator
+                .map(s => sim.getOrDefault((id, s), Long.MinValue))
+                .max
+              lam * rel - (1000L - lam) * math.max(msim, 0L)
+            }
+          (id, rel, mmr)
+        }
+        // argmax mmr; cands sorted asc, so on ties the smaller id wins
+        val best = scored.maxBy(t => (t._3, -t._1))
+        selected += best._1
+        out += ((pid, best._1, step.toLong, best._2, best._3))
+      }
+    }
+    out.iterator
+  }
+
   private def pqTop5(s: SparkSession, dir: String): DataFrame = {
     val q = VectorOps.quantized(Tables.sharded(s, dir, "embeddings"))
       .select(col("vec_id"), col("q"))
@@ -1303,53 +1346,28 @@ object Similarity {
             d(col("qa"), col("qb")), col("na"), col("nb")) * 1000000)
             .cast("long"))
           .select(col("probe_id"), col("a"), col("b"), col("sim_fx"))
-          .materialize()
         val lam = MmrLambdaMilli
-        // The selected set is SERVING-sized (≤ probes × MmrK = 40 rows),
-        // so each greedy step collects its pick and re-injects it as a
-        // broadcast literal (the sim_kmeans/PQ-codebook discipline):
-        // every stage's plan references only the two materialized leaves
-        // plus the literal, staying constant-depth — a lineage-nested or
-        // per-step-checkpointed unroll measured 1.8-2.6× slower
-        // (4.4s / 6.3s vs 2.4s at sf0.1).
+        // r18: the greedy selection runs as ONE cogroup pass, per probe
+        // (replacing the MmrK-1 collect-and-broadcast rounds: 9+ global
+        // job barriers of driver latency for what is per-probe-local
+        // work). Per-probe state is bounded — MmrCand candidates and
+        // MmrCand² sim entries — so the group handler is O(MmrK·MmrCand)
+        // integer arithmetic, embarrassingly parallel across probes at
+        // any probe-batch size: strictly better at 100 TB too, where a
+        // million-probe batch would otherwise serialize MmrK rounds of
+        // fleet-wide barriers. Exact same arithmetic as the unrolled
+        // form (lam·rel − (1000−lam)·max(msim,0), ties by cand_id asc),
+        // proven by the unchanged oracle.
         import s.implicits._
-        val byProbeRel = Window.partitionBy(col("probe_id"))
-          .orderBy(col("rel_fx").desc, col("cand_id").asc)
-        val acc = scala.collection.mutable.ArrayBuffer.empty[
-          (Long, Long, Long, Long, Long)]
-        acc ++= candv
-          .withColumn("rn", row_number().over(byProbeRel))
-          .filter(col("rn") === 1)
-          .select(col("probe_id"), col("cand_id"), col("rel_fx"),
-            (lit(lam) * col("rel_fx")).as("mmr_fx"), lit(1L).as("step"))
-          .as[(Long, Long, Long, Long, Long)].collect()
-        (2 to MmrK).foreach { i =>
-          val selKeys = broadcast(acc.toSeq
-            .toDF("probe_id", "sel_id", "r", "m", "st")
-            .select(col("probe_id"), col("sel_id")))
-          val rem = candv.select(col("probe_id"), col("cand_id"),
-              col("rel_fx"))
-            .join(selKeys.withColumnRenamed("sel_id", "cand_id"),
-              Seq("probe_id", "cand_id"), "left_anti")
-          val ms = rem
-            .join(sims.withColumnRenamed("a", "cand_id"),
-              Seq("probe_id", "cand_id"))
-            .join(selKeys.withColumnRenamed("sel_id", "b"),
-              Seq("probe_id", "b"))
-            .groupBy(col("probe_id"), col("cand_id"), col("rel_fx"))
-            .agg(max(col("sim_fx")).as("msim"))
-          val byMmr = Window.partitionBy(col("probe_id"))
-            .orderBy(col("mmr_fx").desc, col("cand_id").asc)
-          acc ++= ms
-            .withColumn("mmr_fx", lit(lam) * col("rel_fx") -
-              lit(1000L - lam) * greatest(col("msim"), lit(0L)))
-            .withColumn("rn", row_number().over(byMmr))
-            .filter(col("rn") === 1)
-            .select(col("probe_id"), col("cand_id"), col("rel_fx"),
-              col("mmr_fx"), lit(i.toLong).as("step"))
-            .as[(Long, Long, Long, Long, Long)].collect()
-        }
-        acc.toSeq.toDF("probe_id", "neighbor_id", "rel_fx", "mmr_fx", "step")
+        val candK = candv.select(col("probe_id"), col("cand_id"),
+          col("rel_fx")).as[(Long, Long, Long)]
+        val simK = sims.as[(Long, Long, Long, Long)]
+        candK.groupByKey(_._1)
+          .cogroup(simK.groupByKey(_._1)) { (pid, cs, ss) =>
+            mmrGreedy(pid, cs.map(t => (t._2, t._3)),
+              ss.map(t => ((t._2, t._3), t._4)), lam, MmrK)
+          }
+          .toDF("probe_id", "neighbor_id", "step", "rel_fx", "mmr_fx")
           .select(col("probe_id"), col("neighbor_id"), col("step"),
             col("rel_fx"), col("mmr_fx"))
       },

@@ -115,13 +115,13 @@ class CharEntropyExprSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan
       assert(plan.toString.contains("char_entropy_packed"))
       // the computation itself shuffles NOTHING — the only exchange is
-      // Tables.sharded's documented fixture-only round-robin (which a
-      // real splittable-file lake drops); no hash/range exchange exists
+      // Tables.sharded's documented fixture-only spread (REPARTITION_BY_NUM;
+      // r18: pk-hash, not round-robin — a real splittable-file lake drops
+      // it); no planner-inserted hash/range exchange exists
       val exchanges = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-            if !e.outputPartitioning
-              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
-                .RoundRobinPartitioning] => e
+            if e.shuffleOrigin != org.apache.spark.sql.execution.exchange
+              .REPARTITION_BY_NUM => e
       }
       assert(exchanges.isEmpty, exchanges.mkString(","))
       val wsc = plan.collect {

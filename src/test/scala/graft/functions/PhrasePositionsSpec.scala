@@ -80,9 +80,8 @@ class PhrasePositionsSpec extends SparkSpec {
       assert(plan.toString.contains("phrase_positions"))
       val exchanges = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-            if !e.outputPartitioning
-              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
-                .RoundRobinPartitioning] => e
+            if e.shuffleOrigin != org.apache.spark.sql.execution.exchange
+              .REPARTITION_BY_NUM => e
       }
       assert(exchanges.isEmpty, exchanges.mkString(","))
     } finally spark.conf.set(aqeKey, aqeWas)

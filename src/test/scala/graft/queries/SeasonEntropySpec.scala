@@ -57,7 +57,8 @@ class SeasonEntropySpec extends SparkSpec {
     // AQE's AdaptiveSparkPlanExec is opaque to collect — plan with it
     // OFF so the assertion actually sees the tree (the PlanAuditSpec
     // sibling-test pattern). The only exchange allowed is
-    // Tables.sharded's documented fixture-only round-robin.
+    // Tables.sharded's documented fixture-only spread
+    // (REPARTITION_BY_NUM — r18: a pk-hash repartition, not round-robin).
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey)
     try {
@@ -66,9 +67,9 @@ class SeasonEntropySpec extends SparkSpec {
         .queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange
                 .ShuffleExchangeExec
-              if !e.outputPartitioning
-                .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
-                  .RoundRobinPartitioning] => e
+              if e.shuffleOrigin !=
+                org.apache.spark.sql.execution.exchange
+                  .REPARTITION_BY_NUM => e
         }
       assert(exchanges.isEmpty, exchanges.mkString(","))
     } finally spark.conf.set(aqeKey, aqeWas)
