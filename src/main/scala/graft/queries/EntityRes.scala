@@ -253,10 +253,17 @@ object EntityRes {
     // to ~1 partition on the few-MB record table, blind to the
     // pair-scoring CPU downstream of the join.
     val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val a = k.select(col("bk"), col("rec_id").as("rec_a"),
-      col("norm").as("norm_a"), col("seg").as("seg_a"))
+    // r18: repartition ONCE, below both projections — the two join
+    // sides then share a canonically-identical exchange subtree, so
+    // ReuseExchange runs the record synthesis + keying a single time
+    // and the self-join needs no second exchange at all (was: explicit
+    // repartition on side a + a planner exchange on side b, each
+    // re-deriving k from the scan).
+    val kp = k.select(col("bk"), col("rec_id"), col("norm"), col("seg"))
       .repartition(shufflePartitions, col("bk"))
-    val b = k.select(col("bk"), col("rec_id").as("rec_b"),
+    val a = kp.select(col("bk"), col("rec_id").as("rec_a"),
+      col("norm").as("norm_a"), col("seg").as("seg_a"))
+    val b = kp.select(col("bk"), col("rec_id").as("rec_b"),
       col("norm").as("norm_b"), col("seg").as("seg_b"))
     a.join(b, Seq("bk"))
       .filter(col("rec_a") < col("rec_b"))

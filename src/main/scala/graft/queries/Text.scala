@@ -2686,18 +2686,28 @@ object Text {
     // broadcast cross.
     Q("txt_bigram_lm",
       (s, dir) => {
-        val big = docs(s, dir).select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 2))
-            .as("bg"))
+        // r18: ONE tokenize pass (was two — the unigram branch re-ran
+        // the regex over the corpus), and the join/grouping keys are
+        // xxhash64 compactions of the bigram/unigram strings (the q27
+        // result-invisible-key discipline: every output reduces to
+        // string equality, so the shuffles and sort-merge compares
+        // carry 8-byte longs instead of strings; the DuckDB mirror
+        // joins the raw strings and agrees).
+        val toked = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .materialize() // feeds the bigram AND unigram branches
+        val big = toked.select(col("doc_id"),
+          explode(TextOps.shingles(col("toks"), 2)).as("bg"))
+          .select(col("doc_id"), xxhash64(col("bg")).as("bgh"),
+            xxhash64(split(col("bg"), " ").getItem(0)).as("w1h"))
           .materialize() // feeds the count pass AND the scoring join
-        val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-        val c1 = docs(s, dir).select(
-          explode(TextOps.tokens(col("text"))).as("w1"))
-          .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        val vsize = c1.agg(countDistinct(col("w1")).as("v"))
+        val c2 = big.groupBy(col("bgh")).agg(count(lit(1)).as("c2"))
+        val c1 = toked.select(explode(col("toks")).as("w1"))
+          .select(xxhash64(col("w1")).as("w1h"))
+          .groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+        val vsize = c1.agg(count(lit(1)).as("v"))
         big
-          .withColumn("w1", split(col("bg"), " ").getItem(0))
-          .join(c2, "bg").join(c1, "w1")
+          .join(c2, "bgh").join(c1, "w1h")
           .crossJoin(broadcast(vsize))
           .withColumn("q", round(log(
             (col("c1") + col("v")).cast("double") / (col("c2") + 1)) *
